@@ -1,0 +1,157 @@
+"""Sources and sinks.
+
+Reference parity (cited against /root/reference/main.go):
+- A2/A3 MySQL source: single connection + full-query pushdown
+  (main.go:87-110). Spark equivalent is the JDBC source; unlike the
+  reference's single cursor we expose partitioned reads
+  (partitionColumn/lowerBound/upperBound/numPartitions + fetchsize) so a
+  100 TB extract parallelizes across executors instead of one socket.
+- A7 Parquet sink: parquet-go JSONWriter over one local file, writer
+  parallelism hardcoded 4 (main.go:165-173). Spark equivalent is the
+  distributed parquet writer; parallelism = DataFrame partitions.
+  ``single_file=True`` reproduces the reference's one-file layout for
+  small compat exports (NOT for scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan. Catalyst pushes filters/projections into this scan
+    (verify with .explain: PushedFilters/ReadSchema).
+
+    Parquet TIMESTAMP(NANOS) is not a Spark type (PARQUET_TYPE_ILLEGAL);
+    we read nanos as long (legacy conf, runtime-settable) and convert any
+    long column named ``ts`` to a microsecond timestamp — the same
+    ns→µs truncation DuckDB/Arrow apply, so oracles agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every test table present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register temp views so ``spark.sql`` works over the test
+    tables — the Spark-native analogue of the reference handing its query
+    string to a server that already has the tables (main.go:106)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    *,
+    query: str | None = None,
+    table: str | None = None,
+    user: str = "root",
+    password: str = "",
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    session_init: str | None = None,
+) -> DataFrame:
+    """JDBC (MySQL) source with full-query pushdown.
+
+    Mirrors the reference's contract — the raw SQL string goes to the
+    server verbatim (main.go:106 ``db.Query(*fQuery)``) — via Spark's
+    ``query`` option. ``session_init`` carries the reference's documented
+    ``SET ...`` session-tuning prelude (main.go:41-47, multiStatements DSN
+    at main.go:89) as the JDBC ``sessionInitStatement``.
+
+    Scale: the reference reads through ONE cursor (main.go:87-110). Here,
+    passing ``partition_column/lower_bound/upper_bound/num_partitions``
+    splits the read into range-parallel cursors, one per task.
+    """
+    if (query is None) == (table is None):
+        raise ValueError("exactly one of query= or table= is required")
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("user", user)
+        .option("password", password)
+        .option("fetchsize", str(fetchsize))
+    )
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+    if session_init:
+        reader = reader.option("sessionInitStatement", session_init)
+    if partition_column is not None:
+        if query is not None:
+            raise ValueError(
+                "partitioned JDBC reads require table=, not query= "
+                "(Spark restriction)"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    return reader.load()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    single_file: bool = False,
+    compression: str = "snappy",
+) -> None:
+    """Parquet sink (reference A7, main.go:165-203).
+
+    ``partition_by`` produces hive-style layout for partition pruning on
+    later scans — the 100 TB default. ``single_file=True`` coalesces to one
+    part-file, matching the reference's single local `.parquet`
+    (main.go:165); only for small compat exports.
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,220 @@
+"""Deduplication operators for large text corpora.
+
+Five strategies, all shuffle-disciplined for 100 TB:
+
+- exact_dedup: groupBy/window on explicit key columns — one shuffle on the
+  key; deterministic keeper (min tiebreak), unlike ``dropDuplicates`` whose
+  survivor is partition-order dependent.
+- fingerprint_dedup: content hash (md5) — one shuffle on a 32-char key
+  regardless of document size; the standard first pass at corpus scale.
+- minhash_lsh_*: near-dup candidates via MinHash signatures + LSH banding.
+  Signatures are a pure projection (no shuffle); candidate generation
+  shuffles on (band_id, band_hash) — i.e. only colliding docs ever meet,
+  never the O(n²) cross join.
+- simhash_dedup: 64-bit SimHash + banded Hamming blocking (4×16-bit
+  chunks; Hamming ≤ 3 pairs must share ≥1 exact chunk by pigeonhole).
+- embedding near-dup lives in operators/similarity.py (shared LSH).
+
+All per-row math uses JVM built-ins (functions/hashing.py) — no Python in
+the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.functions.hashing import (
+    band_hashes,
+    hamming64,
+    minhash_signature,
+    shingles,
+    simhash64,
+    tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], tiebreak_col: str
+) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest
+    ``tiebreak_col``. Deterministic under any partitioning (unlike
+    ``dropDuplicates``). One shuffle on ``key_cols``."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fp") -> DataFrame:
+    """Content fingerprint column (md5 hex) — exact-dup key that is 32
+    bytes no matter how large the document is."""
+    return df.withColumn(out_col, F.md5(F.col(text_col)))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup via md5: keep min-id row per distinct text."""
+    return exact_dedup(fingerprint(df, text_col), ["fp"], id_col).drop("fp")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, est_jaccard) via MinHash+LSH.
+
+    Plan shape: projection (shingles→signature→band keys) → explode bands
+    → self-join on (band_idx, band_key) → distinct pairs → estimate
+    jaccard as the fraction of equal signature components. The only
+    shuffles are the band-key join and the final distinct — both keyed on
+    hashes, so they distribute evenly even on skewed corpora.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            minhash_signature(
+                shingles(text_col, shingle_n), num_hashes
+            ).alias("sig"),
+        )
+    )
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.posexplode(band_hashes("sig", bands, rows_per_band)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(len(range(num_hashes))))
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup dedup: drop every doc that has a candidate pair with
+    estimated jaccard ≥ threshold and a smaller-id partner (min-id doc of
+    each near-dup set survives; transitive chains collapse toward the
+    smallest id in one pass — full connected components would iterate).
+    """
+    cand = minhash_candidates(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    ).filter(F.col("est_jaccard") >= threshold)
+    losers = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """EXACT n-gram Jaccard over all pairs — O(n²); the verification
+    stage after LSH blocking, or directly on small/blocked subsets.
+    jaccard = |distinct(A)∩distinct(B)| / |distinct(A)∪distinct(B)|.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash: 64-bit fingerprints, blocked
+    on 4 × 16-bit chunks (any pair within Hamming ≤ 15 of each other
+    shares at least one exact chunk — pigeonhole), verified by exact
+    Hamming distance. Shuffles only on chunk values — never all-pairs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash64(tokens(text_col)).alias("sh")
+    )
+    chunks = sh.select(
+        "doc",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

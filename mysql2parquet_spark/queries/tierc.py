@@ -1,0 +1,357 @@
+"""Tier C — LLM-data-pipeline extensions (SURVEY.md §2.3). Not present in
+the reference (/root/reference is a MySQL→Parquet exporter only); these
+are the training-data operators: dedup (exact / fingerprint / MinHash /
+SimHash / n-gram Jaccard), similarity search (brute-force + LSH + IVF),
+text analysis, and multimodal plumbing.
+
+Exact/deterministic ops carry DuckDB oracles. Approximate ops (MinHash,
+SimHash, LSH ANN) are rows-only here and quality-checked (recall vs the
+exact answer) in tests/test_tierc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.io import load_table
+from mysql2parquet_spark.operators import dedup, similarity, text
+from mysql2parquet_spark.operators.multimodal import text_as_binary_assets
+from mysql2parquet_spark.queries import register
+
+
+def T(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# C1 — deduplication (exact)
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source, n_chars
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    "C1: exact dedup on a key tuple, deterministic min-id keeper — one "
+    "shuffle on the key, no collect.",
+)
+def dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return dedup.exact_dedup(d, ["lang", "source", "n_chars"], "doc_id")
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT doc_id, lang, md5(text) AS fp FROM (
+      SELECT doc_id, lang, text,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    "C1: content-hash (md5) dedup — constant-width key independent of "
+    "document size; the standard first pass at corpus scale.",
+)
+def dedup_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.fingerprint_dedup(d, "text", "doc_id")
+    return kept.select("doc_id", "lang", F.md5("text").alias("fp"))
+
+
+@register(
+    "dedup_minhash",
+    None,  # approximate (LSH banding) — rows-only; recall tested in pytest
+    "C2: MinHash+LSH near-dup dedup — signature projection, band-key "
+    "join (never O(n²)); survivors of threshold 0.5.",
+)
+def dedup_minhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_simhash",
+    None,  # approximate — rows-only
+    "C2: SimHash near-dup candidates — 64-bit fingerprint, 16-bit chunk "
+    "blocking, Hamming ≤ 3 verification.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+             )) AS grams
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / CAST(len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 4)
+               AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.05
+    """,
+    "C2: EXACT n-gram (3-gram) Jaccard pairs on a blocked subset — the "
+    "verification stage that follows LSH blocking at scale.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.05)
+
+
+# --------------------------------------------------------------------------
+# C3 — similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / ( sqrt(list_sum(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+             AS score
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, ROUND(score, 4) + 0 AS cos_sim
+    FROM scored
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "topk_similarity",
+    _COS_SQL,
+    "C3: exact brute-force cosine top-10 for one query vector — broadcast "
+    "query, JVM higher-order-function fold, TakeOrderedAndProject.",
+)
+def topk_similarity(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    res = similarity.brute_force_topk(e, q, k=10)
+    return res.select("vec_id", (F.round("score", 4) + 0.0).alias("cos_sim"))
+
+
+@register(
+    "similarity_pairs",
+    """
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(a.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ), 4)
+               AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id AND a.vec_id < 100 AND b.vec_id < 100
+    ) WHERE cos_sim >= 0.25
+    """,
+    "C3/C2: embedding near-dup pairs (cosine ≥ 0.25) on a blocked subset "
+    "— exact verification stage; LSH-bucketed variant is ann_lsh_topk.",
+)
+def similarity_pairs(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return similarity.cosine_pairs(e, threshold=0.25)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate by construction — recall vs exact tested in pytest
+    "C3: LSH-bucketed approximate top-k (random hyperplane signs) — "
+    "queries only touch their bucket, ~n/2^planes rows instead of n.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    res = similarity.lsh_topk(e, q, k=10, dim=64, num_planes=4)
+    return res.select("vec_id", F.round("score", 4).alias("cos_sim"))
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate (IVF probe subset) — rows-only
+    "C3: IVF-style ANN — corpus pre-assigned to nearest of 8 centroid "
+    "cells (write-time partition column at scale); query probes 2 cells.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    # Deterministic coarse centroids: the first 8 vectors by id.
+    cents = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    assigned = similarity.ivf_assign(e, cents)
+    q = assigned.filter(F.col("vec_id") == 0)
+    probe = q.select(F.col("centroid_id").alias("_probe"))
+    cell = assigned.join(F.broadcast(probe), assigned.centroid_id == probe._probe)
+    res = similarity.brute_force_topk(
+        cell.select("vec_id", "embedding"), q.select("vec_id", "embedding"), k=10
+    )
+    return res.select("vec_id", F.round("score", 4).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
+# C4 — text analysis
+# --------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)), 2)
+             AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    "C4: per-language corpus stats — tokenization is a projection; only "
+    "the 5-group agg shuffles.",
+)
+def text_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(text.token_count("text").cast("double")), 2).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS INT)
+             AS n_distinct,
+           n_chars
+    FROM documents
+    """,
+    "C4: per-document token counting (whitespace tokenizer).",
+)
+def text_tokens(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio,
+           ROUND(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                 / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len,
+           ROUND(LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                 * ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE), 4), 4) AS quality
+    FROM t
+    """,
+    "C4: heuristic quality scoring (length × token diversity), "
+    "deterministic arithmetic with an exact SQL oracle.",
+)
+def text_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return text.with_quality_score(d, "text").select(
+        "doc_id", "lang", "n_tokens", "distinct_ratio", "mean_token_len", "quality"
+    )
+
+
+@register(
+    "text_langid",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang AS lang_true,
+           ROUND(CAST(len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+                 AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS score_en
+    FROM t
+    """,
+    "C4: language-ID heuristic (stopword-hit ratio); the en-score column "
+    "is oracle-checked, the full argmax prediction is unit-tested.",
+)
+def text_langid(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    scored = text.with_lang_scores(d, "text")
+    return scored.select(
+        "doc_id", F.col("lang").alias("lang_true"), "score_en"
+    )
+
+
+@register(
+    "text_termfreq",
+    """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+    GROUP BY token HAVING COUNT(*) >= 10
+    """,
+    "C4: corpus term frequency (explode + partial-agg groupBy).",
+)
+def text_termfreq(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return text.term_frequencies(d, "text", min_count=10)
+
+
+# --------------------------------------------------------------------------
+# C5 — multimodal plumbing (binary columns)
+# --------------------------------------------------------------------------
+
+@register(
+    "multimodal_binary",
+    """
+    SELECT doc_id AS asset_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(n_chars AS INT) AS meta_chars
+    FROM documents
+    """,
+    "C5: multimodal asset table — opaque binary payload + typed metadata; "
+    "byte length proves the binary column round-trips. Feature extraction "
+    "over the payload (mapInPandas) is tested in tests/test_multimodal.py.",
+)
+def multimodal_binary(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    assets = text_as_binary_assets(d)
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.length("content").alias("n_bytes"),
+        F.col("meta.n_chars").cast("int").alias("meta_chars"),
+    )

@@ -1,0 +1,123 @@
+"""Shared window/session/dedup builders — one definition, two execution
+modes. Each function takes any DataFrame with (ts, user_id, event_type,
+event_id, value) columns; pass a batch table for oracle checks or a
+streaming source (after ``withWatermark``) for incremental execution.
+
+Window starts are emitted as formatted strings so batch results are
+hash-comparable with a DuckDB oracle (timestamps stringify identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.dedup import exact_dedup
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _dsum_value() -> F.Column:
+    """Exact decimal sum of the 2-dp ``value`` column → double (order-
+    independent, reproducible across engines and cluster sizes)."""
+    return F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+
+
+def tumbling_counts(events: DataFrame, width: str) -> DataFrame:
+    """Tumbling-window count/sum per event_type (B32).
+
+    Streaming: incremental state per (window, type); with a watermark the
+    state is bounded and windows finalize. Batch: plain hash agg.
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            _dsum_value().alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str, slide: str) -> DataFrame:
+    """Sliding-window count/sum per event_type (B32) — each event belongs
+    to width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            _dsum_value().alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str) -> DataFrame:
+    """Per-(user, session) aggregate using session_window (B33): a session
+    closes after ``gap`` of inactivity."""
+    return events.groupBy(
+        F.session_window("ts", gap).alias("sw"), "user_id"
+    ).agg(
+        F.count("*").alias("cnt"),
+        _dsum_value().alias("sum_value"),
+    )
+
+
+def session_stats_per_user(events: DataFrame, gap: str) -> DataFrame:
+    """Session stats rolled up per user: number of sessions and the size
+    of the largest one. Batch-oracle-checkable (the oracle rebuilds
+    sessions with the lag/cumsum idiom)."""
+    s = session_windows(events, gap)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+def stateful_dedup_batch(events: DataFrame) -> DataFrame:
+    """Batch face of streaming dedup (B35): one row per (user_id,
+    event_type), keeping the earliest event_id. The streaming face is
+    ``streaming_dedup`` below."""
+    kept = exact_dedup(
+        events.select("user_id", "event_type", "event_id"),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+    return kept.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup with bounded state: dropDuplicates within the
+    watermark horizon. (Streaming keeps the FIRST arrival; the batch
+    face above pins the same semantics to min event_id so it is
+    deterministic and oracle-checkable.)"""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def running_value_per_user(events: DataFrame) -> DataFrame:
+    """Batch analytic used in tests: cumulative value per user (B18 over
+    the events shape)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )

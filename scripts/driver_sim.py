@@ -1,0 +1,108 @@
+"""Driver simulation: exercises __spark_entry__.py exactly as the
+external harness does — a VANILLA SparkSession (none of our engine
+defaults), entry() smoke at sf0.001, then every queries() entry vs its
+oracle_sql() on DuckDB at sf0.01 with an order-insensitive value hash.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["|".join(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    # Vanilla session — deliberately NOT mysql2parquet_spark.session.
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    t0 = time.time()
+    df = entrymod.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows, schema={df.schema.simpleString()} "
+          f"({time.time() - t0:.1f}s)")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    passed = failed = rows_only = 0
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error {str(e)[:150]}")
+            failed += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({dt:.1f}s)")
+            rows_only += 1
+            continue
+        rel = con.execute(oracles[name])
+        dcols = [c[0] for c in rel.description]
+        drows = rel.fetchall()
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_cnt = len(srows) == len(drows)
+        ok_vals = canon(srows, scols) == canon(drows, dcols) if ok_cols and ok_cnt else False
+        if ok_cols and ok_cnt and ok_vals:
+            print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
+            passed += 1
+        else:
+            print(f"FAIL {name}: cols={ok_cols} cnt={ok_cnt}({len(srows)}/{len(drows)}) vals={ok_vals}")
+            if ok_cols and ok_cnt:
+                sc, dc = canon(srows, scols), canon(drows, dcols)
+                diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                for a, b in diffs:
+                    print(f"    spark={a}\n    duck ={b}")
+            failed += 1
+    print(f"\nTOTAL: {passed} pass, {rows_only} rows-only, {failed} fail "
+          f"of {len(qs)}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
