@@ -1,0 +1,154 @@
+"""CLI with the reference's flag surface (/root/reference/main.go:27-85)
+plus engine-native extensions.
+
+Reference contract reproduced:
+- flags: --user --password --host --port --database --query --parquet
+  (defaults user=root host=127.0.0.1 port=3306, main.go:59-66)
+- --help / --version exit 0 (main.go:71-78); missing required flag
+  prints usage and exits 1 (main.go:79-85)
+- the query string is executed as-is (full pushdown, main.go:106); the
+  documented multi-statement `SET ...; SELECT ...` prelude (main.go:41-47)
+  is honored: SET statements become the JDBC sessionInitStatement.
+
+Engine extensions (not in the reference):
+- --tables-dir: run the query with Spark SQL over local parquet tables
+  (no MySQL server in the loop — the engine owns execution).
+- --compat: apply the reference type projection (DECIMAL→double,
+  temporal→string, NULL→"") instead of native types.
+- --single-file: one output file like main.go:165 (default: directory).
+- --partition-by: hive-style partitioned output for scale.
+- --jdbc partitioned-read knobs: --partition-column/--lower/--upper/
+  --num-partitions (the reference reads through ONE cursor; we don't).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from mysql2parquet_spark import __version__
+
+USAGE_EPILOG = """examples:
+  # reference-style MySQL extract (requires a reachable MySQL server):
+  mysql2parquet-spark --user root --password s3cr3t --database db \\
+      --query "SELECT * FROM users" --parquet /tmp/users
+
+  # engine-native: run SQL over local parquet tables, no server:
+  mysql2parquet-spark --tables-dir /root/testdata/sf0.01 \\
+      --query "SELECT l_returnflag, count(*) c FROM lineitem GROUP BY 1" \\
+      --parquet /tmp/out
+"""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mysql2parquet-spark",
+        description="Export SQL query results to Parquet, Spark-native.",
+        epilog=USAGE_EPILOG,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--user", default="root", help="MySQL user (default root)")
+    p.add_argument("--password", default=None, help="MySQL password")
+    p.add_argument("--host", default="127.0.0.1", help="MySQL host")
+    p.add_argument("--port", default=3306, type=int, help="MySQL port")
+    p.add_argument("--database", default=None, help="MySQL database")
+    p.add_argument("--query", default=None, help="SQL to execute")
+    p.add_argument("--parquet", default=None, help="output path")
+    p.add_argument("--version", action="store_true", help="print version")
+    # engine extensions
+    p.add_argument("--tables-dir", default=None,
+                   help="run query over parquet tables in this dir (no MySQL)")
+    p.add_argument("--compat", action="store_true",
+                   help="reference type-mapping output (lossy, NULL->'')")
+    p.add_argument("--single-file", action="store_true",
+                   help="coalesce output to one file (reference layout)")
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated partition columns for output")
+    p.add_argument("--partition-column", default=None,
+                   help="JDBC partitioned-read column")
+    p.add_argument("--lower", type=int, default=None)
+    p.add_argument("--upper", type=int, default=None)
+    p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def _split_session_prelude(query: str) -> tuple[str | None, str]:
+    """Split the reference's documented `SET ...; SET ...; SELECT ...`
+    multi-statement form (main.go:41-47): leading SET statements become
+    the JDBC sessionInitStatement; the final statement is the query."""
+    parts = [s.strip() for s in query.split(";") if s.strip()]
+    if len(parts) <= 1:
+        return None, query
+    sets = [s for s in parts[:-1] if s.upper().startswith("SET ")]
+    return ("; ".join(sets) or None), parts[-1]
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.version:
+        print(__version__)
+        return 0
+
+    missing = [
+        name
+        for name, val in (
+            ("--query", args.query),
+            ("--parquet", args.parquet),
+        )
+        if val is None
+    ]
+    if args.tables_dir is None:
+        missing += [
+            name
+            for name, val in (
+                ("--password", args.password),
+                ("--database", args.database),
+            )
+            if val is None
+        ]
+    if missing:
+        parser.print_usage(sys.stderr)
+        print(f"missing required flags: {' '.join(missing)}", file=sys.stderr)
+        return 1
+
+    from mysql2parquet_spark.compat import export
+    from mysql2parquet_spark.io import read_jdbc, register_tables
+    from mysql2parquet_spark.session import get_spark
+
+    spark = get_spark("mysql2parquet-spark-cli", master=args.master)
+    try:
+        if args.tables_dir:
+            register_tables(spark, args.tables_dir)
+            df = spark.sql(args.query)
+        else:
+            session_init, query = _split_session_prelude(args.query)
+            url = f"jdbc:mysql://{args.host}:{args.port}/{args.database}"
+            df = read_jdbc(
+                spark,
+                url,
+                query=None if args.partition_column else query,
+                table=f"({query}) q" if args.partition_column else None,
+                user=args.user,
+                password=args.password,
+                session_init=session_init,
+                partition_column=args.partition_column,
+                lower_bound=args.lower,
+                upper_bound=args.upper,
+                num_partitions=args.num_partitions,
+            )
+        export(
+            df,
+            args.parquet,
+            compat=args.compat,
+            single_file=args.single_file,
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

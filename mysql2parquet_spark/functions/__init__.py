@@ -13,5 +13,5 @@ from mysql2parquet_spark.functions.vector import (  # noqa: F401
 from mysql2parquet_spark.functions.hashing import (  # noqa: F401
     minhash_signature,
     shingles,
-    simhash64,
+    simhash_bits,
 )

@@ -44,23 +44,26 @@ def seeded_hash(col: Column | str, seed: int) -> Column:
     return F.hash(F.lit(seed), _c(col))
 
 
-def _seeded_hasher(seed: int):
-    # NB: a closure, not `lambda s, j=j: ...` — PySpark's higher-order
-    # functions dispatch on lambda ARITY, so a defaulted second parameter
-    # would be bound to the (element, index) lambda variable instead.
-    return lambda s: seeded_hash(s, seed)
-
-
 def minhash_signature(shingle_arr: Column | str, num_hashes: int = 32) -> Column:
     """MinHash signature: array of ``num_hashes`` ints, element j =
-    min over shingles of hash_j(shingle). Pure projection — scales
-    linearly, no shuffle."""
+    min over shingles of hash_j(shingle).
+
+    Built as ONE fold over the shingle array (each shingle hashed with
+    every seed, running element-wise min via zip_with) — the naive
+    `array(array_min(transform(...)) for each seed)` form embeds the
+    shingle expression num_hashes times and re-evaluates it per seed.
+    Pure projection — scales linearly, no shuffle.
+    """
     arr = _c(shingle_arr)
-    return F.array(
-        *[
-            F.array_min(F.transform(arr, _seeded_hasher(j)))
-            for j in range(num_hashes)
-        ]
+    int_max = 2147483647
+    return F.aggregate(
+        arr,
+        F.array_repeat(F.lit(int_max), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[seeded_hash(s, j) for j in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -86,35 +89,38 @@ def band_hashes(signature: Column | str, bands: int, rows_per_band: int) -> Colu
     )
 
 
-def simhash64(token_arr: Column | str) -> Column:
-    """64-bit SimHash of a token array, built-ins only.
+def simhash_bits(token_arr: Column | str, num_bits: int = 64) -> Column:
+    """SimHash of a token array as an ``array<int>`` of 0/1 bits.
 
-    Each token hashes to 64 bits (xxhash64); for each bit position the
-    weighted sum of ±1 votes is computed and the sign becomes the output
-    bit. Expressed as: for bit k, count tokens with bit k set vs total;
-    bit k of result = (2*count_set > n_tokens).
+    Each token hashes to 64 bits (xxhash64); bit k of the output is the
+    majority vote of bit k across tokens. ONE fold over the tokens
+    (per-token bits via getbit, element-wise count via zip_with) — a
+    per-k loop would re-evaluate the hash array num_bits times.
     """
     toks = _c(token_arr)
     h = F.transform(toks, lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(0), F.lit(num_bits - 1))
+    counts = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(idx, lambda k: F.getbit(x, k).cast("int")),
+            lambda a, b: a + b,
+        ),
+    )
     n = F.size(toks)
-
-    def bit_test(k: int):
-        mask = F.shiftleft(F.lit(1).cast("bigint"), k)
-        return lambda x: x.bitwiseAND(mask) != F.lit(0)
-
-    bits = [
-        F.when(
-            F.lit(2) * F.size(F.filter(h, bit_test(k))) > n,
-            F.shiftleft(F.lit(1).cast("bigint"), k),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for k in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    return F.transform(
+        counts, lambda c: F.when(F.lit(2) * c > n, 1).otherwise(0)
+    )
 
 
-def hamming64(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two int64 simhashes via bit_count(xor)."""
-    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+def hamming_bits(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b), lambda x, y: F.when(x != y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, z: acc + z,
+    )

@@ -26,10 +26,10 @@ from pyspark.sql import functions as F
 
 from mysql2parquet_spark.functions.hashing import (
     band_hashes,
-    hamming64,
+    hamming_bits,
     minhash_signature,
     shingles,
-    simhash64,
+    simhash_bits,
     tokens,
 )
 
@@ -84,6 +84,12 @@ def minhash_candidates(
                 shingles(text_col, shingle_n), num_hashes
             ).alias("sig"),
         )
+        # Materialization barrier: without it Catalyst collapses this
+        # projection into the band-hash projection and re-evaluates the
+        # (expensive) signature fold once per band. The exchange moves
+        # only (id, 32 ints) per doc — far cheaper than 8× recompute,
+        # and it pre-distributes docs for the band join.
+        .repartition("doc")
     )
     banded = sig.select(
         "doc",
@@ -183,12 +189,13 @@ def simhash_candidates(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash: 64-bit fingerprints, blocked
-    on 4 × 16-bit chunks (any pair within Hamming ≤ 15 of each other
-    shares at least one exact chunk — pigeonhole), verified by exact
-    Hamming distance. Shuffles only on chunk values — never all-pairs.
+    on 4 × 16-bit chunks (any pair within Hamming ≤ 3 shares at least
+    one exact chunk — pigeonhole), verified by exact Hamming distance.
+    Shuffles only on chunk values — never all-pairs.
     """
     sh = df.select(
-        F.col(id_col).alias("doc"), simhash64(tokens(text_col)).alias("sh")
+        F.col(id_col).alias("doc"),
+        simhash_bits(tokens(text_col)).alias("sh"),
     )
     chunks = sh.select(
         "doc",
@@ -196,7 +203,7 @@ def simhash_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sh"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.hash(F.lit(k), F.slice(F.col("sh"), k * 16 + 1, 16))
                     for k in range(4)
                 ]
             )
@@ -213,7 +220,7 @@ def simhash_candidates(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming_bits(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)

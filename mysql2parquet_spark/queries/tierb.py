@@ -193,13 +193,14 @@ def join_semi(spark, sf_dir):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
-    "B9: left-anti join (NOT EXISTS) — customers with no orders.",
+    "B9: left-anti join (NOT EXISTS) — customers with no urgent orders.",
 )
 def join_anti(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -557,16 +558,21 @@ def set_intersect(spark, sf_dir):
 @register(
     "set_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
     """,
-    "B21: EXCEPT (distinct semantics) via DataFrame.subtract.",
+    "B21: EXCEPT (distinct semantics) via DataFrame.subtract — customers "
+    "who ordered despite a non-positive account balance.",
 )
 def set_except(spark, sf_dir):
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)
 
 
 # --------------------------------------------------------------------------

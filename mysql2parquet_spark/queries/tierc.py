@@ -92,8 +92,8 @@ def dedup_simhash(spark, sf_dir):
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1) + 1),
-               i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+               range(1, greatest(len(string_split(trim(text), ' ')) - 1, 1) + 1),
+               i -> array_to_string(string_split(trim(text), ' ')[i:i+1], ' ')
              )) AS grams
       FROM documents WHERE doc_id % 10 = 0
     )
@@ -107,12 +107,12 @@ def dedup_simhash(spark, sf_dir):
       WHERE a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.05
     """,
-    "C2: EXACT n-gram (3-gram) Jaccard pairs on a blocked subset — the "
+    "C2: EXACT n-gram (2-gram) Jaccard pairs on a blocked subset — the "
     "verification stage that follows LSH blocking at scale.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.05)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.05)
 
 
 # --------------------------------------------------------------------------

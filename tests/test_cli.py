@@ -1,0 +1,74 @@
+"""CLI contract tests (reference flag surface, main.go:58-85) — flag
+validation in-process; the end-to-end export path runs via --tables-dir
+(no MySQL server needed)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+from mysql2parquet_spark.cli import _split_session_prelude, build_parser, main
+
+
+def test_version_exits_zero(capsys):
+    assert main(["--version"]) == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_missing_required_flags_exit_one(capsys):
+    assert main([]) == 1
+    err = capsys.readouterr().err
+    assert "--query" in err and "--parquet" in err
+
+
+def test_mysql_mode_requires_credentials(capsys):
+    rc = main(["--query", "SELECT 1", "--parquet", "/tmp/x"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "--password" in err and "--database" in err
+
+
+def test_session_prelude_split():
+    prelude, q = _split_session_prelude(
+        "SET TRANSACTION ISOLATION LEVEL READ UNCOMMITTED; "
+        "SET SQL_BIG_SELECTS=1; SELECT * FROM t"
+    )
+    assert "READ UNCOMMITTED" in prelude and "SQL_BIG_SELECTS" in prelude
+    assert q == "SELECT * FROM t"
+    assert _split_session_prelude("SELECT 1") == (None, "SELECT 1")
+
+
+def test_defaults_match_reference():
+    args = build_parser().parse_args(["--query", "q", "--parquet", "p"])
+    assert args.user == "root"          # main.go:59
+    assert args.host == "127.0.0.1"     # main.go:61
+    assert args.port == 3306            # main.go:62
+
+
+def test_end_to_end_tables_dir(tmp_path, sf_dir):
+    """Full subprocess run: SQL over parquet tables -> parquet output."""
+    out = tmp_path / "out"
+    rc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mysql2parquet_spark.cli",
+            "--tables-dir",
+            sf_dir,
+            "--query",
+            "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1",
+            "--parquet",
+            str(out),
+            "--single-file",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    import duckdb
+
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == 3
