@@ -1,0 +1,133 @@
+"""Streaming sources and sinks (B31).
+
+The engine's streaming ingestion mirrors its batch io: file-based
+sources (parquet/json/csv directories — the standard landing-zone
+pattern), the rate source for tests/backpressure tuning, and Kafka via
+the standard connector options (format("kafka") — connector jar not
+bundled in this container, so construction is gated).
+
+Sinks: memory (tests), parquet via direct writeStream (exactly-once via
+checkpoint), and foreachBatch for sinks needing batch-only features
+(e.g. JDBC write-back, dedup-merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events table as a file stream — the streaming face of
+    io.load_table(spark, sf_dir, 'events'). Same ns→µs conversion, so
+    every shared builder (streaming/windows.py) produces results
+    comparable with its batch run."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Rate source → the events shape (synthetic load for harness and
+    backpressure testing)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 50).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("value") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.col("value") % 100 / 4.0).alias("value"),
+            F.to_json(F.struct((F.col("value") % 97).alias("k"))).alias("props"),
+        )
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source construction (connector jar required at runtime)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming query to completion of available data into an
+    in-memory table; returns the result as a batch DataFrame. Test/REPL
+    helper — production sinks below."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+):
+    """Parquet streaming sink with exactly-once checkpointing — the
+    streaming face of io.write_parquet. Returns the StreamingQuery."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w.start()
+
+
+def foreach_batch_sink(df: DataFrame, checkpoint: str, fn):
+    """foreachBatch escape hatch: ``fn(batch_df, batch_id)`` runs with
+    full batch capabilities (JDBC writes, merges, dedup against existing
+    data). Exactly-once when ``fn`` is idempotent per batch_id."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,130 @@
+"""Structured Streaming harness tests (SURVEY.md §5.2 point: streaming
+state/watermarks have no DuckDB oracle → batch-equivalence testing).
+
+Each test runs a shared builder (streaming/windows.py) over the events
+FILE STREAM with trigger availableNow and compares against the same
+builder over the batch table — proving the operators are genuinely
+incremental, not just batch code that happens to compile."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from mysql2parquet_spark.io import load_table
+from mysql2parquet_spark.streaming import windows as W
+from mysql2parquet_spark.streaming.sources import (
+    run_to_memory,
+    stream_events,
+    stream_to_parquet,
+)
+
+
+def _canon(df):
+    return sorted(map(str, df.collect()))
+
+
+@pytest.fixture()
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _mem_name() -> str:
+    return "m" + uuid.uuid4().hex[:10]
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = stream_events(spark, sf_dir)
+    got = run_to_memory(W.tumbling_counts(stream, "10 minutes"), _mem_name())
+    want = W.tumbling_counts(batch_events, "10 minutes")
+    assert _canon(got) == _canon(want)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = stream_events(spark, sf_dir)
+    got = run_to_memory(
+        W.sliding_counts(stream, "10 minutes", "5 minutes"), _mem_name()
+    )
+    want = W.sliding_counts(batch_events, "10 minutes", "5 minutes")
+    assert _canon(got) == _canon(want)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, batch_events):
+    """Single-stage session aggregation streams incrementally; chaining a
+    second stateful agg (the per-user rollup) is a batch-face op — Spark
+    rejects multi-stateful chains without watermark staging."""
+    from pyspark.sql import functions as F
+
+    def flatten(df):
+        return df.select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            "cnt",
+            "sum_value",
+        )
+
+    stream = stream_events(spark, sf_dir)
+    got = run_to_memory(flatten(W.session_windows(stream, "60 minutes")), _mem_name())
+    want = flatten(W.session_windows(batch_events, "60 minutes"))
+    assert _canon(got) == _canon(want)
+
+
+def test_watermarked_tumbling_runs(spark, sf_dir):
+    """Watermark + append mode: only finalized windows are emitted; with
+    availableNow over a finite source the final watermark passes every
+    window, so append-mode output matches the batch aggregation minus
+    nothing — but Spark emits appendable windows only after a NEXT
+    trigger advances the watermark, so we assert the query runs and
+    emits a subset."""
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    got = run_to_memory(
+        W.tumbling_counts(stream, "10 minutes"), _mem_name(), output_mode="append"
+    )
+    want = W.tumbling_counts(
+        load_table(spark, sf_dir, "events"), "10 minutes"
+    )
+    got_rows = set(map(str, got.collect()))
+    want_rows = set(map(str, want.collect()))
+    assert got_rows.issubset(want_rows)
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, batch_events):
+    """dropDuplicates within the watermark horizon: every emitted key is
+    unique and the key set matches the batch distinct exactly (finite
+    replay, all data within horizon)."""
+    stream = stream_events(spark, sf_dir)
+    got = run_to_memory(
+        W.streaming_dedup(stream, watermark="100 days").select(
+            "user_id", "event_type"
+        ),
+        _mem_name(),
+        output_mode="append",
+    )
+    keys = [(r.user_id, r.event_type) for r in got.collect()]
+    assert len(keys) == len(set(keys))
+    want = set(
+        (r.user_id, r.event_type)
+        for r in batch_events.select("user_id", "event_type").distinct().collect()
+    )
+    assert set(keys) == want
+
+
+def test_parquet_stream_sink_roundtrip(spark, sf_dir, tmp_path):
+    """File-stream → transform → parquet streaming sink with checkpoint;
+    the landed data re-reads to the same row count as the source."""
+    stream = stream_events(spark, sf_dir).where("event_type = 'purchase'")
+    q = stream_to_parquet(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    landed = spark.read.parquet(str(tmp_path / "out"))
+    want = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert landed.count() == want
