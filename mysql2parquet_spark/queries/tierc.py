@@ -76,6 +76,20 @@ def dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_ml",
+    None,  # approximate — rows-only; recall tested in tests/test_tierc.py
+    "C2: Spark ML MinHashLSH variant (HashingTF shingle vectors + "
+    "approxSimilarityJoin with OR-amplified hash tables) — same API "
+    "shape as the hand-rolled band join.",
+)
+def dedup_minhash_ml(spark, sf_dir):
+    from mysql2parquet_spark.operators.ml_lsh import minhash_lsh_ml
+
+    d = T(spark, sf_dir, "documents")
+    return minhash_lsh_ml(d, "doc_id", "text", max_jaccard_distance=0.5)
+
+
+@register(
     "dedup_simhash",
     None,  # approximate — rows-only
     "C2: SimHash near-dup candidates — 64-bit fingerprint, 16-bit chunk "

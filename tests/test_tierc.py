@@ -1,0 +1,150 @@
+"""Quality tests for the approximate Tier C operators — the checks the
+hash-oracle gate can't express: recall vs the exact answer, estimator
+error bounds, and semantic invariants on synthetic near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.io import load_table
+from mysql2parquet_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with PLANTED near-duplicates: pairs (i, i+100)
+    share ~90% of tokens; everything else is disjoint vocab."""
+    rows = []
+    for i in range(100):
+        base = [f"tok{i}_{j}" for j in range(30)]
+        rows.append((i, " ".join(base)))
+        mutated = list(base)
+        mutated[0] = "CHANGED"
+        mutated[15] = "ALSO_CHANGED"
+        rows.append((i + 100, " ".join(mutated)))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_minhash_finds_planted_dups(docs):
+    cand = dedup.minhash_candidates(docs, "doc_id", "text", shingle_n=3)
+    found = {
+        (r.id_a, r.id_b)
+        for r in cand.filter(F.col("est_jaccard") >= 0.3).collect()
+    }
+    planted = {(i, i + 100) for i in range(100)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # no cross-pair pollution: disjoint docs must not collide strongly
+    false_pairs = found - planted
+    assert len(false_pairs) <= 2
+
+
+def test_minhash_estimates_track_exact_jaccard(docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs.filter(F.col("doc_id").isin([0, 100, 1, 101])),
+            "doc_id",
+            "text",
+            shingle_n=3,
+        ).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_candidates(
+            docs.filter(F.col("doc_id").isin([0, 100, 1, 101])),
+            "doc_id",
+            "text",
+            shingle_n=3,
+        ).collect()
+    }
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.25, (pair, e, exact[pair])
+
+
+def test_minhash_dedup_keeps_min_id(docs):
+    kept = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # survivors: all originals (0..99); most mutated copies dropped
+    assert set(range(100)) <= ids
+    dropped = set(range(100, 200)) - ids
+    assert len(dropped) >= 90
+
+
+def test_simhash_planted_dups_low_hamming(spark):
+    """SimHash needs tighter dups than MinHash to score: with short
+    all-unique-token docs every bit majority is slim, so we plant 1
+    changed token in 50 (98% overlap) and expect small hamming. An
+    identical pair must collide at hamming 0."""
+    rows = []
+    for i in range(50):
+        base = [f"w{i}_{j}" for j in range(50)]
+        rows.append((i, " ".join(base)))
+        mutated = list(base)
+        mutated[25] = "CHANGED"
+        rows.append((i + 100, " ".join(mutated)))
+    rows.append((999, rows[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    cand = dedup.simhash_candidates(df, "doc_id", "text", max_hamming=10)
+    found = {(r.id_a, r.id_b): r.hamming for r in cand.collect()}
+    assert found.get((0, 999)) == 0  # identical docs -> identical simhash
+    planted = {(i, i + 100) for i in range(50)}
+    recall = len(set(found) & planted) / len(planted)
+    assert recall >= 0.7, f"simhash recall {recall}"
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    # multi-probe stand-in: fewer planes -> bigger buckets -> higher recall
+    approx = {
+        r.vec_id
+        for r in similarity.lsh_topk(emb, q, k=10, dim=64, num_planes=2).collect()
+    }
+    assert len(exact & approx) >= 3  # same bucket quadrant captures several
+    # every approx score must be a real cosine from the corpus (sanity)
+    assert len(approx) == 10
+
+
+def test_ivf_assign_covers_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()  # exactly one cell per vector
+    n_cells = assigned.select("centroid_id").distinct().count()
+    assert n_cells == 8
+
+
+def test_ml_minhash_lsh_agrees_with_handrolled(docs):
+    pytest.importorskip("pyspark.ml")
+    from mysql2parquet_spark.operators.ml_lsh import minhash_lsh_ml
+
+    pairs = minhash_lsh_ml(
+        docs, "doc_id", "text", max_jaccard_distance=0.6
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 100) for i in range(100)}
+    assert len(found & planted) / len(planted) >= 0.9
+
+
+def test_cosine_pairs_threshold_semantics(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),     # identical -> cos 1.0
+        (3, [0.0, 1.0]),     # orthogonal -> cos 0.0
+        (4, [0.6, 0.8]),     # cos(1,4)=0.6
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cosine_pairs(df, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got
+    assert abs(got[(1, 4)] - 0.6) < 1e-9
