@@ -1,0 +1,110 @@
+"""Physical-plan assertions (SURVEY.md §4.2/C6): the properties that make
+these queries viable at 100 TB, pinned so a refactor can't silently
+regress them. Each assertion names the failure mode it guards against."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2parquet_spark.queries import REGISTRY, _load
+
+_load()
+
+
+def plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_pred")
+    # every predicate must reach the parquet reader, or a 100 TB scan
+    # decompresses everything before filtering
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in p
+    assert "In(l_returnflag, [A,R])" in p
+    assert "LessThan(l_shipdate" in p
+
+
+def test_column_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "scan_project")
+    # a 3-column projection must not read the other 8 lineitem columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>" in p
+
+
+def test_small_dim_joins_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in p
+    # the fact side must NOT be exchanged before the join: the only
+    # Exchange allowed is the tiny post-aggregation one
+    pre_join = p.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_multiway")
+    assert p.count("BroadcastExchange") >= 2  # nation and region at least
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort shuffle
+
+
+def test_agg_partial_combine(spark, sf_dir):
+    p = plan(spark, sf_dir, "agg_group")
+    # map-side combine: shuffle carries |groups| rows, not |input| rows
+    assert "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_agg_shares_duplicate_aggregates(spark, sf_dir):
+    p = plan(spark, sf_dir, "agg_group")
+    # sum(l_quantity) feeds both sum_qty and avg_qty: must aggregate once
+    assert p.count("partial_sum(cast(l_quantity") == 1
+
+
+def test_scans_stay_codegen(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_pred", mode="simple")
+    assert "*" in p  # WholeStageCodegen stages present
+
+
+def test_range_join_broadcasts_band_side(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_range")
+    # non-equi join: the tiny band table must broadcast so the big side
+    # streams once (BroadcastNestedLoopJoin), never a cartesian shuffle
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_no_cross_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "dedup_minhash", mode="simple")
+    # LSH candidate generation joins on band keys — all-pairs would be
+    # a BroadcastNestedLoopJoin/CartesianProduct here
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_no_collect_in_operator_paths():
+    """No operator/query module may materialize to the driver — grep-level
+    guard; .collect() belongs to tests and the driver only."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "mysql2parquet_spark"
+    offenders = []
+    for f in root.rglob("*.py"):
+        src = f.read_text()
+        if ".collect()" in src or ".toPandas()" in src:
+            offenders.append(str(f))
+    assert not offenders, f"driver-side materialization in: {offenders}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_group", "join_broadcast", "window_rank", "stream_tumbling_batch"],
+)
+def test_single_shuffle_queries(spark, sf_dir, name):
+    """These shapes need exactly one data exchange (plus broadcasts)."""
+    p = plan(spark, sf_dir, name)
+    assert p.count("Exchange hashpartitioning") <= 1, p
