@@ -1,0 +1,92 @@
+"""Scale-posture operators (SURVEY.md C6): skew salting and bucketed
+co-located joins. These change nothing semantically — they reshape the
+same computation so it survives pathological data distributions and
+repeated big-big joins at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_group_count(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    salt_buckets: int = 16,
+    agg_exprs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups on (key, salt) — a hot key splits across
+    ``salt_buckets`` reducers instead of melting one; phase 2 merges the
+    partials on the bare key. AQE's skew handling covers joins; this is
+    the equivalent for aggregations whose partial combine isn't enough
+    (e.g. high-cardinality payloads per hot key).
+
+    ``agg_exprs``: {output_col: input_col} summed in both phases;
+    row counts are always produced as ``cnt``.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    aggs1 = [F.count("*").alias("cnt")] + [
+        F.sum(src).alias(out) for out, src in (agg_exprs or {}).items()
+    ]
+    phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*aggs1)
+    aggs2 = [F.sum("cnt").alias("cnt")] + [
+        F.sum(out).alias(out) for out in (agg_exprs or {})
+    ]
+    return phase1.groupBy(*key_cols).agg(*aggs2)
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    on: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a random salt, the
+    small side is exploded ``salt_buckets``× so every (key, salt)
+    combination exists. A hot key's rows then spread over
+    ``salt_buckets`` tasks. Prefer AQE skew-join first; use this when
+    the skew is known and extreme (AQE splits partitions, but a single
+    hot KEY within one partition can't be split without salting)."""
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    exploded_small = skewed_small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_big.join(exploded_small, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    *,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed identically on their join key join WITHOUT a
+    shuffle — the layout cost is paid once at write time. This is the
+    100 TB answer for fact-fact joins repeated across many queries
+    (the reference has no concept of layout at all — one flat file,
+    main.go:165)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables — verify with .explain that
+    no Exchange precedes the join."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -423,6 +423,111 @@ def agg_having(spark, sf_dir):
     )
 
 
+@register(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 3) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 3) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "B12: exact interpolated percentiles (MySQL 8 PERCENTILE_CONT "
+    "parity). Rounded to 3 decimals: linear interpolation of 2-dp data "
+    "yields at-most-3-dp exact values, so 3-dp rounding is never at a "
+    "boundary (2-dp would be, e.g. a median of x.245). The approximate "
+    "at-scale variant is agg_approx_percentile.",
+)
+def agg_percentile(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 3).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 3).alias(
+            "p90_price"
+        ),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    None,  # approximate (t-digest style sketch) — rows-only
+    "B12/C6: percentile_approx — the sketch-based percentile that "
+    "replaces exact sorting at 100 TB.",
+)
+def agg_approx_percentile(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx")
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "B12: statistical aggregates (STDDEV/VARIANCE/MIN/MAX).",
+)
+def agg_stats(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_groupconcat",
+    """
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+             AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "B12: MySQL GROUP_CONCAT(DISTINCT .. ORDER BY ..) parity via "
+    "collect_set + array_sort + array_join (deterministic order).",
+)
+def agg_groupconcat(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
+    )
+
+
+@register(
+    "filter_like",
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE '%ol%' AND p_type NOT LIKE 'ECO%'
+      AND regexp_matches(p_name, '^(red|blue) ')
+    """,
+    "B5/B22: LIKE / NOT LIKE / regexp predicates (MySQL REGEXP parity).",
+)
+def filter_like(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%ol%")
+        & ~F.col("p_type").like("ECO%")
+        & F.col("p_name").rlike("^(red|blue) ")
+    ).select("p_partkey", "p_name", "p_type")
+
+
 # --------------------------------------------------------------------------
 # B16-B18 — window functions
 # --------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Scale-posture tests: salting preserves semantics and spreads hot
+keys; bucketed tables join with zero exchanges; partitioned writes
+prune at read time."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.io import load_table, write_parquet
+from mysql2parquet_spark.operators.scale import (
+    bucketed_join,
+    salted_group_count,
+    salted_join,
+    write_bucketed_table,
+)
+
+
+def test_salted_group_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag, r.cnt, round(r.q, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag, r.cnt, round(r.q, 2))
+        for r in salted_group_count(
+            li, ["l_returnflag"], agg_exprs={"q": "l_quantity"}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    plain = o.join(c, "custkey").count()
+    assert salted_join(o, c, "custkey").count() == plain
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    # disable auto-broadcast so the test proves bucketing (not broadcast)
+    # removed the exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(o, "b_orders", ["o_custkey"], 8)
+        write_bucketed_table(c, "b_customer", ["o_custkey"], 8)
+        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        want = o.join(c, "o_custkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(o, out, partition_by=["o_year"])
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    want = o.filter(F.col("o_year") == 1997).count()
+    assert back.count() == want
