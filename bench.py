@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_exact",        # Tier C exact dedup
     "topk_similarity",    # Tier C cosine top-k
     "text_quality",       # Tier C text scoring
+    "tpch_q3_shape",      # composite: filtered 3-way join + grouped top-k
+    "tpch_q6",            # composite: pushdown scan-filter-aggregate
+    "tpch_q10_shape",     # composite: 4-way join + grouped top-20
 ]
 
 

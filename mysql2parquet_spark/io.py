@@ -67,11 +67,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def register_tables(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> dict[str, DataFrame]:
     """Load and register temp views so ``spark.sql`` works over the test
     tables — the Spark-native analogue of the reference handing its query
-    string to a server that already has the tables (main.go:106)."""
-    dfs = load_tables(spark, sf_dir)
+    string to a server that already has the tables (main.go:106).
+    ``only`` restricts registration (skips footer reads of unused
+    tables)."""
+    dfs = (
+        {n: load_table(spark, sf_dir, n) for n in only}
+        if only
+        else load_tables(spark, sf_dir)
+    )
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

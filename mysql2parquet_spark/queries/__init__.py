@@ -60,6 +60,11 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from mysql2parquet_spark.queries import tierb, tierc, streaming_batch  # noqa: F401
+    from mysql2parquet_spark.queries import (  # noqa: F401
+        streaming_batch,
+        tierb,
+        tierc,
+        tpch,
+    )
 
     _loaded = True

@@ -879,5 +879,5 @@ _SUBQUERY_CTE_SQL = """
     "correlated COUNT into a join.",
 )
 def subquery_cte(spark, sf_dir):
-    register_tables(spark, sf_dir)
+    register_tables(spark, sf_dir, only=["customer", "orders"])
     return spark.sql(_SUBQUERY_CTE_SQL)
