@@ -203,6 +203,28 @@ def ivf_assign(
     )
 
 
+def label_centroids_long(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long form (label, pos, centroid_val) via
+    posexplode + hash agg — the distributed way to average vectors
+    (element-wise avg never materializes whole groups in memory; the
+    shuffle carries (label, pos) partial sums). Re-assemble to arrays
+    with ``collect_list`` over a window when an array column is needed.
+    Used by IVF training (k-means step) and class-prototype pipelines."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("centroid_val"))
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

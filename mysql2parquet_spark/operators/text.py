@@ -96,6 +96,89 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-ish regex tokenizer: letter runs, digit runs, and single
+    punctuation marks as separate tokens — the pre-tokenization most BPE
+    vocabularies (GPT-2-style) apply before merges. A cheap, deterministic
+    stand-in for a real tokenizer when estimating token counts at corpus
+    scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def rolling_hashes(text: Column | str, k: int = 8, mod: int = 1 << 31) -> Column:
+    """Polynomial rolling hash of every k-char gram → array<bigint>.
+
+    h(i) = sum_{j<k} c_{i+j} * B^(k-1-j) mod M with B=257. Built from
+    higher-order functions only: one fold computes h(0), then each
+    successive hash derives in O(1) via the rolling update
+    h(i+1) = (h(i) - c_i*B^(k-1)) * B + c_{i+k} — expressed as a
+    positional transform with precomputed powers. Per-row projection;
+    no shuffle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # char codes (ascii) of the text
+    codes = F.transform(
+        F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+    n = F.size(codes)
+    n_grams = n - F.lit(k - 1)
+    b, m = 257, mod
+    powers = [pow(b, k - 1 - j, m) for j in range(k)]
+    # h[i] = sum_j codes[i+j] * B^(k-1-j), built as an element-wise sum of
+    # k SHIFTED copies of the codes array (zip_with). Referencing `codes`
+    # k times (constant) matters: embedding it inside a per-position
+    # lambda re-evaluates the whole array per gram — O(n²) per document.
+    def add_shift(p: int):
+        # closure, not a defaulted lambda param — zip_with dispatches on
+        # lambda arity (see functions/hashing.py note)
+        return lambda a, x: a + F.coalesce(x, F.lit(0)) * F.lit(p)
+
+    acc = F.transform(codes, lambda x: x * F.lit(powers[0]))
+    for j in range(1, k):
+        shifted = F.slice(codes, j + 1, n)
+        acc = F.zip_with(acc, shifted, add_shift(powers[j]))
+    hashes = F.transform(F.slice(acc, 1, F.greatest(n_grams, F.lit(0))),
+                         lambda x: x % F.lit(m))
+    # sum bound: k * 255 * 2^31 < 2^42 — no int64 overflow before the mod.
+    return F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        hashes
+    )
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, window: int = 4, mod: int = 1 << 31
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    simplified): the minimum rolling hash in each sliding window of
+    ``window`` consecutive k-gram hashes, deduplicated. Robust to small
+    edits — unchanged regions keep their fingerprints — which makes it
+    the standard plagiarism/near-dup signature. Pure projection."""
+    hashes = rolling_hashes(text, k, mod)
+    n = F.size(hashes)
+    n_win = F.greatest(n - F.lit(window - 1), F.lit(1))
+    # Sliding-window min as an element-wise least over `window` shifted
+    # copies (constant references to `hashes`, same O(n²)-avoidance as in
+    # rolling_hashes). zip_with pads the shorter side with null; treat
+    # null as +inf so it never wins, then truncate to the valid range.
+    inf = (1 << 62)
+    mins = F.transform(hashes, lambda x: x)
+    for j in range(1, window):
+        shifted = F.slice(hashes, j + 1, n)
+        mins = F.zip_with(
+            mins,
+            shifted,
+            lambda a, x: F.least(a, F.coalesce(x, F.lit(inf))),
+        )
+    mins = F.slice(mins, 1, n_win)
+    return F.when(
+        n == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.array_sort(F.array_distinct(mins)))
+
+
 def term_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

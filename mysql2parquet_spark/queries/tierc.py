@@ -228,6 +228,25 @@ def ann_ivf_topk(spark, sf_dir):
     return res.select("vec_id", F.round("score", 4).alias("cos_sim"))
 
 
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(i AS INT) AS pos,
+           ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+    "C3: per-label centroids (element-wise vector average) via "
+    "posexplode + hash agg — shuffle carries (label, pos) partials, "
+    "never whole vector groups; the k-means/IVF-training primitive.",
+)
+def embedding_centroids(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.label_centroids_long(e).select(
+        "label", "pos", F.round("centroid_val", 6).alias("centroid_val")
+    )
+
+
 # --------------------------------------------------------------------------
 # C4 — text analysis
 # --------------------------------------------------------------------------
@@ -326,6 +345,45 @@ def text_langid(spark, sf_dir):
     scored = text.with_lang_scores(d, "text")
     return scored.select(
         "doc_id", F.col("lang").alias("lang_true"), "score_en"
+    )
+
+
+@register(
+    "text_tokens_regex",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+    "C4: BPE-ish regex token counting (GPT-2-style pre-tokenization: "
+    "letter runs / digit runs / punctuation) alongside the whitespace "
+    "count — the cheap corpus-scale token estimator.",
+)
+def text_tokens_regex(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.regex_tokens("text")).alias("n_bpe_tokens"),
+        F.size(text.tokens("text")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint_winnow",
+    None,  # rows-only: the winnowing min-selection has no clean SQL oracle;
+           # determinism + edit-robustness are pytest-gated (test_text.py)
+    "C4: winnowing document fingerprints (min rolling hash per window of "
+    "k-gram hashes, Schleimer et al. simplified) — the near-dup "
+    "signature robust to small edits; pure projection.",
+)
+def text_fingerprint_winnow(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.winnow_fingerprints("text")).alias("n_fingerprints"),
+        F.hash(text.winnow_fingerprints("text")).alias("fp_set_hash"),
     )
 
 

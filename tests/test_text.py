@@ -1,0 +1,59 @@
+"""Text-operator unit tests: tokenizers, rolling hashes, winnowing
+fingerprints (determinism + edit robustness), lang-ID argmax."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators import text
+
+
+def _one(spark, s: str, col):
+    df = spark.createDataFrame([(s,)], "text: string")
+    return df.select(col.alias("out")).first().out
+
+
+def test_regex_tokens_bpe_ish(spark):
+    got = _one(spark, "Hello, world42! x", text.regex_tokens("text"))
+    assert got == ["Hello", ",", "world", "42", "!", "x"]
+
+
+def test_rolling_hashes_shift_invariant(spark):
+    """The same k-gram must hash identically wherever it appears."""
+    h1 = _one(spark, "abcdefgh", text.rolling_hashes("text", k=8))
+    h2 = _one(spark, "XYZabcdefgh", text.rolling_hashes("text", k=8))
+    assert len(h1) == 1
+    assert h1[0] in h2  # the 'abcdefgh' gram reappears with equal hash
+
+
+def test_winnow_deterministic_and_edit_robust(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "hazy", 1)
+    f_base = _one(spark, base, text.winnow_fingerprints("text"))
+    f_base2 = _one(spark, base, text.winnow_fingerprints("text"))
+    f_edit = _one(spark, edited, text.winnow_fingerprints("text"))
+    assert f_base == f_base2  # deterministic
+    inter = len(set(f_base) & set(f_edit))
+    union = len(set(f_base) | set(f_edit))
+    assert inter / union > 0.6  # one edit keeps most fingerprints
+    f_other = _one(spark, "zzz completely different text qqq " * 5,
+                   text.winnow_fingerprints("text"))
+    assert len(set(f_base) & set(f_other)) / len(set(f_base)) < 0.2
+
+
+def test_winnow_short_text(spark):
+    # shorter than k chars -> no grams -> empty fingerprint set
+    assert _one(spark, "abc", text.winnow_fingerprints("text", k=8)) == []
+
+
+def test_lang_pred_argmax(spark):
+    rows = [
+        ("the cat sat on the mat and it is a cat",),   # en stopwords
+        ("el gato es un gato y la casa es de el",),     # es stopwords
+        ("xx yy zz qq ww",),                            # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "text: string")
+    got = [r.lang_pred for r in text.with_lang_scores(df).collect()]
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
