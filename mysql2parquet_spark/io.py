@@ -85,6 +85,56 @@ def register_tables(
     return dfs
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+    infer: bool = False,
+) -> DataFrame:
+    """CSV source. At scale ALWAYS pass an explicit schema: inference
+    costs a full extra pass over the data and types can drift between
+    files. ``infer=True`` is the exploration convenience only."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, *, schema=None, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines source (one object per line; ``multiline`` for
+    whole-file documents — NOT splittable, avoid at scale). Explicit
+    schema skips the inference pass and keeps corrupt records visible."""
+    reader = spark.read.option("multiLine", str(multiline).lower()).option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True
+) -> None:
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    writer.csv(path)
+
+
+def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -1,0 +1,68 @@
+"""io-layer tests: format round-trips, schema-first reads, corrupt-row
+visibility, single-file compat layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from mysql2parquet_spark.io import (
+    load_table,
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema)
+    assert sorted(map(str, back.collect())) == sorted(map(str, nation.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_json")
+    write_json(region, out)
+    back = read_json(spark, out)
+    got = {(r.r_regionkey, r.r_name) for r in back.collect()}
+    want = {(r.r_regionkey, r.r_name) for r in region.collect()}
+    assert got == want
+
+
+def test_csv_corrupt_rows_visible(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "data.csv").write_text("a,b\n1,2\nnot_an_int,3\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("b", T.IntegerType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema).cache()
+    assert df.count() == 2
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "not_an_int" in bad[0]._corrupt_record
+    df.unpersist()
+
+
+def test_single_file_compat_layout(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "single")
+    write_parquet(region, out, single_file=True)
+    import glob
+
+    parts = glob.glob(out + "/part-*.parquet")
+    assert len(parts) == 1  # reference writes exactly one file (main.go:165)
