@@ -229,6 +229,41 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "sample_split",
+    """
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1)
+                       IN ('0','1','2') THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+    "C6/pipeline: deterministic content-addressed train/val split — "
+    "md5(key)-prefix bucketing gives a stable ~3/16 holdout that never "
+    "changes across runs, engines, or cluster sizes (rand() does). The "
+    "standard way to carve reproducible splits at 100 TB.",
+)
+def sample_split(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 1
+    )
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket.isin("0", "1", "2"), "val").otherwise("train"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "embedding_centroids",
     """
     SELECT label, CAST(i AS INT) AS pos,
