@@ -47,8 +47,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            # integer DIV, not `/1000`: double division rounds the last
+            # microsecond up for half the values; Arrow/DuckDB truncate
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
     return df
 

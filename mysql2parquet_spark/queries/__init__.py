@@ -61,6 +61,7 @@ def _load() -> None:
     if _loaded:
         return
     from mysql2parquet_spark.queries import (  # noqa: F401
+        advanced,
         streaming_batch,
         tierb,
         tierc,

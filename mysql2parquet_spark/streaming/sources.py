@@ -41,9 +41,8 @@ def stream_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer DIV matches Arrow/DuckDB ns→µs truncation (see io.read_parquet)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
