@@ -47,12 +47,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            # integer DIV, not `/1000`: double division rounds the last
-            # microsecond up for half the values; Arrow/DuckDB truncate
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
+            df = df.withColumn("ts", _ns_to_ntz("ts"))
     return df
+
+
+def _ns_to_ntz(col: str):
+    """Nanosecond epoch (long) → TIMESTAMP_NTZ.
+
+    Two correctness constraints, both caught by oracle probes:
+    - integer DIV, not `/1000`: double division rounds the last
+      microsecond up for half the values (Arrow/DuckDB truncate);
+    - TIMESTAMP_NTZ, not timestamp_micros (LTZ): an LTZ value formats
+      through the session timezone, so any non-UTC driver session would
+      shift every windowed/formatted result; NTZ is wall-clock stable,
+      matching how DuckDB reads the same parquet."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, {col} DIV 1000, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
