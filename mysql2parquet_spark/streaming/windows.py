@@ -108,6 +108,44 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def purchase_view_interval_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    *,
+    max_gap: str = "2 hours",
+    purchase_watermark: str = "1 hour",
+    view_watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream interval join (B31/B34): each purchase joined to the
+    views of the same user within the preceding ``max_gap``.
+
+    In streaming mode both sides MUST carry watermarks — the view-side
+    watermark plus the interval bound lets Spark expire buffered view
+    state (otherwise the join buffers forever). The same expression runs
+    on batch DataFrames for oracle-style equivalence checks.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("p_ts", purchase_watermark)
+        v = v.withWatermark("v_ts", view_watermark)
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("p_id", "p_user", "v_id")
+
+
 def running_value_per_user(events: DataFrame) -> DataFrame:
     """Batch analytic used in tests: cumulative value per user (B18 over
     the events shape)."""

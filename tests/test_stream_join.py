@@ -1,0 +1,86 @@
+"""Stream-stream interval join + remaining source coverage (rate source,
+binaryFile source)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.io import load_table
+from mysql2parquet_spark.operators.multimodal import extract_features
+from mysql2parquet_spark.streaming.sources import (
+    run_to_memory,
+    stream_events,
+    stream_rate,
+)
+from mysql2parquet_spark.streaming.windows import purchase_view_interval_join
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    batch = load_table(spark, sf_dir, "events")
+    bp = batch.filter(F.col("event_type") == "purchase")
+    bv = batch.filter(F.col("event_type") == "view")
+    want = sorted(
+        map(str, purchase_view_interval_join(bp, bv).collect())
+    )
+
+    sp = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    sv = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    got_df = run_to_memory(
+        purchase_view_interval_join(sp, sv), "ssjoin", output_mode="append"
+    )
+    got = sorted(map(str, got_df.collect()))
+    assert got == want
+
+
+def test_rate_source_produces_events_shape(spark):
+    stream = stream_rate(spark, rows_per_second=200)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_probe").count()
+            if n >= 50:
+                break
+            time.sleep(1)
+        assert n >= 50
+        row = spark.table("rate_probe").first()
+        assert set(spark.table("rate_probe").columns) == {
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        }
+        assert row.event_type in {"view", "click", "purchase"}
+    finally:
+        q.stop()
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """spark.read.format('binaryFile') → the multimodal feature path —
+    the ingestion story for real image/audio payloads (C5)."""
+    d = tmp_path / "assets"
+    d.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i * 7 % 256] * (100 + i)) for i in range(5)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(d))
+    )
+    assets = files.select(
+        F.xxhash64("path").alias("asset_id"),
+        F.col("content"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+    feats = extract_features(assets).collect()
+    assert len(feats) == 5
+    sizes = sorted(r.n_bytes for r in feats)
+    assert sizes == sorted(len(v) for v in payloads.values())
+    for r in feats:
+        assert abs(sum(r.features) - 1.0) < 1e-9
