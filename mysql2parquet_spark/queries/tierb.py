@@ -627,6 +627,56 @@ def sort_limit_topk(spark, sf_dir):
 
 
 @register(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+    "B20: LIMIT with OFFSET (pagination) — deterministic under the "
+    "total order + unique tie-break.",
+)
+def sort_limit_offset(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "sort_nulls",
+    """
+    SELECT event_id, delta FROM (
+      SELECT event_id,
+             ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id), 2) + 0
+               AS delta
+      FROM events
+    ) ORDER BY delta DESC NULLS LAST, event_id
+    LIMIT 15
+    """,
+    "B19: explicit NULLS LAST ordering over a null-producing analytic "
+    "(first event per user has no lag).",
+)
+def sort_nulls(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            (F.round(F.col("value") - F.lag("value").over(w), 2) + 0.0).alias(
+                "delta"
+            ),
+        )
+        .orderBy(F.col("delta").desc_nulls_last(), F.col("event_id"))
+        .limit(15)
+    )
+
+
+@register(
     "set_union",
     """
     SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
