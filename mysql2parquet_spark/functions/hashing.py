@@ -52,6 +52,10 @@ def minhash_signature(shingle_arr: Column | str, num_hashes: int = 32) -> Column
     every seed, running element-wise min via zip_with) — the naive
     `array(array_min(transform(...)) for each seed)` form embeds the
     shingle expression num_hashes times and re-evaluates it per seed.
+    Seeds are INDEPENDENT Murmur3 evaluations: a cheaper two-hash
+    Kirsch-Mitzenmacher family (h1 + j·h2) was tried and rejected —
+    within int64's ANSI-safe range the combined functions share argmins
+    and planted-duplicate recall drops from ≥0.9 to ~0.5.
     Pure projection — scales linearly, no shuffle.
     """
     arr = _c(shingle_arr)

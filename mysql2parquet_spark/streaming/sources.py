@@ -41,14 +41,20 @@ def stream_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+
+
+def _ns_to_ntz_ltz(col: str):
+    """ns epoch → TIMESTAMP for streaming sources.
+
+    Watermarks demand TIMESTAMP (LTZ) — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    rejects NTZ. Batch io stays NTZ for session-tz-independent oracles;
+    the streaming engine's event-time clock is inherently zoned. Run
+    streaming sessions in UTC (session.get_spark default) so stream and
+    batch results align."""
     from mysql2parquet_spark.io import _ns_to_ntz
 
-    # Watermarks demand TIMESTAMP (LTZ) — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
-    # rejects NTZ. Batch stays NTZ for session-tz-independent oracles; the
-    # streaming engine's event-time clock is inherently zoned. Run
-    # streaming sessions in UTC (session.get_spark default) so stream and
-    # batch results align.
-    return df.withColumn("ts", _ns_to_ntz("ts").cast("timestamp"))
+    return _ns_to_ntz(col).cast("timestamp")
 
 
 def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
