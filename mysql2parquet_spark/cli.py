@@ -122,7 +122,12 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.tables_dir:
             register_tables(spark, args.tables_dir)
-            df = spark.sql(args.query)
+            try:
+                df = spark.sql(args.query)
+            except Exception as e:  # clean one-line SQL errors, not tracebacks
+                msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+                print(f"query error: {msg}", file=sys.stderr)
+                return 2
         else:
             session_init, query = _split_session_prelude(args.query)
             url = f"jdbc:mysql://{args.host}:{args.port}/{args.database}"

@@ -868,6 +868,60 @@ def json_funcs(spark, sf_dir):
 
 
 @register(
+    "json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 'absent' ELSE 'present' END AS missing_state
+    FROM events
+    """,
+    "B27: typed JSON parsing — from_json with an explicit schema "
+    "(vs get_json_object string extraction in json_funcs); absent keys "
+    "surface as NULL struct fields.",
+)
+def json_struct(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT, missing STRING")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.when(parsed.getField("missing").isNull(), "absent")
+        .otherwise("present")
+        .alias("missing_state"),
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(hour(o_orderdate) AS INT) AS hr
+    FROM orders
+    """,
+    "B23: MySQL date-part parity — DAYOFWEEK/DAYOFYEAR/WEEK/QUARTER/"
+    "LAST_DAY/HOUR. Spark dayofweek is 1-based Sunday (MySQL semantics); "
+    "DuckDB's is 0-based, hence the +1 in the oracle.",
+)
+def date_parts(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.hour("o_orderdate").alias("hr"),
+    )
+
+
+@register(
     "array_funcs",
     """
     SELECT vec_id,
