@@ -42,6 +42,7 @@ HEADLINE = [
     "tpch_q3_shape",      # composite: filtered 3-way join + grouped top-k
     "tpch_q6",            # composite: pushdown scan-filter-aggregate
     "tpch_q10_shape",     # composite: 4-way join + grouped top-20
+    "pipeline_curate",    # capstone: dedup -> quality -> lang -> report
 ]
 
 

@@ -1,0 +1,47 @@
+"""End-to-end corpus curation — the composition the individual operators
+exist for: dedup → quality gate → language filter → stats. One
+declarative plan: Catalyst fuses the projections, the only shuffles are
+the dedup key exchange and the final rollup.
+
+At 100 TB this pipeline is: one scan of the corpus, one hash-partition
+on the md5 fingerprint (constant-width key), per-row quality/lang
+scoring inside whole-stage codegen, and a tiny aggregation — no
+intermediate materialization unless the caller writes checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.dedup import fingerprint_dedup
+from mysql2parquet_spark.operators.text import with_quality_score
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: list[str] | None = None,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Curated document set: content-deduped (md5, min-id survivor),
+    quality-scored and thresholded, language-filtered."""
+    out = fingerprint_dedup(docs, text_col, id_col)
+    out = with_quality_score(out, text_col)
+    out = out.filter(F.col("quality") >= min_quality)
+    if languages:
+        out = out.filter(F.col(lang_col).isin(*languages))
+    return out
+
+
+def curation_report(curated: DataFrame, *, group_col: str = "lang") -> DataFrame:
+    """Per-group corpus statistics of a curated set."""
+    return curated.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

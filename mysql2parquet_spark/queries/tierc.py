@@ -229,6 +229,52 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "pipeline_curate",
+    """
+    WITH deduped AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' ')) AS n_toks,
+             ROUND(LEAST(CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                         / 100.0, 1.0)
+                   * ROUND(CAST(len(list_distinct(string_split(trim(text), ' ')))
+                                AS DOUBLE)
+                           / CAST(len(string_split(trim(text), ' ')) AS DOUBLE),
+                           4), 4) AS quality
+      FROM deduped
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           ROUND(AVG(CAST(n_toks AS DOUBLE)), 2) AS avg_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE quality >= 0.5 AND lang IN ('en', 'es', 'de', 'fr', 'zh')
+    GROUP BY lang
+    """,
+    "Capstone pipeline: content dedup → quality gate → language filter "
+    "→ per-language report, as ONE declarative plan (scan once, shuffle "
+    "on the md5 key + the 5-group rollup; scoring fuses into codegen).",
+)
+def pipeline_curate(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import (
+        curate_corpus,
+        curation_report,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    curated = curate_corpus(
+        d, min_quality=0.5, languages=["en", "es", "de", "fr", "zh"]
+    )
+    return curation_report(curated)
+
+
+@register(
     "sample_split",
     """
     SELECT split, COUNT(*) AS n_docs,
