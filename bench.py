@@ -69,6 +69,17 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(run(name), 3)
 
+    # The reference's actual workload (main.go: extract -> parquet file):
+    # full lineitem scan -> parquet write, distributed writer.
+    import tempfile
+
+    from mysql2parquet_spark.io import load_table, write_parquet
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        write_parquet(load_table(spark, SF_DIR, "lineitem"), f"{td}/out")
+        timings["export_parquet"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
     print(

@@ -225,6 +225,63 @@ def label_centroids_long(
     )
 
 
+def kmeans_lite(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, built on the
+    engine's own primitives — the IVF coarse-quantizer trainer.
+
+    Initialization is deterministic but hash-spread: the k rows with the
+    smallest md5(id) — the k smallest IDs would all come from one data
+    region and collapse clusters (observed). Each iteration
+    is assign (broadcast centroids, per-row argmax — no shuffle) +
+    re-estimate (posexplode + hash agg — one shuffle). The driver loop
+    only orchestrates; all data stays distributed. Returns the final
+    centroids as (centroid_id, embedding array<double>).
+
+    For production-size k use pyspark.ml.clustering.KMeans (k-means||
+    init); this exists so IVF training composes from audited primitives.
+    """
+    seed_order = F.md5(F.col(id_col).cast("string"))
+    # top-k by hash: TakeOrderedAndProject, no global sort materialization
+    seeds = df.orderBy(seed_order).limit(k).select(id_col, vec_col)
+    cents = seeds.select(
+        (
+            F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string"))))
+            - 1
+        ).alias("centroid_id"),
+        F.col(vec_col).alias(vec_col),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
+        long_cents = (
+            assigned.select(
+                F.col("centroid_id").alias("label"),
+                F.posexplode(vec_col).alias("pos", "val"),
+            )
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("centroid_val"))
+        )
+        cents = (
+            long_cents.groupBy("label")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "centroid_val"))
+                ).alias("_pairs")
+            )
+            .select(
+                F.col("label").alias("centroid_id"),
+                F.transform("_pairs", lambda p: p.centroid_val).alias(vec_col),
+            )
+        )
+    return cents
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

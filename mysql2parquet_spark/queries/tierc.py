@@ -208,16 +208,13 @@ def ann_lsh_topk(spark, sf_dir):
 @register(
     "ann_ivf_topk",
     None,  # approximate (IVF probe subset) — rows-only
-    "C3: IVF-style ANN — corpus pre-assigned to nearest of 8 centroid "
-    "cells (write-time partition column at scale); query probes 2 cells.",
+    "C3: IVF ANN — k-means-trained coarse quantizer (kmeans_lite, "
+    "deterministic hash-spread init), corpus assigned to cells "
+    "(write-time partition column at scale); query probes its cell.",
 )
 def ann_ivf_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
-    # Deterministic coarse centroids: the first 8 vectors by id.
-    cents = (
-        e.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("centroid_id"), "embedding")
-    )
+    cents = similarity.kmeans_lite(e, k=8, iters=2)
     assigned = similarity.ivf_assign(e, cents)
     q = assigned.filter(F.col("vec_id") == 0)
     probe = q.select(F.col("centroid_id").alias("_probe"))

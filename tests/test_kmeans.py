@@ -1,0 +1,49 @@
+"""kmeans_lite: convergence on separable synthetic clusters + IVF
+composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.similarity import ivf_assign, kmeans_lite
+
+
+def _clustered(spark, n_per=30):
+    """3 well-separated clusters on coordinate axes in 4-D."""
+    rows = []
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+    i = 0
+    for ci, c in enumerate(centers):
+        for j in range(n_per):
+            jitter = ((j % 5) - 2) * 0.1
+            rows.append((i, [c[0] + jitter, c[1], c[2], c[3] + jitter]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_kmeans_recovers_clusters(spark):
+    df = _clustered(spark)
+    cents = kmeans_lite(df, k=3, iters=4)
+    rows = cents.collect()
+    assert len(rows) == 3
+    # each centroid should be dominated by exactly one axis (~10.0)
+    dominant = sorted(
+        max(range(4), key=lambda d: r.embedding[d]) for r in rows
+    )
+    assert dominant == [0, 1, 2]
+    for r in rows:
+        assert abs(max(r.embedding) - 10.0) < 0.5
+
+
+def test_kmeans_assignment_partitions_cleanly(spark):
+    df = _clustered(spark)
+    cents = kmeans_lite(df, k=3, iters=4)
+    assigned = ivf_assign(df, cents)
+    # members of the same true cluster land in the same cell
+    cells = (
+        assigned.withColumn("true_cluster", (F.col("vec_id") / 30).cast("int"))
+        .groupBy("true_cluster")
+        .agg(F.countDistinct("centroid_id").alias("n_cells"))
+        .collect()
+    )
+    assert all(r.n_cells == 1 for r in cells)
