@@ -604,6 +604,59 @@ def window_running(spark, sf_dir):
     )
 
 
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_30m
+    FROM events
+    """,
+    "B18: time-based RANGE frame — per-user rolling 30-minute value sum "
+    "(sliding analytics without a groupBy window); frame bounds on epoch "
+    "seconds so both engines agree exactly.",
+)
+def window_range_frame(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    # wall-clock epoch via NTZ diff — unix_timestamp() would route the
+    # NTZ value through the session timezone (DST gaps shift frames)
+    epoch = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("value_30m"),
+    )
+
+
+@register(
+    "agg_corr",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "B12: correlation / covariance aggregates.",
+)
+def agg_corr(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # B19-B21 — sort / limit / set ops
 # --------------------------------------------------------------------------
