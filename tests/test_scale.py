@@ -43,6 +43,24 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert salted_join(o, c, "custkey").count() == plain
 
 
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_acctbal > 5000")  # partial dim -> some orders unmatched
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    plain = o.join(c, "custkey", "left")
+    salted = salted_join(o, c, "custkey", how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter("c_name IS NULL").count()
+        == plain.filter("c_name IS NULL").count()
+    )
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").withColumnRenamed(
