@@ -62,6 +62,7 @@ def _load() -> None:
         return
     from mysql2parquet_spark.queries import (  # noqa: F401
         advanced,
+        relext,
         streaming_batch,
         tierb,
         tierc,

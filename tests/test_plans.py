@@ -108,3 +108,28 @@ def test_single_shuffle_queries(spark, sf_dir, name):
     """These shapes need exactly one data exchange (plus broadcasts)."""
     p = plan(spark, sf_dir, name)
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS must plan ONE Expand + one shuffled aggregate —
+    n sets costing n input passes would be 3× the scan at 100 TB."""
+    p = plan(spark, sf_dir, "agg_grouping_sets", mode="simple")
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_scalar_subquery_broadcasts_one_row(spark, sf_dir):
+    """The scalar aggregate reduces to 1 row and must broadcast; the
+    outer customer scan must never hash-exchange."""
+    p = plan(spark, sf_dir, "subquery_scalar")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_window_percent_single_window(spark, sf_dir):
+    """PERCENT_RANK and CUME_DIST share one Window operator and one
+    exchange — two sorts over orders would double the heavy lifting."""
+    p = plan(spark, sf_dir, "window_percent", mode="simple")
+    assert p.count("Window") == 1, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
