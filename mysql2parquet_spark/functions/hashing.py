@@ -28,12 +28,22 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     of all their tokens (so they still participate in dedup).
     """
     toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - F.lit(1))
-    return F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " "),
-    )
+
+    def build(t: Column) -> Column:
+        n_sh = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), n_sh - F.lit(1))
+        return F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(t, i + F.lit(1), F.lit(n)), " "),
+        )
+
+    # Bind the token array to a lambda variable before slicing. Naming
+    # `toks` directly inside the per-offset lambda embeds the whole
+    # split() expression there, and higher-order functions re-evaluate
+    # embedded subtrees PER ELEMENT — O(tokens²) per document (measured
+    # 51s for 100k docs; ~2s with the binding). transform(array(x), f)[0]
+    # evaluates x exactly once and exposes it as a real variable.
+    return F.transform(F.array(toks), build)[0]
 
 
 def seeded_hash(col: Column | str, seed: int) -> Column:
