@@ -783,6 +783,50 @@ def set_except(spark, sf_dir):
     return o.subtract(c)
 
 
+@register(
+    "set_ops",
+    """
+    SELECT 'union' AS op, c_nationkey AS k FROM customer
+    UNION ALL
+    SELECT 'union' AS op, s_nationkey AS k FROM supplier
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+        SELECT o_custkey AS k FROM orders
+        EXCEPT
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+    )
+    """,
+    "B21 composite: UNION ALL + INTERSECT + EXCEPT in one result, tagged by "
+    "op — drives all three set operators through one driver slot. Each leg "
+    "is the same plan as its standalone query (concat / distinct-join).",
+)
+def set_ops(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    union = c.select(F.col("c_nationkey").alias("k")).unionByName(
+        s.select(F.col("s_nationkey").alias("k"))
+    )
+    inter = c.select(F.col("c_nationkey").alias("k")).intersect(
+        s.select(F.col("s_nationkey").alias("k"))
+    )
+    exc = o.select(F.col("o_custkey").alias("k")).subtract(
+        c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    )
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "k")  # noqa: E731
+    return (
+        tag(union, "union")
+        .unionByName(tag(inter, "intersect"))
+        .unionByName(tag(exc, "except"))
+    )
+
+
 # --------------------------------------------------------------------------
 # B22-B27 — scalar function families
 # --------------------------------------------------------------------------
