@@ -31,6 +31,55 @@ _DATE_FMT = "yyyy-MM-dd"
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def mysql_native_type(db_type: str) -> T.DataType:
+    """NATIVE-mode mapping from a MySQL column type name to the engine's
+    Spark type — the lossless counterpart of the reference's switch
+    (main.go:131-148), which this deliberately diverges from where the
+    reference loses information:
+
+    - DECIMAL keeps DecimalType (reference: lossy DOUBLE, main.go:136).
+    - Temporals keep temporal types (reference: UTF8 strings, :138-140).
+    - **BIGINT UNSIGNED → DecimalType(20,0)**: the full 0..2⁶⁴-1 domain.
+      The reference tags BIGINT as INT64 (:134-135), so unsigned values
+      ≥ 2⁶³ overflow — a documented fidelity quirk reproduced only by
+      the opt-in ``reference_type_projection`` below. (Spark's own MySQL
+      JDBC dialect makes the same Decimal(20,0) choice, so JDBC reads
+      and this mapping agree.)
+    """
+    t = " ".join(db_type.upper().split())
+    if t in ("BIGINT UNSIGNED", "UNSIGNED BIGINT"):
+        return T.DecimalType(20, 0)
+    if t in ("INT UNSIGNED", "UNSIGNED INT", "INTEGER UNSIGNED"):
+        return T.LongType()  # 0..2³²-1 fits in int64
+    base = t.split("(")[0].split()[0]
+    mapping: dict[str, T.DataType] = {
+        "TINYINT": T.ByteType(),
+        "SMALLINT": T.ShortType(),
+        "MEDIUMINT": T.IntegerType(),
+        "INT": T.IntegerType(),
+        "INTEGER": T.IntegerType(),
+        "BIGINT": T.LongType(),
+        "DECIMAL": T.DecimalType(38, 18),
+        "NUMERIC": T.DecimalType(38, 18),
+        "FLOAT": T.FloatType(),
+        "DOUBLE": T.DoubleType(),
+        "DATE": T.DateType(),
+        "DATETIME": T.TimestampNTZType(),  # wall-clock, tz-agnostic
+        "TIMESTAMP": T.TimestampType(),    # MySQL TIMESTAMP is UTC-based
+        "CHAR": T.StringType(),
+        "VARCHAR": T.StringType(),
+        "TEXT": T.StringType(),
+        "JSON": T.StringType(),
+        "ENUM": T.StringType(),
+        "SET": T.StringType(),
+        "BLOB": T.BinaryType(),
+        "VARBINARY": T.BinaryType(),
+        "BINARY": T.BinaryType(),
+        "BIT": T.LongType(),
+    }
+    return mapping.get(base, T.StringType())
+
+
 def reference_type_projection(
     df: DataFrame, *, null_as_empty_string: bool = True
 ) -> DataFrame:
@@ -53,13 +102,24 @@ def reference_type_projection(
         elif isinstance(dt, T.LongType):
             out = c.cast("long")  # BIGINT → INT64 (main.go:134-135)
             is_string = False
+        elif isinstance(dt, T.DecimalType) and (dt.precision, dt.scale) == (20, 0):
+            # Native unsigned-bigint type (mysql_native_type). The
+            # reference tags BIGINT UNSIGNED as INT64 (main.go:134-135),
+            # so values ≥ 2⁶³ overflow there; we render those as NULL
+            # (try_cast) rather than reproducing the wraparound garbage —
+            # documented fidelity divergence, SURVEY.md §1.2.
+            out = c.try_cast("long")
+            is_string = False
         elif isinstance(dt, T.DecimalType) or isinstance(dt, T.DoubleType):
             out = c.cast("double")  # DECIMAL/DOUBLE → DOUBLE, lossy (:136-137)
             is_string = False
         elif isinstance(dt, T.DateType):
             out = F.date_format(c, _DATE_FMT)  # temporal → UTF8 (:138-140)
             is_string = True
-        elif isinstance(dt, T.TimestampType):
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ is what our own io layer produces for nanos columns
+            # (io.py:_ns_to_ntz); both render MySQL-style without the
+            # sub-second fraction (main.go:138-140).
             out = F.date_format(c, _TS_FMT)
             is_string = True
         elif isinstance(dt, T.FloatType):

@@ -72,12 +72,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every test table present under ``sf_dir``."""
+    """Load every test table present under ``sf_dir`` — through
+    ``read_parquet`` so the ns→TIMESTAMP_NTZ conversion applies uniformly
+    (a bare spark.read.parquet would register events.ts as raw bigint
+    nanoseconds and every CLI SQL timestamp operation would diverge)."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            out[name] = read_parquet(spark, p)
     return out
 
 

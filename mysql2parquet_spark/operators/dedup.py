@@ -157,21 +157,43 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard over all pairs — O(n²); the verification
-    stage after LSH blocking, or directly on small/blocked subsets.
+    """EXACT n-gram Jaccard — the verification stage after LSH blocking.
     jaccard = |distinct(A)∩distinct(B)| / |distinct(A)∪distinct(B)|.
+
+    SCALE GUARD: unblocked all-pairs is O(n²), so it requires an
+    explicit ``allow_quadratic=True`` opt-in (for bounded, post-LSH
+    candidate sets). The at-scale path passes ``block_col``: pairs
+    form only within equal values of that column (a band key, bucket,
+    or partition id), keeping the join an equi-join.
     """
-    sh = df.select(
+    sh_cols = [
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
-    )
+    ]
+    if block_col is not None:
+        sh_cols.append(F.col(block_col).alias("_blk"))
+    sh = df.select(*sh_cols)
     a, b = sh.alias("a"), sh.alias("b")
+    if block_col is not None:
+        cond = (F.col("a._blk") == F.col("b._blk")) & (
+            F.col("a.doc") < F.col("b.doc")
+        )
+    elif allow_quadratic:
+        cond = F.col("a.doc") < F.col("b.doc")
+    else:
+        raise ValueError(
+            "ngram_jaccard_pairs is O(n²) unblocked: pass block_col= for "
+            "bucketed pairing, or allow_quadratic=True for a bounded "
+            "(post-LSH) candidate set"
+        )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        a.join(b, cond)
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),

@@ -52,7 +52,19 @@ def salted_join(
     combination exists. A hot key's rows then spread over
     ``salt_buckets`` tasks. Prefer AQE skew-join first; use this when
     the skew is known and extreme (AQE splits partitions, but a single
-    hot KEY within one partition can't be split without salting)."""
+    hot KEY within one partition can't be split without salting).
+
+    Only ``inner``/``left``/``left_semi`` are sound: the big side keeps
+    exactly one salt per row, so right/full-outer would surface each
+    unmatched small-side key once PER SALT BUCKET (salt_buckets
+    duplicates). Those variants are rejected rather than silently wrong.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)} — '{how}' would "
+            "duplicate unmatched small-side keys once per salt bucket"
+        )
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

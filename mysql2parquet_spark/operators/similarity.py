@@ -177,30 +177,56 @@ def lsh_topk(
     )
 
 
+def collect_centroids(
+    centroids: DataFrame, *, vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Materialize a (tiny, k×dim) centroid table to the driver as plain
+    Python — bounded METADATA, not data, so the driver round-trip is
+    legitimate (the one sanctioned exception to the no-collect rule)."""
+    rows = centroids.select("centroid_id", vec_col).collect()  # bounded-metadata
+    return sorted(
+        (int(r["centroid_id"]), [float(x) for x in r[vec_col]]) for r in rows
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each row to its nearest centroid (IVF coarse quantizer).
-    Centroids are broadcast; assignment is a projection + per-row argmax,
-    no shuffle. At write time this becomes the partition column."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("_cvec")
-    )
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "_sim", cosine_similarity(vec_col, "_cvec")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cvec", "_sim")
-    )
+
+    TRUE zero-shuffle projection: the k centroids (bounded metadata)
+    are inlined as literal arrays, each row computes its k cosine
+    similarities once (JVM fold, codegen'd) and takes the argmax via
+    ``array_max`` over (sim, -centroid_id) structs — ties break to the
+    SMALLEST centroid_id, matching the previous window tie-break. No
+    crossJoin, no Window, zero Exchanges (asserted in test_plans.py).
+    At write time ``centroid_id`` becomes the partition column.
+
+    NaN sims (zero-norm rows) rank highest, same as the former
+    ``ORDER BY _sim DESC`` NaN-first behavior.
+    """
+    if isinstance(centroids, DataFrame):
+        cents = collect_centroids(centroids, vec_col=vec_col)
+    else:
+        cents = sorted((int(i), [float(x) for x in v]) for i, v in centroids)
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid set")
+    candidates = []
+    for cid, vec in cents:
+        lit_vec = F.array(*[F.lit(x) for x in vec])
+        sim = cosine_similarity(F.col(vec_col), lit_vec)
+        # NULL sim (zero-norm) must not poison array_max's struct compare:
+        # map it to -inf so some centroid still wins deterministically.
+        sim = F.coalesce(sim, F.lit(float("-inf")))
+        candidates.append(
+            F.struct(sim.alias("sim"), F.lit(-cid).alias("ncid"))
+        )
+    best = F.array_max(F.array(*candidates))
+    return corpus.withColumn("centroid_id", (-best["ncid"]).cast("int"))
 
 
 def label_centroids_long(
@@ -238,11 +264,13 @@ def kmeans_lite(
 
     Initialization is deterministic but hash-spread: the k rows with the
     smallest md5(id) — the k smallest IDs would all come from one data
-    region and collapse clusters (observed). Each iteration
-    is assign (broadcast centroids, per-row argmax — no shuffle) +
-    re-estimate (posexplode + hash agg — one shuffle). The driver loop
-    only orchestrates; all data stays distributed. Returns the final
-    centroids as (centroid_id, embedding array<double>).
+    region and collapse clusters (observed). Each iteration is assign
+    (literal-inlined centroids, per-row argmax projection — zero shuffle)
+    + re-estimate (posexplode + hash agg — one shuffle). Only the k×dim
+    centroid METADATA round-trips through the driver between iterations;
+    the corpus stays distributed and each iteration re-plans from a flat
+    lineage. Returns the final centroids as
+    (centroid_id, embedding array<double>).
 
     For production-size k use pyspark.ml.clustering.KMeans (k-means||
     init); this exists so IVF training composes from audited primitives.
@@ -250,25 +278,29 @@ def kmeans_lite(
     seed_order = F.md5(F.col(id_col).cast("string"))
     # top-k by hash: TakeOrderedAndProject, no global sort materialization
     seeds = df.orderBy(seed_order).limit(k).select(id_col, vec_col)
-    cents = seeds.select(
+    seed_df = seeds.select(
         (
             F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string"))))
             - 1
         ).alias("centroid_id"),
         F.col(vec_col).alias(vec_col),
     )
+    # Centroids are k×dim bounded metadata: materialize them to the driver
+    # between iterations so every Lloyd's step starts from a FLAT plan —
+    # one scan + one (label,pos) agg — instead of re-executing all prior
+    # iterations (lineage depth constant in `iters`, asserted in
+    # tests/test_kmeans.py).
+    cents = collect_centroids(seed_df, vec_col=vec_col)
     for _ in range(iters):
         assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
-        long_cents = (
+        new_cents_df = (
             assigned.select(
                 F.col("centroid_id").alias("label"),
                 F.posexplode(vec_col).alias("pos", "val"),
             )
             .groupBy("label", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("centroid_val"))
-        )
-        cents = (
-            long_cents.groupBy("label")
+            .groupBy("label")
             .agg(
                 F.array_sort(
                     F.collect_list(F.struct("pos", "centroid_val"))
@@ -279,7 +311,12 @@ def kmeans_lite(
                 F.transform("_pairs", lambda p: p.centroid_val).alias(vec_col),
             )
         )
-    return cents
+        cents = collect_centroids(new_cents_df, vec_col=vec_col)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        schema=f"centroid_id int, {vec_col} array<double>",
+    )
 
 
 def cosine_pairs(
@@ -288,13 +325,62 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float,
+    block_col: str | None = None,
+    block_planes: int = 8,
+    block_dim: int | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — embedding
-    near-dup detection. O(n²) exact form; compose with hyperplane_buckets
-    blocking (join on bucket first) for the at-scale variant."""
+    near-dup detection.
+
+    SCALE GUARD: the unblocked form is O(n²) and will cross-join a
+    100 TB corpus, so it requires an explicit ``allow_quadratic=True``
+    opt-in (callers composing it AFTER LSH blocking on a bounded
+    candidate set). The default at-scale path blocks first:
+
+    - ``block_col``: join only within equal values of an existing
+      column (e.g. a precomputed bucket), or
+    - ``block_dim``: derive sign-LSH buckets (``hyperplane_buckets``
+      with ``block_planes`` planes) and join within buckets — recall <1
+      by construction, like any LSH blocking stage.
+    """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if block_col is not None:
+        a = a.join(
+            df.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("_blk_a")),
+            "id_a",
+        )
+        b = b.join(
+            df.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("_blk_b")),
+            "id_b",
+        )
+        pairs = a.join(
+            b, (F.col("_blk_a") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
+        ).drop("_blk_a", "_blk_b")
+    elif block_dim is not None:
+        ab = hyperplane_buckets(
+            df, vec_col=vec_col, dim=block_dim, num_planes=block_planes
+        )
+        a = ab.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("bucket").alias("_blk_a"),
+        )
+        b = ab.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("bucket").alias("_blk_b"),
+        )
+        pairs = a.join(
+            b, (F.col("_blk_a") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
+        ).drop("_blk_a", "_blk_b")
+    elif allow_quadratic:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(
+            "cosine_pairs is O(n²) unblocked: pass block_col=/block_dim= "
+            "for bucketed pairing, or allow_quadratic=True for a bounded "
+            "(post-LSH) candidate set"
+        )
     sim = cosine_similarity("va", "vb")
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cos_sim")

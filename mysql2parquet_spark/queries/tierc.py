@@ -126,7 +126,10 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=2, threshold=0.05)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=2, threshold=0.05,
+        allow_quadratic=True,  # bounded: 10% id-blocked subset
+    )
 
 
 # --------------------------------------------------------------------------
@@ -189,7 +192,8 @@ def topk_similarity(spark, sf_dir):
 )
 def similarity_pairs(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return similarity.cosine_pairs(e, threshold=0.25)
+    # bounded candidate set (100 vectors) — quadratic verify is the point
+    return similarity.cosine_pairs(e, threshold=0.25, allow_quadratic=True)
 
 
 @register(

@@ -81,3 +81,45 @@ def test_null_preserving_mode(spark):
         _zoo(spark), null_as_empty_string=False
     ).collect()
     assert rows[1].c_char is None and rows[1].c_date is None
+
+
+def test_mysql_native_type_mapping():
+    from mysql2parquet_spark.compat import mysql_native_type
+
+    assert mysql_native_type("BIGINT UNSIGNED") == T.DecimalType(20, 0)
+    assert mysql_native_type("bigint unsigned") == T.DecimalType(20, 0)
+    assert mysql_native_type("INT UNSIGNED") == T.LongType()
+    assert mysql_native_type("BIGINT") == T.LongType()
+    assert mysql_native_type("VARCHAR(255)") == T.StringType()
+    assert mysql_native_type("DATETIME") == T.TimestampNTZType()
+    assert mysql_native_type("TIMESTAMP") == T.TimestampType()
+    assert mysql_native_type("GEOMETRY") == T.StringType()  # default branch
+
+
+def test_unsigned_bigint_compat_overflow(spark):
+    """Native Decimal(20,0) holds the full unsigned range; the compat
+    projection reproduces the reference's INT64 tag (main.go:134-135)
+    with ≥2⁶³ values nulled instead of wrapped (documented divergence)."""
+    df = spark.createDataFrame(
+        [(Decimal(2**63 - 1),), (Decimal(2**63),), (Decimal(2**64 - 1),), (None,)],
+        T.StructType([T.StructField("c_ubig", T.DecimalType(20, 0), True)]),
+    )
+    out = reference_type_projection(df, null_as_empty_string=False)
+    assert out.schema["c_ubig"].dataType == T.LongType()
+    vals = [r.c_ubig for r in out.collect()]
+    assert vals[0] == 2**63 - 1
+    assert vals[1] is None and vals[2] is None  # overflow -> NULL, not wrap
+    assert vals[3] is None
+
+
+def test_ntz_timestamp_compat_rendering(spark):
+    """TimestampNTZ (what io.py produces for nanos columns) must render
+    MySQL-style without sub-second fractions, same as TimestampType."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1, 10, 0, 0, 123456),)],
+        T.StructType([T.StructField("ts", T.TimestampNTZType(), True)]),
+    )
+    out = reference_type_projection(df)
+    assert out.collect()[0].ts == "2024-03-01 10:00:00"

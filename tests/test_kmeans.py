@@ -35,6 +35,32 @@ def test_kmeans_recovers_clusters(spark):
         assert abs(max(r.embedding) - 10.0) < 0.5
 
 
+def test_ivf_assign_is_pure_projection(spark):
+    """The coarse-quantizer assignment must be a zero-shuffle projection:
+    centroids inline as literals, argmax via array_max — at 100 TB any
+    Exchange here would shuffle the whole corpus once per call."""
+    df = _clustered(spark)
+    cents = [(0, [10.0, 0.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0, 0.0])]
+    assigned = ivf_assign(df, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert assigned.count() == df.count()
+
+
+def test_kmeans_plan_depth_constant_in_iters(spark):
+    """Lineage must NOT grow with iteration count: centroids round-trip
+    through the driver as bounded metadata, so iteration i never
+    re-executes iterations 1..i-1."""
+    df = _clustered(spark)
+    sizes = []
+    for iters in (1, 4):
+        cents = kmeans_lite(df, k=3, iters=iters)
+        assigned = ivf_assign(df, cents)
+        sizes.append(len(assigned._jdf.queryExecution().executedPlan().toString()))
+    # identical plan shape regardless of how many iterations trained it
+    assert abs(sizes[0] - sizes[1]) < 200, sizes
+
+
 def test_kmeans_assignment_partitions_cleanly(spark):
     df = _clustered(spark)
     cents = kmeans_lite(df, k=3, iters=4)

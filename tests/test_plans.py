@@ -115,6 +115,14 @@ def test_single_shuffle_queries(spark, sf_dir, name):
     assert p.count("Exchange hashpartitioning") <= 1, p
 
 
+def test_ivf_assignment_never_shuffles_corpus(spark, sf_dir):
+    """IVF cell assignment is a literal-centroid argmax projection; a
+    hashpartitioning(vec_id) exchange here would shuffle the entire
+    corpus once per assignment call (and once per k-means iteration)."""
+    p = plan(spark, sf_dir, "ann_ivf_topk")
+    assert "hashpartitioning(vec_id" not in p, p
+
+
 def test_grouping_sets_single_pass(spark, sf_dir):
     """GROUPING SETS must plan ONE Expand + one shuffled aggregate —
     n sets costing n input passes would be 3× the scan at 100 TB."""

@@ -61,6 +61,23 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     )
 
 
+def test_salted_join_rejects_outer_variants(spark, sf_dir):
+    """right/full-outer would duplicate each unmatched small-side key
+    once per salt bucket — the operator must refuse, not silently
+    return salt_buckets× rows."""
+    import pytest
+
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salt bucket"):
+            salted_join(o, c, "custkey", how=how)
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").withColumnRenamed(

@@ -49,6 +49,7 @@ def test_minhash_estimates_track_exact_jaccard(docs):
             "doc_id",
             "text",
             shingle_n=3,
+            allow_quadratic=True,
         ).collect()
     }
     est = {
@@ -143,8 +144,47 @@ def test_cosine_pairs_threshold_semantics(spark):
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     got = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in similarity.cosine_pairs(df, threshold=0.5).collect()
+        for r in similarity.cosine_pairs(
+            df, threshold=0.5, allow_quadratic=True
+        ).collect()
     }
     assert got[(1, 2)] == 1.0
     assert (1, 3) not in got
     assert abs(got[(1, 4)] - 0.6) < 1e-9
+
+
+def test_quadratic_pair_ops_require_optin(spark):
+    """Scale guard: unblocked all-pairs operators must refuse to run."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        similarity.cosine_pairs(df, threshold=0.5)
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="quadratic"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+
+
+def test_cosine_pairs_blocked_variant_subsets_quadratic(spark):
+    """block_dim= LSH blocking must return a SUBSET of the exact pairs
+    (recall < 1 allowed, precision exact) and plan an equi-join."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(
+            df, threshold=0.5, allow_quadratic=True
+        ).collect()
+    }
+    blocked = similarity.cosine_pairs(df, threshold=0.5, block_dim=2)
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert got <= exact
+    assert (1, 2) in got  # identical vectors always share every bucket
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
