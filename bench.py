@@ -32,12 +32,15 @@ HEADLINE = [
     "agg_distinct",       # distinct agg
     "window_rank",        # ranking window
     "window_running",     # running frame
+    "window_range_frame", # time-based RANGE frame
     "sort_limit_topk",    # TakeOrderedAndProject
     "subquery_cte",       # CTE + correlated subquery
     "stream_tumbling_batch",  # windowed agg over events
     "udf_pandas",         # Arrow-vectorized Python path
     "dedup_exact",        # Tier C exact dedup
+    "dedup_minhash",      # Tier C MinHash+LSH near-dup (band join)
     "topk_similarity",    # Tier C cosine top-k
+    "ann_ivf_topk",       # Tier C IVF ANN (k-means + cell probe)
     "text_quality",       # Tier C text scoring
     "tpch_q3_shape",      # composite: filtered 3-way join + grouped top-k
     "tpch_q6",            # composite: pushdown scan-filter-aggregate

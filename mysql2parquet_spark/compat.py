@@ -146,9 +146,16 @@ def export(
 ) -> None:
     """The reference's pipeline tail (main.go:165-203): result set →
     Parquet. ``compat`` applies the type projection; ``single_file``
-    reproduces the one-local-file layout (main.go:165) — small extracts
-    only; the scale default is a directory of part-files."""
+    reproduces the one-local-file layout AND the naming quirk — the
+    reference appends ``.parquet`` to the flag value unconditionally
+    (main.go:165, ``fmt.Sprintf("%s.parquet", *fParquet)``), so
+    ``--parquet=users.parquet`` yields ``users.parquet.parquet`` there
+    and here. Small extracts only; the scale default is a directory of
+    part-files at ``out_path`` verbatim."""
     from mysql2parquet_spark.io import write_parquet
 
     out = reference_type_projection(df) if compat else df
-    write_parquet(out, out_path, single_file=single_file)
+    if single_file:
+        write_parquet(out, out_path + ".parquet", single_file=True)
+    else:
+        write_parquet(out, out_path)

@@ -166,6 +166,7 @@ def read_jdbc(
     num_partitions: int | None = None,
     fetchsize: int = 10_000,
     session_init: str | None = None,
+    driver: str | None = None,
 ) -> DataFrame:
     """JDBC (MySQL) source with full-query pushdown.
 
@@ -188,6 +189,8 @@ def read_jdbc(
         .option("password", password)
         .option("fetchsize", str(fetchsize))
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if query is not None:
         reader = reader.option("query", query)
     else:
@@ -221,12 +224,34 @@ def write_parquet(
     """Parquet sink (reference A7, main.go:165-203).
 
     ``partition_by`` produces hive-style layout for partition pruning on
-    later scans — the 100 TB default. ``single_file=True`` coalesces to one
-    part-file, matching the reference's single local `.parquet`
-    (main.go:165); only for small compat exports.
+    later scans — the 100 TB default. ``single_file=True`` writes ONE
+    literal parquet FILE at exactly ``path`` — byte-layout parity with
+    the reference's one local file (main.go:165). Spark only writes
+    directories, so the part-file is moved out of a temp dir afterward;
+    local-filesystem compat exports only, never the scale path.
     """
-    out = df.coalesce(1) if single_file else df
-    writer = out.write.mode(mode).option("compression", compression)
+    if single_file:
+        if partition_by:
+            raise ValueError("single_file and partition_by are exclusive")
+        import glob
+        import shutil
+
+        tmp = path + "._single_tmp"
+        (
+            df.coalesce(1)
+            .write.mode(mode)
+            .option("compression", compression)
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+        return
+    writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -67,6 +67,7 @@ def minhash_candidates(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_band_width: int = 16,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, est_jaccard) via MinHash+LSH.
 
@@ -75,6 +76,16 @@ def minhash_candidates(
     jaccard as the fraction of equal signature components. The only
     shuffles are the band-key join and the final distinct — both keyed on
     hashes, so they distribute evenly even on skewed corpora.
+
+    HOT-BAND CAP: a pathologically popular band key (boilerplate — many
+    identical or near-identical docs sharing a signature) would make its
+    bucket quadratic. ``max_band_width`` bounds that: the join's left
+    side keeps only the ``max_band_width`` smallest-id docs per
+    (band_idx, band_key) bucket, so per-bucket work is O(bucket ×
+    cap), not O(bucket²). Every doc still pairs with its bucket's
+    minimum ids — exactly the survivors ``minhash_dedup`` keeps — so
+    dedup semantics are unaffected; only the long tail of redundant
+    duplicate-duplicate pairs is skipped.
     """
     rows_per_band = num_hashes // bands
     sig = (
@@ -98,7 +109,13 @@ def minhash_candidates(
             "band_idx", "band_key"
         ),
     )
-    a = banded.alias("a")
+    bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
+    reps = (
+        banded.withColumn("_rn", F.row_number().over(bucket_w))
+        .filter(F.col("_rn") <= max_band_width)
+        .drop("_rn")
+    )
+    a = reps.alias("a")
     b = banded.alias("b")
     pairs = (
         a.join(
@@ -136,6 +153,7 @@ def minhash_dedup(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_band_width: int = 16,
 ) -> DataFrame:
     """Near-dup dedup: drop every doc that has a candidate pair with
     estimated jaccard ≥ threshold and a smaller-id partner (min-id doc of
@@ -145,6 +163,7 @@ def minhash_dedup(
     cand = minhash_candidates(
         df, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        max_band_width=max_band_width,
     ).filter(F.col("est_jaccard") >= threshold)
     losers = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

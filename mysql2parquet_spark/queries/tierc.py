@@ -462,11 +462,19 @@ def text_tokens_regex(spark, sf_dir):
 )
 def text_fingerprint_winnow(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(text.winnow_fingerprints("text")).alias("n_fingerprints"),
-        F.hash(text.winnow_fingerprints("text")).alias("fp_set_hash"),
+    # Evaluate the (expensive) fingerprint expression ONCE per row: bind
+    # it as a transform lambda variable (referencing a bound var is free;
+    # two top-level selects of the expression would each re-inline the
+    # whole rolling-hash pipeline via CollapseProject), then emit both
+    # outputs through one inline() Generate node.
+    fp = text.winnow_fingerprints("text")
+    both = F.transform(
+        F.array(fp),
+        lambda a: F.struct(
+            F.size(a).alias("n_fingerprints"), F.hash(a).alias("fp_set_hash")
+        ),
     )
+    return d.select("doc_id", F.inline(both))
 
 
 @register(

@@ -70,5 +70,12 @@ def test_end_to_end_tables_dir(tmp_path, sf_dir):
     assert rc.returncode == 0, rc.stderr[-2000:]
     import duckdb
 
-    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    # --single-file reproduces the reference layout AND naming: ONE
+    # literal file at <flag>.parquet (main.go:165 appends the suffix).
+    import os
+
+    assert os.path.isfile(f"{out}.parquet")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}.parquet')"
+    ).fetchone()[0]
     assert n == 3

@@ -59,10 +59,24 @@ def test_csv_corrupt_rows_visible(spark, tmp_path):
 
 
 def test_single_file_compat_layout(spark, sf_dir, tmp_path):
+    import os
+
     region = load_table(spark, sf_dir, "region")
     out = str(tmp_path / "single")
     write_parquet(region, out, single_file=True)
-    import glob
+    # reference writes exactly one literal FILE (main.go:165), not a dir
+    assert os.path.isfile(out)
+    assert spark.read.parquet(out).count() == region.count()
 
-    parts = glob.glob(out + "/part-*.parquet")
-    assert len(parts) == 1  # reference writes exactly one file (main.go:165)
+
+def test_export_appends_parquet_suffix(spark, sf_dir, tmp_path):
+    """Naming parity: the reference appends '.parquet' to the flag value
+    unconditionally (main.go:165), even when it already ends in it."""
+    import os
+
+    from mysql2parquet_spark.compat import export
+
+    region = load_table(spark, sf_dir, "region")
+    flag_value = str(tmp_path / "users.parquet")
+    export(region, flag_value, single_file=True)
+    assert os.path.isfile(flag_value + ".parquet")  # users.parquet.parquet

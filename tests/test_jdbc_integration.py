@@ -3,8 +3,8 @@ Derby, so the A2/A3 source path (connection, partitioned range reads,
 predicate pushdown, round-trip fidelity) runs against an actual JDBC
 database. The `query=` full-pushdown option itself needs a dialect with
 bare derived-table aliases (MySQL/Postgres) — Derby rejects Spark's
-`(...) SPARK_GEN_SUBQ_0` wrapping — so that specific path stays
-covered by option-plumbing tests only."""
+`(...) SPARK_GEN_SUBQ_0` wrapping — so that path runs end-to-end against
+DuckDB's JDBC driver instead (test_jdbc_query_pushdown.py)."""
 
 from __future__ import annotations
 

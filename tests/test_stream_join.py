@@ -34,6 +34,59 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_stream_join_multibatch_incremental(spark, sf_dir, tmp_path):
+    """Stream-stream join state must carry ACROSS micro-batches: with
+    maxFilesPerTrigger=1 a purchase and its matching view usually arrive
+    in different batches, so any per-batch-only join would drop pairs.
+    Result must equal the single-batch run (which equals batch)."""
+    import glob
+
+    from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+
+    out = str(tmp_path / "events_parts")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Time-sliced files in event-time order (file k = k-th ts range): an
+    # in-order replay, so the watermark never legitimately drops rows —
+    # any mismatch vs batch is a real state-carry bug, not late data.
+    raw.repartitionByRange(6, "ts").write.mode("overwrite").parquet(out)
+    assert len(glob.glob(out + "/part-*.parquet")) == 6
+
+    def stream():
+        df = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+
+    sp = stream().filter(F.col("event_type") == "purchase")
+    sv = stream().filter(F.col("event_type") == "view")
+    q = (
+        purchase_view_interval_join(sp, sv)
+        .writeStream.format("memory")
+        .queryName("ssjoin_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 6  # really ran multi-batch
+
+    batch = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            str,
+            purchase_view_interval_join(
+                batch.filter(F.col("event_type") == "purchase"),
+                batch.filter(F.col("event_type") == "view"),
+            ).collect(),
+        )
+    )
+    got = sorted(map(str, spark.table("ssjoin_mb").collect()))
+    assert got == want
+
+
 def test_rate_source_produces_events_shape(spark):
     stream = stream_rate(spark, rows_per_second=200)
     q = (

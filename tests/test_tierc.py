@@ -75,6 +75,22 @@ def test_minhash_dedup_keeps_min_id(docs):
     assert len(dropped) >= 90
 
 
+def test_minhash_hot_band_cap_survives_identical_corpus(spark):
+    """10k identical docs share every band key — uncapped, each band
+    bucket is 10k wide and the candidate join goes quadratic (10⁸ pairs).
+    With the hot-band cap the pair count is bounded by cap×n and dedup
+    still keeps exactly the min-id copy."""
+    text = "the same boilerplate sentence repeated across the corpus"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(10_000)], "doc_id: long, text: string"
+    )
+    cand = dedup.minhash_candidates(df, "doc_id", "text", max_band_width=4)
+    n_pairs = cand.count()
+    assert n_pairs <= 4 * 10_000  # bounded by cap, nowhere near n²/2
+    kept = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.9)
+    assert [r.doc_id for r in kept.collect()] == [0]  # min-id survivor only
+
+
 def test_simhash_planted_dups_low_hamming(spark):
     """SimHash needs tighter dups than MinHash to score: with short
     all-unique-token docs every bit majority is slim, so we plant 1
