@@ -105,8 +105,13 @@ def decode_image(content: bytes) -> tuple[int, int, int, list[bytes]]:
         channels = {0: 1, 4: 2, 2: 3, 6: 4}[ctype]
     except KeyError:
         raise ValueError(f"unsupported PNG color type {ctype}") from None
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
     rows: list[bytes] = []
     prev = bytearray(stride)
     i = 0

@@ -197,6 +197,43 @@ def similarity_pairs(spark, sf_dir):
 
 
 @register(
+    "similarity_pairs_blocked",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(embedding[1] >= 0 AS INT) * 2
+             + CAST(embedding[2] >= 0 AS INT) AS blk
+      FROM embeddings WHERE vec_id < 400
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / ( sqrt(list_sum(list_transform(x.embedding,
+                         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(y.embedding,
+                         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) ), 4)
+               AS cos_sim
+      FROM b x JOIN b y ON x.blk = y.blk AND x.vec_id < y.vec_id
+    ) WHERE cos_sim >= 0.25
+    """,
+    "C3/C2: the AT-SCALE blocked pair path, oracle-verified — pairs form "
+    "only within deterministic coordinate-sign blocks (sign of the first "
+    "two components), an equi-join both engines compute identically; the "
+    "LSH-bucket variant swaps in hyperplane buckets (block_dim=).",
+)
+def similarity_pairs_blocked(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    blocked = e.withColumn(
+        "blk",
+        (F.col("embedding")[0] >= 0).cast("int") * 2
+        + (F.col("embedding")[1] >= 0).cast("int"),
+    )
+    return similarity.cosine_pairs(blocked, threshold=0.25, block_col="blk")
+
+
+@register(
     "ann_lsh_topk",
     None,  # approximate by construction — recall vs exact tested in pytest
     "C3: LSH-bucketed approximate top-k (random hyperplane signs) — "
@@ -307,6 +344,39 @@ def sample_split(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+@register(
+    "agg_salted",
+    """
+    SELECT o_orderstatus,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(total AS DECIMAL(18,2)) AS total
+    FROM (
+      SELECT o_orderstatus, COUNT(*) AS cnt,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders GROUP BY o_orderstatus
+    )
+    """,
+    "C6: skew-salted two-phase aggregation (operators/scale.py) — the "
+    "answer when one hot key melts a reducer and AQE can't split a "
+    "single key. Oracle = the plain GROUP BY: salting must be "
+    "semantically invisible.",
+)
+def agg_salted(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import salted_group_count
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "_price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = salted_group_count(
+        o, ["o_orderstatus"], agg_exprs={"total": "_price_dec"}
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("decimal(18,2)").alias("total"),
     )
 
 

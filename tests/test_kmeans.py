@@ -61,6 +61,38 @@ def test_kmeans_plan_depth_constant_in_iters(spark):
     assert abs(sizes[0] - sizes[1]) < 200, sizes
 
 
+def test_ivf_assign_arrow_and_fold_agree(spark):
+    """The vectorized Arrow path and the pure-JVM fold path must produce
+    identical assignments, including tie-breaks (equidistant rows) and
+    degenerate zero-norm rows."""
+    df = _clustered(spark)
+    extra = spark.createDataFrame(
+        [
+            (900, [0.0, 0.0, 0.0, 0.0]),   # zero norm -> centroid 0
+            (901, [1.0, 1.0, 0.0, 0.0]),   # exactly between centroids 0/1
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    df = df.unionByName(extra)
+    cents = [
+        (0, [10.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 10.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 10.0, 0.0]),
+    ]
+    arrow = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(df, cents).select("vec_id", "centroid_id").collect()
+    }
+    fold = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(df, cents, method="fold")
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert arrow == fold
+    assert arrow[900] == 0 and arrow[901] == 0  # ties -> smallest id
+
+
 def test_kmeans_assignment_partitions_cleanly(spark):
     df = _clustered(spark)
     cents = kmeans_lite(df, k=3, iters=4)
