@@ -123,6 +123,14 @@ def purchase_view_interval_join(
     watermark plus the interval bound lets Spark expire buffered view
     state (otherwise the join buffers forever). The same expression runs
     on batch DataFrames for oracle-style equivalence checks.
+
+    Disorder semantics are pinned by ``tests/test_stream_join.py``:
+    in-order replay loses nothing (multibatch test), out-of-order replay
+    with watermarks exceeding the disorder loses nothing (zero-loss
+    test), and under-sized watermarks drop EXACTLY the late arrivals —
+    never pre-watermark state, never spurious pairs (loss-accounting
+    test). File-source replay order follows part-file mtimes, so the
+    tests stamp mtimes explicitly rather than assuming write order.
     """
     p = purchases.select(
         F.col("event_id").alias("p_id"),

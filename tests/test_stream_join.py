@@ -34,23 +34,43 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def _write_ts_slices(spark, sf_dir, out: str, n: int = 6) -> list:
+    """Write ``events`` as ``n`` ts-range-sliced part-files and stamp
+    STRICTLY ASCENDING mtimes in ts-range order.  Spark's file stream
+    source replays files ordered by modification time; the parallel
+    parquet write gives most part-files identical mtimes, so without the
+    stamping the replay order of the slices is arbitrary (which would
+    falsify any "in-order replay" premise).  ``repartitionByRange`` makes
+    part-0000k the k-th ts range, so stamping in filename order = event-
+    time order."""
+    import glob
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartitionByRange(n, "ts").write.mode("overwrite").parquet(out)
+    parts = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(parts) == n
+    base = int(time.time()) - 3600
+    for i, f in enumerate(parts):
+        os.utime(f, (base + 10 * i, base + 10 * i))
+    return parts
+
+
 def test_stream_stream_join_multibatch_incremental(spark, sf_dir, tmp_path):
     """Stream-stream join state must carry ACROSS micro-batches: with
     maxFilesPerTrigger=1 a purchase and its matching view usually arrive
     in different batches, so any per-batch-only join would drop pairs.
-    Result must equal the single-batch run (which equals batch)."""
-    import glob
+    Result must equal the single-batch run (which equals batch).
 
+    The slices replay in event-time order (ascending mtimes stamped by
+    ``_write_ts_slices``), so the watermark never legitimately drops
+    rows — any mismatch vs batch is a real state-carry bug, not late
+    data."""
     from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
 
     out = str(tmp_path / "events_parts")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Time-sliced files in event-time order (file k = k-th ts range): an
-    # in-order replay, so the watermark never legitimately drops rows —
-    # any mismatch vs batch is a real state-carry bug, not late data.
-    raw.repartitionByRange(6, "ts").write.mode("overwrite").parquet(out)
-    assert len(glob.glob(out + "/part-*.parquet")) == 6
+    _write_ts_slices(spark, sf_dir, out, 6)
 
     def stream():
         df = (
@@ -85,6 +105,130 @@ def test_stream_stream_join_multibatch_incremental(spark, sf_dir, tmp_path):
     )
     got = sorted(map(str, spark.table("ssjoin_mb").collect()))
     assert got == want
+
+
+def test_stream_stream_join_out_of_order_zero_loss(spark, sf_dir, tmp_path):
+    """Mirrored disorder test (B34): slices delivered OUT of event-time
+    order, but with watermarks sized to exceed the total disorder (40
+    days > the 30-day event span), so nothing may be dropped — result
+    must equal batch exactly."""
+    from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+
+    out = str(tmp_path / "events_ooo")
+    parts = _write_ts_slices(spark, sf_dir, out, 6)
+    # Re-stamp in a fixed shuffled order: delivery 3,0,5,1,4,2.
+    import os
+
+    base = int(time.time()) - 3600
+    for rank, idx in enumerate([3, 0, 5, 1, 4, 2]):
+        os.utime(parts[idx], (base + 10 * rank, base + 10 * rank))
+
+    def stream():
+        df = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+
+    sp = stream().filter(F.col("event_type") == "purchase")
+    sv = stream().filter(F.col("event_type") == "view")
+    q = (
+        purchase_view_interval_join(
+            sp, sv, purchase_watermark="40 days", view_watermark="40 days"
+        )
+        .writeStream.format("memory")
+        .queryName("ssjoin_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 6
+
+    batch = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            str,
+            purchase_view_interval_join(
+                batch.filter(F.col("event_type") == "purchase"),
+                batch.filter(F.col("event_type") == "view"),
+            ).collect(),
+        )
+    )
+    got = sorted(map(str, spark.table("ssjoin_ooo").collect()))
+    assert got == want
+
+
+def test_stream_stream_join_late_loss_accounting(spark, sf_dir, tmp_path):
+    """Loss-accounting variant (B34): slices delivered in REVERSE event-
+    time order with the default small watermarks.  After batch 1 (the
+    latest slice) the watermark has advanced past every earlier slice,
+    so those arrivals are late.  Pin the semantics:
+
+    - no spurious pairs (got ⊆ batch result);
+    - every pair joinable from the first-delivered slice alone IS
+      emitted (state existed before any watermark advanced);
+    - loss actually occurred (the drops are real, not vacuous)."""
+    from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+
+    out = str(tmp_path / "events_rev")
+    parts = _write_ts_slices(spark, sf_dir, out, 6)
+    import os
+
+    base = int(time.time()) - 3600
+    for rank, idx in enumerate(reversed(range(6))):  # deliver 5,4,...,0
+        os.utime(parts[idx], (base + 10 * rank, base + 10 * rank))
+
+    def stream():
+        df = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+
+    sp = stream().filter(F.col("event_type") == "purchase")
+    sv = stream().filter(F.col("event_type") == "view")
+    q = (
+        purchase_view_interval_join(sp, sv)
+        .writeStream.format("memory")
+        .queryName("ssjoin_rev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = load_table(spark, sf_dir, "events")
+    want = set(
+        map(
+            str,
+            purchase_view_interval_join(
+                batch.filter(F.col("event_type") == "purchase"),
+                batch.filter(F.col("event_type") == "view"),
+            ).collect(),
+        )
+    )
+    # Pairs joinable from the first-delivered slice (latest ts range) alone.
+    last_slice = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(parts[5])
+        .withColumn("ts", _ns_to_ntz_ltz("ts"))
+    )
+    want_first_batch = set(
+        map(
+            str,
+            purchase_view_interval_join(
+                last_slice.filter(F.col("event_type") == "purchase"),
+                last_slice.filter(F.col("event_type") == "view"),
+            ).collect(),
+        )
+    )
+    got = set(map(str, spark.table("ssjoin_rev").collect()))
+    assert got <= want  # no spurious pairs
+    assert want_first_batch <= got  # pre-watermark state fully joined
+    assert got < want  # late arrivals really were dropped
 
 
 def test_rate_source_produces_events_shape(spark):
