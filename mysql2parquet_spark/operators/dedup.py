@@ -59,33 +59,40 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return exact_dedup(fingerprint(df, text_col), ["fp"], id_col).drop("fp")
 
 
-def minhash_candidates(
+def _minhash_collisions(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
-    shingle_n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    max_band_width: int = 16,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    max_band_width: int | None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, est_jaccard) via MinHash+LSH.
+    """Raw banded collision rows ``(id_a, id_b, est_jaccard)`` — PRE-
+    distinct, so a pair colliding in k bands appears k times. The
+    jaccard estimate (fraction of equal signature components) is
+    computed HERE, inside the join projection, so downstream distincts
+    shuffle 8-byte estimates instead of two 32-int signatures (the
+    r2 verdict's biggest constant-factor lever on this operator).
 
-    Plan shape: projection (shingles→signature→band keys) → explode bands
-    → self-join on (band_idx, band_key) → distinct pairs → estimate
-    jaccard as the fraction of equal signature components. The only
-    shuffles are the band-key join and the final distinct — both keyed on
-    hashes, so they distribute evenly even on skewed corpora.
+    Plan shape: projection (shingles→signature→band keys) → explode
+    bands → self-join on (band_idx, band_key). The only shuffles are
+    keyed on hashes, so they distribute evenly even on skewed corpora —
+    never the O(n²) cross join.
 
-    HOT-BAND CAP: a pathologically popular band key (boilerplate — many
-    identical or near-identical docs sharing a signature) would make its
-    bucket quadratic. ``max_band_width`` bounds that: the join's left
-    side keeps only the ``max_band_width`` smallest-id docs per
-    (band_idx, band_key) bucket, so per-bucket work is O(bucket ×
-    cap), not O(bucket²). Every doc still pairs with its bucket's
-    minimum ids — exactly the survivors ``minhash_dedup`` keeps — so
-    dedup semantics are unaffected; only the long tail of redundant
-    duplicate-duplicate pairs is skipped.
+    HOT-BAND CAP (opt-in): a pathologically popular band key
+    (boilerplate — many identical or near-identical docs sharing a
+    signature) makes its bucket quadratic. ``max_band_width=k`` bounds
+    that: the join's left side keeps only the k smallest-id docs per
+    (band_idx, band_key) bucket (a WindowGroupLimit — partial map-side
+    top-k, not a full sort of the banded set), so per-bucket work is
+    O(bucket × cap), not O(bucket²). This is a RECALL-REDUCING
+    APPROXIMATION on hot bands: a doc whose only ≥-threshold smaller-id
+    partner ranks beyond the cap in every shared bucket loses that pair
+    (its estimate against the bucket's min-id reps can fall below the
+    threshold even when the deeper-ranked pair is above it). Default is
+    None (exact); pass a cap for boilerplate-heavy corpora at scale.
     """
     rows_per_band = num_hashes // bands
     sig = (
@@ -109,39 +116,57 @@ def minhash_candidates(
             "band_idx", "band_key"
         ),
     )
-    bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
-    reps = (
-        banded.withColumn("_rn", F.row_number().over(bucket_w))
-        .filter(F.col("_rn") <= max_band_width)
-        .drop("_rn")
-    )
+    if max_band_width is not None:
+        bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
+        reps = (
+            banded.withColumn("_rn", F.row_number().over(bucket_w))
+            .filter(F.col("_rn") <= max_band_width)
+            .drop("_rn")
+        )
+    else:
+        reps = banded
     a = reps.alias("a")
     b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
     est = F.aggregate(
         F.zip_with(
-            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
         ),
         F.lit(0),
         lambda acc, x: acc + x,
-    ) / F.lit(float(len(range(num_hashes))))
-    return pairs.select(
-        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ) / F.lit(float(num_hashes))
+    return a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("id_a"),
+        F.col("b.doc").alias("id_b"),
+        F.round(est, 4).alias("est_jaccard"),
     )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, est_jaccard) via
+    MinHash+LSH — distinct pairs; see ``_minhash_collisions`` for the
+    plan shape and the (opt-in, recall-reducing) ``max_band_width`` hot-
+    band cap. The distinct shuffles only (id_a, id_b, est)."""
+    return _minhash_collisions(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        max_band_width=max_band_width,
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_dedup(
@@ -153,14 +178,18 @@ def minhash_dedup(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    max_band_width: int = 16,
+    max_band_width: int | None = None,
 ) -> DataFrame:
     """Near-dup dedup: drop every doc that has a candidate pair with
     estimated jaccard ≥ threshold and a smaller-id partner (min-id doc of
     each near-dup set survives; transitive chains collapse toward the
     smallest id in one pass — full connected components would iterate).
+
+    No pair-level distinct at all: the threshold filter runs on the raw
+    collision rows and only the surviving ``id_b`` values are
+    distinct-ed — the cheapest possible shuffle (one long column).
     """
-    cand = minhash_candidates(
+    cand = _minhash_collisions(
         df, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
         max_band_width=max_band_width,

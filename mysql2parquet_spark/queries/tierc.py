@@ -71,7 +71,11 @@ def dedup_fingerprint(spark, sf_dir):
 )
 def dedup_minhash(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    kept = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.5)
+    # Explicit hot-band cap: boilerplate-heavy corpora make band buckets
+    # quadratic without it (the cap is opt-in because it trades recall).
+    kept = dedup.minhash_dedup(
+        d, "doc_id", "text", threshold=0.5, max_band_width=16
+    )
     return kept.select("doc_id", "lang", "source")
 
 
@@ -292,7 +296,7 @@ def ann_ivf_topk(spark, sf_dir):
            ROUND(AVG(CAST(n_toks AS DOUBLE)), 2) AS avg_tokens,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens
     FROM scored
-    WHERE quality >= 0.5 AND lang IN ('en', 'es', 'de', 'fr', 'zh')
+    WHERE quality >= 0.2 AND lang IN ('en', 'es', 'de', 'fr', 'zh')
     GROUP BY lang
     """,
     "Capstone pipeline: content dedup → quality gate → language filter "
@@ -306,8 +310,11 @@ def pipeline_curate(spark, sf_dir):
     )
 
     d = T(spark, sf_dir, "documents")
+    # min_quality=0.2: the synthetic corpus scores 0.06-0.31, so 0.2 is a
+    # real gate that still leaves rows at sf0.01 — a 0.5 gate returned 0
+    # rows and made the driver's hash-match vacuous (VERDICT r2 #2).
     curated = curate_corpus(
-        d, min_quality=0.5, languages=["en", "es", "de", "fr", "zh"]
+        d, min_quality=0.2, languages=["en", "es", "de", "fr", "zh"]
     )
     return curation_report(curated)
 

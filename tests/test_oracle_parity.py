@@ -54,6 +54,10 @@ def test_oracle_parity(spark, duck, sf_dir, name):
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    # A 0-row parity proves nothing (both engines agreeing on "nothing"
+    # is vacuous — bit us in r2 with pipeline_curate's 0.5 quality gate).
+    # Every oracled query must compare real values at the test SF.
+    assert len(drows) > 0, f"{name}: oracle returned 0 rows — vacuous parity"
     sc = _canon([tuple(r) for r in srows], scols)
     dc = _canon(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]

@@ -87,7 +87,9 @@ def test_minhash_hot_band_cap_survives_identical_corpus(spark):
     cand = dedup.minhash_candidates(df, "doc_id", "text", max_band_width=4)
     n_pairs = cand.count()
     assert n_pairs <= 4 * 10_000  # bounded by cap, nowhere near n²/2
-    kept = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.9)
+    kept = dedup.minhash_dedup(
+        df, "doc_id", "text", threshold=0.9, max_band_width=4
+    )
     assert [r.doc_id for r in kept.collect()] == [0]  # min-id survivor only
 
 
