@@ -356,6 +356,93 @@ def kmeans_lite(
     )
 
 
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    train_fraction: float = 0.25,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build a PERSISTED IVF index at ``path`` — the at-scale contract
+    (the self-contained ``ann_ivf_topk`` demo trains per query; at
+    100 TB the index is built once at write time and amortized):
+
+    - train ``kmeans_lite`` on a uniform SAMPLE (``train_fraction``) —
+      Lloyd's never iterates the full corpus; a sample bounds training
+      cost while cell quality is statistically equivalent;
+    - assign every row with ``ivf_assign`` (zero-shuffle Arrow
+      projection);
+    - write the corpus hive-partitioned by ``centroid_id`` so later
+      probes prune to their cells at the SCAN (PartitionFilters,
+      asserted in tests/test_ivf_persisted.py);
+    - persist the k×dim centroid table at ``<path>/centroids``.
+
+    Returns the centroid DataFrame.
+    """
+    from mysql2parquet_spark.io import write_parquet
+
+    train = (
+        corpus.sample(fraction=train_fraction, seed=seed)
+        if train_fraction < 1.0
+        else corpus
+    )
+    cents_df = kmeans_lite(train, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = collect_centroids(cents_df, vec_col=vec_col)  # bounded-metadata
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    write_parquet(assigned, f"{path}/data", partition_by=["centroid_id"])
+    cents_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents_df
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF layout (``ivf_build``) with
+    partition pruning: rank centroids against the query DRIVER-SIDE
+    (k×dim metadata), then scan only the ``nprobe`` nearest cells —
+    ``centroid_id IN (...)`` prunes whole hive partitions before any
+    row is read. Scoring is the JVM cosine fold; top-k is a
+    TakeOrderedAndProject (no corpus shuffle)."""
+    import numpy as np
+
+    cents = collect_centroids(  # bounded-metadata
+        spark.read.parquet(f"{path}/centroids"), vec_col=vec_col
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    cids = np.asarray([i for i, _ in cents])
+    cmat = np.asarray([v for _, v in cents], dtype=np.float64)
+    denom = np.linalg.norm(cmat, axis=1) * qn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (cmat @ q) / denom
+    sims = np.where(np.isfinite(sims), sims, -np.inf)
+    # deterministic: sort by (-sim, centroid_id)
+    order = np.lexsort((cids, -sims))
+    probe_ids = [int(cids[i]) for i in order[:nprobe]]
+
+    data = spark.read.parquet(f"{path}/data")
+    cell = data.filter(F.col("centroid_id").isin(probe_ids))
+    if exclude_id is not None:
+        cell = cell.filter(F.col(id_col) != exclude_id)
+    lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cell.select(
+        id_col, cosine_similarity(vec_col, lit_q).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

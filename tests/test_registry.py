@@ -22,7 +22,7 @@ all_queries()  # trigger lazy module load so REGISTRY is populated
 COMPONENT_EVIDENCE = {
     "B1_scan": ["scan_project"],
     "B4_expr": ["expr_arith"],
-    "B5_filter": ["filter_pred"],
+    "B5_filter": ["filter_pred", "filter_like"],
     "B6_inner_join": ["join_inner"],
     "B7_broadcast_join": ["join_broadcast"],
     "B8_outer_join": ["join_left", "join_full"],
@@ -30,15 +30,15 @@ COMPONENT_EVIDENCE = {
     "B10_range_join": ["join_range"],
     "B11_multiway": ["join_multiway"],
     "asof_join": ["join_asof"],
-    "B12_hash_agg": ["agg_group"],
-    "B13_distinct": ["agg_distinct"],
-    "B14_rollup": ["agg_rollup"],
+    "B12_hash_agg": ["agg_group", "agg_percentile", "agg_stats", "agg_pivot", "agg_corr"],
+    "B13_distinct": ["agg_distinct", "agg_approx_distinct"],
+    "B14_rollup": ["agg_rollup", "agg_cube", "agg_grouping_sets"],
     "B15_having": ["agg_having"],
-    "B16_window_rank": ["window_rank"],
-    "B17_window_analytic": ["window_lag"],
+    "B16_window_rank": ["window_rank", "window_percent"],
+    "B17_window_analytic": ["window_lag", "window_analytic"],
     "B18_window_frames": ["window_running", "window_range_frame"],
     "B19_sort": ["sort_nulls"],
-    "B20_limit": ["sort_limit_topk"],
+    "B20_limit": ["sort_limit_topk", "sort_limit_offset"],
     "B21_set_ops": ["set_ops"],
     "B22_string": ["str_funcs"],
     "B23_datetime": ["date_funcs"],
@@ -47,13 +47,18 @@ COMPONENT_EVIDENCE = {
     "B27_json": ["json_funcs"],
     "B28_array": ["array_funcs"],
     "B29_subquery": ["subquery_scalar", "subquery_cte", "subquery_recursive"],
-    "B30_udf": ["udf_pandas"],
-    "B32_tumbling": ["stream_tumbling_batch"],
+    "B30_udf": ["udf_pandas", "udf_grouped"],
+    "B32_tumbling": ["stream_tumbling_batch", "stream_sliding_batch"],
     "B33_session": ["stream_session_batch"],
     "B35_stateful_dedup": ["stream_dedup_batch"],
     "C1_exact_dedup": ["dedup_exact", "dedup_fingerprint"],
     "C2_near_dedup": ["dedup_minhash", "dedup_simhash"],
-    "C3_similarity": ["topk_similarity", "ann_ivf_topk", "embedding_centroids"],
+    "C3_similarity": [
+        "topk_similarity",
+        "ann_ivf_topk",
+        "ann_ivf_persisted",
+        "embedding_centroids",
+    ],
     "C4_text": ["text_quality", "text_langid"],
     "C5_multimodal": ["multimodal_binary"],
     "C6_scale": ["sample_split", "pipeline_curate"],
@@ -102,5 +107,7 @@ ROWS_ONLY_OK = {
     "dedup_minhash",
     "dedup_simhash",
     "ann_ivf_topk",
+    "ann_ivf_persisted",
+    "agg_approx_distinct",
     "multimodal_binary",
 }
