@@ -236,20 +236,42 @@ def write_parquet(
         import glob
         import shutil
 
+        # Honor mode BEFORE clobbering the destination (the tmp-dir write
+        # below is always overwrite; mode applies to `path` itself).
+        m = mode.lower()
+        exists = os.path.exists(path)
+        if m == "append":
+            raise ValueError(
+                "single_file does not support mode='append' — a single "
+                "parquet FILE cannot be appended to; write a directory"
+            )
+        if m in ("error", "errorifexists") and exists:
+            raise FileExistsError(f"path already exists: {path}")
+        if m == "ignore" and exists:
+            return
+
         tmp = path + "._single_tmp"
-        (
-            df.coalesce(1)
-            .write.mode(mode)
-            .option("compression", compression)
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        elif os.path.exists(path):
-            os.remove(path)
-        shutil.move(part, path)
-        shutil.rmtree(tmp)
+        try:
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .option("compression", compression)
+                .parquet(tmp)
+            )
+            parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            if not parts:
+                raise ValueError(
+                    "single_file write produced no part-file (zero-"
+                    "partition DataFrame?) — nothing to place at "
+                    f"{path}"
+                )
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif exists:
+                os.remove(path)
+            shutil.move(parts[0], path)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:

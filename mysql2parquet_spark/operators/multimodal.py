@@ -228,10 +228,18 @@ def extract_features(
     def features_for(media_type: str, b: bytes) -> list[float]:
         if b is None:
             return []
-        if media_type == "image/png":
-            return png_features(b)
-        if media_type in ("audio/wav", "audio/x-wav"):
-            return wav_features(b)
+        # Per-row degradation: at corpus scale a single truncated or
+        # mislabeled payload must not abort the distributed job — a
+        # decoder failure (any exception: corrupt bytes can raise
+        # zlib.error, struct.error, ValueError, IndexError, ...) falls
+        # back to the typed-bytes histogram for that ROW only.
+        try:
+            if media_type == "image/png":
+                return png_features(b)
+            if media_type in ("audio/wav", "audio/x-wav"):
+                return wav_features(b)
+        except Exception:
+            pass
         return byte_histogram(b, bins)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -54,12 +54,18 @@ def salted_join(
     the skew is known and extreme (AQE splits partitions, but a single
     hot KEY within one partition can't be split without salting).
 
-    Only ``inner``/``left``/``left_semi`` are sound: the big side keeps
-    exactly one salt per row, so right/full-outer would surface each
-    unmatched small-side key once PER SALT BUCKET (salt_buckets
-    duplicates). Those variants are rejected rather than silently wrong.
+    Only big-side-preserving joins are sound: ``inner``/``left``/
+    ``left_semi``/``left_anti``. The big side keeps exactly one salt per
+    row, so left-anti is exact (a big row matches iff its key exists —
+    the small side is exploded with EVERY salt), while right/full-outer
+    would surface each unmatched small-side key once PER SALT BUCKET
+    (salt_buckets duplicates). Those variants are rejected rather than
+    silently wrong.
     """
-    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join supports how in {sorted(allowed)} — '{how}' would "

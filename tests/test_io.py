@@ -69,6 +69,30 @@ def test_single_file_compat_layout(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == region.count()
 
 
+def test_single_file_honors_mode(spark, sf_dir, tmp_path):
+    """single_file must respect the writer mode for the FINAL path, not
+    just the temp dir: 'error' raises on an existing file, 'ignore'
+    leaves it untouched, 'append' is rejected (a single parquet file
+    cannot be appended), and the temp dir never survives."""
+    import os
+
+    import pytest as _pytest
+
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "single")
+    write_parquet(region, out, single_file=True)
+    before = os.path.getmtime(out)
+
+    with _pytest.raises(FileExistsError):
+        write_parquet(region, out, single_file=True, mode="error")
+    with _pytest.raises(ValueError, match="append"):
+        write_parquet(region, out, single_file=True, mode="append")
+    write_parquet(region.limit(1), out, single_file=True, mode="ignore")
+    assert os.path.getmtime(out) == before  # untouched
+    assert spark.read.parquet(out).count() == region.count()
+    assert not os.path.exists(out + "._single_tmp")  # tmp cleaned up
+
+
 def test_export_appends_parquet_suffix(spark, sf_dir, tmp_path):
     """Naming parity: the reference appends '.parquet' to the flag value
     unconditionally (main.go:165), even when it already ends in it."""

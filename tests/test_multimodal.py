@@ -206,3 +206,24 @@ def test_extract_features_routes_by_media_type(spark):
     assert got[2].features[0] == 8000.0  # real WAV sample rate
     assert len(got[3].features) == 16  # histogram fallback
     assert got[3].n_bytes == 3
+
+
+def test_extract_features_corrupt_payload_degrades_per_row(spark):
+    """One corrupt or mislabeled payload must not abort the distributed
+    job (at 100 TB a bad asset is a certainty): the failing ROW falls
+    back to the byte histogram; healthy rows still decode for real."""
+    good = make_png([[(10, 20, 30)]])
+    truncated_png = bytes(good[: len(good) // 2])  # valid magic, cut body
+    rows = [
+        (1, bytearray(good), "image/png"),
+        (2, bytearray(truncated_png), "image/png"),
+        (3, bytearray(b"mislabeled bytes"), "audio/wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id: long, content: binary, media_type: string"
+    )
+    got = {r.asset_id: r for r in extract_features(df).collect()}
+    assert got[1].features[:3] == [1.0, 1.0, 3.0]  # healthy row: real decode
+    assert len(got[2].features) == 16  # corrupt PNG -> histogram, no abort
+    assert len(got[3].features) == 16  # mislabeled WAV -> histogram
+    assert got[2].n_bytes == len(truncated_png)

@@ -61,6 +61,26 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     )
 
 
+def test_salted_anti_join_matches_plain(spark, sf_dir):
+    """left_anti is sound under salting (the small side carries EVERY
+    salt, so a big row matches iff its key exists) — mirror of the
+    left-join test: same survivors as the unsalted anti join."""
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_acctbal > 5000")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    plain = {r.o_orderkey for r in o.join(c, "custkey", "left_anti").collect()}
+    salted = {
+        r.o_orderkey
+        for r in salted_join(o, c, "custkey", how="left_anti").collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
 def test_salted_join_rejects_outer_variants(spark, sf_dir):
     """right/full-outer would duplicate each unmatched small-side key
     once per salt bucket — the operator must refuse, not silently
