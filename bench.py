@@ -39,8 +39,11 @@ HEADLINE = [
     "udf_pandas",         # Arrow-vectorized Python path
     "dedup_exact",        # Tier C exact dedup
     "dedup_minhash",      # Tier C MinHash+LSH near-dup (band join)
+    "dedup_simhash",      # Tier C SimHash chunk-blocked near-dup
     "topk_similarity",    # Tier C cosine top-k
-    "ann_ivf_topk",       # Tier C IVF ANN (k-means + cell probe)
+    "ann_ivf_topk",       # Tier C IVF ANN (k-means + cell probe, per-query train)
+    "ann_ivf_persisted",  # Tier C IVF ANN from persisted index (amortized probe)
+    "embedding_centroids",  # Tier C per-label centroid agg
     "text_quality",       # Tier C text scoring
     "tpch_q3_shape",      # composite: filtered 3-way join + grouped top-k
     "tpch_q6",            # composite: pushdown scan-filter-aggregate
@@ -61,16 +64,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    def run(name: str) -> float:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run(name: str) -> tuple[float, int]:
+        """Wall seconds + number of stages the query scheduled — stage
+        counts make constant-factor regressions (an extra exchange, a
+        lost WindowGroupLimit) visible in BENCH_r{N} diffs without a
+        profiler."""
+        sc.setJobGroup(name, name)
+        try:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+        finally:
+            sc.setJobGroup(None, None)
+        n_stages = 0
+        for jid in tracker.getJobIdsForGroup(name):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                n_stages += len(info.stageIds)
+        return wall, n_stages
 
     run("agg_group")  # warmup: JIT, codegen, parquet footer caches
+    # Warm the persisted IVF index: its contract is build-at-WRITE-time,
+    # amortized across queries — the timed run below measures the probe
+    # (pruned scan + fold + top-k), not the one-time index construction.
+    # The first call builds the index if absent; subsequent calls reuse.
+    run("ann_ivf_persisted")
 
     timings: dict[str, float] = {}
+    stages: dict[str, int] = {}
     for name in HEADLINE:
-        timings[name] = round(run(name), 3)
+        wall, n_stages = run(name)
+        timings[name] = round(wall, 3)
+        stages[name] = n_stages
 
     # The reference's actual workload (main.go: extract -> parquet file):
     # full lineitem scan -> parquet write, distributed writer.
@@ -92,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": stages,
                 "sf": float(sf),
             }
         )

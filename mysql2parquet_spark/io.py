@@ -152,6 +152,64 @@ def write_json(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+#: Driver class Spark loads for jdbc:mysql URLs when none is given —
+#: pinned here (rather than left to driver-manager scanning) so the
+#: contract a live MySQL run depends on is explicit and unit-tested.
+MYSQL_DRIVER_CLASS = "com.mysql.cj.jdbc.Driver"
+
+
+def jdbc_options(
+    url: str,
+    *,
+    query: str | None = None,
+    table: str | None = None,
+    user: str = "root",
+    password: str = "",
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+    session_init: str | None = None,
+    driver: str | None = None,
+) -> dict[str, str]:
+    """Build the EXACT option map handed to Spark's jdbc source — a pure
+    function so the dialect contract (driver class, query-vs-dbtable
+    routing, sessionInitStatement, partitioned-cursor bounds) is pinned
+    by unit tests without a live server (tests/test_jdbc_dialect.py);
+    the sandbox has no MySQL server, so a future live run relies on this
+    map being right."""
+    if (query is None) == (table is None):
+        raise ValueError("exactly one of query= or table= is required")
+    opts: dict[str, str] = {
+        "url": url,
+        "user": user,
+        "password": password,
+        "fetchsize": str(fetchsize),
+    }
+    if driver is None and url.startswith("jdbc:mysql:"):
+        driver = MYSQL_DRIVER_CLASS
+    if driver is not None:
+        opts["driver"] = driver
+    if query is not None:
+        opts["query"] = query
+    else:
+        opts["dbtable"] = table  # type: ignore[assignment]
+    if session_init:
+        opts["sessionInitStatement"] = session_init
+    if partition_column is not None:
+        if query is not None:
+            raise ValueError(
+                "partitioned JDBC reads require table=, not query= "
+                "(Spark restriction)"
+            )
+        opts["partitionColumn"] = partition_column
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+        opts["numPartitions"] = str(num_partitions or 32)
+    return opts
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -180,35 +238,23 @@ def read_jdbc(
     passing ``partition_column/lower_bound/upper_bound/num_partitions``
     splits the read into range-parallel cursors, one per task.
     """
-    if (query is None) == (table is None):
-        raise ValueError("exactly one of query= or table= is required")
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("user", user)
-        .option("password", password)
-        .option("fetchsize", str(fetchsize))
+    opts = jdbc_options(
+        url,
+        query=query,
+        table=table,
+        user=user,
+        password=password,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+        fetchsize=fetchsize,
+        session_init=session_init,
+        driver=driver,
     )
-    if driver is not None:
-        reader = reader.option("driver", driver)
-    if query is not None:
-        reader = reader.option("query", query)
-    else:
-        reader = reader.option("dbtable", table)
-    if session_init:
-        reader = reader.option("sessionInitStatement", session_init)
-    if partition_column is not None:
-        if query is not None:
-            raise ValueError(
-                "partitioned JDBC reads require table=, not query= "
-                "(Spark restriction)"
-            )
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 32))
-        )
+    reader = spark.read.format("jdbc")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

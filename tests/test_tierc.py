@@ -93,6 +93,25 @@ def test_minhash_hot_band_cap_survives_identical_corpus(spark):
     assert [r.doc_id for r in kept.collect()] == [0]  # min-id survivor only
 
 
+def test_simhash_arrow_fold_parity(spark, sf_dir):
+    """The Arrow-vectorized majority vote must be BIT-IDENTICAL to the
+    pure-JVM fold — same candidate pairs, same hamming distances."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrow = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_candidates(
+            docs, "doc_id", "text", method="arrow"
+        ).collect()
+    }
+    fold = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_candidates(
+            docs, "doc_id", "text", method="fold"
+        ).collect()
+    }
+    assert arrow == fold and len(arrow) > 0
+
+
 def test_simhash_planted_dups_low_hamming(spark):
     """SimHash needs tighter dups than MinHash to score: with short
     all-unique-token docs every bit majority is slim, so we plant 1
