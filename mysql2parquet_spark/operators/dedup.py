@@ -95,11 +95,23 @@ def _minhash_collisions(
     None (exact); pass a cap for boilerplate-heavy corpora at scale.
     """
     rows_per_band = num_hashes // bands
+    # Spread raw docs across cores BEFORE the signature fold: the fold's
+    # cost is per-token, not per-byte, so tying it to scan partitioning
+    # (128 MB parquet slabs) serializes hours of hashing onto few tasks —
+    # a small text shuffle buys full parallelism for the expensive step.
+    # Explicit partition COUNT: a bare repartition("doc") is
+    # REPARTITION_BY_COL, which AQE happily coalesces back to one task
+    # when the text shuffle is small — exactly the serialization we are
+    # breaking. REPARTITION_BY_NUM is never coalesced.
+    n_spread = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
+    ).repartition(n_spread, "doc")
     sig = (
-        df.select(
-            F.col(id_col).alias("doc"),
+        src.select(
+            "doc",
             minhash_signature(
-                shingles(text_col, shingle_n), num_hashes
+                shingles("_txt", shingle_n), num_hashes
             ).alias("sig"),
         )
         # Materialization barrier: without it Catalyst collapses this
@@ -302,14 +314,20 @@ def simhash_candidates(
     JVM path. Same bits either way (parity-tested).
     """
     if method == "arrow":
-        token_h = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+        token_h = F.transform(tokens("_txt"), lambda t: F.xxhash64(t))
         sig_col = _simhash_bits_arrow()(token_h)
     elif method == "fold":
-        sig_col = simhash_bits(tokens(text_col))
+        sig_col = simhash_bits(tokens("_txt"))
     else:
         raise ValueError(f"unknown simhash method: {method}")
-    sh = df.select(
-        F.col(id_col).alias("doc"),
+    # Pre-spread docs across cores before the per-token signature work —
+    # same rationale (and same explicit-count AQE note) as the minhash
+    # path above.
+    src = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
+    sh = src.select(
+        "doc",
         sig_col.alias("sh"),
     # Materialization barrier (same rationale as the minhash signature):
     # the signature is expensive (interpreted HOF fold or an Arrow
