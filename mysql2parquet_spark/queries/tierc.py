@@ -259,7 +259,10 @@ def ann_lsh_topk(spark, sf_dir):
 )
 def ann_ivf_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_lite(e, k=8, iters=2)
+    # Train the coarse quantizer on a SAMPLE: Lloyd's never needs the
+    # full corpus (each iteration is a full Arrow pass), and cell quality
+    # is statistically equivalent — the same rule ivf_build applies.
+    cents = similarity.kmeans_lite(e.sample(fraction=0.25, seed=42), k=8, iters=2)
     assigned = similarity.ivf_assign(e, cents)
     q = assigned.filter(F.col("vec_id") == 0)
     probe = q.select(F.col("centroid_id").alias("_probe"))
