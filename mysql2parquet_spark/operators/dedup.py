@@ -210,6 +210,52 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def minhash_dedup_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Two-stage near-dup dedup — the production shape at corpus scale:
+    MinHash+LSH PROPOSES candidate pairs (cheap, approximate), exact
+    n-gram Jaccard VERIFIES each candidate against the real shingle
+    sets, and only verified ≥-threshold pairs drop documents.
+
+    Guarantee: precision is exact by construction — no document is ever
+    dropped on a hash estimate (``minhash_dedup`` can, when the 32-
+    component estimate overshoots); recall remains the LSH stage's.
+    Plan shape: the candidate set is linear in corpus size (band-key
+    equi-join), and verification is two keyed joins of (id_a, id_b)
+    back to the shingle projection — never all-pairs.
+    """
+    cand = minhash_candidates(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        max_band_width=max_band_width,
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    verified = joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

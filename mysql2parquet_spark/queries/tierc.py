@@ -80,6 +80,20 @@ def dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_verified",
+    None,  # LSH candidate recall is approximate — rows-only; exact
+    # precision (never drop on an estimate) is pinned in pytest
+    "C2: two-stage near-dup dedup — LSH proposes, EXACT n-gram Jaccard "
+    "verifies before any doc is dropped (production shape: precision "
+    "exact by construction, recall = the LSH stage's).",
+)
+def dedup_minhash_verified(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup_verified(d, "doc_id", "text", threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
+@register(
     "dedup_minhash_ml",
     None,  # approximate — rows-only; recall tested in tests/test_tierc.py
     "C2: Spark ML MinHashLSH variant (HashingTF shingle vectors + "

@@ -75,6 +75,30 @@ def test_minhash_dedup_keeps_min_id(docs):
     assert len(dropped) >= 90
 
 
+def test_minhash_dedup_verified_exact_precision(docs):
+    """The two-stage dedup may only drop a doc whose EXACT jaccard with
+    a smaller-id partner clears the threshold — verify every drop
+    against the ground-truth all-pairs jaccard (precision == 1.0 by
+    construction; an estimate-based dedup cannot promise this)."""
+    thr = 0.5
+    kept = dedup.minhash_dedup_verified(docs, "doc_id", "text", threshold=thr)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    dropped = {r.doc_id for r in docs.select("doc_id").collect()} - kept_ids
+
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=thr,
+        allow_quadratic=True,  # 200-doc fixture: ground truth only
+    )
+    justified = {r.id_b for r in truth.collect()}
+    assert dropped, "fixture should contain verified near-dups"
+    assert dropped <= justified, (
+        f"docs dropped without an exact >=thr partner: {dropped - justified}"
+    )
+    # recall sanity: most planted mutations verify above threshold
+    planted_losers = set(range(100, 200)) & justified
+    assert len(dropped & planted_losers) >= 0.9 * len(planted_losers)
+
+
 def test_minhash_hot_band_cap_survives_identical_corpus(spark):
     """10k identical docs share every band key — uncapped, each band
     bucket is 10k wide and the candidate join goes quadratic (10⁸ pairs).
