@@ -93,11 +93,17 @@ def main() -> None:
     # The first call builds the index if absent; subsequent calls reuse.
     run("ann_ivf_persisted")
 
+    # Best-of-2 per query: the sandbox host shows noisy-neighbor minutes
+    # (observed 2-5x uniform slowdowns that vanish on re-run), and a
+    # single sample can charge one-time Python-worker spawn to whichever
+    # Arrow query runs first. min-of-2 reports steady-state cost; the
+    # "runs"/"agg" keys record the protocol.
     timings: dict[str, float] = {}
     stages: dict[str, int] = {}
     for name in HEADLINE:
-        wall, n_stages = run(name)
-        timings[name] = round(wall, 3)
+        wall1, n_stages = run(name)
+        wall2, _ = run(name)
+        timings[name] = round(min(wall1, wall2), 3)
         stages[name] = n_stages
 
     # The reference's actual workload (main.go: extract -> parquet file):
@@ -121,6 +127,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stages": stages,
+                "runs": 2,
+                "agg": "min",
                 "sf": float(sf),
             }
         )
