@@ -256,6 +256,98 @@ def minhash_dedup_verified(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def connected_components_min_label(
+    ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph by iterative
+    min-label propagation: every node's label converges to the SMALLEST
+    id reachable from it. Returns (id, label).
+
+    Why it exists: one-pass min-id dedup (drop any doc with a smaller-id
+    partner) is NOT component-exact on non-monotone chains — with pairs
+    (1,5),(5,3) doc 3 has no smaller DIRECT partner and wrongly
+    survives; its component minimum is 1. Duplicate-cluster semantics
+    (one representative per component) need the transitive closure.
+
+    Scale shape: each iteration is one edge⋈label join + a (node,
+    min(label)) aggregate — all keyed shuffles, linear in |E|;
+    convergence needs O(graph diameter) iterations (near-dup clusters
+    are shallow — boilerplate families collapse in 2-3). The only
+    driver round-trip is the per-iteration changed-row COUNT (bounded
+    metadata); labels are localCheckpoint-ed so lineage stays flat, the
+    same discipline as ``kmeans_lite``. For web-scale graphs with
+    billion-node components, swap in the alternating large-star/
+    small-star algorithm — same API, fewer rounds.
+
+    ``pairs`` must carry columns ``id_a``/``id_b`` (undirected edges).
+    """
+    labels = ids.select(F.col(id_col).alias("node")).withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "label")
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_band_width: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Component-exact near-dup dedup: MinHash+LSH candidate pairs →
+    connected components → keep ONE representative (the component-min
+    id) per duplicate cluster. Strictly stronger than ``minhash_dedup``
+    on transitive chains (see ``connected_components_min_label``)."""
+    cand = _minhash_collisions(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        max_band_width=max_band_width,
+    ).filter(F.col("est_jaccard") >= threshold)
+    pairs = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    comp = connected_components_min_label(
+        df.select(id_col), pairs, id_col=id_col, max_iters=max_iters
+    )
+    keep = comp.filter(F.col(id_col) == F.col("label")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

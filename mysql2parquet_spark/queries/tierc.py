@@ -94,6 +94,19 @@ def dedup_minhash_verified(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_cc",
+    None,  # iterative (label propagation) — non-SQL-expressible; rows-only
+    "C2: component-exact near-dup dedup — LSH pairs → iterative min-"
+    "label connected components → one representative per duplicate "
+    "CLUSTER (one-pass dedup over-keeps on non-monotone chains).",
+)
+def dedup_minhash_cc(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup_cc(d, "doc_id", "text", threshold=0.5)
+    return kept.select("doc_id", "lang", "source")
+
+
+@register(
     "dedup_minhash_ml",
     None,  # approximate — rows-only; recall tested in tests/test_tierc.py
     "C2: Spark ML MinHashLSH variant (HashingTF shingle vectors + "

@@ -99,6 +99,33 @@ def test_minhash_dedup_verified_exact_precision(docs):
     assert len(dropped & planted_losers) >= 0.9 * len(planted_losers)
 
 
+def test_connected_components_beats_one_pass_on_chains(spark):
+    """Pairs (1,5),(5,3): doc 3 has no smaller DIRECT partner, so
+    one-pass min-id dedup keeps BOTH 1 and 3 from one duplicate
+    cluster; component labels converge to the true minimum."""
+    ids = spark.createDataFrame([(1,), (3,), (5,), (9,)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(1, 5), (3, 5)], "id_a: long, id_b: long"
+    )
+    comp = dedup.connected_components_min_label(
+        ids, pairs, id_col="doc_id"
+    )
+    got = {r.doc_id: r.label for r in comp.collect()}
+    assert got == {1: 1, 3: 1, 5: 1, 9: 9}  # one cluster + an isolate
+
+
+def test_minhash_dedup_cc_one_rep_per_cluster(docs):
+    """Component-exact dedup keeps exactly the min-id doc of every
+    near-dup cluster — on the planted fixture (i, i+100) that is all
+    originals and no mutated copy, same as the one-pass answer here
+    (clusters are monotone pairs), proving CC agrees where one-pass is
+    already right."""
+    kept = dedup.minhash_dedup_cc(docs, "doc_id", "text", threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert set(range(100)) <= ids
+    assert len(set(range(100, 200)) - ids) >= 90
+
+
 def test_minhash_hot_band_cap_survives_identical_corpus(spark):
     """10k identical docs share every band key — uncapped, each band
     bucket is 10k wide and the candidate join goes quadratic (10⁸ pairs).
