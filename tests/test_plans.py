@@ -86,6 +86,18 @@ def test_minhash_no_cross_join(spark, sf_dir):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_minhash_pair_shuffles_carry_estimates_not_signatures(spark, sf_dir):
+    """r3 fix, pinned: everything downstream of the band-collision join
+    moves (id_a, id_b, est) — 8-byte estimates — never the two 32-int
+    signatures (~512 bytes/pair). A regression shows up as sig columns
+    surviving into a post-join aggregate/exchange (e.g. first(sig...))."""
+    p = plan(spark, sf_dir, "dedup_minhash", mode="simple")
+    assert "first(sig" not in p
+    # the dedup path needs no pair-level distinct at all: the only
+    # aggregate keys downstream of the join are the loser ids
+    assert "HashAggregate(keys=[id_a" not in p
+
+
 def test_no_collect_in_operator_paths():
     """No operator/query module may materialize DATA to the driver —
     grep-level guard; .collect() belongs to tests and the driver only.

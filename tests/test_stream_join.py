@@ -106,6 +106,17 @@ def test_stream_stream_join_multibatch_incremental(spark, sf_dir, tmp_path):
     got = sorted(map(str, spark.table("ssjoin_mb").collect()))
     assert got == want
 
+    # BOUNDED STATE (B34's at-scale promise): as the watermark advances
+    # across batches, the join must EVICT buffered rows — without this a
+    # 100 TB stream buffers forever. The in-order replay moves the
+    # watermark every batch, so evictions must show in the state metrics.
+    removed = sum(
+        op.numRowsRemoved
+        for pr in q.recentProgress
+        for op in (pr.stateOperators or [])
+    )
+    assert removed > 0, "watermark advanced but no join state was evicted"
+
 
 def test_stream_stream_join_out_of_order_zero_loss(spark, sf_dir, tmp_path):
     """Mirrored disorder test (B34): slices delivered OUT of event-time
