@@ -37,6 +37,46 @@ def curate_corpus(
     return out
 
 
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy sequential packing: assign documents to fixed token-budget
+    bins — the standard pre-training data-prep step (concatenate docs
+    into ~budget-token training sequences).
+
+    Distributed shape: shard docs (deterministic ``id % n_shards``),
+    then ONE window per shard — each doc's bin is the budget-quotient of
+    the running token count at the doc's START. No driver coordination,
+    no iteration: bin boundaries are pure window arithmetic, so the
+    assignment is reproducible at any cluster size and oracle-checkable
+    in SQL. A doc longer than the budget occupies its own bin(s), as in
+    real packers. At 100 TB: one shuffle on the shard key; each shard's
+    window is a streaming running sum (no per-group materialization).
+    """
+    tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    sized = docs.select(F.col(id_col), shard, tok.alias("n_toks"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_toks").over(w) - F.col("n_toks")
+    return sized.select(
+        id_col,
+        "shard",
+        "n_toks",
+        F.floor(start / F.lit(float(budget))).cast("bigint").alias("bin"),
+    )
+
+
 def curation_report(curated: DataFrame, *, group_col: str = "lang") -> DataFrame:
     """Per-group corpus statistics of a curated set."""
     return curated.groupBy(group_col).agg(

@@ -384,6 +384,31 @@ def pipeline_curate(spark, sf_dir):
 
 
 @register(
+    "pipeline_pack",
+    """
+    SELECT doc_id, shard, n_toks,
+           CAST(FLOOR((SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_toks)
+                      / 512.0) AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(trim(text), ' ')) AS n_toks
+      FROM documents
+    )
+    """,
+    "Pipeline: greedy sequence packing — assign docs to fixed 512-token "
+    "bins per shard (the pre-training 'concat into training sequences' "
+    "step) as pure window arithmetic: one shuffle, reproducible at any "
+    "cluster size, exact SQL oracle.",
+)
+def pipeline_pack(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import pack_sequences
+
+    d = T(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=8)
+
+
+@register(
     "sample_split",
     """
     SELECT split, COUNT(*) AS n_docs,

@@ -99,6 +99,29 @@ def test_minhash_dedup_verified_exact_precision(docs):
     assert len(dropped & planted_losers) >= 0.9 * len(planted_losers)
 
 
+def test_pack_sequences_bins_are_dense_and_budget_true(spark, sf_dir):
+    """Packing invariants: per shard, bins start at 0 and are dense
+    (every training sequence slot gets filled in order), and each doc's
+    bin equals the budget-quotient of its running start offset."""
+    from mysql2parquet_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=512, n_shards=8).collect()
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 8
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        start = 0
+        bins = set()
+        for r in rows:
+            assert r.bin == start // 512, (shard, r.doc_id)
+            bins.add(r.bin)
+            start += r.n_toks
+        assert bins == set(range(max(bins) + 1))  # dense from 0
+
+
 def test_connected_components_beats_one_pass_on_chains(spark):
     """Pairs (1,5),(5,3): doc 3 has no smaller DIRECT partner, so
     one-pass min-id dedup keeps BOTH 1 and 3 from one duplicate
