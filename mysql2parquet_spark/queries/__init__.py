@@ -90,8 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cond_funcs",         # B25
     "json_funcs",         # B27
     "array_funcs",        # B28
-    "subquery_cte",       # B29
-    "subquery_recursive", # B29
+    "subquery_cte",       # B29 (recursive variant rotated out r3 —
+                          # r1+r2 green; still in the local mirror gate)
     "udf_grouped",        # B30 (rotated in; udf_pandas r1+r2 green)
     "stream_sliding_batch",   # B32 (rotated in; tumbling r1+r2 green)
     "stream_session_batch",   # B33
@@ -107,6 +107,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_binary",    # C5
     "sample_split",         # C6
     "pipeline_curate",      # C6 (curation composite)
+    "pipeline_pack",        # C6 (sequence packing — r3 new component)
     # TPC-H composites
     "tpch_q6",
     "tpch_q3_shape",
