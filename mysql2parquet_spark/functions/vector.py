@@ -39,3 +39,31 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL/zero-norm inputs yield NULL (guarded
     division), matching SQL division-by-zero → NULL via nullif."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization → array<bigint> in [-127, 127]:
+    ``q[i] = floor(x[i] * 127 / max|x| + 0.5)`` (half-up, identical
+    closed form in any engine — no engine-specific ROUND semantics).
+    All-zero vectors quantize to all zeros instead of dividing by zero.
+
+    Math is entirely in IEEE double (each float element cast before any
+    arithmetic), so the result is bit-deterministic. Both the element
+    array and the scale are bound as lambda variables via single-element
+    ``zip_with`` — naming the scale expression inside the per-element
+    lambda would re-evaluate the array_max per element (O(d²) per row).
+    """
+    xd = F.transform(_c(a), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(_c(a), lambda x: F.abs(x.cast("double"))))
+
+    def build(v: Column, s: Column) -> Column:
+        zeros = F.transform(v, lambda x: F.lit(0).cast("bigint"))
+        q = F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / s + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        return F.when(s == F.lit(0.0), zeros).otherwise(q)
+
+    return F.zip_with(F.array(xd), F.array(scale), build)[0]

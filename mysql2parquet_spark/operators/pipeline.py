@@ -77,6 +77,88 @@ def pack_sequences(
     )
 
 
+def contamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share at least
+    one word n-gram with an evaluation set, and how many distinct n-grams
+    they share. The standard pre-training hygiene step (drop or flag
+    train docs that leak eval content).
+
+    Distributed shape: both sides n-gram via a single whole-stage-codegen
+    projection (``shingles`` — the bound-variable form, no per-element
+    re-expansion), the eval side is distinct-ed and **broadcast** (real
+    eval suites are tiny relative to a 100 TB corpus), so the membership
+    probe is a map-side hash join on the exploded training grams; the
+    only shuffle is the final per-doc count aggregation on ``id_col``.
+    Anti-joining ``docs`` against the returned ids yields the clean set.
+    """
+    from mysql2parquet_spark.functions.hashing import shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+        )
+
+    eval_grams = grams(eval_docs).select("gram").distinct()
+    hits = grams(docs).join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram").alias("n_hit_grams")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking: split each document into
+    chunks of ``window`` tokens advancing by ``stride`` (context-window
+    prep for embedding / training pipelines).
+
+    Chunk boundaries are pure integer arithmetic on the token count —
+    ``1 + ceil(max(n_tokens - window, 0) / stride)`` chunks per doc —
+    so the op is one narrow projection + explode: no shuffle at all,
+    no per-element lambda over large arrays (the sequence is over chunk
+    indices, ~n/stride elements). The last chunk is the only short one.
+    """
+    tk = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), tk.alias("_tk"), F.size(tk).alias("_n"))
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.col("_n") - window, F.lit(0)) + (stride - 1))
+            / F.lit(float(stride))
+        ).cast("bigint")
+    )
+    exploded = base.select(
+        id_col,
+        "_tk",
+        "_n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * stride + 1
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        start.cast("bigint").alias("chunk_start"),
+        F.least(F.lit(window).cast("bigint"), F.col("_n") - start + 1).alias(
+            "chunk_len"
+        ),
+        F.element_at("_tk", start.cast("int")).alias("first_tok"),
+    )
+
+
 def curation_report(curated: DataFrame, *, group_col: str = "lang") -> DataFrame:
     """Per-group corpus statistics of a curated set."""
     return curated.groupBy(group_col).agg(

@@ -409,6 +409,87 @@ def pipeline_pack(spark, sf_dir):
 
 
 @register(
+    "pipeline_decontaminate",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+          FROM t, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
+    FROM g JOIN e USING (gram)
+    WHERE g.doc_id % 100 <> 0
+    GROUP BY g.doc_id
+    """,
+    "Pipeline: benchmark decontamination — flag training docs sharing "
+    "any word 3-gram with the eval slice (doc_id % 100 = 0), with the "
+    "distinct shared-gram count. Eval grams are broadcast (map-side "
+    "membership probe); the only shuffle is the per-doc count.",
+)
+def pipeline_decontaminate(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import contamination_report
+
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 100 != 0)
+    holdout = d.filter(F.col("doc_id") % 100 == 0)
+    return contamination_report(train, holdout, n=3)
+
+
+@register(
+    "pipeline_chunk",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+               FROM documents),
+    s AS (SELECT doc_id, tk, len(tk) AS n,
+                 1 + CAST(FLOOR((GREATEST(len(tk) - 64, 0) + 47) / 48.0)
+                          AS BIGINT) AS nc
+          FROM t)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 48 + 1 AS BIGINT) AS chunk_start,
+           CAST(LEAST(64, n - i * 48) AS BIGINT) AS chunk_len,
+           tk[CAST(i * 48 + 1 AS INT)] AS first_tok
+    FROM s, unnest(generate_series(0, nc - 1)) AS u(i)
+    """,
+    "Pipeline: overlapping 64-token / stride-48 context-window chunking "
+    "— chunk boundaries are pure integer arithmetic on the token count, "
+    "so the op is a narrow projection + explode with NO shuffle.",
+)
+def pipeline_chunk(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import chunk_documents
+
+    d = T(spark, sf_dir, "documents")
+    return chunk_documents(d, window=64, stride=48)
+
+
+@register(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           list_transform(embedding, x ->
+             CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
+                            AS BIGINT) END) AS q8
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS s
+      FROM embeddings
+    )
+    """,
+    "Symmetric int8 embedding quantization (floor(x*127/max|x| + 0.5) — "
+    "closed-form half-up, bit-identical across engines; all-zero "
+    "vectors -> zeros). Pure per-row projection, no shuffle, exact "
+    "array-valued oracle.",
+)
+def embedding_quantize(spark, sf_dir):
+    from mysql2parquet_spark.functions.vector import quantize_int8
+
+    e = T(spark, sf_dir, "embeddings")
+    return e.select("vec_id", quantize_int8("embedding").alias("q8"))
+
+
+@register(
     "sample_split",
     """
     SELECT split, COUNT(*) AS n_docs,

@@ -122,6 +122,107 @@ def test_pack_sequences_bins_are_dense_and_budget_true(spark, sf_dir):
         assert bins == set(range(max(bins) + 1))  # dense from 0
 
 
+def test_contamination_report_flags_planted_leak(spark):
+    """A train doc that copies eval text is flagged with the full distinct
+    3-gram count; disjoint-vocab docs are absent; the eval membership
+    probe is a broadcast join (no shuffle on the big exploded side)."""
+    from mysql2parquet_spark.operators.pipeline import contamination_report
+
+    eval_docs = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")],
+        "doc_id: long, text: string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # verbatim leak
+            (2, "xx beta gamma delta yy zz"),  # one shared 3-gram
+            (3, "totally disjoint vocabulary here now"),  # clean
+        ],
+        "doc_id: long, text: string",
+    )
+    rep = contamination_report(train, eval_docs, n=3)
+    got = {r.doc_id: r.n_hit_grams for r in rep.collect()}
+    assert got == {1: 4, 2: 1}  # 6 tokens -> 4 distinct 3-grams
+    assert "BroadcastHashJoin" in rep._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunk_documents_tiles_exactly(spark, sf_dir):
+    """Chunks tile each doc: starts advance by the stride, every chunk is
+    1..window tokens, the last chunk ends exactly at the doc length, and
+    only the last chunk may be shorter than the window."""
+    from mysql2parquet_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    W, S = 64, 48
+    rows = chunk_documents(docs, window=W, stride=S).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = n_toks[doc_id]
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.chunk_start == i * S + 1
+            assert 1 <= c.chunk_len <= W
+            if i < len(chunks) - 1:
+                assert c.chunk_len == W
+        last = chunks[-1]
+        assert last.chunk_start + last.chunk_len - 1 == n
+        # minimal cover: one fewer chunk would leave the tail uncovered
+        if len(chunks) > 1:
+            assert (len(chunks) - 2) * S + W < n
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    """Every non-zero vector quantizes with max|q|=127 (the scale element
+    saturates), all values within [-127,127], and dequantization error is
+    within half a quantum; all-zero vectors map to zeros."""
+    from mysql2parquet_spark.functions.vector import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = (
+        emb.select("vec_id", "embedding", quantize_int8("embedding").alias("q8"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        s = max(abs(float(x)) for x in r.embedding)
+        assert max(abs(q) for q in r.q8) == (127 if s > 0 else 0)
+        for x, q in zip(r.embedding, r.q8):
+            assert abs(q) <= 127
+            if s > 0:
+                assert abs(float(x) - q * s / 127.0) <= s / 127.0 * 0.5 + 1e-9
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id: long, embedding: array<float>"
+    )
+    assert zero.select(quantize_int8("embedding").alias("q")).first().q == [0, 0, 0]
+
+
+def test_chunk_and_quantize_have_no_shuffle(spark, sf_dir):
+    """Both ops are pure per-row projections — an Exchange in their plans
+    would be a scale regression."""
+    from mysql2parquet_spark.functions.vector import quantize_int8
+    from mysql2parquet_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    for df in (
+        chunk_documents(docs),
+        emb.select("vec_id", quantize_int8("embedding").alias("q8")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
 def test_connected_components_beats_one_pass_on_chains(spark):
     """Pairs (1,5),(5,3): doc 3 has no smaller DIRECT partner, so
     one-pass min-id dedup keeps BOTH 1 and 3 from one duplicate
