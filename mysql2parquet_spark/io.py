@@ -323,3 +323,34 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: str | list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Range-clustered parquet layout (``CLUSTER BY`` for a file lake):
+    ``repartitionByRange`` on the cluster keys + ``sortWithinPartitions``
+    so every output file owns a disjoint, sorted key range.
+
+    This is the serving-layout step at 100 TB: parquet footers carry
+    per-column min/max, so a range/point predicate on the cluster key
+    skips whole files (and row groups within them) at scan time —
+    without the cardinality limits of hive partitioning (which needs
+    low-cardinality keys; clustering handles timestamps/ids directly).
+    The range exchange samples key quantiles, so skew distributes evenly
+    across ``n_files`` regardless of the key distribution.
+    """
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    out = out.sortWithinPartitions(*cols)
+    out.write.mode(mode).option("compression", compression).parquet(path)

@@ -119,6 +119,33 @@ def stream_dedup_batch(spark, sf_dir):
     return stateful_dedup_batch(T(spark, sf_dir, "events"))
 
 
+@register(
+    "stream_enrich_batch",
+    """
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', e.ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment AS segment,
+           e.event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+    "B31: stream-static enrichment — facts joined to a BROADCAST "
+    "dimension (stateless per micro-batch, no watermark/state), then "
+    "tumbling-window counts per market segment. Identical expression "
+    "runs under readStream (tests/test_streaming.py).",
+)
+def stream_enrich_batch(spark, sf_dir):
+    from mysql2parquet_spark.streaming.windows import enriched_segment_counts
+
+    return enriched_segment_counts(
+        T(spark, sf_dir, "events"),
+        T(spark, sf_dir, "customer"),
+        "10 minutes",
+    )
+
+
 # --------------------------------------------------------------------------
 # B30 — UDF surface
 # --------------------------------------------------------------------------

@@ -154,6 +154,56 @@ def purchase_view_interval_join(
     ).select("p_id", "p_user", "v_id")
 
 
+def enrich_with_dimension(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join (B31): attach slowly-changing
+    dimension attributes to a fact stream.
+
+    The dimension side is explicitly ``broadcast`` — stream-static joins
+    with a broadcast static side are STATELESS (no watermark needed, no
+    join state to expire): each micro-batch hash-probes the broadcast
+    table map-side. That is the 100 TB-safe shape for enrichment — the
+    alternative (shuffled stream-static join) would re-shuffle every
+    micro-batch on the key. Left join keeps facts with no dimension row
+    (NULL attributes), matching warehouse enrichment semantics. The same
+    expression runs on a batch ``facts`` table for oracle checks.
+    """
+    d = dim.select(F.col(dim_key).alias(fact_key), *dim_cols)
+    return facts.join(F.broadcast(d), on=fact_key, how=how)
+
+
+def enriched_segment_counts(
+    facts: DataFrame, dim: DataFrame, width: str
+) -> DataFrame:
+    """Tumbling-window activity per customer market segment — the
+    composed stream-static-enrich → windowed-agg pipeline. Unmatched
+    facts aggregate under a NULL segment (kept deliberately: silent
+    inner-join drops hide dimension gaps at scale)."""
+    e = enrich_with_dimension(facts, dim)
+    return (
+        e.groupBy(
+            F.window("ts", width).alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), _dsum_value().alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "segment",
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
 def running_value_per_user(events: DataFrame) -> DataFrame:
     """Batch analytic used in tests: cumulative value per user (B18 over
     the events shape)."""

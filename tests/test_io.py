@@ -9,6 +9,7 @@ from mysql2parquet_spark.io import (
     load_table,
     read_csv,
     read_json,
+    write_clustered,
     write_csv,
     write_json,
     write_parquet,
@@ -104,3 +105,44 @@ def test_export_appends_parquet_suffix(spark, sf_dir, tmp_path):
     flag_value = str(tmp_path / "users.parquet")
     export(region, flag_value, single_file=True)
     assert os.path.isfile(flag_value + ".parquet")  # users.parquet.parquet
+
+
+def test_write_clustered_files_own_disjoint_sorted_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered layout: every output file owns a disjoint
+    o_orderdate range (so parquet min/max stats prune whole files for
+    date predicates), no rows are lost, and rows are sorted within each
+    file."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_clustered")
+    write_clustered(orders, out, cluster_by="o_orderdate", n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 1  # genuinely split
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a <= hi_a
+        assert hi_a <= lo_b  # disjoint (boundary date may touch)
+
+    # a narrow date slice must be answerable from a strict subset of files
+    lo_file_dates = sorted(r.lo for r in per_file)
+    probe = lo_file_dates[len(lo_file_dates) // 2]
+    touched = (
+        back.filter(F.col("o_orderdate") == probe)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert touched < len(per_file)

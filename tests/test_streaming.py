@@ -110,6 +110,41 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, batch_events):
     assert set(keys) == want
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_dir, batch_events):
+    """Stream-static enrichment (broadcast dimension, stateless) under
+    readStream produces exactly the batch result; the streaming plan
+    carries a BroadcastHashJoin, not a shuffled join."""
+    dim = load_table(spark, sf_dir, "customer")
+    stream = stream_events(spark, sf_dir)
+    enriched = W.enriched_segment_counts(stream, dim, "10 minutes")
+    got = run_to_memory(enriched, _mem_name())
+    want = W.enriched_segment_counts(batch_events, dim, "10 minutes")
+    assert _canon(got) == _canon(want)
+
+
+def test_stream_static_enrich_keeps_unmatched_facts(spark):
+    """Facts with no dimension row survive the left enrichment with NULL
+    attributes — dimension gaps must be visible, not dropped."""
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 99)], "event_id: long, user_id: long"
+    )
+    dim = spark.createDataFrame(
+        [(10, "BUILDING")], "c_custkey: long, c_mktsegment: string"
+    )
+    out = {
+        (r.event_id, r.c_mktsegment)
+        for r in W.enrich_with_dimension(facts, dim).collect()
+    }
+    assert out == {(1, "BUILDING"), (2, None)}
+    plan = (
+        W.enrich_with_dimension(facts, dim)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_parquet_stream_sink_roundtrip(spark, sf_dir, tmp_path):
     """File-stream → transform → parquet streaming sink with checkpoint;
     the landed data re-reads to the same row count as the source."""
