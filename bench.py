@@ -49,6 +49,9 @@ HEADLINE = [
     "tpch_q6",            # composite: pushdown scan-filter-aggregate
     "tpch_q10_shape",     # composite: 4-way join + grouped top-20
     "pipeline_curate",    # capstone: dedup -> quality -> lang -> report
+    "pipeline_pack",      # sequence packing (per-shard running-sum window)
+    "pipeline_decontaminate",  # eval-gram broadcast probe + per-doc count
+    "embedding_quantize", # int8 quantization (pure projection)
 ]
 
 

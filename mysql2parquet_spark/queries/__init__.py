@@ -49,13 +49,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # composites).  Variant queries beyond the head stay registered — the local
 # gate (tests/test_oracle_parity.py) still checks all of them.
 # ROTATION (r3): variants that were driver-green in r1 but sat outside the
-# 50-slot window in r2 (agg_cube/grouping_sets/percentile/stats/pivot/corr,
+# 50-slot window in r2 (agg_cube/grouping_sets/percentile/pivot,
 # window_analytic/percent, filter_like, sort_limit_offset, udf_grouped,
-# stream_sliding_batch, agg_approx_distinct) rotate IN, displacing twice-
-# proven singletons whose component stays covered by a sibling in the head
-# (e.g. join_full out, B8 still evidenced by join_left). Every SURVEY §2 /
-# Tier C component keeps at least one head entry — asserted by
-# tests/test_registry.py.
+# stream_sliding_batch) rotate IN, displacing twice-proven singletons whose
+# component stays covered by a sibling in the head (e.g. join_full out, B8
+# still evidenced by join_left). The five r3-NEW components
+# (pipeline_pack/decontaminate/chunk, embedding_quantize,
+# stream_enrich_batch) take the remaining slots from multiply-evidenced
+# variants (agg_stats/corr, agg_approx_distinct, embedding_centroids,
+# subquery_recursive — all r1-or-r2 driver-green, all still in the local
+# mirror gate). Every SURVEY §2 / Tier C component keeps at least one head
+# entry — asserted by tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # B-tier: one-ish query per component
     "scan_project",       # B1
@@ -70,11 +74,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof",          # as-of join (custom operator)
     "agg_group",          # B12
     "agg_percentile",     # B12 variant (rotated in)
-    "agg_stats",          # B12 variant (rotated in)
     "agg_pivot",          # B12 variant (rotated in)
-    "agg_corr",           # B12 variant (rotated in)
     "agg_distinct",       # B13
-    "agg_approx_distinct",  # B13 variant (rotated in; rows-only)
     "agg_cube",           # B14 (rotated in; agg_rollup r1+r2 green)
     "agg_grouping_sets",  # B14 variant (rotated in)
     "agg_having",         # B15
@@ -96,18 +97,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_sliding_batch",   # B32 (rotated in; tumbling r1+r2 green)
     "stream_session_batch",   # B33
     "stream_dedup_batch",     # B35
+    "stream_enrich_batch",    # B31 stream-static enrichment (r3 new)
     # Tier C / LLM-pipeline components
     "dedup_exact",          # C1
     "dedup_minhash",        # C2 (MinHash+LSH)
     "dedup_simhash",        # C2 (SimHash)
     "topk_similarity",      # C3 (brute-force cosine top-k)
     "ann_ivf_persisted",    # C3 (IVF from PERSISTED index — r3 new)
-    "embedding_centroids",  # C3
+    "embedding_quantize",   # C3 (int8 quantization — r3 new component)
     "text_quality",         # C4
     "multimodal_binary",    # C5
     "sample_split",         # C6
     "pipeline_curate",      # C6 (curation composite)
     "pipeline_pack",        # C6 (sequence packing — r3 new component)
+    "pipeline_decontaminate",  # C6 (eval decontamination — r3 new)
+    "pipeline_chunk",       # C6 (context-window chunking — r3 new)
     # TPC-H composites
     "tpch_q6",
     "tpch_q3_shape",

@@ -62,6 +62,11 @@ COMPONENT_EVIDENCE = {
     "C4_text": ["text_quality", "text_langid"],
     "C5_multimodal": ["multimodal_binary"],
     "C6_scale": ["sample_split", "pipeline_curate"],
+    "B31_stream_static_enrich": ["stream_enrich_batch"],
+    "pipeline_pack": ["pipeline_pack"],
+    "pipeline_decontaminate": ["pipeline_decontaminate"],
+    "pipeline_chunk": ["pipeline_chunk"],
+    "embedding_quantize": ["embedding_quantize"],
     "tpch_composites": ["tpch_q6", "tpch_q3_shape"],
 }
 
