@@ -191,3 +191,45 @@ def term_frequencies(
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
+
+
+def with_repetition_score(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Intra-document repetition score (the MassiveText/Gopher-style
+    repetition filter, complementing the INTER-doc dedup family):
+    ``rep_ratio = 1 - distinct_ngrams / total_ngrams``. Highly repetitive
+    docs (boilerplate loops, keyword stuffing, degenerate generations)
+    score near 1 and get filtered before training.
+
+    Pure per-row projection over the shingle array — no shuffle, no
+    Python; ``array_distinct`` runs inside codegen. The gram array is
+    bound once (``shingles`` handles the per-element re-eval trap).
+    """
+    from mysql2parquet_spark.functions.hashing import shingles
+
+    g = shingles(text_col, n)
+    return df.withColumn("_g", g).select(
+        "*",
+        F.size("_g").alias("n_grams"),
+        F.size(F.array_distinct("_g")).alias("n_distinct_grams"),
+    ).drop("_g").withColumn(
+        "rep_ratio",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_grams") / F.col("n_grams").cast("double"),
+            4,
+        )
+        + F.lit(0.0),  # -0.0 guard: fully-unique docs must hash as 0
+    )
+
+
+def normalize_text(text_col: Column | str = "text") -> Column:
+    """Canonical text normalization for dedup keys and matching:
+    lowercase, strip non-alphanumeric (keeping spaces), collapse
+    whitespace runs, trim. Identical regex semantics in Spark and
+    ANSI/DuckDB ``regexp_replace(..., 'g')`` — exact cross-engine
+    oracle. Codegen projection, zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(cleaned, r" +", " "))

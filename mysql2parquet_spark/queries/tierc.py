@@ -738,6 +738,53 @@ def text_termfreq(spark, sf_dir):
     return text.term_frequencies(d, "text", min_count=10)
 
 
+@register(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram
+          FROM t, unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS u(i))
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS INT) AS n_distinct_grams,
+           ROUND(1 - COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 4) + 0
+             AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+    "C4: intra-document repetition score (1 - distinct/total 2-grams) — "
+    "the MassiveText-style repetition filter, complementing INTER-doc "
+    "dedup. Pure codegen projection (array_distinct on the bound shingle "
+    "array), zero shuffle.",
+)
+def text_repetition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return text.with_repetition_score(d, "text", n=2).select(
+        "doc_id", "n_grams", "n_distinct_grams", "rep_ratio"
+    )
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT c_custkey,
+           trim(regexp_replace(
+                 regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g'),
+                 ' +', ' ', 'g')) AS norm_name
+    FROM customer
+    """,
+    "C4: canonical text normalization (lowercase, strip punctuation, "
+    "collapse whitespace) — the preprocessing step before dedup keys / "
+    "matching. Identical regex semantics both engines; exercised on "
+    "c_name, which really carries case + punctuation.",
+)
+def text_normalize(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", text.normalize_text("c_name").alias("norm_name")
+    )
+
+
 # --------------------------------------------------------------------------
 # C5 — multimodal plumbing (binary columns)
 # --------------------------------------------------------------------------

@@ -57,3 +57,44 @@ def test_lang_pred_argmax(spark):
     assert got[0] == "en"
     assert got[1] == "es"
     assert got[2] == "und"
+
+
+def test_repetition_score_orders_planted_docs(spark):
+    """A degenerate loop doc scores near 1, a fully-unique doc scores 0
+    (and hashes as +0.0, not -0.0); the op is a pure projection."""
+    from mysql2parquet_spark.operators.text import with_repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 50),           # one distinct 2-gram
+            (2, " ".join(f"w{i}" for i in range(50))),  # all unique
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in with_repetition_score(df).collect()}
+    assert out[1].rep_ratio > 0.95
+    assert out[2].rep_ratio == 0.0
+    assert str(out[2].rep_ratio) == "0.0"  # -0.0 guard
+    plan = (
+        with_repetition_score(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_normalize_text_idempotent_and_canonical(spark):
+    from mysql2parquet_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("Customer#000000042",), ("  A!  B?? c  ",), ("already clean",)],
+        "s: string",
+    )
+    once = [r.n for r in df.select(normalize_text("s").alias("n")).collect()]
+    assert once == ["customer000000042", "a b c", "already clean"]
+    twice = [
+        r.n
+        for r in df.select(normalize_text(normalize_text("s")).alias("n")).collect()
+    ]
+    assert twice == once  # idempotent
