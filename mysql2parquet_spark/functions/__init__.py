@@ -9,9 +9,12 @@ from mysql2parquet_spark.functions.vector import (  # noqa: F401
     cosine_similarity,
     dot,
     l2_norm,
+    quantize_int8,
 )
 from mysql2parquet_spark.functions.hashing import (  # noqa: F401
+    hamming_long,
     minhash_signature,
     shingles,
-    simhash_bits,
+    simhash_chunk,
+    simhash_long,
 )

@@ -103,14 +103,22 @@ def band_hashes(signature: Column | str, bands: int, rows_per_band: int) -> Colu
     )
 
 
-def simhash_bits(token_arr: Column | str, num_bits: int = 64) -> Column:
-    """SimHash of a token array as an ``array<int>`` of 0/1 bits.
+def simhash_long(token_arr: Column | str) -> Column:
+    """SimHash of a token array packed into ONE signed 64-bit LONG.
 
-    Each token hashes to 64 bits (xxhash64); bit k of the output is the
+    Each token hashes to 64 bits (xxhash64); bit k of the result is the
     majority vote of bit k across tokens. ONE fold over the tokens
     (per-token bits via getbit, element-wise count via zip_with) — a
-    per-k loop would re-evaluate the hash array num_bits times.
+    per-k loop would re-evaluate the hash array 64 times.
+
+    Packed (vs an array<int> of bits) the dedup shuffle carries 8 bytes
+    per doc instead of ~64×4, and Hamming distance collapses to two JVM
+    intrinsics: ``bit_count(a ^ b)``. Packing is Horner-folded per
+    32-bit HALF (each half stays < 2^33, so no ANSI-mode long overflow
+    at bit 63), then recombined with shiftleft|or — both wrap-free
+    bitwise ops.
     """
+    num_bits = 64
     toks = _c(token_arr)
     h = F.transform(toks, lambda t: F.xxhash64(t))
     idx = F.sequence(F.lit(0), F.lit(num_bits - 1))
@@ -124,17 +132,35 @@ def simhash_bits(token_arr: Column | str, num_bits: int = 64) -> Column:
         ),
     )
     n = F.size(toks)
-    return F.transform(
-        counts, lambda c: F.when(F.lit(2) * c > n, 1).otherwise(0)
-    )
-
-
-def hamming_bits(a: Column | str, b: Column | str) -> Column:
-    """Hamming distance between two equal-length bit arrays."""
-    return F.aggregate(
-        F.zip_with(
-            _c(a), _c(b), lambda x, y: F.when(x != y, 1).otherwise(0)
+    bits = F.transform(
+        counts,
+        lambda c: F.when(F.lit(2) * c > n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
         ),
-        F.lit(0),
-        lambda acc, z: acc + z,
     )
+
+    def horner(msb_first: Column) -> Column:
+        return F.aggregate(
+            msb_first, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+
+    lo = horner(F.reverse(F.slice(bits, 1, 32)))  # bits 31..0
+    hi = horner(F.reverse(F.slice(bits, 33, 32)))  # bits 63..32
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash_chunk(sig: Column | str, k: int, chunk_bits: int = 16) -> Column:
+    """Chunk ``k`` (of ``64 / chunk_bits``) of a packed simhash — the
+    pigeonhole blocking key."""
+    mask = (1 << chunk_bits) - 1
+    return (
+        F.shiftrightunsigned(_c(sig), k * chunk_bits)
+        .bitwiseAND(F.lit(mask))
+        .cast("int")
+    )
+
+
+def hamming_long(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed 64-bit signatures:
+    ``bit_count(a ^ b)`` — pure codegen intrinsics."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))

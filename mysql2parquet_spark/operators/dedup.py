@@ -26,10 +26,11 @@ from pyspark.sql import functions as F
 
 from mysql2parquet_spark.functions.hashing import (
     band_hashes,
-    hamming_bits,
+    hamming_long,
     minhash_signature,
     shingles,
-    simhash_bits,
+    simhash_chunk,
+    simhash_long,
     tokens,
 )
 
@@ -401,34 +402,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def _simhash_bits_arrow(num_bits: int = 64):
+def _simhash_long_arrow(num_bits: int = 64):
     """Arrow-vectorized simhash over an ``array<long>`` of TOKEN HASHES
     (hashing stays JVM-side: one xxhash64 per token). The bit expansion
     + majority vote — the part that costs ~64 interpreted lambda evals
     per token in the pure-JVM fold — becomes one numpy broadcast per
-    doc. Bit-identical to ``simhash_bits`` (parity-tested)."""
+    doc. Packs the 64 majority bits into ONE int64 (same layout as
+    ``simhash_long``; parity-tested), so the downstream shuffle carries
+    8 bytes per doc and Hamming is bit_count(xor)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.types import LongType
 
     shifts = np.arange(num_bits, dtype=np.uint64)
 
     # NOTE: no pd.Series type hints — `from __future__ import annotations`
     # stringizes them and pandas_udf's hint inference cannot resolve the
     # function-local `pd`; the default eval type is already SCALAR.
-    @pandas_udf(ArrayType(IntegerType()))
+    @pandas_udf(LongType())
     def sh(hbatch):
-        out = []
-        for hs in hbatch:
+        packed = np.zeros(len(hbatch), dtype=np.uint64)
+        for i, hs in enumerate(hbatch):
             if hs is None or len(hs) == 0:
-                out.append([0] * num_bits)
                 continue
             a = np.asarray(hs, dtype=np.int64).view(np.uint64)
             counts = ((a[:, None] >> shifts[None, :]) & 1).sum(axis=0)
-            out.append((2 * counts > len(a)).astype(np.int32).tolist())
-        return pd.Series(out)
+            bits = (2 * counts > len(a)).astype(np.uint64)
+            packed[i] = (bits << shifts).sum(dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
 
     return sh
 
@@ -441,21 +444,23 @@ def simhash_candidates(
     max_hamming: int = 3,
     method: str = "arrow",
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash: 64-bit fingerprints, blocked
-    on 4 × 16-bit chunks (any pair within Hamming ≤ 3 shares at least
-    one exact chunk — pigeonhole), verified by exact Hamming distance.
-    Shuffles only on chunk values — never all-pairs.
+    """Near-dup candidate pairs by SimHash: 64-bit fingerprints PACKED
+    into one long, blocked on 4 × 16-bit chunks (any pair within
+    Hamming ≤ 3 shares at least one exact chunk — pigeonhole), verified
+    by exact ``bit_count(a ^ b)``. Shuffles only on chunk values — never
+    all-pairs — and each exploded row carries an 8-byte signature, not a
+    64-int bit array.
 
     ``method="arrow"`` (default) computes the bit-majority vote in a
     vectorized pandas_udf over JVM-hashed tokens (~10× the pure fold,
     which is an interpreted HOF); ``method="fold"`` is the zero-Python
-    JVM path. Same bits either way (parity-tested).
+    JVM path. Same packed bits either way (parity-tested).
     """
     if method == "arrow":
         token_h = F.transform(tokens("_txt"), lambda t: F.xxhash64(t))
-        sig_col = _simhash_bits_arrow()(token_h)
+        sig_col = _simhash_long_arrow()(token_h)
     elif method == "fold":
-        sig_col = simhash_bits(tokens("_txt"))
+        sig_col = simhash_long(tokens("_txt"))
     else:
         raise ValueError(f"unknown simhash method: {method}")
     # Pre-spread docs across cores before the per-token signature work —
@@ -478,12 +483,7 @@ def simhash_candidates(
         "doc",
         "sh",
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.lit(k), F.slice(F.col("sh"), k * 16 + 1, 16))
-                    for k in range(4)
-                ]
-            )
+            F.array(*[simhash_chunk("sh", k) for k in range(4)])
         ).alias("chunk_idx", "chunk_val"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
@@ -497,7 +497,7 @@ def simhash_candidates(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            hamming_bits(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming_long(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
