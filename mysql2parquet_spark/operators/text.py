@@ -233,3 +233,62 @@ def normalize_text(text_col: Column | str = "text") -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")
     return F.trim(F.regexp_replace(cleaned, r" +", " "))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the classic retrieval scorer (Lucene-style idf:
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``).
+
+    Distributed shape for a 100 TB corpus: tokens are exploded but
+    FILTERED to the query terms before any shuffle (the term list is a
+    literal ``isin`` — codegen, pushes into the scan stage), so the
+    grouped state is |matching docs| × |terms|, not corpus-sized.
+    Corpus stats (N, avgdl) and per-term document frequencies are tiny
+    aggregates joined back by BROADCAST. Per-term contributions are
+    rounded to 8 dp and summed as DECIMAL so the doc score is
+    order-independent — bit-identical at any partitioning.
+    """
+    tok = tokens(text_col)
+    sized = docs.select(F.col(id_col), tok.alias("_tk"), F.size(tok).alias("dl"))
+    stats = sized.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        sized.select(id_col, "dl", F.explode("_tk").alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    joined = tf.join(F.broadcast(dfc), "token").join(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        joined.select(
+            id_col, F.round(contrib, 8).cast("decimal(18,8)").alias("_c")
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.round(F.sum("_c").cast("double"), 4) + F.lit(0.0)).alias("bm25")
+        )
+    )

@@ -765,6 +765,38 @@ def text_repetition(spark, sf_dir):
 
 
 @register(
+    "text_bm25",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+               FROM documents),
+    sized AS (SELECT doc_id, len(tk) AS dl, tk FROM t),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+              FROM sized),
+    tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(tk) AS token FROM sized)
+           WHERE token IN ('spark', 'join', 'window')
+           GROUP BY 1, 2, 3),
+    dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+           8) AS DECIMAL(18,8))) AS DOUBLE), 4) + 0 AS bm25
+    FROM tf JOIN dfc USING (token) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+    "C4: BM25 relevance vs a literal query-term bag — tokens filtered "
+    "to the terms BEFORE any shuffle (grouped state is docs×terms, not "
+    "corpus-sized); N/avgdl/df joined back by broadcast; per-term "
+    "contributions rounded to 8 dp and summed as DECIMAL so the score "
+    "is partitioning-independent.",
+)
+def text_bm25(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return text.bm25_scores(d, ["spark", "join", "window"])
+
+
+@register(
     "text_normalize",
     """
     SELECT c_custkey,

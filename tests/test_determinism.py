@@ -24,6 +24,9 @@ CASES = [
     "embedding_centroids",
     "dedup_exact",
     "pipeline_curate",
+    "text_bm25",        # decimal-summed per-term double contributions
+    "pipeline_pack",    # running-sum window binning
+    "embedding_quantize",  # double closed-form rounding
 ]
 
 

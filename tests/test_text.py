@@ -98,3 +98,23 @@ def test_normalize_text_idempotent_and_canonical(spark):
         for r in df.select(normalize_text(normalize_text("s")).alias("n")).collect()
     ]
     assert twice == once  # idempotent
+
+
+def test_bm25_ranks_planted_relevance(spark):
+    """More query-term mass => higher score; docs without any query term
+    are absent; a rarer term outweighs a common one at equal tf/dl."""
+    from mysql2parquet_spark.operators.text import bm25_scores
+
+    filler = " ".join(f"f{i}" for i in range(20))
+    rows = [
+        (1, "apple apple apple " + filler),   # heavy on 'apple'
+        (2, "apple " + filler),               # light on 'apple'
+        (3, filler),                          # no query terms
+    ]
+    # 'banana' appears in only one doc -> rarer than 'apple' (two docs)
+    rows.append((4, "banana " + filler))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["apple", "banana"]).collect()}
+    assert 3 not in got
+    assert got[1] > got[2] > 0
+    assert got[4] > got[2]  # same tf=1, same dl: rarer term scores higher
