@@ -490,6 +490,43 @@ def embedding_quantize(spark, sf_dir):
 
 
 @register(
+    "sample_stratified",
+    """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 2) AS b,
+             CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+                       WHEN 'fr' THEN '40' WHEN 'es' THEN '20'
+                       WHEN 'zh' THEN '20' ELSE '00' END AS thr
+      FROM documents
+    )
+    WHERE b < thr
+    GROUP BY lang
+    """,
+    "C6/pipeline: deterministic stratified sampling — per-language keep "
+    "fractions via md5-hex threshold comparison (content-addressed: "
+    "stable across engines/cluster sizes, and nested — smaller "
+    "fractions are subsets of larger ones). Zero shuffle before the "
+    "report agg.",
+)
+def sample_stratified(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import stratified_sample
+
+    d = T(spark, sf_dir, "documents")
+    s = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 0.125},
+        key_col="doc_id",
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "sample_split",
     """
     SELECT split, COUNT(*) AS n_docs,
@@ -761,6 +798,43 @@ def text_repetition(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return text.with_repetition_score(d, "text", n=2).select(
         "doc_id", "n_grams", "n_distinct_grams", "rep_ratio"
+    )
+
+
+@register(
+    "text_top_terms",
+    """
+    SELECT lang, token, freq, rk FROM (
+      SELECT lang, token, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY freq DESC, token) AS INT) AS rk
+      FROM (
+        SELECT lang, token, COUNT(*) AS freq
+        FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+              FROM documents)
+        GROUP BY 1, 2
+      )
+    ) WHERE rk <= 5
+    """,
+    "C4: per-language top-5 terms — explode + partial-agg groupBy, then "
+    "grouped top-k via ranking window (WindowGroupLimit pushes the "
+    "k-cut below the shuffle). Deterministic tie-break (freq desc, "
+    "token asc).",
+)
+def text_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    freqs = (
+        d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freqs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "freq", "rk")
     )
 
 

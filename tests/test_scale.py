@@ -132,3 +132,41 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_year" in plan
     want = o.filter(F.col("o_year") == 1997).count()
     assert back.count() == want
+
+
+def test_stratified_sample_rates_nesting_and_edges(spark, sf_dir):
+    """Kept fraction tracks the target per stratum, smaller fractions are
+    SUBSETS of larger ones (same salt), fraction 1.0 keeps everything,
+    unlisted strata drop, and the op adds no shuffle."""
+    from mysql2parquet_spark.operators.scale import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.cnt for r in docs.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+
+    frac = {"en": 0.5, "de": 0.25}
+    kept = stratified_sample(docs, "lang", frac, key_col="doc_id")
+    got = {r.lang: r.cnt for r in kept.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert set(got) <= set(frac)  # unlisted strata dropped
+    for lang, f in frac.items():
+        if totals.get(lang, 0) >= 40:
+            rate = got.get(lang, 0) / totals[lang]
+            assert abs(rate - f) < 0.25, (lang, rate)
+
+    # nesting: quarter-sample ids are a subset of half-sample ids
+    half = {r.doc_id for r in stratified_sample(
+        docs, "lang", {"en": 0.5}, key_col="doc_id").select("doc_id").collect()}
+    quarter = {r.doc_id for r in stratified_sample(
+        docs, "lang", {"en": 0.25}, key_col="doc_id").select("doc_id").collect()}
+    assert quarter and quarter < half
+
+    # fraction 1.0 keeps every row of the stratum (the "100" hex trap)
+    all_en = stratified_sample(docs, "lang", {"en": 1.0}, key_col="doc_id")
+    assert all_en.count() == totals["en"]
+
+    plan = (
+        stratified_sample(docs, "lang", frac, key_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
