@@ -124,3 +124,63 @@ def test_winnow_never_errors_and_deterministic(spark, texts):
             assert fp == []
         else:
             assert len(fp) >= 1
+
+
+@given(
+    toks=st.lists(st.integers(1, 900), min_size=1, max_size=120),
+    budget=st.sampled_from([64, 512]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_python_reference(spark, toks, budget):
+    """For ANY doc-length multiset, the distributed packer reproduces the
+    sequential greedy reference per shard: bin = running-start // budget,
+    over docs in id order."""
+    from mysql2parquet_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string").repartition(5)
+    got = {
+        r.doc_id: (r.shard, r.n_toks, r.bin)
+        for r in pack_sequences(df, budget=budget, n_shards=3).collect()
+    }
+    starts = {0: 0, 1: 0, 2: 0}
+    for i, n in enumerate(toks):
+        shard = i % 3
+        assert got[i] == (shard, n, starts[shard] // budget), (i, n)
+        starts[shard] += n
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-1e3,
+            max_value=1e3,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_int8_properties(spark, vec):
+    """For ANY float vector: values bounded by 127, the max-|x| element
+    saturates exactly, dequantization error is within half a quantum,
+    and all-zero vectors map to zeros."""
+    from mysql2parquet_spark.functions.vector import quantize_int8
+
+    df = spark.createDataFrame([(vec,)], "embedding: array<float>")
+    q = df.select(quantize_int8("embedding").alias("q")).first().q
+    import struct
+
+    f32 = [struct.unpack("f", struct.pack("f", x))[0] for x in vec]
+    s = max(abs(x) for x in f32)
+    assert len(q) == len(vec)
+    if s == 0:
+        assert q == [0] * len(vec)
+        return
+    assert max(abs(v) for v in q) == 127
+    for x, qi in zip(f32, q):
+        assert abs(qi) <= 127
+        assert abs(x - qi * s / 127.0) <= s / 127.0 * 0.5 + 1e-9
