@@ -120,6 +120,33 @@ def stream_dedup_batch(spark, sf_dir):
 
 
 @register(
+    "stream_rollup_batch",
+    """
+    WITH fine AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type,
+             COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 hour', w), '%Y-%m-%d %H:%M:%S')
+             AS hour_start,
+           event_type,
+           CAST(SUM(cnt) AS BIGINT) AS cnt,
+           CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+    FROM fine GROUP BY 1, 2
+    """,
+    "B32/B34: chained windowed rollup — 10-min tumbling aggregates "
+    "re-aggregated hourly (two stateful operators in one streaming "
+    "query, watermark propagated through the first; hypertable-style "
+    "multi-resolution serving). Decimal re-aggregation keeps hourly "
+    "sums exact.",
+)
+def stream_rollup_batch(spark, sf_dir):
+    from mysql2parquet_spark.streaming.windows import hourly_rollup
+
+    return hourly_rollup(T(spark, sf_dir, "events"))
+
+
+@register(
     "stream_enrich_batch",
     """
     SELECT strftime(time_bucket(INTERVAL '10 minutes', e.ts),

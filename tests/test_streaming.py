@@ -110,6 +110,24 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, batch_events):
     assert set(keys) == want
 
 
+def test_chained_window_rollup_streams(spark, sf_dir, batch_events):
+    """CHAINED stateful aggregation (10-min windows re-aggregated into
+    hourly buckets) runs as ONE streaming query — two stateful operators
+    with watermark propagation through the first aggregate. Append-mode
+    output is a subset of (and consistent with) the batch rollup; every
+    emitted hourly row matches the batch value exactly."""
+    stream = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    got = run_to_memory(
+        W.hourly_rollup(stream), _mem_name(), output_mode="append"
+    )
+    want = W.hourly_rollup(batch_events)
+    got_rows = set(map(str, got.collect()))
+    want_rows = set(map(str, want.collect()))
+    assert got_rows.issubset(want_rows)
+    # chaining must not degrade to empty output on a multi-hour corpus
+    assert len(got_rows) > 0
+
+
 def test_stream_static_enrich_equals_batch(spark, sf_dir, batch_events):
     """Stream-static enrichment (broadcast dimension, stateless) under
     readStream produces exactly the batch result; the streaming plan
