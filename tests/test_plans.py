@@ -158,3 +158,29 @@ def test_window_percent_single_window(spark, sf_dir):
     p = plan(spark, sf_dir, "window_percent", mode="simple")
     assert p.count("Window") == 1, p
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_bm25_stats_join_broadcasts(spark, sf_dir):
+    """BM25's corpus stats and df joins must be broadcasts — a sort-merge
+    join on the tiny aggregates would shuffle the per-doc term rows
+    twice for nothing."""
+    p = plan(spark, sf_dir, "text_bm25")
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_top_terms_limits_below_shuffle(spark, sf_dir):
+    """Grouped top-k must run through WindowGroupLimit so each task cuts
+    to k rows per group BEFORE the window shuffle — a full sort per
+    language at corpus scale is the regression this pins."""
+    p = plan(spark, sf_dir, "text_top_terms")
+    assert "WindowGroupLimit" in p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram membership probe must be a broadcast hash join —
+    shuffling the exploded training grams on gram value would be the
+    dominant cost at corpus scale."""
+    p = plan(spark, sf_dir, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
