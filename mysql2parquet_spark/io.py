@@ -34,9 +34,17 @@ TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, *, merge_schema: bool = False
+) -> DataFrame:
     """Parquet scan. Catalyst pushes filters/projections into this scan
     (verify with .explain: PushedFilters/ReadSchema).
+
+    ``merge_schema=True`` unions schemas across files (columns added
+    over a table's lifetime read as NULL in older files) — the standard
+    evolved-lake read. Off by default: merging footers of millions of
+    files has a real planning cost at 100 TB, so evolved tables should
+    carry an explicit schema or flip this knob deliberately.
 
     Parquet TIMESTAMP(NANOS) is not a Spark type (PARQUET_TYPE_ILLEGAL);
     we read nanos as long (legacy conf, runtime-settable) and convert any
@@ -44,7 +52,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns→µs truncation DuckDB/Arrow apply, so oracles agree.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", _ns_to_ntz("ts"))
@@ -354,3 +365,38 @@ def write_clustered(
     )
     out = out.sortWithinPartitions(*cols)
     out.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    target_file_mb: int = 128,
+    compression: str = "snappy",
+) -> int:
+    """Small-file compaction (lake-maintenance OPTIMIZE): rewrite a
+    parquet directory into ~``target_file_mb`` files. Returns the file
+    count written.
+
+    Thousands of tiny files are the classic scan-killer at 100 TB
+    (per-file open/footer cost dominates; task scheduling overwhelms the
+    driver). The target count comes from the directory's actual on-disk
+    bytes via the Hadoop FileSystem API — works on any supported
+    filesystem, not just local. Writes to a NEW directory: atomic swap
+    is the caller's (or the table format's) job; silently rewriting in
+    place would race concurrent readers.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    (
+        read_parquet(spark, path)
+        .repartition(int(n_files))
+        .write.mode("error")
+        .option("compression", compression)
+        .parquet(out_path)
+    )
+    return int(n_files)

@@ -146,3 +146,52 @@ def test_write_clustered_files_own_disjoint_sorted_ranges(spark, sf_dir, tmp_pat
         .count()
     )
     assert touched < len(per_file)
+
+
+def test_read_parquet_merges_evolved_schema(spark, sf_dir, tmp_path):
+    """Schema evolution: a column added mid-lifetime unions in with
+    merge_schema=True (old files read NULL there); the default read
+    stays cheap and single-footer."""
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.io import read_parquet
+
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "evolved")
+    region.write.parquet(out)  # v1 files: no extra column
+    region.withColumn("ingest_batch", F.lit(7)).write.mode("append").parquet(
+        out
+    )  # v2 files add a column
+
+    merged = read_parquet(spark, out, merge_schema=True)
+    assert "ingest_batch" in merged.columns
+    assert merged.count() == 2 * region.count()
+    nulls = merged.filter(F.col("ingest_batch").isNull()).count()
+    sevens = merged.filter(F.col("ingest_batch") == 7).count()
+    assert nulls == region.count() and sevens == region.count()
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    """Compaction rewrites a fragmented directory into the byte-derived
+    target file count without losing rows, and refuses to clobber an
+    existing destination."""
+    import glob
+
+    import pytest as _pytest
+
+    from mysql2parquet_spark.io import compact_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(16).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*.parquet")) == 16
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_mb=128)
+    assert n >= 1
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n < 16
+    assert spark.read.parquet(out).count() == li.count()
+
+    with _pytest.raises(Exception):
+        compact_parquet(spark, frag, out)  # mode='error': no clobber
