@@ -509,3 +509,51 @@ def cosine_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Seeded Gaussian random projection to ``out_dim`` dimensions — the
+    standard dimensionality-reduction step before clustering/ANN at
+    corpus scale (Johnson–Lindenstrauss: pairwise geometry is
+    approximately preserved with high probability).
+
+    The ``in_dim × out_dim`` matrix derives deterministically from
+    ``seed`` alone, so the op is reproducible across runs, partitions,
+    and cluster sizes WITHOUT shipping a fitted model: every executor
+    regenerates the same matrix from the closure. Arrow path only — one
+    numpy matmul per batch (same rationale as ``ivf_assign``); output
+    scaled by 1/sqrt(out_dim) so expected norms are preserved. Pure
+    zero-shuffle projection.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    # bounded-metadata: one row read to learn the input dimensionality
+    in_dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    mat = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def project(batch):
+        out = []
+        for v in batch:
+            if v is None:
+                out.append(None)
+                continue
+            out.append((np.asarray(v, dtype=np.float64) @ mat).tolist())
+        return pd.Series(out)
+
+    return emb.select(
+        F.col(id_col), *keep_cols, project(vec_col).alias("projected")
+    )

@@ -490,6 +490,23 @@ def embedding_quantize(spark, sf_dir):
 
 
 @register(
+    "embedding_project",
+    None,  # seeded-RNG matrix is not SQL-expressible — rows-only check;
+    # geometry preservation + cross-partitioning determinism gated in
+    # tests/test_tierc.py::test_random_projection_properties
+    "C3: seeded Gaussian random projection 64→16 dims (JL-style "
+    "dimensionality reduction before clustering/ANN) — deterministic "
+    "from the seed alone (no fitted model to ship), Arrow matmul per "
+    "batch, zero shuffle.",
+)
+def embedding_project(spark, sf_dir):
+    from mysql2parquet_spark.operators.similarity import random_projection
+
+    e = T(spark, sf_dir, "embeddings")
+    return random_projection(e, 16, keep_cols=("label",))
+
+
+@register(
     "sample_stratified",
     """
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -400,3 +400,48 @@ def test_cosine_pairs_blocked_variant_subsets_quadratic(spark):
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_projection_properties(spark, sf_dir):
+    """Seeded projection is deterministic across partitionings, roughly
+    norm-preserving in aggregate (1/sqrt(out_dim) scaling), genuinely
+    shuffle-free, and keeps identical inputs identical."""
+    from mysql2parquet_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        r.vec_id: tuple(r.projected)
+        for r in random_projection(emb.repartition(3), 16).collect()
+    }
+    b = {
+        r.vec_id: tuple(r.projected)
+        for r in random_projection(emb.repartition(11), 16).collect()
+    }
+    assert a == b  # partitioning- and run-independent (same seed)
+    assert len(next(iter(a.values()))) == 16
+
+    import math
+
+    norms_in = {
+        r.vec_id: math.sqrt(sum(float(x) ** 2 for x in r.embedding))
+        for r in emb.collect()
+    }
+    ratios = [
+        math.sqrt(sum(x * x for x in v)) / norms_in[k]
+        for k, v in a.items()
+        if norms_in[k] > 0
+    ]
+    mean_sq = sum(r * r for r in ratios) / len(ratios)
+    assert 0.7 < mean_sq < 1.3  # E[ratio^2] = 1 under JL scaling
+
+    plan = (
+        random_projection(emb, 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    dup = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64)], "vec_id: long, embedding: array<float>"
+    )
+    out = {r.vec_id: tuple(r.projected) for r in random_projection(dup, 8).collect()}
+    assert out[1] == out[2]
