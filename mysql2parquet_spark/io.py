@@ -358,6 +358,8 @@ def write_clustered(
     across ``n_files`` regardless of the key distribution.
     """
     cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    if not cols:
+        raise ValueError("cluster_by needs at least one column")
     out = (
         df.repartitionByRange(n_files, *cols)
         if n_files
@@ -387,6 +389,8 @@ def compact_parquet(
     is the caller's (or the table format's) job; silently rewriting in
     place would race concurrent readers.
     """
+    if target_file_mb <= 0:
+        raise ValueError(f"target_file_mb must be positive, got {target_file_mb}")
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -58,6 +58,8 @@ def pack_sequences(
     real packers. At 100 TB: one shuffle on the shard key; each shard's
     window is a streaming running sum (no per-group materialization).
     """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
     tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     shard = (F.col(id_col) % n_shards).alias("shard")
     sized = docs.select(F.col(id_col), shard, tok.alias("n_toks"))
@@ -84,6 +86,7 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: which training documents share at least
     one word n-gram with an evaluation set, and how many distinct n-grams
@@ -97,6 +100,8 @@ def contamination_report(
     probe is a map-side hash join on the exploded training grams; the
     only shuffle is the final per-doc count aggregation on ``id_col``.
     Anti-joining ``docs`` against the returned ids yields the clean set.
+    ``broadcast_eval=False`` falls back to a shuffled join for an eval
+    set too large to broadcast (rare; both sides then exchange on gram).
     """
     from mysql2parquet_spark.functions.hashing import shingles
 
@@ -106,7 +111,9 @@ def contamination_report(
         )
 
     eval_grams = grams(eval_docs).select("gram").distinct()
-    hits = grams(docs).join(F.broadcast(eval_grams), "gram")
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = grams(docs).join(eval_grams, "gram")
     return hits.groupBy(id_col).agg(
         F.count_distinct("gram").alias("n_hit_grams")
     )
@@ -130,6 +137,10 @@ def chunk_documents(
     no per-element lambda over large arrays (the sequence is over chunk
     indices, ~n/stride elements). The last chunk is the only short one.
     """
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError(
+            "need 0 < stride <= window (stride > window would skip tokens)"
+        )
     tk = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col), tk.alias("_tk"), F.size(tk).alias("_n"))
     n_chunks = (

@@ -539,8 +539,13 @@ def random_projection(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
     # bounded-metadata: one row read to learn the input dimensionality
-    in_dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).first()
+    if probe is None or probe[0] is None:
+        raise ValueError("random_projection needs a non-empty corpus to size the matrix")
+    in_dim = len(probe[0])
     rng = np.random.RandomState(seed)
     mat = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
 

@@ -257,6 +257,8 @@ def bm25_scores(
     rounded to 8 dp and summed as DECIMAL so the doc score is
     order-independent — bit-identical at any partitioning.
     """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     tok = tokens(text_col)
     sized = docs.select(F.col(id_col), tok.alias("_tk"), F.size(tok).alias("dl"))
     stats = sized.agg(

@@ -445,3 +445,30 @@ def test_random_projection_properties(spark, sf_dir):
     )
     out = {r.vec_id: tuple(r.projected) for r in random_projection(dup, 8).collect()}
     assert out[1] == out[2]
+
+
+def test_new_operator_parameter_guards(spark):
+    """Bad parameters fail fast with clear errors instead of producing
+    NULL-riddled or empty results deep in a job."""
+    from mysql2parquet_spark.operators.pipeline import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from mysql2parquet_spark.operators.similarity import random_projection
+    from mysql2parquet_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window=8, stride=9)
+    with pytest.raises(ValueError, match="term"):
+        bm25_scores(df, [])
+    emb_empty = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    with pytest.raises(ValueError, match="non-empty"):
+        random_projection(emb_empty, 8)
+    emb1 = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb1, 0)
