@@ -178,3 +178,47 @@ def curation_report(curated: DataFrame, *, group_col: str = "lang") -> DataFrame
         F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the final
+    step before training: break source/temporal ordering so every shard
+    (and every within-shard prefix) is an unbiased corpus sample, with a
+    seed-reproducible order that is identical on any cluster size.
+
+    Shape: ``hx = md5(seed:id)`` is the shuffle key; ``shard`` comes from
+    the first two hex chars (256 buckets, folded mod ``n_shards``);
+    ``pos`` is the within-shard rank by ``hx``. One projection + one
+    window (the only exchange: hash on ``shard``). There is NO global
+    sort — readers get order by sorting each shard by ``pos`` on read,
+    which is a per-shard (embarrassingly parallel) sort. md5 is used
+    instead of xxhash64 so the op has an exact cross-engine oracle.
+    At 100 TB widen to more hex chars (16^k buckets) and more shards;
+    the plan shape is unchanged.
+    """
+    if n_shards <= 0 or n_shards > 256:
+        raise ValueError("n_shards must be in 1..256 (two hex chars)")
+    from pyspark.sql import Window
+
+    hx = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    hexpos = "instr('0123456789abcdef', substring(_hx, {i}, 1)) - 1"
+    bucket = F.expr(f"({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)})")
+    keyed = docs.select(F.col(id_col), hx.alias("_hx")).select(
+        id_col,
+        "_hx",
+        F.pmod(bucket, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_hx")
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )

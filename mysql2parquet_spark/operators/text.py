@@ -294,3 +294,45 @@ def bm25_scores(
             (F.round(F.sum("_c").cast("double"), 4) + F.lit(0.0)).alias("bm25")
         )
     )
+
+
+# PII patterns shared by redaction and counting. Deliberately restricted
+# to syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, non-capturing groups — no lookarounds, no
+# backreferences — so the operator carries an exact cross-engine oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+]
+
+
+def with_pii_redaction(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    patterns: list[tuple[str, str, str]] | None = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub PII from a text column before training — emails, IPv4s,
+    phone numbers, card-shaped digit runs — and count each category.
+
+    Adds ``n_<name>`` count columns (matches in the ORIGINAL text) and
+    ``out_col`` with every match replaced by its placeholder, applied in
+    PII_PATTERNS order. Pure codegen projection (regexp_count +
+    chained regexp_replace): zero shuffle, pipelines inside the scan
+    stage at any corpus size.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("with_pii_redaction needs at least one pattern")
+    cols: dict[str, Column] = {}
+    red = F.col(text_col) if isinstance(text_col, str) else text_col
+    src = red
+    for name, pat, repl in pats:
+        cols[f"n_{name}"] = F.regexp_count(src, F.lit(pat))
+        red = F.regexp_replace(red, pat, repl)
+    cols[out_col] = red
+    return df.withColumns(cols)
