@@ -465,28 +465,38 @@ def pipeline_chunk(spark, sf_dir):
 @register(
     "embedding_quantize",
     """
-    SELECT vec_id,
-           list_transform(embedding, x ->
-             CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
-                  ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
-                            AS BIGINT) END) AS q8
-    FROM (
-      SELECT vec_id, embedding,
-             list_max(list_transform(embedding,
-                                     x -> abs(CAST(x AS DOUBLE)))) AS s
-      FROM embeddings
+    SELECT vec_id, CAST(pos AS INT) AS pos, q8_val FROM (
+      SELECT vec_id,
+             unnest(generate_series(0, len(q8) - 1)) AS pos,
+             unnest(q8) AS q8_val
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
+                                AS BIGINT) END) AS q8
+        FROM (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS s
+          FROM embeddings
+        )
+      )
     )
     """,
     "Symmetric int8 embedding quantization (floor(x*127/max|x| + 0.5) — "
     "closed-form half-up, bit-identical across engines; all-zero "
-    "vectors -> zeros). Pure per-row projection, no shuffle, exact "
-    "array-valued oracle.",
+    "vectors -> zeros). Pure per-row projection, no shuffle. The declared "
+    "output is posexploded to scalar (vec_id, pos, q8_val) rows — still "
+    "EXACT, and hashable by the driver's canonicalizer (top-level array "
+    "columns are not; see the head-shape lint in tests/test_registry.py).",
 )
 def embedding_quantize(spark, sf_dir):
     from mysql2parquet_spark.functions.vector import quantize_int8
 
     e = T(spark, sf_dir, "embeddings")
-    return e.select("vec_id", quantize_int8("embedding").alias("q8"))
+    q = e.select("vec_id", quantize_int8("embedding").alias("q8"))
+    return q.select("vec_id", F.posexplode("q8").alias("pos", "q8_val"))
 
 
 @register(
