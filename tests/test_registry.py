@@ -116,3 +116,26 @@ ROWS_ONLY_OK = {
     "agg_approx_distinct",
     "multimodal_binary",
 }
+
+
+def test_head_queries_output_scalar_columns(spark, sf_dir):
+    """Head-shape lint: no driver-window query may output a top-level
+    ArrayType/MapType/StructType column. The driver's canonicalizer does a
+    pandas sort_values over all columns and dies on unhashable cells
+    (``TypeError: unhashable type: 'list'`` — embedding_quantize,
+    CORRECTNESS_r03). Aggregate arrays to scalars or posexplode before
+    declaring; only schema is inspected here (no job runs).
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad: dict[str, list[str]] = {}
+    for name in DRIVER_PRIORITY:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"head queries with unhashable top-level columns: {bad}"
