@@ -10,22 +10,62 @@ module owns that operator as a join composition:
 
 - ``merge_upsert``: rows in ``source`` replace key-matching rows in
   ``target``; unmatched target rows survive; unmatched source rows are
-  inserts. Exactly ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
-  MATCHED THEN INSERT *``.
-- optional ``deletes``: a key-set whose rows are dropped from the result
-  (CDC tombstones), applied after the upsert.
+  inserts. ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  THEN INSERT *`` — including the standard-SQL error on multiple source
+  rows per key (strict mode), or last-event-wins when an ordering
+  column is supplied.
+- ``compact_cdc_batch`` + ``apply_cdc``: resolve a raw CDC event batch
+  (insert/update/delete events with a sequence column) to the FINAL
+  event per key before merging, so delete-then-reinsert within one
+  batch lands as the reinsert, not the delete.
+- optional ``deletes``: a key-set dropped from the result (CDC
+  tombstones), applied after the upsert. The batch must already be
+  compacted to one final event per key (``compact_cdc_batch`` does
+  this); a key present in both ``source`` and ``deletes`` ends up
+  deleted.
 
 Scale shape: one shuffle per side on the merge keys (the left-anti
 join), union is shuffle-free. When the delta batch is small relative to
 the snapshot — the normal CDC case — pass ``broadcast_source=True`` and
 the whole merge is a single scan of the target with zero target-side
-shuffle: broadcast-anti-join + union.
+shuffle: broadcast-anti-join + union. Large deltas (backfill, initial
+load) must NOT broadcast: ``snapshot_merge(broadcast_source=False)``
+falls back to a shuffled anti-join instead of blowing the 8 GB
+broadcast limit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _dedupe_source(source: DataFrame, keys: list[str], order_col: str | None) -> DataFrame:
+    """One row per key: last-event-wins by ``order_col`` desc, or a
+    runtime assert that keys are already unique (strict MERGE, which
+    errors on multiple source matches). The assert is evaluated
+    executor-side inside the plan — no extra driver job, no collect."""
+    if order_col is not None:
+        if order_col not in source.columns:
+            raise ValueError(f"order_col {order_col!r} not in source columns")
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        return (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    w = Window.partitionBy(*keys)
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(w) == 1,
+        F.concat(
+            F.lit("merge_upsert: multiple source rows for key ("),
+            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            F.lit(") — pass order_col for last-event-wins, or pre-compact"),
+        ),
+    )
+    # assert_true yields NULL when the predicate holds; filtering on it
+    # keeps the expression alive through optimization.
+    return source.withColumn("_dup_guard", guard).filter(F.col("_dup_guard").isNull()).drop("_dup_guard")
 
 
 def merge_upsert(
@@ -35,9 +75,18 @@ def merge_upsert(
     *,
     deletes: DataFrame | None = None,
     broadcast_source: bool = False,
+    order_col: str | None = None,
+    source_unique: bool = False,
 ) -> DataFrame:
     """Upsert ``source`` into ``target`` on ``keys``; optionally drop
     ``deletes`` keys. Schemas must agree by name (unionByName).
+
+    Duplicate source keys: with ``order_col`` the highest value wins
+    (binlog sequence / commit timestamp; ties are ambiguous — use a
+    total order). Without it the merge ERRORS at runtime on duplicate
+    keys, like standard MERGE INTO. ``source_unique=True`` skips the
+    check (and its window exchange) when the caller guarantees
+    uniqueness, e.g. output of ``compact_cdc_batch``.
 
     ``broadcast_source=True`` broadcasts the source key-set into the
     anti-join (and the delete key-set too) — use whenever the delta is
@@ -49,17 +98,75 @@ def merge_upsert(
     if missing:
         raise ValueError(f"merge keys missing from target/source: {missing}")
 
-    src_keys = source.select(*keys).dropDuplicates(keys)
+    src = source if source_unique else _dedupe_source(source, keys, order_col)
+    src_keys = src.select(*keys).dropDuplicates(keys)
     if broadcast_source:
         src_keys = F.broadcast(src_keys)
     kept = target.join(src_keys, on=keys, how="left_anti")
-    out = source.unionByName(kept)
+    out = src.unionByName(kept)
     if deletes is not None:
         del_keys = deletes.select(*keys).dropDuplicates(keys)
         if broadcast_source:
             del_keys = F.broadcast(del_keys)
         out = out.join(del_keys, on=keys, how="left_anti")
     return out
+
+
+def compact_cdc_batch(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve a raw CDC batch to its net effect: ``(upserts, deletes)``.
+
+    Keeps only the LAST event per key (highest ``seq_col`` — binlog
+    position / LSN; must totally order events within a key). A key whose
+    final event is a delete lands in ``deletes`` (keys only); otherwise
+    its final row lands in ``upserts`` with ``op_col``/``seq_col``
+    dropped, ready for ``merge_upsert(source_unique=True)``. One window
+    shuffle on the keys — over the delta batch, never the snapshot.
+    """
+    for c in (op_col, seq_col):
+        if c not in events.columns:
+            raise ValueError(f"compact_cdc_batch: column {c!r} not in events")
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    last = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = last.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
+    deletes = last.filter(F.col(op_col) == delete_op).select(*keys)
+    return upserts, deletes
+
+
+def apply_cdc(
+    target: DataFrame,
+    events: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """Fold one raw CDC event batch into ``target``: compact to the
+    final event per key, then broadcast-anti merge. Delete-then-reinsert
+    within the batch correctly survives as the reinsert."""
+    upserts, deletes = compact_cdc_batch(
+        events, keys, op_col=op_col, seq_col=seq_col, delete_op=delete_op
+    )
+    return merge_upsert(
+        target,
+        upserts,
+        keys,
+        deletes=deletes,
+        broadcast_source=broadcast_source,
+        source_unique=True,
+    )
 
 
 def snapshot_merge(
@@ -69,14 +176,23 @@ def snapshot_merge(
     keys: list[str],
     *,
     deletes: DataFrame | None = None,
+    broadcast_source: bool = True,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Read the current parquet snapshot, fold one delta batch in. The
     caller writes the result to the next snapshot path (write-audit-
-    publish: never overwrite the snapshot being read)."""
+    publish: never overwrite the snapshot being read).
+
+    ``broadcast_source`` defaults to True (normal CDC: small delta vs
+    big snapshot → zero snapshot-side shuffle); set False for large
+    deltas (backfill / initial load) that would exceed the broadcast
+    limit or OOM the driver.
+    """
     return merge_upsert(
         spark.read.parquet(snapshot_path),
         delta,
         keys,
         deletes=deletes,
-        broadcast_source=True,
+        broadcast_source=broadcast_source,
+        order_col=order_col,
     )

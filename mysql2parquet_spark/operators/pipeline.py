@@ -194,16 +194,21 @@ def shuffle_shards(
 
     Shape: ``hx = md5(seed:id)`` is the shuffle key; ``shard`` comes from
     the first two hex chars (256 buckets, folded mod ``n_shards``);
-    ``pos`` is the within-shard rank by ``hx``. One projection + one
-    window (the only exchange: hash on ``shard``). There is NO global
-    sort — readers get order by sorting each shard by ``pos`` on read,
-    which is a per-shard (embarrassingly parallel) sort. md5 is used
-    instead of xxhash64 so the op has an exact cross-engine oracle.
-    At 100 TB widen to more hex chars (16^k buckets) and more shards;
-    the plan shape is unchanged.
+    ``pos`` is the within-shard rank by ``(hx, id)`` — the id tiebreaker
+    makes the rank total even when duplicate ids hash identically, so
+    the order really is reproducible at any cluster size. All payload
+    columns are carried through (the window only ADDS ``shard``/``pos``;
+    no join-back needed). One projection + one window (the only
+    exchange: hash on ``shard``). There is NO global sort — readers get
+    order by sorting each shard by ``pos`` on read, which is a per-shard
+    (embarrassingly parallel) sort. md5 is used instead of xxhash64 so
+    the op has an exact cross-engine oracle. At 100 TB widen to more hex
+    chars (16^k buckets) and more shards; the plan shape is unchanged.
     """
     if n_shards <= 0 or n_shards > 256:
         raise ValueError("n_shards must be in 1..256 (two hex chars)")
+    if id_col not in docs.columns:
+        raise ValueError(f"shuffle_shards: id_col {id_col!r} not in DataFrame")
     from pyspark.sql import Window
 
     hx = F.md5(
@@ -211,14 +216,10 @@ def shuffle_shards(
     )
     hexpos = "instr('0123456789abcdef', substring(_hx, {i}, 1)) - 1"
     bucket = F.expr(f"({hexpos.format(i=1)}) * 16 + ({hexpos.format(i=2)})")
-    keyed = docs.select(F.col(id_col), hx.alias("_hx")).select(
-        id_col,
-        "_hx",
-        F.pmod(bucket, F.lit(n_shards)).cast("int").alias("shard"),
+    keyed = docs.withColumn("_hx", hx).withColumn(
+        "shard", F.pmod(bucket, F.lit(n_shards)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy("_hx")
-    return keyed.select(
-        id_col,
-        "shard",
-        F.row_number().over(w).alias("pos"),
-    )
+    w = Window.partitionBy("shard").orderBy("_hx", id_col)
+    return keyed.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).drop("_hx")

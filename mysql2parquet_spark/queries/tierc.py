@@ -944,3 +944,169 @@ def multimodal_binary(spark, sf_dir):
         F.length("content").alias("n_bytes"),
         F.col("meta.n_chars").cast("int").alias("meta_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental export (MERGE/CDC), corpus shuffle, PII redaction — the
+# r3 operators wired with oracles (VERDICT r3 ask #2).
+# --------------------------------------------------------------------------
+
+@register(
+    "merge_upsert",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, 'upd:' || c_name AS c_name, c_nationkey,
+             c_acctbal + 1000 AS c_acctbal
+      FROM base WHERE c_custkey % 10 = 3
+    ),
+    ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey, 'new:' || c_name AS c_name,
+             c_nationkey, c_acctbal
+      FROM base WHERE c_custkey % 100 = 7
+    ),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    kept AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    ),
+    merged AS (SELECT * FROM src UNION ALL SELECT * FROM kept)
+    SELECT * FROM merged
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM base WHERE c_custkey % 10 = 5)
+    """,
+    "MERGE/upsert — the reference's nightly full re-export "
+    "(/root/reference/main.go:87-165) done incrementally: updates replace "
+    "key-matched rows, inserts append, tombstones delete. Broadcast-anti "
+    "join + union: the target (snapshot) side is never shuffled.",
+)
+def merge_upsert_query(spark, sf_dir):
+    from mysql2parquet_spark.operators.merge import merge_upsert
+
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    upd = base.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("upd:"), "c_name").alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+    )
+    ins = base.filter(F.col("c_custkey") % 100 == 7).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new:"), "c_name").alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+    )
+    dels = base.filter(F.col("c_custkey") % 10 == 5).select("c_custkey")
+    return merge_upsert(
+        base,
+        upd.unionByName(ins),
+        ["c_custkey"],
+        deletes=dels,
+        broadcast_source=True,
+    )
+
+
+@register(
+    "pipeline_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id, lang,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, hx,
+             CAST(((instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(hx, 2, 1)) - 1))
+                  % 16 AS INT) AS shard
+      FROM k
+    )
+    SELECT doc_id, lang, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+    FROM b
+    """,
+    "Deterministic corpus shuffle + shard assignment (pre-training final "
+    "step): md5(seed:id) shuffle key, 16 shards from the leading hex "
+    "chars, within-shard rank with an id tiebreaker. Payload columns "
+    "carried through; the only exchange is the hash on shard. Exact "
+    "cross-engine oracle because the key is md5, not xxhash.",
+)
+def pipeline_shuffle(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import shuffle_shards
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_shards(d, seed=42, n_shards=16)
+
+
+@register(
+    "text_pii",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact bob.smith+x@example.com or admin@test.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 192.168.1.100 call 555-123-4567'
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' card 4111-1111-1111-1111 on file'
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS INT) AS n_card,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '<CARD>', 'g') AS redacted
+    FROM planted
+    """,
+    "PII redaction before training — emails, IPv4s, phones, card-shaped "
+    "digit runs scrubbed and counted (counts on the ORIGINAL text). PII "
+    "is planted deterministically by doc_id residue so the counts are "
+    "non-vacuous at any SF. Pure codegen projection, zero shuffle; the "
+    "patterns are restricted to Java-regex ∩ RE2 syntax so the DuckDB "
+    "oracle is exact.",
+)
+def text_pii(spark, sf_dir):
+    from mysql2parquet_spark.operators.text import with_pii_redaction
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" contact bob.smith+x@example.com or admin@test.org"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" from 192.168.1.100 call 555-123-4567"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" card 4111-1111-1111-1111 on file"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = with_pii_redaction(planted)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_card", "redacted"
+    )

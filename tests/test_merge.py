@@ -1,0 +1,122 @@
+"""MERGE/upsert + CDC compaction (operators/merge.py) — the
+incremental-export half of the reference's nightly job
+(/root/reference/main.go:87-165 re-exports the whole table each run;
+we fold deltas instead). Covers the upsert/insert/delete matrix,
+standard-MERGE duplicate-source errors, last-event-wins ordering,
+delete-then-reinsert batches, and the zero-target-shuffle plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.merge import (
+    apply_cdc,
+    compact_cdc_batch,
+    merge_upsert,
+    snapshot_merge,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"), Row(k=4, v="d")]
+    )
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_upsert_insert_delete_matrix(spark):
+    src = spark.createDataFrame([Row(k=2, v="B"), Row(k=5, v="E")])
+    dels = spark.createDataFrame([(4,)], "k int")
+    out = merge_upsert(_target(spark), src, ["k"], deletes=dels)
+    # k=1,3 untouched; k=2 updated; k=5 inserted; k=4 deleted
+    assert _rows(out) == [(1, "a"), (2, "B"), (3, "c"), (5, "E")]
+
+
+def test_duplicate_source_keys_error_like_merge_into(spark):
+    src = spark.createDataFrame([Row(k=2, v="B1"), Row(k=2, v="B2")])
+    out = merge_upsert(_target(spark), src, ["k"])
+    with pytest.raises(Exception, match="multiple source rows"):
+        out.collect()
+
+
+def test_order_col_last_event_wins(spark):
+    src = spark.createDataFrame(
+        [Row(k=2, v="old", seq=1), Row(k=2, v="new", seq=9), Row(k=5, v="E", seq=3)]
+    )
+    out = merge_upsert(
+        _target(spark).withColumn("seq", F.lit(0)), src, ["k"], order_col="seq"
+    )
+    assert sorted((r.k, r.v) for r in out.collect()) == [
+        (1, "a"), (2, "new"), (3, "c"), (4, "d"), (5, "E"),
+    ]
+
+
+def test_key_in_source_and_deletes_ends_deleted(spark):
+    src = spark.createDataFrame([Row(k=2, v="B")])
+    dels = spark.createDataFrame([Row(k=2)])
+    out = merge_upsert(_target(spark), src, ["k"], deletes=dels)
+    assert _rows(out) == [(1, "a"), (3, "c"), (4, "d")]
+
+
+def test_compact_cdc_delete_then_reinsert_survives(spark):
+    events = spark.createDataFrame(
+        [
+            (2, None, "D", 10),
+            (2, "reborn", "I", 11),
+            (3, "gone", "D", 12),
+            (3, "x", "U", 5),  # stale update BEFORE the delete
+        ],
+        "k bigint, v string, op string, seq bigint",
+    )
+    ups, dels = compact_cdc_batch(events, ["k"])
+    assert sorted((r.k, r.v) for r in ups.collect()) == [(2, "reborn")]
+    assert [r.k for r in dels.collect()] == [3]
+
+    out = apply_cdc(_target(spark), events, ["k"])
+    assert _rows(out) == [(1, "a"), (2, "reborn"), (4, "d")]
+
+
+def test_missing_keys_and_bad_order_col_fail_fast(spark):
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(_target(spark), _target(spark), [])
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert(_target(spark), _target(spark), ["nope"])
+    with pytest.raises(ValueError, match="order_col"):
+        merge_upsert(_target(spark), _target(spark), ["k"], order_col="nope")
+    with pytest.raises(ValueError, match="not in events"):
+        compact_cdc_batch(_target(spark), ["k"])
+
+
+def test_broadcast_merge_never_shuffles_target(spark, tmp_path):
+    """The CDC contract at 100 TB: snapshot side is scan + broadcast-anti
+    + union — zero Exchange on the target lineage."""
+    snap = str(tmp_path / "snap")
+    _target(spark).write.parquet(snap)
+    delta = spark.createDataFrame([Row(k=2, v="B"), Row(k=9, v="Z")])
+    out = snapshot_merge(
+        spark, snap, delta, ["k"], order_col="v"  # unique keys; any order col
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftAnti") >= 1
+    assert "Exchange hashpartitioning(k" not in plan
+    assert _rows(out) == [(1, "a"), (2, "B"), (3, "c"), (4, "d"), (9, "Z")]
+
+
+def test_snapshot_merge_shuffle_fallback(spark, tmp_path):
+    """broadcast_source=False (backfill-sized delta) must produce the
+    same result via a shuffled anti-join."""
+    snap = str(tmp_path / "snap2")
+    _target(spark).write.parquet(snap)
+    delta = spark.createDataFrame([Row(k=1, v="A")])
+    out = snapshot_merge(spark, snap, delta, ["k"], broadcast_source=False)
+    assert _rows(out) == [(1, "A"), (2, "b"), (3, "c"), (4, "d")]

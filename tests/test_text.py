@@ -118,3 +118,63 @@ def test_bm25_ranks_planted_relevance(spark):
     assert 3 not in got
     assert got[1] > got[2] > 0
     assert got[4] > got[2]  # same tf=1, same dl: rarer term scores higher
+
+
+# --------------------------------------------------------------------------
+# PII redaction (with_pii_redaction)
+# --------------------------------------------------------------------------
+
+PII_DOC = (
+    "Reach me at alice@example.com or bob.smith+x@corp.co.uk, "
+    "server 10.0.0.1, cell 555-123-4567, card 4111-1111-1111-1111."
+)
+
+
+def _redact(spark, s: str):
+    df = spark.createDataFrame([(1, s)], "doc_id int, text string")
+    return text.with_pii_redaction(df).first()
+
+
+def test_pii_counts_and_placeholders(spark):
+    r = _redact(spark, PII_DOC)
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_card) == (2, 1, 1, 1)
+    red = r.redacted
+    for ph in ("<EMAIL>", "<IP>", "<PHONE>", "<CARD>"):
+        assert ph in red
+    assert "alice@example.com" not in red
+    assert "10.0.0.1" not in red
+    assert "555-123-4567" not in red
+    assert "4111-1111-1111-1111" not in red
+
+
+def test_pii_redaction_idempotent(spark):
+    """Placeholders contain no digits or '@' — redacting twice is the
+    identity on already-redacted text."""
+    once = _redact(spark, PII_DOC).redacted
+    twice = _redact(spark, once)
+    assert twice.redacted == once
+    assert (twice.n_email, twice.n_ipv4, twice.n_phone, twice.n_card) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_pii_clean_text_untouched(spark):
+    clean = "No secrets here, just words and a year 2024."
+    r = _redact(spark, clean)
+    assert r.redacted == clean
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_card) == (0, 0, 0, 0)
+
+
+def test_pii_card_not_double_counted_as_phone(spark):
+    """The card's digit groups must not also match the phone pattern
+    (boundary anchors prevent it) — counts stay orthogonal."""
+    r = _redact(spark, "pay 4111-1111-1111-1111 now")
+    assert (r.n_phone, r.n_card) == (0, 1)
+
+
+def test_pii_requires_patterns(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="at least one pattern"):
+        text.with_pii_redaction(df, patterns=[])
