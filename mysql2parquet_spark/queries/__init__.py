@@ -48,73 +48,77 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (B1-B35, asof) AND every Tier C / LLM-pipeline component (C1-C6, tpch
 # composites).  Variant queries beyond the head stay registered — the local
 # gate (tests/test_oracle_parity.py) still checks all of them.
-# ROTATION (r3): variants that were driver-green in r1 but sat outside the
-# 50-slot window in r2 (agg_cube/grouping_sets/percentile/pivot,
-# window_analytic/percent, filter_like, sort_limit_offset, udf_grouped,
-# stream_sliding_batch) rotate IN, displacing twice-proven singletons whose
-# component stays covered by a sibling in the head (e.g. join_full out, B8
-# still evidenced by join_left). The five r3-NEW components
-# (pipeline_pack/decontaminate/chunk, embedding_quantize,
-# stream_enrich_batch) take the remaining slots from multiply-evidenced
-# variants (agg_stats/corr, agg_approx_distinct, embedding_centroids,
-# subquery_recursive — all r1-or-r2 driver-green, all still in the local
-# mirror gate). Every SURVEY §2 / Tier C component keeps at least one head
-# entry — asserted by tests/test_registry.py.
+# ROTATION (r4, VERDICT r3 ask #3): give never-driver-checked queries their
+# first external adjudication. 14 queries that have never held a head slot
+# rotate IN (agg_salted, date_parts, json_struct, tpch_q5/q10_shape,
+# sample_stratified, ann_lsh_topk, embedding_project,
+# dedup_minhash_verified, dedup_ngram_jaccard, text_bm25/top_terms/
+# repetition/normalize), plus the three r4-wired operators (merge_upsert,
+# pipeline_shuffle, text_pii). Displaced: thrice-proven rows whose
+# component stays covered by a sibling in the head (join_inner/broadcast →
+# join_multiway evidences B6+B7; str_funcs → text_normalize for B22;
+# date_funcs → date_parts; json_funcs → json_struct; agg_group/pivot →
+# agg_percentile+agg_salted; tpch_q6/q3 → q5/q10) and rows-only entries
+# whose driver row carries no hash information anyway (dedup_minhash,
+# dedup_simhash, ann_ivf_persisted — all quality-gated in pytest, minhash
+# perf still tracked in bench). Per-round history: ROTATION.md. Every
+# SURVEY §2 / Tier C component keeps at least one head entry — asserted by
+# tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # B-tier: one-ish query per component
     "scan_project",       # B1
     "expr_arith",         # B4 + B26 (casts)
-    "filter_like",        # B5 (rotated in; filter_pred r1+r2 green)
-    "join_inner",         # B6
-    "join_broadcast",     # B7
+    "filter_like",        # B5 (r3 green; filter_pred r1+r2 green)
     "join_left",          # B8
     "join_semi",          # B9
     "join_range",         # B10
-    "join_multiway",      # B11
+    "join_multiway",      # B11 (also evidences B6 inner chain + B7 dims)
     "join_asof",          # as-of join (custom operator)
-    "agg_group",          # B12
-    "agg_percentile",     # B12 variant (rotated in)
-    "agg_pivot",          # B12 variant (rotated in)
+    "agg_percentile",     # B12
+    "agg_salted",         # B12 skew-salted variant (first driver check)
     "agg_distinct",       # B13
-    "agg_cube",           # B14 (rotated in; agg_rollup r1+r2 green)
-    "agg_grouping_sets",  # B14 variant (rotated in)
+    "agg_cube",           # B14 (agg_rollup r1+r2, grouping_sets r3 green)
     "agg_having",         # B15
-    "window_percent",     # B16 (rotated in; window_rank r1+r2 green)
-    "window_analytic",    # B17 (rotated in; window_lag r1+r2 green)
+    "window_percent",     # B16 (r3 green; window_rank r1+r2 green)
+    "window_analytic",    # B17 (r3 green; window_lag r1+r2 green)
     "window_range_frame", # B18 (time RANGE frame)
     "sort_nulls",         # B19
-    "sort_limit_offset",  # B20 (rotated in; sort_limit_topk r1+r2 green)
+    "sort_limit_offset",  # B20 (r3 green; sort_limit_topk r1+r2 green)
     "set_ops",            # B21 (UNION ALL + INTERSECT + EXCEPT composite)
-    "str_funcs",          # B22
-    "date_funcs",         # B23
+    "date_parts",         # B23 (first driver check; date_funcs 3x green)
     "math_funcs",         # B24
     "cond_funcs",         # B25
-    "json_funcs",         # B27
+    "json_struct",        # B27 (first driver check; json_funcs 3x green)
     "array_funcs",        # B28
-    "subquery_cte",       # B29 (recursive variant rotated out r3 —
-                          # r1+r2 green; still in the local mirror gate)
-    "udf_grouped",        # B30 (rotated in; udf_pandas r1+r2 green)
-    "stream_sliding_batch",   # B32 (rotated in; tumbling r1+r2 green)
+    "subquery_cte",       # B29
+    "udf_grouped",        # B30 (r3 green; udf_pandas r1+r2 green)
+    "stream_sliding_batch",   # B32 (r3 green; tumbling r1+r2 green)
     "stream_session_batch",   # B33
     "stream_dedup_batch",     # B35
-    "stream_enrich_batch",    # B31 stream-static enrichment (r3 new)
+    "stream_enrich_batch",    # B31 stream-static enrichment
     # Tier C / LLM-pipeline components
     "dedup_exact",          # C1
-    "dedup_minhash",        # C2 (MinHash+LSH)
-    "dedup_simhash",        # C2 (SimHash)
-    "topk_similarity",      # C3 (brute-force cosine top-k)
-    "ann_ivf_persisted",    # C3 (IVF from PERSISTED index — r3 new)
-    "embedding_quantize",   # C3 (int8 quantization — r3 new component)
-    "text_quality",         # C4
+    "dedup_minhash_verified",  # C2 two-stage LSH+verify (first check)
+    "dedup_ngram_jaccard",  # C2 exact-jaccard (first driver check)
+    "ann_lsh_topk",         # C3 LSH ANN (first driver check)
+    "embedding_project",    # C3 JL projection (first driver check)
+    "embedding_quantize",   # C3 int8 quantization (r3 row ERRORED on
+                            # array shape — now posexploded to scalars)
+    "text_bm25",            # C4 BM25 scoring (first driver check)
+    "text_top_terms",       # C4 per-lang top-k terms (first check)
+    "text_repetition",      # C4 intra-doc repetition (first check)
+    "text_normalize",       # C4 + B22 string canonicalization (first)
+    "text_pii",             # PII redaction (r4 wired operator)
     "multimodal_binary",    # C5
-    "sample_split",         # C6
-    "pipeline_curate",      # C6 (curation composite)
-    "pipeline_pack",        # C6 (sequence packing — r3 new component)
-    "pipeline_decontaminate",  # C6 (eval decontamination — r3 new)
-    "pipeline_chunk",       # C6 (context-window chunking — r3 new)
+    "sample_stratified",    # C6 stratified sampling (first driver check)
+    "pipeline_pack",        # C6 (sequence packing)
+    "pipeline_decontaminate",  # C6 (eval decontamination)
+    "pipeline_chunk",       # C6 (context-window chunking)
+    "pipeline_shuffle",     # C6 corpus shuffle+shard (r4 wired operator)
+    "merge_upsert",         # MERGE/CDC incremental export (r4 wired)
     # TPC-H composites
-    "tpch_q6",
-    "tpch_q3_shape",
+    "tpch_q5_shape",        # first driver check (q6/q3 3x green)
+    "tpch_q10_shape",       # first driver check
 )
 
 

@@ -507,13 +507,18 @@ def embedding_quantize(spark, sf_dir):
     "C3: seeded Gaussian random projection 64→16 dims (JL-style "
     "dimensionality reduction before clustering/ANN) — deterministic "
     "from the seed alone (no fitted model to ship), Arrow matmul per "
-    "batch, zero shuffle.",
+    "batch, zero shuffle. Declared output is posexploded to scalar "
+    "(vec_id, label, pos, val) rows — driver-head queries must not "
+    "output top-level arrays (head-shape lint, tests/test_registry.py).",
 )
 def embedding_project(spark, sf_dir):
     from mysql2parquet_spark.operators.similarity import random_projection
 
     e = T(spark, sf_dir, "embeddings")
-    return random_projection(e, 16, keep_cols=("label",))
+    p = random_projection(e, 16, keep_cols=("label",))
+    return p.select(
+        "vec_id", "label", F.posexplode("projected").alias("pos", "val")
+    )
 
 
 @register(

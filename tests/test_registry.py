@@ -23,14 +23,18 @@ COMPONENT_EVIDENCE = {
     "B1_scan": ["scan_project"],
     "B4_expr": ["expr_arith"],
     "B5_filter": ["filter_pred", "filter_like"],
-    "B6_inner_join": ["join_inner"],
-    "B7_broadcast_join": ["join_broadcast"],
+    # join_multiway's chain is inner equi-joins with broadcast dims
+    # (plan-asserted in test_plans.py::test_multiway_join_broadcasts_dims),
+    # so it legitimately evidences B6/B7 while join_inner/join_broadcast
+    # rotate out after three green rounds.
+    "B6_inner_join": ["join_inner", "join_multiway"],
+    "B7_broadcast_join": ["join_broadcast", "join_multiway"],
     "B8_outer_join": ["join_left", "join_full"],
     "B9_semi_anti": ["join_semi", "join_anti"],
     "B10_range_join": ["join_range"],
     "B11_multiway": ["join_multiway"],
     "asof_join": ["join_asof"],
-    "B12_hash_agg": ["agg_group", "agg_percentile", "agg_stats", "agg_pivot", "agg_corr"],
+    "B12_hash_agg": ["agg_group", "agg_percentile", "agg_stats", "agg_pivot", "agg_corr", "agg_salted"],
     "B13_distinct": ["agg_distinct", "agg_approx_distinct"],
     "B14_rollup": ["agg_rollup", "agg_cube", "agg_grouping_sets"],
     "B15_having": ["agg_having"],
@@ -40,11 +44,11 @@ COMPONENT_EVIDENCE = {
     "B19_sort": ["sort_nulls"],
     "B20_limit": ["sort_limit_topk", "sort_limit_offset"],
     "B21_set_ops": ["set_ops"],
-    "B22_string": ["str_funcs"],
-    "B23_datetime": ["date_funcs"],
+    "B22_string": ["str_funcs", "text_normalize"],
+    "B23_datetime": ["date_funcs", "date_parts"],
     "B24_math": ["math_funcs"],
     "B25_conditional": ["cond_funcs"],
-    "B27_json": ["json_funcs"],
+    "B27_json": ["json_funcs", "json_struct"],
     "B28_array": ["array_funcs"],
     "B29_subquery": ["subquery_scalar", "subquery_cte", "subquery_recursive"],
     "B30_udf": ["udf_pandas", "udf_grouped"],
@@ -52,22 +56,39 @@ COMPONENT_EVIDENCE = {
     "B33_session": ["stream_session_batch"],
     "B35_stateful_dedup": ["stream_dedup_batch"],
     "C1_exact_dedup": ["dedup_exact", "dedup_fingerprint"],
-    "C2_near_dedup": ["dedup_minhash", "dedup_simhash"],
+    "C2_near_dedup": [
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_minhash_verified",
+        "dedup_ngram_jaccard",
+    ],
     "C3_similarity": [
         "topk_similarity",
         "ann_ivf_topk",
         "ann_ivf_persisted",
         "embedding_centroids",
+        "ann_lsh_topk",
+        "embedding_project",
     ],
-    "C4_text": ["text_quality", "text_langid"],
+    "C4_text": [
+        "text_quality",
+        "text_langid",
+        "text_bm25",
+        "text_top_terms",
+        "text_repetition",
+        "text_normalize",
+    ],
     "C5_multimodal": ["multimodal_binary"],
-    "C6_scale": ["sample_split", "pipeline_curate"],
+    "C6_scale": ["sample_split", "pipeline_curate", "sample_stratified", "pipeline_shuffle"],
+    "merge_cdc": ["merge_upsert"],
+    "corpus_shuffle": ["pipeline_shuffle"],
+    "pii_redaction": ["text_pii"],
     "B31_stream_static_enrich": ["stream_enrich_batch"],
     "pipeline_pack": ["pipeline_pack"],
     "pipeline_decontaminate": ["pipeline_decontaminate"],
     "pipeline_chunk": ["pipeline_chunk"],
     "embedding_quantize": ["embedding_quantize"],
-    "tpch_composites": ["tpch_q6", "tpch_q3_shape"],
+    "tpch_composites": ["tpch_q6", "tpch_q3_shape", "tpch_q5_shape", "tpch_q10_shape"],
 }
 
 
@@ -111,11 +132,50 @@ def test_head_queries_have_oracles_where_expected():
 ROWS_ONLY_OK = {
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_minhash_verified",
     "ann_ivf_topk",
     "ann_ivf_persisted",
+    "ann_lsh_topk",
+    "embedding_project",
     "agg_approx_distinct",
     "multimodal_binary",
 }
+
+
+def test_rotation_ledger_current():
+    """ROTATION.md is generated from CORRECTNESS_r*.json + the current
+    head; it must match a fresh render (stale ledger = unaudited
+    rotation), and every never-driver-checked query must either sit in
+    the current head (adjudicated this round) or in the declared
+    next-round backlog — so no registered query can silently stay
+    outside external adjudication forever (VERDICT r3 ask #3)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        import gen_rotation
+    finally:
+        sys.path.pop(0)
+
+    committed = (repo / "ROTATION.md").read_text()
+    assert committed == gen_rotation.render(), (
+        "ROTATION.md is stale — run: python scripts/gen_rotation.py"
+    )
+
+    rounds = gen_rotation._round_files()
+    checked = {n for recs in rounds.values() for n in recs}
+    unscheduled = [
+        n
+        for n in REGISTRY
+        if n not in checked
+        and n not in DRIVER_PRIORITY
+        and n not in gen_rotation.NEXT_ROUND_BACKLOG
+    ]
+    assert not unscheduled, (
+        f"never-driver-checked queries with no rotation plan: {unscheduled}"
+    )
 
 
 def test_head_queries_output_scalar_columns(spark, sf_dir):
