@@ -51,7 +51,13 @@ HEADLINE = [
     "pipeline_curate",    # capstone: dedup -> quality -> lang -> report
     "pipeline_pack",      # sequence packing (per-shard running-sum window)
     "pipeline_decontaminate",  # eval-gram broadcast probe + per-doc count
+    "pipeline_chunk",     # context-window chunking (projection + explode)
     "embedding_quantize", # int8 quantization (pure projection)
+    "text_bm25",          # BM25 scoring (broadcast stats, term filter)
+    "sample_stratified",  # md5-threshold stratified sampling
+    "merge_upsert",       # CDC broadcast-anti merge (r4 wired)
+    "pipeline_shuffle",   # corpus shuffle+shard (window per shard)
+    "text_pii",           # regex redaction (codegen projection)
 ]
 
 

@@ -551,12 +551,23 @@ def random_projection(
 
     @pandas_udf(ArrayType(DoubleType()))
     def project(batch):
-        out = []
-        for v in batch:
-            if v is None:
-                out.append(None)
-                continue
-            out.append((np.asarray(v, dtype=np.float64) @ mat).tolist())
+        # One stacked matmul per Arrow batch (not n small per-row gemvs),
+        # via einsum rather than BLAS gemm: gemm picks kernels by the row
+        # count, so results drift in the last ulp as batch composition
+        # changes with partitioning — einsum's fixed reduction order is
+        # bit-identical for any batch shape (and to the per-row product),
+        # preserving the "same output at any cluster size" contract.
+        mask = batch.notna().to_numpy()
+        out = np.empty(len(batch), dtype=object)
+        out[:] = None
+        if mask.any():
+            stacked = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in batch[mask]]
+            )
+            proj = np.einsum("ij,jk->ik", stacked, mat).tolist()
+            vals = np.empty(len(proj), dtype=object)
+            vals[:] = proj
+            out[mask] = vals
         return pd.Series(out)
 
     return emb.select(
