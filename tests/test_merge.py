@@ -120,3 +120,47 @@ def test_snapshot_merge_shuffle_fallback(spark, tmp_path):
     delta = spark.createDataFrame([Row(k=1, v="A")])
     out = snapshot_merge(spark, snap, delta, ["k"], broadcast_source=False)
     assert _rows(out) == [(1, "A"), (2, "b"), (3, "c"), (4, "d")]
+
+
+# --------------------------------------------------------------------------
+# Property: apply_cdc over ANY event batch == sequential dict replay
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7), st.sampled_from("IUD")),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_apply_cdc_matches_sequential_replay(spark, ops):
+    """For ANY interleaving of insert/update/delete events (including
+    repeated keys, delete-then-reinsert chains, deletes of absent keys),
+    the distributed one-shot merge equals replaying the events one at a
+    time in sequence order."""
+    target_rows = [(k, f"base{k}") for k in range(5)]
+    events = [
+        (k, None if op == "D" else f"v{i}", op, i) for i, (k, op) in enumerate(ops)
+    ]
+
+    state = dict(target_rows)
+    for k, v, op, _seq in events:  # events already in seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    expected = set(state.items())
+
+    target = spark.createDataFrame(target_rows, "k bigint, v string")
+    ev = spark.createDataFrame(events, "k bigint, v string, op string, seq bigint")
+    got = {(r.k, r.v) for r in apply_cdc(target, ev, ["k"]).collect()}
+    assert got == expected

@@ -184,3 +184,30 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     p = plan(spark, sf_dir, "pipeline_decontaminate")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """Corpus shuffle+shard is ONE hash exchange (on shard) + one window
+    — a second exchange (e.g. a join-back for payload, or a global sort)
+    would double the largest shuffle in the training-prep pipeline."""
+    p = plan(spark, sf_dir, "pipeline_shuffle", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Exchange rangepartitioning" not in p, p  # no global sort
+
+
+def test_pii_redaction_zero_shuffle(spark, sf_dir):
+    """PII redaction is a pure codegen projection over the scan — any
+    Exchange here means the regex work stopped pipelining with the scan
+    stage."""
+    p = plan(spark, sf_dir, "text_pii")
+    assert "Exchange" not in p, p
+
+
+def test_merge_upsert_target_never_exchanges(spark, sf_dir):
+    """The CDC merge contract: with a broadcast delta the target
+    (snapshot) lineage is scanned once and never hash-exchanged on the
+    merge key — at 100 TB a target shuffle IS the cost of the job."""
+    p = plan(spark, sf_dir, "merge_upsert")
+    assert "BroadcastHashJoin" in p
+    assert p.count("LeftAnti") >= 2  # upsert anti + delete anti
+    assert "Exchange hashpartitioning(c_custkey" not in p, p
