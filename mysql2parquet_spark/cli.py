@@ -19,6 +19,15 @@ Engine extensions (not in the reference):
 - --partition-by: hive-style partitioned output for scale.
 - --jdbc partitioned-read knobs: --partition-column/--lower/--upper/
   --num-partitions (the reference reads through ONE cursor; we don't).
+- incremental export (--merge-into): the reference re-exports the WHOLE
+  table every run (main.go:87-165). With --merge-into the query result
+  is treated as a DELTA and folded into an existing parquet snapshot on
+  --merge-keys (MERGE semantics, operators/merge.py); --parquet is the
+  NEXT snapshot version (write-audit-publish — it must differ from
+  --merge-into). --cdc-op-column/--cdc-seq-column switch to raw CDC
+  event batches (compact to final event per key, apply tombstones);
+  --order-column gives plain last-event-wins; --no-broadcast-delta is
+  the backfill-sized fallback.
 """
 
 from __future__ import annotations
@@ -70,6 +79,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--upper", type=int, default=None)
     p.add_argument("--num-partitions", type=int, default=32)
     p.add_argument("--master", default=None, help="Spark master override")
+    # incremental export (MERGE/CDC)
+    p.add_argument("--merge-into", default=None,
+                   help="existing parquet snapshot; query result is a "
+                        "delta merged into it, written to --parquet")
+    p.add_argument("--merge-keys", default=None,
+                   help="comma-separated merge key columns")
+    p.add_argument("--order-column", default=None,
+                   help="last-event-wins ordering column for duplicate "
+                        "delta keys (default: duplicates are an error)")
+    p.add_argument("--cdc-op-column", default=None,
+                   help="CDC op column (I/U/D events); needs --cdc-seq-column")
+    p.add_argument("--cdc-seq-column", default=None,
+                   help="CDC sequence column (binlog position / LSN)")
+    p.add_argument("--cdc-delete-op", default="D",
+                   help="op value marking deletes (default D)")
+    p.add_argument("--no-broadcast-delta", action="store_true",
+                   help="shuffled anti-join instead of broadcasting the "
+                        "delta (backfill-sized batches)")
     return p
 
 
@@ -109,10 +136,26 @@ def main(argv: list[str] | None = None) -> int:
             )
             if val is None
         ]
+    if args.merge_into and not args.merge_keys:
+        missing += ["--merge-keys"]
     if missing:
         parser.print_usage(sys.stderr)
         print(f"missing required flags: {' '.join(missing)}", file=sys.stderr)
         return 1
+    if args.merge_into:
+        if args.merge_into.rstrip("/") == (args.parquet or "").rstrip("/"):
+            print(
+                "--parquet must differ from --merge-into (write-audit-"
+                "publish: never overwrite the snapshot being read)",
+                file=sys.stderr,
+            )
+            return 1
+        if bool(args.cdc_op_column) != bool(args.cdc_seq_column):
+            print(
+                "--cdc-op-column and --cdc-seq-column go together",
+                file=sys.stderr,
+            )
+            return 1
 
     from mysql2parquet_spark.compat import export
     from mysql2parquet_spark.io import read_jdbc, register_tables
@@ -144,6 +187,32 @@ def main(argv: list[str] | None = None) -> int:
                 upper_bound=args.upper,
                 num_partitions=args.num_partitions,
             )
+        if args.merge_into:
+            from mysql2parquet_spark.operators.merge import (
+                apply_cdc,
+                snapshot_merge,
+            )
+
+            keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
+            if args.cdc_op_column:
+                df = apply_cdc(
+                    spark.read.parquet(args.merge_into),
+                    df,
+                    keys,
+                    op_col=args.cdc_op_column,
+                    seq_col=args.cdc_seq_column,
+                    delete_op=args.cdc_delete_op,
+                    broadcast_source=not args.no_broadcast_delta,
+                )
+            else:
+                df = snapshot_merge(
+                    spark,
+                    args.merge_into,
+                    df,
+                    keys,
+                    broadcast_source=not args.no_broadcast_delta,
+                    order_col=args.order_column,
+                )
         export(
             df,
             args.parquet,

@@ -83,15 +83,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every test table present under ``sf_dir`` — through
+    """Load every ``<name>.parquet`` table under ``sf_dir`` — through
     ``read_parquet`` so the ns→TIMESTAMP_NTZ conversion applies uniformly
     (a bare spark.read.parquet would register events.ts as raw bigint
-    nanoseconds and every CLI SQL timestamp operation would diverge)."""
+    nanoseconds and every CLI SQL timestamp operation would diverge).
+
+    Known fixture tables come first (stable order for tests); any OTHER
+    ``*.parquet`` entry (file or directory) registers under its stem —
+    a user's --tables-dir is not limited to the fixture names."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             out[name] = read_parquet(spark, p)
+    for entry in sorted(os.listdir(sf_dir)):
+        if not entry.endswith(".parquet"):
+            continue
+        name = entry[: -len(".parquet")]
+        if name in out or not name.isidentifier():
+            continue  # non-identifier stems can't be SQL view names
+        out[name] = read_parquet(spark, os.path.join(sf_dir, entry))
     return out
 
 

@@ -13,35 +13,101 @@ checkpoint), and foreachBatch for sinks needing batch-only features
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+
+def events_schema(ts_is_ns: bool) -> T.StructType:
+    """The events table schema for an explicit-schema (streaming) read.
+    ``ts_is_ns`` selects the physical timestamp encoding — see
+    ``_events_ts_is_ns``."""
+    ts_type = T.LongType() if ts_is_ns else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Historical fixed schema (ts = TIMESTAMP(NANOS) read as long). Prefer
+# stream_events_path/read_events_path, which probe the file's actual
+# encoding — driver-generated testdata has shipped events.ts as NANOS in
+# some rounds and MICROS in others, and a mismatched schema silently
+# double-applies the ns→µs conversion (1970 windows).
+EVENTS_SCHEMA = events_schema(True)
+
+
+def _events_ts_is_ns(spark: SparkSession, probe_path: str) -> bool:
+    """Probe a parquet footer through the BATCH reader: TIMESTAMP(NANOS)
+    surfaces as bigint under the nanosAsLong conf, TIMESTAMP(MICROS) as
+    a native (NTZ) timestamp. The stream schema must match the physical
+    file — streaming has no such auto-detection, so we borrow batch's."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for f in spark.read.parquet(probe_path).schema.fields:
+        if f.name == "ts":
+            return f.dataType.simpleString() == "bigint"
+    raise ValueError(f"no ts column in {probe_path}")
+
+
+def _event_time(col: str, ts_is_ns: bool):
+    """Event-time column → TIMESTAMP (LTZ, watermark-compatible): ns
+    longs convert with integer-µs truncation; native NTZ just casts."""
+    return _ns_to_ntz_ltz(col) if ts_is_ns else F.col(col).cast("timestamp")
+
+
+def stream_events_path(
+    spark: SparkSession,
+    directory: str,
+    *,
+    probe_path: str | None = None,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Events-shaped parquet under ``directory`` as a file stream, with
+    the ts encoding probed from the actual file(s). ``probe_path`` (a
+    concrete file/dir the batch reader can open) defaults to
+    ``directory`` — pass it when ``glob`` narrows the stream to a subset
+    the bare directory read would not match."""
+    ts_is_ns = _events_ts_is_ns(spark, probe_path or directory)
+    reader = spark.readStream.schema(events_schema(ts_is_ns))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(directory)
+    return df.withColumn("ts", _event_time("ts", ts_is_ns))
+
+
+def read_events_path(spark: SparkSession, path: str) -> DataFrame:
+    """Batch face of ``stream_events_path`` — identical schema and
+    event-time (LTZ) typing, for stream≡batch comparisons."""
+    ts_is_ns = _events_ts_is_ns(spark, path)
+    df = spark.read.schema(events_schema(ts_is_ns)).parquet(path)
+    return df.withColumn("ts", _event_time("ts", ts_is_ns))
 
 
 def stream_events(
     spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """The events table as a file stream — the streaming face of
-    io.load_table(spark, sf_dir, 'events'). Same ns→µs conversion, so
+    io.load_table(spark, sf_dir, 'events'). Same ns→µs semantics, so
     every shared builder (streaming/windows.py) produces results
     comparable with its batch run."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+    return stream_events_path(
+        spark,
+        sf_dir,
+        probe_path=os.path.join(sf_dir, "events.parquet"),
+        glob="events.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
 
 def _ns_to_ntz_ltz(col: str):

@@ -79,3 +79,60 @@ def test_end_to_end_tables_dir(tmp_path, sf_dir):
         f"SELECT count(*) FROM read_parquet('{out}.parquet')"
     ).fetchone()[0]
     assert n == 3
+
+
+def test_merge_into_requires_keys_and_distinct_paths(capsys, tmp_path):
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--merge-into", "/tmp/snap"]
+    )
+    assert rc == 1
+    assert "--merge-keys" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/snap",
+         "--merge-into", "/tmp/snap", "--merge-keys", "k"]
+    )
+    assert rc == 1
+    assert "write-audit-publish" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--merge-into", "/tmp/snap", "--merge-keys", "k",
+         "--cdc-op-column", "op"]
+    )
+    assert rc == 1
+    assert "--cdc-seq-column" in capsys.readouterr().err
+
+
+def test_end_to_end_incremental_merge(tmp_path, spark, sf_dir):
+    """The reference's nightly job, incrementally: snapshot v0 from a
+    full export, then a delta query merged in via --merge-into; the new
+    snapshot equals full re-export of the changed table."""
+    snap0 = str(tmp_path / "snap0")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    ).write.parquet(snap0)
+    # delta lives in a parquet "table" dir the CLI can query
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k bigint, v string"
+    ).write.parquet(str(tables / "delta.parquet"))
+
+    out = tmp_path / "snap1"
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "mysql2parquet_spark.cli",
+            "--tables-dir", str(tables),
+            "--query", "SELECT k, v FROM delta",
+            "--merge-into", snap0,
+            "--merge-keys", "k",
+            "--parquet", str(out),
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    got = {(r.k, r.v) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "Z")}

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from mysql2parquet_spark.io import load_table
 from mysql2parquet_spark.streaming import windows as W
-from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+from mysql2parquet_spark.streaming.sources import stream_events_path
 
 
 @pytest.fixture(scope="module")
@@ -28,12 +28,7 @@ def multi_file_events_dir(spark, sf_dir, tmp_path_factory):
 
 
 def _stream(spark, directory):
-    df = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(directory)
-    )
-    return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+    return stream_events_path(spark, directory, max_files_per_trigger=1)
 
 
 def test_multibatch_tumbling_equals_batch(spark, sf_dir, multi_file_events_dir):

@@ -67,18 +67,13 @@ def test_stream_stream_join_multibatch_incremental(spark, sf_dir, tmp_path):
     ``_write_ts_slices``), so the watermark never legitimately drops
     rows — any mismatch vs batch is a real state-carry bug, not late
     data."""
-    from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+    from mysql2parquet_spark.streaming.sources import stream_events_path
 
     out = str(tmp_path / "events_parts")
     _write_ts_slices(spark, sf_dir, out, 6)
 
     def stream():
-        df = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(out)
-        )
-        return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+        return stream_events_path(spark, out, max_files_per_trigger=1)
 
     sp = stream().filter(F.col("event_type") == "purchase")
     sv = stream().filter(F.col("event_type") == "view")
@@ -123,7 +118,7 @@ def test_stream_stream_join_out_of_order_zero_loss(spark, sf_dir, tmp_path):
     order, but with watermarks sized to exceed the total disorder (40
     days > the 30-day event span), so nothing may be dropped — result
     must equal batch exactly."""
-    from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+    from mysql2parquet_spark.streaming.sources import stream_events_path
 
     out = str(tmp_path / "events_ooo")
     parts = _write_ts_slices(spark, sf_dir, out, 6)
@@ -135,12 +130,7 @@ def test_stream_stream_join_out_of_order_zero_loss(spark, sf_dir, tmp_path):
         os.utime(parts[idx], (base + 10 * rank, base + 10 * rank))
 
     def stream():
-        df = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(out)
-        )
-        return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+        return stream_events_path(spark, out, max_files_per_trigger=1)
 
     sp = stream().filter(F.col("event_type") == "purchase")
     sv = stream().filter(F.col("event_type") == "view")
@@ -181,7 +171,7 @@ def test_stream_stream_join_late_loss_accounting(spark, sf_dir, tmp_path):
     - every pair joinable from the first-delivered slice alone IS
       emitted (state existed before any watermark advanced);
     - loss actually occurred (the drops are real, not vacuous)."""
-    from mysql2parquet_spark.streaming.sources import EVENTS_SCHEMA, _ns_to_ntz_ltz
+    from mysql2parquet_spark.streaming.sources import stream_events_path
 
     out = str(tmp_path / "events_rev")
     parts = _write_ts_slices(spark, sf_dir, out, 6)
@@ -192,12 +182,7 @@ def test_stream_stream_join_late_loss_accounting(spark, sf_dir, tmp_path):
         os.utime(parts[idx], (base + 10 * rank, base + 10 * rank))
 
     def stream():
-        df = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(out)
-        )
-        return df.withColumn("ts", _ns_to_ntz_ltz("ts"))
+        return stream_events_path(spark, out, max_files_per_trigger=1)
 
     sp = stream().filter(F.col("event_type") == "purchase")
     sv = stream().filter(F.col("event_type") == "view")
@@ -222,11 +207,9 @@ def test_stream_stream_join_late_loss_accounting(spark, sf_dir, tmp_path):
         )
     )
     # Pairs joinable from the first-delivered slice (latest ts range) alone.
-    last_slice = (
-        spark.read.schema(EVENTS_SCHEMA)
-        .parquet(parts[5])
-        .withColumn("ts", _ns_to_ntz_ltz("ts"))
-    )
+    from mysql2parquet_spark.streaming.sources import read_events_path
+
+    last_slice = read_events_path(spark, parts[5])
     want_first_batch = set(
         map(
             str,
