@@ -502,3 +502,44 @@ def simhash_candidates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    block_dim: int | None = None,
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal — the semantic-dedup face of
+    the family (MinHash catches lexical near-dups; embedding cosine
+    catches paraphrases that share no shingles). Candidate pairs come
+    from ``similarity.cosine_pairs`` under the same blocking contract
+    (``block_col`` deterministic buckets / ``block_dim`` hyperplane LSH /
+    explicit ``allow_quadratic`` for bounded sets — never an implicit
+    O(n²)); each pair's smaller id wins, larger-id members drop via one
+    left-anti join. One-pass keeper semantics like ``minhash_dedup``:
+    on chains a~b~c both b and c drop even though b is itself removed —
+    over-removal, never under-removal (use the CC variant's pattern if
+    cluster-representative semantics are needed).
+
+    Scale shape: pair generation is a bucketed equi-join; the loser set
+    is distinct ids (8 bytes each); the anti-join hashes on the id. No
+    driver materialization anywhere.
+    """
+    from mysql2parquet_spark.operators.similarity import cosine_pairs
+
+    pairs = cosine_pairs(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col=block_col,
+        block_dim=block_dim,
+        allow_quadratic=allow_quadratic,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(losers, id_col, "left_anti")

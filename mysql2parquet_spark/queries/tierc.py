@@ -1115,3 +1115,48 @@ def text_pii(spark, sf_dir):
     return out.select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "n_card", "redacted"
     )
+
+
+@register(
+    "dedup_embedding",
+    """
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             CAST(embedding[1] >= 0 AS INT) * 2
+             + CAST(embedding[2] >= 0 AS INT) AS blk
+      FROM embeddings WHERE vec_id < 400
+    ),
+    losers AS (
+      SELECT DISTINCT id_b FROM (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / ( sqrt(list_sum(list_transform(x.embedding,
+                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(y.embedding,
+                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) ), 4)
+                 AS cos_sim
+        FROM b x JOIN b y ON x.blk = y.blk AND x.vec_id < y.vec_id
+      ) WHERE cos_sim >= 0.5
+    )
+    SELECT vec_id, label FROM b
+    WHERE vec_id NOT IN (SELECT id_b FROM losers)
+    """,
+    "C2: embedding-cosine near-dup removal (semantic dedup — catches "
+    "paraphrases MinHash's shingles miss). Pairs form inside "
+    "deterministic coordinate-sign blocks (the at-scale blocked join, "
+    "cross-engine-exact); each pair's min id wins, one-pass removal "
+    "like the other dedup faces.",
+)
+def dedup_embedding(spark, sf_dir):
+    from mysql2parquet_spark.operators.dedup import embedding_dedup
+
+    e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    blocked = e.withColumn(
+        "blk",
+        (F.col("embedding")[0] >= 0).cast("int") * 2
+        + (F.col("embedding")[1] >= 0).cast("int"),
+    )
+    kept = embedding_dedup(blocked, threshold=0.5, block_col="blk")
+    return kept.select("vec_id", "label")

@@ -61,6 +61,7 @@ COMPONENT_EVIDENCE = {
         "dedup_simhash",
         "dedup_minhash_verified",
         "dedup_ngram_jaccard",
+        "dedup_embedding",
     ],
     "C3_similarity": [
         "topk_similarity",

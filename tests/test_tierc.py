@@ -472,3 +472,34 @@ def test_new_operator_parameter_guards(spark):
     )
     with pytest.raises(ValueError, match="out_dim"):
         random_projection(emb1, 0)
+
+
+def test_embedding_dedup_drops_planted_near_dups(spark):
+    """Planted paraphrase-style duplicates (same direction, tiny noise /
+    different norm) must drop; orthogonal vectors must survive. Cosine is
+    norm-invariant, so a scaled copy is a perfect dup."""
+    from mysql2parquet_spark.operators.dedup import embedding_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),      # scaled copy of 0 -> dup
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-copy of 0 -> dup
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal -> survives
+        (4, [0.0, 0.0, 1.0, 0.0]),      # orthogonal -> survives
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept = embedding_dedup(e, threshold=0.95, allow_quadratic=True)
+    assert sorted(r.vec_id for r in kept.collect()) == [0, 3, 4]
+
+    # blocked path: same result when blocking happens to co-locate dups
+    blocked = e.withColumn(
+        "blk", (F.col("embedding")[0] >= 0.5).cast("int")
+    )
+    kept_b = embedding_dedup(blocked, threshold=0.95, block_col="blk")
+    assert sorted(r.vec_id for r in kept_b.collect()) == [0, 3, 4]
+
+    # no silent quadratic: unblocked without consent raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quadratic"):
+        embedding_dedup(e, threshold=0.95).collect()
