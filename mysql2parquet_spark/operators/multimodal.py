@@ -273,3 +273,154 @@ def text_as_binary_assets(docs: DataFrame) -> DataFrame:
             F.col("n_chars").alias("n_chars"), F.col("lang").alias("lang")
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("pixels", BinaryType(), True),
+    ]
+)
+
+
+def resize_image_nn(
+    content: bytes, out_w: int, out_h: int
+) -> tuple[int, int, int, bytes]:
+    """Nearest-neighbor resample of a decoded PNG → (width, height,
+    channels, row-major raw pixel bytes). Pure stdlib on the REAL decoded
+    pixels; swap the sampling kernel (bilinear, Lanczos via PIL/opencv)
+    without touching the distributed plumbing."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    w, h, c, rows = decode_image(content)
+    out = bytearray()
+    for y in range(out_h):
+        row = rows[min(h - 1, (y * h) // out_h)]
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w)
+            out += row[sx * c : (sx + 1) * c]
+    return out_w, out_h, c, bytes(out)
+
+
+def with_resized(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    *,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    media_type_col: str = "media_type",
+) -> DataFrame:
+    """Arrow-batched image resize stage (mapInPandas): PNG payloads
+    decode + nearest-neighbor resample to ``width``×``height``;
+    non-image or corrupt payloads degrade to NULL pixels for that ROW
+    (never a job abort — same contract as extract_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": pdf[id_col], "width": [], "height": [],
+                   "channels": [], "pixels": []}
+            for mt, b in zip(pdf[media_type_col], pdf[content_col]):
+                try:
+                    if mt != "image/png" or b is None:
+                        raise ValueError("not an image")
+                    rw, rh, c, px = resize_image_nn(bytes(b), width, height)
+                    out["width"].append(rw)
+                    out["height"].append(rh)
+                    out["channels"].append(c)
+                    out["pixels"].append(px)
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["pixels"].append(None)
+            yield pd.DataFrame(out)
+
+    cols = [id_col, content_col, media_type_col]
+    return assets.select(*cols).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def frame_features(
+    content: bytes, media_type: str, n_frames: int, *, bins: int = 8
+) -> list[list[float]]:
+    """Evenly spaced frame sampling → per-frame feature vectors.
+
+    WAV payloads sample ``n_frames`` equal windows of REAL decoded PCM
+    ([rms, peak] per window — silence/beep structure survives). There is
+    no video codec in this container, so any other payload uses the
+    deterministic fake: byte-range segments → normalized histograms
+    (the Spark-side shape — 1 asset → n frame rows — is the real part;
+    swap in pyav frame extraction without touching the plumbing)."""
+    if n_frames <= 0:
+        raise ValueError("n_frames must be positive")
+    try:
+        if media_type in ("audio/wav", "audio/x-wav"):
+            _rate, samples = decode_audio(content)
+            if not samples:
+                return [[0.0, 0.0] for _ in range(n_frames)]
+            out = []
+            for i in range(n_frames):
+                seg = samples[
+                    i * len(samples) // n_frames : (i + 1) * len(samples) // n_frames
+                ] or [0.0]
+                rms = (sum(s * s for s in seg) / len(seg)) ** 0.5
+                out.append([rms, max(abs(s) for s in seg)])
+            return out
+    except Exception:
+        pass
+    return [
+        byte_histogram(
+            content[i * len(content) // n_frames : (i + 1) * len(content) // n_frames],
+            bins,
+        )
+        for i in range(n_frames)
+    ]
+
+
+def sample_frames(
+    assets: DataFrame,
+    n_frames: int = 4,
+    *,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    media_type_col: str = "media_type",
+    bins: int = 8,
+) -> DataFrame:
+    """Frame-sampling stage (mapInPandas, 1 asset → ``n_frames`` rows):
+    the batch fan-out shape every video/audio pipeline needs. Output is
+    (asset_id, frame_idx, features) — a windowless explode, zero
+    shuffle; partition sizing guidance as extract_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for aid, mt, b in zip(
+                pdf[id_col], pdf[media_type_col], pdf[content_col]
+            ):
+                frames = (
+                    [[0.0] * bins] * n_frames
+                    if b is None or len(b) == 0
+                    else frame_features(bytes(b), mt, n_frames, bins=bins)
+                )
+                for i, fv in enumerate(frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    feats.append(fv)
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "features": feats}
+            )
+
+    cols = [id_col, content_col, media_type_col]
+    return assets.select(*cols).mapInPandas(run, FRAME_SCHEMA)

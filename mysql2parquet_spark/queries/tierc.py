@@ -1160,3 +1160,29 @@ def dedup_embedding(spark, sf_dir):
     )
     kept = embedding_dedup(blocked, threshold=0.5, block_col="blk")
     return kept.select("vec_id", "label")
+
+
+@register(
+    "multimodal_frames",
+    None,  # byte-level segment histograms are not practically
+    # SQL-expressible — rows-only; per-frame values + fan-out shape are
+    # pinned in tests/test_multimodal.py (WAV windows + determinism)
+    "C5: frame-sampling stage — 1 asset → n_frames rows via mapInPandas "
+    "(the video/audio batch fan-out shape; WAV payloads use REAL decoded "
+    "PCM windows, others the deterministic byte-segment histograms). "
+    "Declared output digests each frame's feature vector to a scalar so "
+    "the row set is hashable.",
+)
+def multimodal_frames(spark, sf_dir):
+    from mysql2parquet_spark.operators.multimodal import sample_frames
+
+    d = T(spark, sf_dir, "documents")
+    assets = text_as_binary_assets(d)
+    frames = sample_frames(assets, n_frames=4)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("f_sum"),
+    )

@@ -227,3 +227,73 @@ def test_extract_features_corrupt_payload_degrades_per_row(spark):
     assert len(got[2].features) == 16  # corrupt PNG -> histogram, no abort
     assert len(got[3].features) == 16  # mislabeled WAV -> histogram
     assert got[2].n_bytes == len(truncated_png)
+
+
+# --------------------------------------------------------------------------
+# resize (nearest-neighbor on real decoded pixels) + frame sampling
+# --------------------------------------------------------------------------
+
+def test_resize_nn_exact_pixels():
+    from mysql2parquet_spark.operators.multimodal import resize_image_nn
+
+    # 2x2 RGB quadrants upscaled to 4x4: each quadrant becomes a 2x2 block
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    w, h, c, raw = resize_image_nn(make_png(px), 4, 4)
+    assert (w, h, c) == (4, 4, 3)
+    assert len(raw) == 4 * 4 * 3
+    def at(x, y):
+        o = (y * 4 + x) * 3
+        return tuple(raw[o : o + 3])
+    assert at(0, 0) == at(1, 1) == (255, 0, 0)
+    assert at(3, 0) == (0, 255, 0)
+    assert at(0, 3) == (0, 0, 255)
+    assert at(3, 3) == (255, 255, 255)
+
+    # downscale back to 1x1 picks the top-left source pixel (NN)
+    w, h, c, raw = resize_image_nn(make_png(px), 1, 1)
+    assert (w, h, c, tuple(raw)) == (1, 1, 3, (255, 0, 0))
+
+    with pytest.raises(ValueError, match="positive"):
+        resize_image_nn(make_png(px), 0, 4)
+
+
+def test_with_resized_degrades_per_row(spark):
+    from mysql2parquet_spark.operators.multimodal import with_resized
+
+    png = make_png([[(9, 9, 9)]])
+    rows = [
+        (1, png, "image/png"),
+        (2, b"not a png at all", "image/png"),   # corrupt -> NULL row
+        (3, b"plain bytes", "text/plain"),       # non-image -> NULL row
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id bigint, content binary, media_type string"
+    )
+    got = {r.asset_id: r for r in with_resized(df, 2, 2).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (2, 2, 3)
+    assert got[1].pixels == bytes([9, 9, 9] * 4)
+    assert got[2].pixels is None and got[3].pixels is None
+
+
+def test_sample_frames_wav_structure_and_fanout(spark):
+    """1 asset -> n_frames rows; real PCM windows keep the loud/silent
+    structure; non-audio payloads get per-segment byte histograms."""
+    from mysql2parquet_spark.operators.multimodal import sample_frames
+
+    loud_then_silent = [0.9] * 400 + [0.0] * 400
+    rows = [
+        (1, make_wav(loud_then_silent), "audio/wav"),
+        (2, bytes(range(256)), "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id bigint, content binary, media_type string"
+    )
+    out = sample_frames(df, n_frames=2, bins=8).collect()
+    assert len(out) == 4  # 2 assets x 2 frames
+    byid = {(r.asset_id, r.frame_idx): r.features for r in out}
+    assert byid[(1, 0)][0] > 0.8  # loud window rms
+    assert byid[(1, 1)][0] < 0.01  # silent window rms
+    assert len(byid[(2, 0)]) == 8 and abs(sum(byid[(2, 0)]) - 1.0) < 1e-9
+    # deterministic across partitionings
+    out2 = sample_frames(df.repartition(2), n_frames=2, bins=8).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
