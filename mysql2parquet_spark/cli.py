@@ -156,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.cdc_op_column and args.order_column:
+            print(
+                "--order-column conflicts with CDC mode (ordering comes "
+                "from --cdc-seq-column); drop one",
+                file=sys.stderr,
+            )
+            return 1
 
     from mysql2parquet_spark.compat import export
     from mysql2parquet_spark.io import read_jdbc, register_tables
@@ -195,8 +202,13 @@ def main(argv: list[str] | None = None) -> int:
 
             keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
             if args.cdc_op_column:
+                from mysql2parquet_spark.io import read_parquet
+
+                # read_parquet, not spark.read: the snapshot's ns-ts
+                # columns must normalize like the delta's or unionByName
+                # fails on ts:bigint vs ts:timestamp
                 df = apply_cdc(
-                    spark.read.parquet(args.merge_into),
+                    read_parquet(spark, args.merge_into),
                     df,
                     keys,
                     op_col=args.cdc_op_column,

@@ -92,6 +92,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ``*.parquet`` entry (file or directory) registers under its stem —
     a user's --tables-dir is not limited to the fixture names."""
     out: dict[str, DataFrame] = {}
+    if not os.path.isdir(sf_dir):
+        # missing dir registers nothing; the caller's spark.sql then
+        # fails with a clean table-not-found, not a raw FileNotFoundError
+        return out
     for name in TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
@@ -102,7 +106,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         name = entry[: -len(".parquet")]
         if name in out or not name.isidentifier():
             continue  # non-identifier stems can't be SQL view names
-        out[name] = read_parquet(spark, os.path.join(sf_dir, entry))
+        try:
+            out[name] = read_parquet(spark, os.path.join(sf_dir, entry))
+        except Exception:
+            continue  # unreadable stray entry (empty dir, non-parquet)
     return out
 
 

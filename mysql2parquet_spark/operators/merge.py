@@ -132,6 +132,22 @@ def compact_cdc_batch(
     for c in (op_col, seq_col):
         if c not in events.columns:
             raise ValueError(f"compact_cdc_batch: column {c!r} not in events")
+    # A NULL op would land in NEITHER branch below (both != and ==
+    # filters are NULL for it) and the key's change would silently drop
+    # — fail the job instead, executor-side, like the dup-key guard.
+    op_guard = F.assert_true(
+        F.col(op_col).isNotNull(),
+        F.concat(
+            F.lit("compact_cdc_batch: NULL op for key ("),
+            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            F.lit(")"),
+        ),
+    )
+    events = (
+        events.withColumn("_op_guard", op_guard)
+        .filter(F.col("_op_guard").isNull())
+        .drop("_op_guard")
+    )
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     last = (
         events.withColumn("_rn", F.row_number().over(w))
@@ -187,9 +203,16 @@ def snapshot_merge(
     big snapshot → zero snapshot-side shuffle); set False for large
     deltas (backfill / initial load) that would exceed the broadcast
     limit or OOM the driver.
+
+    The snapshot reads through ``io.read_parquet`` (not a bare
+    spark.read) so ns-timestamp columns normalize the same way as every
+    other read — a raw read would give the target ts:bigint while the
+    delta has ts:timestamp and unionByName would fail.
     """
+    from mysql2parquet_spark.io import read_parquet
+
     return merge_upsert(
-        spark.read.parquet(snapshot_path),
+        read_parquet(spark, snapshot_path),
         delta,
         keys,
         deletes=deletes,

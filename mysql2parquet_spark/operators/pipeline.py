@@ -194,11 +194,14 @@ def shuffle_shards(
 
     Shape: ``hx = md5(seed:id)`` is the shuffle key; ``shard`` comes from
     the first two hex chars (256 buckets, folded mod ``n_shards``);
-    ``pos`` is the within-shard rank by ``(hx, id)`` — the id tiebreaker
-    makes the rank total even when duplicate ids hash identically, so
-    the order really is reproducible at any cluster size. All payload
-    columns are carried through (the window only ADDS ``shard``/``pos``;
-    no join-back needed). One projection + one window (the only
+    ``pos`` is the within-shard rank by ``(hx, id)``. ``id_col`` must
+    uniquely identify rows for the full reproducibility contract: with
+    DUPLICATE ids the (id, shard, pos) multiset is still deterministic,
+    but which payload row of a duplicate group gets which pos is
+    partition-dependent (they tie on the whole sort key) — dedup first
+    if payload→pos stability matters. All payload columns are carried
+    through (the window only ADDS ``shard``/``pos``; no join-back
+    needed). One projection + one window (the only
     exchange: hash on ``shard``). There is NO global sort — readers get
     order by sorting each shard by ``pos`` on read, which is a per-shard
     (embarrassingly parallel) sort. md5 is used instead of xxhash64 so

@@ -21,6 +21,28 @@ def sf_dir() -> str:
     return SF_TEST_DIR
 
 
+def target_feeds_anti_directly(plan_text: str) -> bool:
+    """True iff some LeftAnti join's left branch reaches a parquet scan
+    through narrow nodes only (Project/Filter/columnar glue) — i.e. the
+    merge target is scanned straight into the broadcast anti-join with
+    no Exchange/Sort interposed. Textual but structural: an exchanged
+    target would print Exchange/Sort lines between the join and its
+    scan. Use with mode='simple' explain output (formatted mode hides
+    operator arguments, making substring asserts vacuous)."""
+    lines = plan_text.splitlines()
+    for i, ln in enumerate(lines):
+        if "LeftAnti" not in ln:
+            continue
+        for nxt in lines[i + 1 : i + 5]:
+            if "FileScan parquet" in nxt:
+                return True
+            if not any(
+                o in nxt for o in ("Project", "Filter", "ColumnarToRow")
+            ):
+                break  # Exchange, Sort, another join, RDD scan, ...
+    return False
+
+
 @pytest.fixture(scope="session")
 def duck(sf_dir):
     import duckdb

@@ -93,8 +93,10 @@ def test_cdc_incremental_export_equals_batch(spark, tmp_path):
         cur = versions[-1]
         snapshot = ss.read.parquet(f"{snap_root}_v{cur}")
         merged = apply_cdc(snapshot, batch_df, ["k"])
+        # simple mode — formatted omits inline exchange args, making a
+        # key-substring assert vacuous (caught in review)
         jmode = ss._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+            "simple"
         )
         plans.append(merged._jdf.queryExecution().explainString(jmode))
         # write-audit-publish: never overwrite the snapshot being read
@@ -118,10 +120,16 @@ def test_cdc_incremental_export_equals_batch(spark, tmp_path):
     # The at-scale contract: every per-batch merge is broadcast-anti +
     # union — the snapshot lineage is never shuffled on the merge key.
     assert plans, "foreachBatch never ran"
+    from tests.conftest import target_feeds_anti_directly
+
     for p in plans:
         assert "BroadcastHashJoin" in p
         assert p.count("LeftAnti") >= 1
-        assert "Exchange hashpartitioning(k" not in p
+        assert "SortMergeJoin" not in p
+        # structural pin: the snapshot FileScan feeds the anti-join
+        # through narrow nodes only — a snapshot-lineage shuffle would
+        # interpose Exchange/Sort. Delta-side compaction exchanges fine.
+        assert target_feeds_anti_directly(p), p
 
 
 def test_cdc_replay_is_idempotent_per_version(spark, tmp_path):

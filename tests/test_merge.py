@@ -82,6 +82,17 @@ def test_compact_cdc_delete_then_reinsert_survives(spark):
     assert _rows(out) == [(1, "a"), (2, "reborn"), (4, "d")]
 
 
+def test_compact_cdc_null_op_errors_not_silently_drops(spark):
+    """A NULL op matches neither the upsert nor the delete filter — the
+    event would vanish from the snapshot. Must fail the job instead."""
+    events = spark.createDataFrame(
+        [(2, "x", None, 10)], "k bigint, v string, op string, seq bigint"
+    )
+    ups, dels = compact_cdc_batch(events, ["k"])
+    with pytest.raises(Exception, match="NULL op"):
+        ups.collect()
+
+
 def test_missing_keys_and_bad_order_col_fail_fast(spark):
     with pytest.raises(ValueError, match="at least one key"):
         merge_upsert(_target(spark), _target(spark), [])
@@ -102,13 +113,21 @@ def test_broadcast_merge_never_shuffles_target(spark, tmp_path):
     out = snapshot_merge(
         spark, snap, delta, ["k"], order_col="v"  # unique keys; any order col
     )
+    # simple mode, not formatted — formatted hides exchange arguments on
+    # a separate line and key-substring asserts pass vacuously. The pin
+    # is structural: the snapshot FileScan must feed the anti-join
+    # DIRECTLY (no Exchange between); delta-side window exchanges are
+    # allowed.
+    from tests.conftest import target_feeds_anti_directly
+
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
+        "simple"
     )
     plan = out._jdf.queryExecution().explainString(jmode)
     assert "BroadcastHashJoin" in plan
     assert plan.count("LeftAnti") >= 1
-    assert "Exchange hashpartitioning(k" not in plan
+    assert "SortMergeJoin" not in plan
+    assert target_feeds_anti_directly(plan), plan
     assert _rows(out) == [(1, "a"), (2, "B"), (3, "c"), (4, "d"), (9, "Z")]
 
 

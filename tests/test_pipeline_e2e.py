@@ -88,8 +88,11 @@ def test_shuffle_shards_balance_and_payload(spark, sf_dir):
 
 
 def test_shuffle_shards_duplicate_ids_still_total_order(spark):
-    """ADVICE r3: duplicate ids hash identically — the id tiebreaker plus
-    rank arithmetic must still yield one deterministic total order."""
+    """Duplicate ids hash identically — the (id, shard, pos) MULTISET
+    must stay deterministic across partitionings. (Which payload row of
+    a duplicate group gets which pos is NOT guaranteed — they tie on the
+    whole sort key; the docstring tells callers to dedup first if
+    payload→pos stability matters.)"""
     from mysql2parquet_spark.operators.pipeline import shuffle_shards
 
     dup = spark.createDataFrame(

@@ -206,8 +206,19 @@ def test_pii_redaction_zero_shuffle(spark, sf_dir):
 def test_merge_upsert_target_never_exchanges(spark, sf_dir):
     """The CDC merge contract: with a broadcast delta the target
     (snapshot) lineage is scanned once and never hash-exchanged on the
-    merge key — at 100 TB a target shuffle IS the cost of the job."""
-    p = plan(spark, sf_dir, "merge_upsert")
+    merge key — at 100 TB a target shuffle IS the cost of the job.
+
+    mode=simple, NOT formatted: formatted prints exchanges as bare
+    'Exchange (n)' with arguments elsewhere, so a substring assertion on
+    'Exchange hashpartitioning(key' passes vacuously. The pin is
+    structural: the target parquet scan must be the DIRECT left child of
+    the broadcast anti-join — a target shuffle would interpose an
+    Exchange/Sort there (and plan a SortMergeJoin). Source-side key
+    exchanges (the dup-guard window over the delta) are allowed."""
+    from tests.conftest import target_feeds_anti_directly
+
+    p = plan(spark, sf_dir, "merge_upsert", mode="simple")
     assert "BroadcastHashJoin" in p
     assert p.count("LeftAnti") >= 2  # upsert anti + delete anti
-    assert "Exchange hashpartitioning(c_custkey" not in p, p
+    assert "SortMergeJoin" not in p  # anti joins must stay broadcast
+    assert target_feeds_anti_directly(p), p
