@@ -33,12 +33,20 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_small_dim_joins_broadcast(spark, sf_dir):
-    p = plan(spark, sf_dir, "join_broadcast")
+    # mode=simple: formatted prints 'Exchange (n)' with args on separate
+    # Arguments lines, so 'Exchange hashpartitioning' never literally
+    # appears and the not-in assert below would be vacuous
+    p = plan(spark, sf_dir, "join_broadcast", mode="simple")
     assert "BroadcastHashJoin" in p
-    # the fact side must NOT be exchanged before the join: the only
-    # Exchange allowed is the tiny post-aggregation one
-    pre_join = p.split("BroadcastHashJoin")[0]
-    assert "Exchange hashpartitioning" not in pre_join
+    # The fact side must NOT be exchanged to reach the join. In printed
+    # tree order PARENTS come first, so the legit post-aggregation
+    # exchange sits BEFORE the join line and the join's children (fact
+    # scan + broadcast side) come after — that after-section must be
+    # exchange-free. (The original pre-join split checked the parent
+    # section and, in formatted mode, was doubly vacuous.)
+    below_join = p.split("BroadcastHashJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join, p
+    assert p.count("Exchange hashpartitioning") <= 1, p  # post-agg only
 
 
 def test_multiway_join_broadcasts_dims(spark, sf_dir):
@@ -47,7 +55,7 @@ def test_multiway_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
-    p = plan(spark, sf_dir, "sort_limit_topk")
+    p = plan(spark, sf_dir, "sort_limit_topk", mode="simple")  # see broadcast test
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p  # no global sort shuffle
 
@@ -123,7 +131,7 @@ def test_no_collect_in_operator_paths():
 )
 def test_single_shuffle_queries(spark, sf_dir, name):
     """These shapes need exactly one data exchange (plus broadcasts)."""
-    p = plan(spark, sf_dir, name)
+    p = plan(spark, sf_dir, name, mode="simple")  # formatted counts 0, vacuously
     assert p.count("Exchange hashpartitioning") <= 1, p
 
 
@@ -147,7 +155,7 @@ def test_grouping_sets_single_pass(spark, sf_dir):
 def test_scalar_subquery_broadcasts_one_row(spark, sf_dir):
     """The scalar aggregate reduces to 1 row and must broadcast; the
     outer customer scan must never hash-exchange."""
-    p = plan(spark, sf_dir, "subquery_scalar")
+    p = plan(spark, sf_dir, "subquery_scalar", mode="simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "Exchange hashpartitioning" not in p, p
 
