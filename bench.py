@@ -58,6 +58,8 @@ HEADLINE = [
     "merge_upsert",       # CDC broadcast-anti merge (r4 wired)
     "pipeline_shuffle",   # corpus shuffle+shard (window per shard)
     "text_pii",           # regex redaction (codegen projection)
+    "dedup_embedding",    # semantic dedup (blocked cosine pairs, r4)
+    "multimodal_frames",  # frame-sampling fan-out via mapInPandas (r4)
 ]
 
 
