@@ -467,45 +467,50 @@ def cosine_pairs(
     - ``block_dim``: derive sign-LSH buckets (``hyperplane_buckets``
       with ``block_planes`` planes) and join within buckets — recall <1
       by construction, like any LSH blocking stage.
+
+    Per-vector norms are computed ONCE before the join and carried as an
+    8-byte column — per pair only the dot product folds, not three
+    folds. ``dot/( nrm_a * nrm_b )`` reuses the same sqrt values the
+    inline form would compute, so results are bit-identical to
+    ``cosine_similarity`` (and to the SQL oracles).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from mysql2parquet_spark.functions.vector import dot, l2_norm
+
+    src = df.withColumn("_nrm", l2_norm(vec_col))
     if block_col is not None:
-        a = df.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-            F.col(block_col).alias("_blk_a"),
-        )
-        b = df.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-            F.col(block_col).alias("_blk_b"),
-        )
-        pairs = a.join(
-            b, (F.col("_blk_a") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
-        ).drop("_blk_a", "_blk_b")
+        blocked = src.withColumn("_blk", F.col(block_col))
     elif block_dim is not None:
-        ab = hyperplane_buckets(
-            df, vec_col=vec_col, dim=block_dim, num_planes=block_planes
-        )
-        a = ab.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-            F.col("bucket").alias("_blk_a"),
-        )
-        b = ab.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-            F.col("bucket").alias("_blk_b"),
-        )
-        pairs = a.join(
-            b, (F.col("_blk_a") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
-        ).drop("_blk_a", "_blk_b")
+        blocked = hyperplane_buckets(
+            src, vec_col=vec_col, dim=block_dim, num_planes=block_planes
+        ).withColumnRenamed("bucket", "_blk")
     elif allow_quadratic:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        blocked = None
     else:
         raise ValueError(
             "cosine_pairs is O(n²) unblocked: pass block_col=/block_dim= "
             "for bucketed pairing, or allow_quadratic=True for a bounded "
             "(post-LSH) candidate set"
         )
-    sim = cosine_similarity("va", "vb")
+
+    def side(s: DataFrame, tag: str, extra: tuple[str, ...] = ()) -> DataFrame:
+        return s.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(vec_col).alias(f"v{tag}"),
+            F.col("_nrm").alias(f"_nrm_{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in extra],
+        )
+
+    if blocked is not None:
+        a = side(blocked, "a", ("_blk",))
+        b = side(blocked, "b", ("_blk",))
+        pairs = a.join(
+            b, (F.col("_blk_a") == F.col("_blk_b")) & (F.col("id_a") < F.col("id_b"))
+        ).drop("_blk_a", "_blk_b")
+    else:
+        pairs = side(src, "a").join(side(src, "b"), F.col("id_a") < F.col("id_b"))
+    sim = dot("va", "vb") / F.nullif(
+        F.col("_nrm_a") * F.col("_nrm_b"), F.lit(0.0)
+    )
     return pairs.select(
         "id_a", "id_b", F.round(sim, 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
