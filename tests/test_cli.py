@@ -136,3 +136,78 @@ def test_end_to_end_incremental_merge(tmp_path, spark, sf_dir):
     assert rc.returncode == 0, rc.stderr[-2000:]
     got = {(r.k, r.v) for r in spark.read.parquet(str(out)).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "Z")}
+
+
+def test_end_to_end_cdc_merge(tmp_path, spark):
+    """CLI CDC mode: raw I/U/D events with a sequence column folded into
+    the snapshot — delete-then-reinsert within the batch survives as the
+    reinsert; the stale pre-delete update loses."""
+    snap0 = str(tmp_path / "snap0")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    ).write.parquet(snap0)
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [
+            (2, None, "D", 10),
+            (2, "reborn", "I", 11),
+            (3, "stale", "U", 5),
+            (3, None, "D", 12),
+            (9, "new", "I", 13),
+        ],
+        "k bigint, v string, op string, seq bigint",
+    ).write.parquet(str(tables / "cdc.parquet"))
+
+    out = tmp_path / "snap1"
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "mysql2parquet_spark.cli",
+            "--tables-dir", str(tables),
+            "--query", "SELECT k, v, op, seq FROM cdc",
+            "--merge-into", snap0,
+            "--merge-keys", "k",
+            "--cdc-op-column", "op",
+            "--cdc-seq-column", "seq",
+            "--parquet", str(out),
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    got = {(r.k, r.v) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, "a"), (2, "reborn"), (9, "new")}
+
+
+def test_missing_tables_dir_clean_error(tmp_path):
+    """A missing --tables-dir must fail with the clean query-error path
+    (rc=2), not a FileNotFoundError traceback (review finding)."""
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "mysql2parquet_spark.cli",
+            "--tables-dir", str(tmp_path / "nonexistent"),
+            "--query", "SELECT 1 FROM lineitem",
+            "--parquet", str(tmp_path / "o"),
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 2, rc.stderr[-1500:]
+    assert "query error:" in rc.stderr
+    assert "FileNotFoundError" not in rc.stderr
+
+
+def test_stray_entries_in_tables_dir_skipped(tmp_path, spark, capsys):
+    """Unreadable *.parquet entries (empty dir) and non-identifier stems
+    must be skipped, not abort registration."""
+    from mysql2parquet_spark.io import load_tables
+
+    tables = tmp_path / "t"
+    tables.mkdir()
+    (tables / "empty.parquet").mkdir()          # unreadable: no footer
+    (tables / "bad-name.parquet").mkdir()       # non-identifier stem
+    spark.createDataFrame([(1,)], "x bigint").write.parquet(
+        str(tables / "good.parquet")
+    )
+    got = load_tables(spark, str(tables))
+    assert list(got) == ["good"]
