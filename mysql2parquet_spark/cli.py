@@ -138,6 +138,26 @@ def main(argv: list[str] | None = None) -> int:
         ]
     if args.merge_into and not args.merge_keys:
         missing += ["--merge-keys"]
+    if not args.merge_into:
+        stray = [
+            flag
+            for flag, val in (
+                ("--merge-keys", args.merge_keys),
+                ("--cdc-op-column", args.cdc_op_column),
+                ("--cdc-seq-column", args.cdc_seq_column),
+                ("--order-column", args.order_column),
+                ("--no-broadcast-delta", args.no_broadcast_delta or None),
+            )
+            if val
+        ]
+        if stray:
+            # Silently ignoring these would export raw CDC events
+            # (deleted keys included) as a "snapshot".
+            print(
+                f"{' '.join(stray)} require(s) --merge-into",
+                file=sys.stderr,
+            )
+            return 1
     if missing:
         parser.print_usage(sys.stderr)
         print(f"missing required flags: {' '.join(missing)}", file=sys.stderr)
@@ -196,19 +216,15 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.merge_into:
             from mysql2parquet_spark.operators.merge import (
-                apply_cdc,
+                snapshot_apply_cdc,
                 snapshot_merge,
             )
 
             keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
             if args.cdc_op_column:
-                from mysql2parquet_spark.io import read_parquet
-
-                # read_parquet, not spark.read: the snapshot's ns-ts
-                # columns must normalize like the delta's or unionByName
-                # fails on ts:bigint vs ts:timestamp
-                df = apply_cdc(
-                    read_parquet(spark, args.merge_into),
+                df = snapshot_apply_cdc(
+                    spark,
+                    args.merge_into,
                     df,
                     keys,
                     op_col=args.cdc_op_column,

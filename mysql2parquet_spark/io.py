@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,8 +109,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             continue  # non-identifier stems can't be SQL view names
         try:
             out[name] = read_parquet(spark, os.path.join(sf_dir, entry))
-        except Exception:
-            continue  # unreadable stray entry (empty dir, non-parquet)
+        except AnalysisException:
+            # stray entry with no readable footer (empty dir, non-parquet
+            # content). ONLY AnalysisException: IO/permission errors on a
+            # genuinely referenced table must surface as themselves, not
+            # as a misleading downstream TABLE_OR_VIEW_NOT_FOUND.
+            continue
     return out
 
 

@@ -132,28 +132,32 @@ def compact_cdc_batch(
     for c in (op_col, seq_col):
         if c not in events.columns:
             raise ValueError(f"compact_cdc_batch: column {c!r} not in events")
-    # A NULL op would land in NEITHER branch below (both != and ==
-    # filters are NULL for it) and the key's change would silently drop
-    # — fail the job instead, executor-side, like the dup-key guard.
-    op_guard = F.assert_true(
-        F.col(op_col).isNotNull(),
-        F.concat(
-            F.lit("compact_cdc_batch: NULL op for key ("),
-            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
-            F.lit(")"),
-        ),
-    )
-    events = (
-        events.withColumn("_op_guard", op_guard)
-        .filter(F.col("_op_guard").isNull())
-        .drop("_op_guard")
-    )
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     last = (
         events.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # A NULL op on the FINAL event of a key would land in NEITHER branch
+    # below (both != and == filters are NULL for it) and the key's change
+    # would silently drop — fail the job instead, executor-side. Guarding
+    # AFTER compaction on purpose: a NULL-op event superseded by a later
+    # event is harmless and must not abort the batch. The check lives
+    # INSIDE the op column (when/otherwise raise_error), not a separate
+    # guard filter: Catalyst pushes the op!=/op== branch filters below
+    # any standalone guard, silently dropping the NULL row before the
+    # assert ever evaluates — embedded in the column, evaluating either
+    # branch's predicate forces the check.
+    checked_op = F.when(F.col(op_col).isNotNull(), F.col(op_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("compact_cdc_batch: NULL op is the final event for key ("),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                F.lit(")"),
+            )
+        )
+    )
+    last = last.withColumn(op_col, checked_op)
     upserts = last.filter(F.col(op_col) != delete_op).drop(op_col, seq_col)
     deletes = last.filter(F.col(op_col) == delete_op).select(*keys)
     return upserts, deletes
@@ -182,6 +186,34 @@ def apply_cdc(
         deletes=deletes,
         broadcast_source=broadcast_source,
         source_unique=True,
+    )
+
+
+def snapshot_apply_cdc(
+    spark,
+    snapshot_path: str,
+    events: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """``apply_cdc`` against a parquet snapshot path — the CDC face of
+    ``snapshot_merge``, owning the read-through-``io.read_parquet``
+    invariant (ns-timestamp normalization; see snapshot_merge) in ONE
+    place for both the CLI and library callers."""
+    from mysql2parquet_spark.io import read_parquet
+
+    return apply_cdc(
+        read_parquet(spark, snapshot_path),
+        events,
+        keys,
+        op_col=op_col,
+        seq_col=seq_col,
+        delete_op=delete_op,
+        broadcast_source=broadcast_source,
     )
 
 

@@ -33,7 +33,9 @@ def target_feeds_anti_directly(plan_text: str) -> bool:
     for i, ln in enumerate(lines):
         if "LeftAnti" not in ln:
             continue
-        for nxt in lines[i + 1 : i + 5]:
+        # walk down the left branch while the nodes stay narrow — no
+        # fixed window, so a deeper Project/Filter chain still matches
+        for nxt in lines[i + 1 :]:
             if "FileScan parquet" in nxt:
                 return True
             if not any(

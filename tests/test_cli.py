@@ -197,7 +197,7 @@ def test_missing_tables_dir_clean_error(tmp_path):
     assert "FileNotFoundError" not in rc.stderr
 
 
-def test_stray_entries_in_tables_dir_skipped(tmp_path, spark, capsys):
+def test_stray_entries_in_tables_dir_skipped(tmp_path, spark):
     """Unreadable *.parquet entries (empty dir) and non-identifier stems
     must be skipped, not abort registration."""
     from mysql2parquet_spark.io import load_tables
@@ -211,3 +211,12 @@ def test_stray_entries_in_tables_dir_skipped(tmp_path, spark, capsys):
     )
     got = load_tables(spark, str(tables))
     assert list(got) == ["good"]
+
+
+def test_cdc_flags_require_merge_into(capsys):
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--cdc-op-column", "op", "--cdc-seq-column", "seq"]
+    )
+    assert rc == 1
+    assert "require(s) --merge-into" in capsys.readouterr().err

@@ -183,3 +183,16 @@ def test_apply_cdc_matches_sequential_replay(spark, ops):
     ev = spark.createDataFrame(events, "k bigint, v string, op string, seq bigint")
     got = {(r.k, r.v) for r in apply_cdc(target, ev, ["k"]).collect()}
     assert got == expected
+
+
+def test_compact_cdc_superseded_null_op_is_harmless(spark):
+    """A NULL-op event that a later event supersedes must NOT abort the
+    batch — only a NULL op as the FINAL event per key is an error
+    (review finding: the guard belongs after compaction)."""
+    events = spark.createDataFrame(
+        [(5, None, None, 1), (5, "fixed", "U", 2)],
+        "k bigint, v string, op string, seq bigint",
+    )
+    ups, dels = compact_cdc_batch(events, ["k"])
+    assert [(r.k, r.v) for r in ups.collect()] == [(5, "fixed")]
+    assert dels.count() == 0
