@@ -427,3 +427,96 @@ def compact_parquet(
         .parquet(out_path)
     )
     return int(n_files)
+
+
+# --------------------------------------------------------------------------
+# Versioned snapshots (write-audit-publish) — the layout the incremental
+# export (operators/merge.py) folds CDC batches into. The reference
+# rewrites one file per nightly run (/root/reference/main.go:165); at
+# scale the snapshot is a directory per version, readers pin the latest
+# COMMITTED version, and a new version lands fully before anyone sees it.
+# --------------------------------------------------------------------------
+
+_VERSION_PREFIX = "v="
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> dict[int, bool]:
+    """Version number → committed? for every ``v=N`` directory under
+    ``root``. Committed = Spark's ``_SUCCESS`` marker present (the audit
+    half of write-audit-publish). Hadoop FileSystem API, so any
+    supported filesystem works, not just local. Missing root → {}."""
+    jvm = spark._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hroot):
+        return {}
+    out: dict[int, bool] = {}
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(_VERSION_PREFIX)):
+            continue
+        try:
+            n = int(name[len(_VERSION_PREFIX):])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        out[n] = bool(fs.exists(marker))
+    return out
+
+
+def latest_snapshot(spark: SparkSession, root: str) -> str:
+    """Path of the highest COMMITTED snapshot version. Uncommitted
+    (crashed-mid-write) directories are invisible to readers."""
+    committed = [n for n, ok in snapshot_versions(spark, root).items() if ok]
+    if not committed:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    return os.path.join(root, f"{_VERSION_PREFIX}{max(committed)}")
+
+
+def publish_snapshot(df: DataFrame, root: str) -> str:
+    """Write ``df`` as the NEXT snapshot version and return its path.
+
+    Targets max(existing version, committed or not) + 1 with
+    errorifexists semantics: a concurrent publisher racing to the same
+    version fails loudly instead of clobbering, and a crashed partial
+    version is simply skipped forever (it never gets a _SUCCESS, so
+    ``latest_snapshot`` never serves it — garbage-collect offline).
+    The _SUCCESS marker Spark drops on successful job commit is the
+    publish step; readers flip atomically from vN to vN+1.
+    """
+    spark = df.sparkSession
+    versions = snapshot_versions(spark, root)
+    nxt = (max(versions) + 1) if versions else 0
+    path = os.path.join(root, f"{_VERSION_PREFIX}{nxt}")
+    df.write.mode("error").parquet(path)
+    return path
+
+
+def fold_cdc_snapshot(
+    spark: SparkSession,
+    root: str,
+    events: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+    broadcast_source: bool = True,
+) -> str:
+    """One incremental-export step: read the latest committed snapshot,
+    fold a raw CDC event batch in (``operators/merge.apply_cdc`` —
+    compaction, tombstones, zero snapshot-side shuffle), publish the
+    next version. Returns the new version's path."""
+    from mysql2parquet_spark.operators.merge import apply_cdc
+
+    current = read_parquet(spark, latest_snapshot(spark, root))
+    merged = apply_cdc(
+        current,
+        events,
+        keys,
+        op_col=op_col,
+        seq_col=seq_col,
+        delete_op=delete_op,
+        broadcast_source=broadcast_source,
+    )
+    return publish_snapshot(merged, root)

@@ -195,3 +195,82 @@ def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception):
         compact_parquet(spark, frag, out)  # mode='error': no clobber
+
+
+# --------------------------------------------------------------------------
+# Versioned snapshots (write-audit-publish)
+# --------------------------------------------------------------------------
+
+def test_snapshot_publish_and_latest(spark, tmp_path):
+    from mysql2parquet_spark.io import (
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snaps")
+    df0 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    p0 = publish_snapshot(df0, root)
+    assert p0.endswith("v=0")
+    p1 = publish_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"), root
+    )
+    assert p1.endswith("v=1")
+    assert latest_snapshot(spark, root) == p1
+    assert snapshot_versions(spark, root) == {0: True, 1: True}
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        latest_snapshot(spark, str(tmp_path / "nothing"))
+
+
+def test_snapshot_crashed_partial_version_is_skipped(spark, tmp_path):
+    """A version dir without _SUCCESS (crashed mid-write) must be
+    invisible to readers, and the next publish must NOT reuse its
+    number."""
+    import os
+
+    from mysql2parquet_spark.io import (
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snaps2")
+    p0 = publish_snapshot(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), root
+    )
+    # simulate a crash: v=1 exists but never committed
+    partial = os.path.join(root, "v=1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-zzz.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+
+    assert snapshot_versions(spark, root) == {0: True, 1: False}
+    assert latest_snapshot(spark, root) == p0  # reader never sees v=1
+    p2 = publish_snapshot(
+        spark.createDataFrame([(2, "b")], "k bigint, v string"), root
+    )
+    assert p2.endswith("v=2")  # crashed number not reused
+    assert latest_snapshot(spark, root) == p2
+
+
+def test_fold_cdc_snapshot_end_to_end(spark, tmp_path):
+    from mysql2parquet_spark.io import fold_cdc_snapshot, latest_snapshot, publish_snapshot
+
+    root = str(tmp_path / "snaps3")
+    publish_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k bigint, v string"
+        ),
+        root,
+    )
+    events = spark.createDataFrame(
+        [(2, None, "D", 1), (3, "c", "I", 2)],
+        "k bigint, v string, op string, seq bigint",
+    )
+    p = fold_cdc_snapshot(spark, root, events, ["k"])
+    assert p == latest_snapshot(spark, root)
+    got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (3, "c")}
