@@ -144,3 +144,41 @@ def test_cdc_replay_is_idempotent_per_version(spark, tmp_path):
     a = apply_cdc(spark.read.parquet(snap), events, ["k"])
     b = apply_cdc(spark.read.parquet(snap), events, ["k"])
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_cdc_stream_folds_into_versioned_snapshots(spark, tmp_path):
+    """The library-path composition: a CDC file stream folded via
+    io.fold_cdc_snapshot per micro-batch — versioning, audit markers,
+    and reader isolation all handled by the snapshot layout instead of
+    hand-rolled paths. Final committed snapshot equals the ground
+    truth."""
+    from mysql2parquet_spark.io import (
+        fold_cdc_snapshot,
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snaproot")
+    publish_snapshot(
+        spark.createDataFrame(USERS, "k bigint, name string, bal double"), root
+    )
+
+    delta_dir = str(tmp_path / "deltas2")
+    _write_delta_files(spark, delta_dir)
+
+    def fold(batch_df, batch_id):
+        fold_cdc_snapshot(batch_df.sparkSession, root, batch_df, ["k"])
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+    q = foreach_batch_sink(stream, str(tmp_path / "ckpt2"), fold)
+    q.processAllAvailable()
+    q.stop()
+
+    assert snapshot_versions(spark, root) == {0: True, 1: True, 2: True, 3: True}
+    final = spark.read.parquet(latest_snapshot(spark, root))
+    assert {(r.k, r.name, r.bal) for r in final.collect()} == _ground_truth()
