@@ -315,9 +315,16 @@ def ann_ivf_persisted(spark, sf_dir):
 
     e = T(spark, sf_dir, "embeddings")
     # Build-once-reuse: the index lives outside the query, keyed by the
-    # source dir — exactly the write-time/read-time split IVF exists for.
-    # Deterministic to rebuild (seeded sample, deterministic k-means).
-    key = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    # source dir AND the source file's identity (mtime+size) — the
+    # fixture parquet is regenerated with fresh content at the SAME path
+    # periodically, and a path-only key would silently serve neighbors
+    # from the previous corpus. Deterministic to rebuild (seeded sample,
+    # deterministic k-means).
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     idx = os.path.join(tempfile.gettempdir(), f"m2p_ivf_{key}")
     if not (
         os.path.exists(f"{idx}/data/_SUCCESS")
