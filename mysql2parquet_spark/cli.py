@@ -163,10 +163,25 @@ def main(argv: list[str] | None = None) -> int:
         print(f"missing required flags: {' '.join(missing)}", file=sys.stderr)
         return 1
     if args.merge_into:
-        if args.merge_into.rstrip("/") == (args.parquet or "").rstrip("/"):
+        import os as _os
+
+        # realpath both sides: '/data//snap', './snap', and symlinked
+        # aliases of the snapshot dir must not slip past the guard — the
+        # overwrite-mode export would delete the snapshot being read
+        if _os.path.realpath(args.merge_into) == _os.path.realpath(
+            args.parquet or ""
+        ):
             print(
                 "--parquet must differ from --merge-into (write-audit-"
                 "publish: never overwrite the snapshot being read)",
+                file=sys.stderr,
+            )
+            return 1
+        if args.merge_keys is not None and not [
+            k.strip() for k in args.merge_keys.split(",") if k.strip()
+        ]:
+            print(
+                "--merge-keys must name at least one column",
                 file=sys.stderr,
             )
             return 1
@@ -221,26 +236,31 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
-            if args.cdc_op_column:
-                df = snapshot_apply_cdc(
-                    spark,
-                    args.merge_into,
-                    df,
-                    keys,
-                    op_col=args.cdc_op_column,
-                    seq_col=args.cdc_seq_column,
-                    delete_op=args.cdc_delete_op,
-                    broadcast_source=not args.no_broadcast_delta,
-                )
-            else:
-                df = snapshot_merge(
-                    spark,
-                    args.merge_into,
-                    df,
-                    keys,
-                    broadcast_source=not args.no_broadcast_delta,
-                    order_col=args.order_column,
-                )
+            try:
+                if args.cdc_op_column:
+                    df = snapshot_apply_cdc(
+                        spark,
+                        args.merge_into,
+                        df,
+                        keys,
+                        op_col=args.cdc_op_column,
+                        seq_col=args.cdc_seq_column,
+                        delete_op=args.cdc_delete_op,
+                        broadcast_source=not args.no_broadcast_delta,
+                    )
+                else:
+                    df = snapshot_merge(
+                        spark,
+                        args.merge_into,
+                        df,
+                        keys,
+                        broadcast_source=not args.no_broadcast_delta,
+                        order_col=args.order_column,
+                    )
+            except Exception as e:  # missing snapshot, bad key column, ...
+                msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+                print(f"merge error: {msg}", file=sys.stderr)
+                return 2
         export(
             df,
             args.parquet,

@@ -477,12 +477,17 @@ def publish_snapshot(df: DataFrame, root: str) -> str:
     """Write ``df`` as the NEXT snapshot version and return its path.
 
     Targets max(existing version, committed or not) + 1 with
-    errorifexists semantics: a concurrent publisher racing to the same
-    version fails loudly instead of clobbering, and a crashed partial
-    version is simply skipped forever (it never gets a _SUCCESS, so
-    ``latest_snapshot`` never serves it — garbage-collect offline).
-    The _SUCCESS marker Spark drops on successful job commit is the
-    publish step; readers flip atomically from vN to vN+1.
+    errorifexists semantics; a crashed partial version is simply skipped
+    forever (it never gets a _SUCCESS, so ``latest_snapshot`` never
+    serves it — garbage-collect offline). The _SUCCESS marker Spark
+    drops on successful job commit is the publish step; readers flip
+    atomically from vN to vN+1.
+
+    SINGLE PUBLISHER PER ROOT is assumed (the normal incremental-export
+    deployment: one scheduled job). The exists-check is check-then-act,
+    so two publishers racing the same version can BOTH commit into one
+    directory — true multi-writer atomicity needs an external lock or a
+    table format with an atomic commit protocol (Delta/Iceberg).
     """
     spark = df.sparkSession
     versions = snapshot_versions(spark, root)

@@ -99,7 +99,11 @@ def merge_upsert(
         raise ValueError(f"merge keys missing from target/source: {missing}")
 
     src = source if source_unique else _dedupe_source(source, keys, order_col)
-    src_keys = src.select(*keys).dropDuplicates(keys)
+    # Key set from the RAW source: per-key dedupe doesn't change which
+    # keys exist, and deriving keys from `src` would duplicate the
+    # window/guard subtree into the anti-join side — two delta shuffles
+    # instead of one.
+    src_keys = source.select(*keys).dropDuplicates(keys)
     if broadcast_source:
         src_keys = F.broadcast(src_keys)
     kept = target.join(src_keys, on=keys, how="left_anti")

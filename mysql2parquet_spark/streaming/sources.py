@@ -49,9 +49,21 @@ def _events_ts_is_ns(spark: SparkSession, probe_path: str) -> bool:
     """Probe a parquet footer through the BATCH reader: TIMESTAMP(NANOS)
     surfaces as bigint under the nanosAsLong conf, TIMESTAMP(MICROS) as
     a native (NTZ) timestamp. The stream schema must match the physical
-    file — streaming has no such auto-detection, so we borrow batch's."""
+    file — streaming has no such auto-detection, so we borrow batch's.
+
+    An empty/not-yet-populated source (no footer to probe — the consumer
+    defined the stream before the producer's first file) falls back to
+    the historical NANOS encoding so the stream can still be defined;
+    pass ``ts_is_ns`` explicitly to stream_events_path when the producer
+    writes MICROS and may start late."""
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for f in spark.read.parquet(probe_path).schema.fields:
+    try:
+        schema = spark.read.parquet(probe_path).schema
+    except AnalysisException:
+        return True
+    for f in schema.fields:
         if f.name == "ts":
             return f.dataType.simpleString() == "bigint"
     raise ValueError(f"no ts column in {probe_path}")
@@ -70,13 +82,17 @@ def stream_events_path(
     probe_path: str | None = None,
     glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    ts_is_ns: bool | None = None,
 ) -> DataFrame:
     """Events-shaped parquet under ``directory`` as a file stream, with
     the ts encoding probed from the actual file(s). ``probe_path`` (a
     concrete file/dir the batch reader can open) defaults to
     ``directory`` — pass it when ``glob`` narrows the stream to a subset
-    the bare directory read would not match."""
-    ts_is_ns = _events_ts_is_ns(spark, probe_path or directory)
+    the bare directory read would not match. ``ts_is_ns`` overrides the
+    probe for sources that are empty at stream-definition time (the
+    probe then assumes the historical NANOS encoding)."""
+    if ts_is_ns is None:
+        ts_is_ns = _events_ts_is_ns(spark, probe_path or directory)
     reader = spark.readStream.schema(events_schema(ts_is_ns))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

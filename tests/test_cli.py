@@ -220,3 +220,26 @@ def test_cdc_flags_require_merge_into(capsys):
     )
     assert rc == 1
     assert "require(s) --merge-into" in capsys.readouterr().err
+
+
+def test_merge_path_guard_survives_aliases(capsys, tmp_path):
+    """'/x//snap' vs '/x/snap' (and ./ aliases) must still trip the
+    write-audit-publish guard — a raw string compare would pass and the
+    overwrite export would destroy the snapshot being read."""
+    snap = str(tmp_path / "snap")
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--merge-into", snap, "--merge-keys", "k",
+         "--parquet", str(tmp_path) + "//snap"]
+    )
+    assert rc == 1
+    assert "write-audit-publish" in capsys.readouterr().err
+
+
+def test_merge_blank_keys_and_missing_snapshot_clean_errors(capsys, tmp_path):
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--merge-into", "/tmp/snapX", "--merge-keys", " , "]
+    )
+    assert rc == 1
+    assert "at least one column" in capsys.readouterr().err

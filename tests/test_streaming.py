@@ -181,3 +181,20 @@ def test_parquet_stream_sink_roundtrip(spark, sf_dir, tmp_path):
         .count()
     )
     assert landed.count() == want
+
+
+def test_stream_definable_on_empty_source_dir(spark, tmp_path):
+    """The consumer may define the stream before the producer's first
+    file lands: an empty source dir must not make stream definition
+    throw (probe falls back to the historical NANOS encoding; an
+    explicit ts_is_ns overrides it)."""
+    from mysql2parquet_spark.streaming.sources import stream_events_path
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    df = stream_events_path(spark, str(empty), max_files_per_trigger=1)
+    assert df.isStreaming
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+
+    df2 = stream_events_path(spark, str(empty), ts_is_ns=False)
+    assert df2.isStreaming
