@@ -182,3 +182,58 @@ def test_cdc_stream_folds_into_versioned_snapshots(spark, tmp_path):
     assert snapshot_versions(spark, root) == {0: True, 1: True, 2: True, 3: True}
     final = spark.read.parquet(latest_snapshot(spark, root))
     assert {(r.k, r.name, r.bal) for r in final.collect()} == _ground_truth()
+
+
+def test_cdc_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: fold batch 0, STOP, land two more
+    delta files, restart with the SAME checkpoint — already-processed
+    batches are not re-folded (no duplicate versions) and the final
+    state equals the ground truth."""
+    import glob as _glob
+
+    from mysql2parquet_spark.io import (
+        fold_cdc_snapshot,
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snaproot_r")
+    publish_snapshot(
+        spark.createDataFrame(USERS, "k bigint, name string, bal double"), root
+    )
+
+    staged = str(tmp_path / "staged")
+    _write_delta_files(spark, staged)
+    parts = sorted(_glob.glob(os.path.join(staged, "delta_*.parquet")))
+    live = tmp_path / "live"
+    live.mkdir()
+    os.link(parts[0], live / "delta_000.parquet")  # only batch 0 visible
+
+    ckpt = str(tmp_path / "ckpt_r")
+
+    def fold(batch_df, batch_id):
+        fold_cdc_snapshot(batch_df.sparkSession, root, batch_df, ["k"])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(live))
+        )
+        q = foreach_batch_sink(stream, ckpt, fold)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert snapshot_versions(spark, root) == {0: True, 1: True}
+
+    os.link(parts[1], live / "delta_001.parquet")
+    os.link(parts[2], live / "delta_002.parquet")
+    run_once()  # same checkpoint: batch 0 must NOT re-fold
+
+    assert snapshot_versions(spark, root) == {
+        0: True, 1: True, 2: True, 3: True,
+    }
+    final = spark.read.parquet(latest_snapshot(spark, root))
+    assert {(r.k, r.name, r.bal) for r in final.collect()} == _ground_truth()
