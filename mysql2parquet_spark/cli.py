@@ -28,6 +28,12 @@ Engine extensions (not in the reference):
   event batches (compact to final event per key, apply tombstones);
   --order-column gives plain last-event-wins; --no-broadcast-delta is
   the backfill-sized fallback.
+- versioned snapshots (--snapshot-root): same merge semantics but the
+  engine manages the version paths (io.publish_snapshot: ROOT/v=N dirs,
+  _SUCCESS-committed, readers pin the latest committed). First run
+  bootstraps v=0 from the query result; runs with --merge-keys fold the
+  result in as a delta and publish the next version. One command for
+  the whole nightly-job lifecycle.
 """
 
 from __future__ import annotations
@@ -97,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-broadcast-delta", action="store_true",
                    help="shuffled anti-join instead of broadcasting the "
                         "delta (backfill-sized batches)")
+    p.add_argument("--snapshot-root", default=None,
+                   help="versioned-snapshot mode: publish the query "
+                        "result into ROOT/v=N (bootstrap on first run; "
+                        "with --merge-keys, fold as a delta into the "
+                        "latest committed version). Replaces --parquet/"
+                        "--merge-into path management")
     return p
 
 
@@ -127,6 +139,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         if val is None
     ]
+    if args.snapshot_root:
+        # versioned mode owns the output path; --parquet is not used
+        missing = [m for m in missing if m != "--parquet"]
+        if args.parquet or args.merge_into:
+            print(
+                "--snapshot-root replaces --parquet/--merge-into "
+                "(the engine manages version paths)",
+                file=sys.stderr,
+            )
+            return 1
     if args.tables_dir is None:
         missing += [
             name
@@ -138,7 +160,9 @@ def main(argv: list[str] | None = None) -> int:
         ]
     if args.merge_into and not args.merge_keys:
         missing += ["--merge-keys"]
-    if not args.merge_into:
+    if args.snapshot_root and args.cdc_op_column and not args.merge_keys:
+        missing += ["--merge-keys"]
+    if not args.merge_into and not args.snapshot_root:
         stray = [
             flag
             for flag, val in (
@@ -154,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             # Silently ignoring these would export raw CDC events
             # (deleted keys included) as a "snapshot".
             print(
-                f"{' '.join(stray)} require(s) --merge-into",
+                f"{' '.join(stray)} require(s) --merge-into or --snapshot-root",
                 file=sys.stderr,
             )
             return 1
@@ -162,21 +186,23 @@ def main(argv: list[str] | None = None) -> int:
         parser.print_usage(sys.stderr)
         print(f"missing required flags: {' '.join(missing)}", file=sys.stderr)
         return 1
-    if args.merge_into:
-        import os as _os
+    if args.merge_into or args.snapshot_root:
+        if args.merge_into:
+            import os as _os
 
-        # realpath both sides: '/data//snap', './snap', and symlinked
-        # aliases of the snapshot dir must not slip past the guard — the
-        # overwrite-mode export would delete the snapshot being read
-        if _os.path.realpath(args.merge_into) == _os.path.realpath(
-            args.parquet or ""
-        ):
-            print(
-                "--parquet must differ from --merge-into (write-audit-"
-                "publish: never overwrite the snapshot being read)",
-                file=sys.stderr,
-            )
-            return 1
+            # realpath both sides: '/data//snap', './snap', and symlinked
+            # aliases of the snapshot dir must not slip past the guard —
+            # the overwrite-mode export would delete the snapshot being
+            # read
+            if _os.path.realpath(args.merge_into) == _os.path.realpath(
+                args.parquet or ""
+            ):
+                print(
+                    "--parquet must differ from --merge-into (write-audit-"
+                    "publish: never overwrite the snapshot being read)",
+                    file=sys.stderr,
+                )
+                return 1
         if args.merge_keys is not None and not [
             k.strip() for k in args.merge_keys.split(",") if k.strip()
         ]:
@@ -261,6 +287,64 @@ def main(argv: list[str] | None = None) -> int:
                 msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
                 print(f"merge error: {msg}", file=sys.stderr)
                 return 2
+        if args.snapshot_root:
+            # Versioned-snapshot mode: one command for the whole
+            # lifecycle — first run bootstraps v=0 from the query result;
+            # later runs with --merge-keys fold the result in as a delta
+            # (MERGE or CDC) and publish the next committed version.
+            from mysql2parquet_spark.io import (
+                latest_snapshot,
+                publish_snapshot,
+                snapshot_versions,
+            )
+            from mysql2parquet_spark.operators.merge import (
+                apply_cdc,
+                merge_upsert,
+            )
+            from mysql2parquet_spark.io import read_parquet
+
+            try:
+                committed = [
+                    n
+                    for n, ok in snapshot_versions(
+                        spark, args.snapshot_root
+                    ).items()
+                    if ok
+                ]
+                if committed and args.merge_keys:
+                    keys = [
+                        k.strip()
+                        for k in args.merge_keys.split(",")
+                        if k.strip()
+                    ]
+                    current = read_parquet(
+                        spark, latest_snapshot(spark, args.snapshot_root)
+                    )
+                    if args.cdc_op_column:
+                        df = apply_cdc(
+                            current,
+                            df,
+                            keys,
+                            op_col=args.cdc_op_column,
+                            seq_col=args.cdc_seq_column,
+                            delete_op=args.cdc_delete_op,
+                            broadcast_source=not args.no_broadcast_delta,
+                        )
+                    else:
+                        df = merge_upsert(
+                            current,
+                            df,
+                            keys,
+                            broadcast_source=not args.no_broadcast_delta,
+                            order_col=args.order_column,
+                        )
+                path = publish_snapshot(df, args.snapshot_root)
+            except Exception as e:
+                msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+                print(f"snapshot error: {msg}", file=sys.stderr)
+                return 2
+            print(path)
+            return 0
         export(
             df,
             args.parquet,

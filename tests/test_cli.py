@@ -243,3 +243,55 @@ def test_merge_blank_keys_and_missing_snapshot_clean_errors(capsys, tmp_path):
     )
     assert rc == 1
     assert "at least one column" in capsys.readouterr().err
+
+
+def test_snapshot_root_bootstrap_then_fold(tmp_path, spark):
+    """--snapshot-root lifecycle: first run bootstraps v=0 from the
+    query; second run folds a delta into it and publishes v=1; readers
+    pin the latest committed version throughout."""
+    from mysql2parquet_spark.io import latest_snapshot
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, v string"
+    ).write.parquet(str(tables / "full.parquet"))
+    spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k bigint, v string"
+    ).write.parquet(str(tables / "delta.parquet"))
+
+    root = str(tmp_path / "root")
+
+    def run(query, *extra):
+        return subprocess.run(
+            [
+                sys.executable, "-m", "mysql2parquet_spark.cli",
+                "--tables-dir", str(tables),
+                "--query", query,
+                "--snapshot-root", root,
+                "--master", "local[2]",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    r0 = run("SELECT k, v FROM full")
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    assert r0.stdout.strip().endswith("v=0")
+
+    r1 = run("SELECT k, v FROM delta", "--merge-keys", "k")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert r1.stdout.strip().endswith("v=1")
+
+    latest = latest_snapshot(spark, root)
+    got = {(r.k, r.v) for r in spark.read.parquet(latest).collect()}
+    assert got == {(1, "a"), (2, "B"), (9, "Z")}
+
+
+def test_snapshot_root_rejects_parquet_flag(capsys):
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--snapshot-root", "/tmp/r", "--parquet", "/tmp/o"]
+    )
+    assert rc == 1
+    assert "replaces --parquet" in capsys.readouterr().err
