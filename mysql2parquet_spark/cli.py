@@ -149,6 +149,34 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
+        if args.compat or args.single_file:
+            # the publish path doesn't run the compat projection or the
+            # single-file coalesce — silently unused flags mislead
+            print(
+                "--compat/--single-file are not supported with "
+                "--snapshot-root",
+                file=sys.stderr,
+            )
+            return 1
+        if not args.merge_keys:
+            dependent = [
+                flag
+                for flag, val in (
+                    ("--cdc-op-column", args.cdc_op_column),
+                    ("--cdc-seq-column", args.cdc_seq_column),
+                    ("--order-column", args.order_column),
+                    ("--no-broadcast-delta", args.no_broadcast_delta or None),
+                )
+                if val
+            ]
+            if dependent:
+                # silently ignoring these would publish the raw delta
+                # (CDC events, tombstones included) as a full snapshot
+                print(
+                    f"{' '.join(dependent)} require(s) --merge-keys",
+                    file=sys.stderr,
+                )
+                return 1
     if args.tables_dir is None:
         missing += [
             name
@@ -291,17 +319,21 @@ def main(argv: list[str] | None = None) -> int:
             # Versioned-snapshot mode: one command for the whole
             # lifecycle — first run bootstraps v=0 from the query result;
             # later runs with --merge-keys fold the result in as a delta
-            # (MERGE or CDC) and publish the next committed version.
+            # (MERGE or CDC) and publish the next committed version. The
+            # merge itself goes through the owning helpers
+            # (snapshot_apply_cdc / snapshot_merge) so the snapshot-read
+            # invariants live in one place.
+            import os as _os
+
             from mysql2parquet_spark.io import (
-                latest_snapshot,
+                _VERSION_PREFIX,
                 publish_snapshot,
                 snapshot_versions,
             )
             from mysql2parquet_spark.operators.merge import (
-                apply_cdc,
-                merge_upsert,
+                snapshot_apply_cdc,
+                snapshot_merge,
             )
-            from mysql2parquet_spark.io import read_parquet
 
             try:
                 committed = [
@@ -311,18 +343,31 @@ def main(argv: list[str] | None = None) -> int:
                     ).items()
                     if ok
                 ]
+                if not committed and args.cdc_op_column:
+                    # CDC events are never a valid snapshot: bootstrapping
+                    # would commit op/seq columns and tombstone rows as
+                    # live data
+                    print(
+                        "snapshot error: cannot bootstrap a snapshot from "
+                        "raw CDC events — publish an initial full load "
+                        "first (run once without --cdc-op-column)",
+                        file=sys.stderr,
+                    )
+                    return 2
                 if committed and args.merge_keys:
                     keys = [
                         k.strip()
                         for k in args.merge_keys.split(",")
                         if k.strip()
                     ]
-                    current = read_parquet(
-                        spark, latest_snapshot(spark, args.snapshot_root)
+                    latest = _os.path.join(
+                        args.snapshot_root,
+                        f"{_VERSION_PREFIX}{max(committed)}",
                     )
                     if args.cdc_op_column:
-                        df = apply_cdc(
-                            current,
+                        df = snapshot_apply_cdc(
+                            spark,
+                            latest,
                             df,
                             keys,
                             op_col=args.cdc_op_column,
@@ -331,8 +376,9 @@ def main(argv: list[str] | None = None) -> int:
                             broadcast_source=not args.no_broadcast_delta,
                         )
                     else:
-                        df = merge_upsert(
-                            current,
+                        df = snapshot_merge(
+                            spark,
+                            latest,
                             df,
                             keys,
                             broadcast_source=not args.no_broadcast_delta,

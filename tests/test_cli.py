@@ -295,3 +295,47 @@ def test_snapshot_root_rejects_parquet_flag(capsys):
     )
     assert rc == 1
     assert "replaces --parquet" in capsys.readouterr().err
+
+
+def test_snapshot_root_validation_gaps_closed(capsys):
+    """Review findings: CDC bootstrap, merge-dependent flags without
+    --merge-keys, and --compat/--single-file must all fail loudly in
+    snapshot-root mode instead of publishing something wrong."""
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--snapshot-root", "/tmp/r", "--order-column", "seq"]
+    )
+    assert rc == 1
+    assert "require(s) --merge-keys" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--snapshot-root", "/tmp/r", "--compat"]
+    )
+    assert rc == 1
+    assert "not supported with" in capsys.readouterr().err
+
+
+def test_snapshot_root_refuses_cdc_bootstrap(tmp_path, spark):
+    """A fresh root + CDC flags must NOT publish raw events as v=0."""
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "x", "I", 1)], "k bigint, v string, op string, seq bigint"
+    ).write.parquet(str(tables / "cdc.parquet"))
+    root = tmp_path / "freshroot"
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "mysql2parquet_spark.cli",
+            "--tables-dir", str(tables),
+            "--query", "SELECT * FROM cdc",
+            "--snapshot-root", str(root),
+            "--merge-keys", "k",
+            "--cdc-op-column", "op", "--cdc-seq-column", "seq",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 2, rc.stderr[-1500:]
+    assert "cannot bootstrap" in rc.stderr
+    assert not (root / "v=0").exists()  # nothing published
