@@ -30,10 +30,17 @@ Engine extensions (not in the reference):
   the backfill-sized fallback.
 - versioned snapshots (--snapshot-root): same merge semantics but the
   engine manages the version paths (io.publish_snapshot: ROOT/v=N dirs,
-  _SUCCESS-committed, readers pin the latest committed). First run
+  _SUCCESS-committed, readers pin the latest committed; version
+  allocation claim-locked against concurrent publishers). First run
   bootstraps v=0 from the query result; runs with --merge-keys fold the
-  result in as a delta and publish the next version. One command for
+  result in as a delta and publish the next version. --keep-versions N
+  vacuums old committed versions after each publish. One command for
   the whole nightly-job lifecycle.
+- streaming CDC (--stream-events + --checkpoint): fold every CDC delta
+  parquet file landed in a directory into --snapshot-root, one
+  committed version per file, exactly-once across restarts via the
+  streaming checkpoint (foreachBatch → io.fold_cdc_snapshot). Drains
+  what's landed and exits; rerunning catches up on new files only.
 """
 
 from __future__ import annotations
@@ -108,7 +115,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "result into ROOT/v=N (bootstrap on first run; "
                         "with --merge-keys, fold as a delta into the "
                         "latest committed version). Replaces --parquet/"
-                        "--merge-into path management")
+                        "--merge-into path management. Version "
+                        "allocation is claim-locked: concurrent "
+                        "publishers on one root fail loudly rather "
+                        "than corrupt the ledger")
+    p.add_argument("--keep-versions", type=int, default=None,
+                   help="with --snapshot-root: after publishing, vacuum "
+                        "committed versions older than the newest N "
+                        "(never the latest; never an uncommitted dir)")
+    p.add_argument("--stream-events", default=None,
+                   help="streaming CDC mode: watch this landing "
+                        "directory for CDC delta parquet files and fold "
+                        "each one into --snapshot-root as the next "
+                        "version (foreachBatch, exactly-once via "
+                        "--checkpoint; processes everything landed, "
+                        "then exits — rerun to catch up). Replaces "
+                        "--query; requires --snapshot-root "
+                        "--merge-keys --cdc-op-column --cdc-seq-column "
+                        "--checkpoint and an already-bootstrapped root")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir (with --stream-events); "
+                        "reusing it across runs is what makes restarts "
+                        "exactly-once")
     return p
 
 
@@ -121,6 +149,90 @@ def _split_session_prelude(query: str) -> tuple[str | None, str]:
         return None, query
     sets = [s for s in parts[:-1] if s.upper().startswith("SET ")]
     return ("; ".join(sets) or None), parts[-1]
+
+
+def _run_stream_cdc(spark, args) -> int:
+    """--stream-events: the proven streaming CDC fold (tests/
+    test_cdc_e2e.py — foreachBatch + fold_cdc_snapshot, exactly-once
+    across restarts via the checkpoint), exposed as a CLI surface. Each
+    landed delta file becomes one committed snapshot version
+    (maxFilesPerTrigger=1); the run drains everything currently landed
+    and exits — the reference's nightly cron (main.go:87-165) becomes
+    "rerun to catch up", processing only what's new."""
+    from mysql2parquet_spark.io import (
+        fold_cdc_snapshot,
+        latest_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+    from mysql2parquet_spark.streaming.sources import foreach_batch_sink
+
+    committed = [
+        n
+        for n, ok in snapshot_versions(spark, args.snapshot_root).items()
+        if ok
+    ]
+    if not committed:
+        print(
+            "snapshot error: cannot stream CDC into an empty root — "
+            "publish an initial full load first (run once with --query "
+            "and without CDC flags)",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        # Schema from the files already landed: a file stream needs a
+        # declared schema, and the deltas themselves are the contract.
+        schema = spark.read.parquet(args.stream_events).schema
+    except Exception as e:
+        msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+        print(
+            f"stream error: no readable delta files under "
+            f"{args.stream_events}: {msg}",
+            file=sys.stderr,
+        )
+        return 2
+    keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return  # no-op trigger must not publish a no-op version
+        fold_cdc_snapshot(
+            batch_df.sparkSession,
+            args.snapshot_root,
+            batch_df,
+            keys,
+            op_col=args.cdc_op_column,
+            seq_col=args.cdc_seq_column,
+            delete_op=args.cdc_delete_op,
+            broadcast_source=not args.no_broadcast_delta,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(args.stream_events)
+    )
+    q = foreach_batch_sink(stream, args.checkpoint, fold)
+    try:
+        q.processAllAvailable()
+    except Exception as e:
+        msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+        print(f"stream error: {msg}", file=sys.stderr)
+        return 2
+    finally:
+        q.stop()
+    if args.keep_versions is not None:
+        dropped = vacuum_snapshots(
+            spark, args.snapshot_root, args.keep_versions
+        )
+        if dropped:
+            print(
+                "vacuumed versions: " + ", ".join(str(n) for n in dropped),
+                file=sys.stderr,
+            )
+    print(latest_snapshot(spark, args.snapshot_root))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -139,6 +251,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         if val is None
     ]
+    if args.stream_events:
+        need = [
+            name
+            for name, val in (
+                ("--snapshot-root", args.snapshot_root),
+                ("--merge-keys", args.merge_keys),
+                ("--cdc-op-column", args.cdc_op_column),
+                ("--cdc-seq-column", args.cdc_seq_column),
+                ("--checkpoint", args.checkpoint),
+            )
+            if not val
+        ]
+        if need:
+            print(
+                f"--stream-events requires {' '.join(need)}",
+                file=sys.stderr,
+            )
+            return 1
+        if args.query:
+            print(
+                "--stream-events replaces --query (the landing "
+                "directory is the source)",
+                file=sys.stderr,
+            )
+            return 1
+        missing = [m for m in missing if m != "--query"]
+    elif args.checkpoint:
+        print("--checkpoint requires --stream-events", file=sys.stderr)
+        return 1
     if args.snapshot_root:
         # versioned mode owns the output path; --parquet is not used
         missing = [m for m in missing if m != "--parquet"]
@@ -149,12 +290,21 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if args.compat or args.single_file:
-            # the publish path doesn't run the compat projection or the
-            # single-file coalesce — silently unused flags mislead
+        if args.compat or args.single_file or args.partition_by:
+            # the publish path doesn't run the compat projection, the
+            # single-file coalesce, or hive partitioning — silently
+            # unused flags mislead (a user asking for partitioned output
+            # would get an unpartitioned snapshot with no warning)
             print(
-                "--compat/--single-file are not supported with "
-                "--snapshot-root",
+                "--compat/--single-file/--partition-by are not supported "
+                "with --snapshot-root",
+                file=sys.stderr,
+            )
+            return 1
+        if args.keep_versions is not None and args.keep_versions < 1:
+            print(
+                "--keep-versions must be >= 1 (the latest committed "
+                "version is never deleted)",
                 file=sys.stderr,
             )
             return 1
@@ -177,7 +327,7 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 1
-    if args.tables_dir is None:
+    if args.tables_dir is None and args.stream_events is None:
         missing += [
             name
             for name, val in (
@@ -186,6 +336,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             if val is None
         ]
+    if args.keep_versions is not None and not args.snapshot_root:
+        print(
+            "--keep-versions requires --snapshot-root (only the "
+            "versioned layout has versions to vacuum)",
+            file=sys.stderr,
+        )
+        return 1
     if args.merge_into and not args.merge_keys:
         missing += ["--merge-keys"]
     if args.snapshot_root and args.cdc_op_column and not args.merge_keys:
@@ -259,6 +416,8 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("mysql2parquet-spark-cli", master=args.master)
     try:
+        if args.stream_events:
+            return _run_stream_cdc(spark, args)
         if args.tables_dir:
             register_tables(spark, args.tables_dir)
             try:
@@ -329,8 +488,10 @@ def main(argv: list[str] | None = None) -> int:
                 _VERSION_PREFIX,
                 publish_snapshot,
                 snapshot_versions,
+                vacuum_snapshots,
             )
             from mysql2parquet_spark.operators.merge import (
+                _dedupe_source,
                 snapshot_apply_cdc,
                 snapshot_merge,
             )
@@ -354,6 +515,19 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 2
+                if not committed and args.merge_keys:
+                    # Bootstrap with merge keys declared: the first batch
+                    # must honor the same key-uniqueness contract later
+                    # folds enforce — resolve duplicates last-event-wins
+                    # via --order-column, or fail on them like strict
+                    # MERGE would. Otherwise a duplicated-key v=0 gets
+                    # committed and carried forward by every later fold.
+                    keys = [
+                        k.strip()
+                        for k in args.merge_keys.split(",")
+                        if k.strip()
+                    ]
+                    df = _dedupe_source(df, keys, args.order_column)
                 if committed and args.merge_keys:
                     keys = [
                         k.strip()
@@ -385,6 +559,16 @@ def main(argv: list[str] | None = None) -> int:
                             order_col=args.order_column,
                         )
                 path = publish_snapshot(df, args.snapshot_root)
+                if args.keep_versions is not None:
+                    dropped = vacuum_snapshots(
+                        spark, args.snapshot_root, args.keep_versions
+                    )
+                    if dropped:
+                        print(
+                            "vacuumed versions: "
+                            + ", ".join(str(n) for n in dropped),
+                            file=sys.stderr,
+                        )
             except Exception as e:
                 msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
                 print(f"snapshot error: {msg}", file=sys.stderr)

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,15 +106,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         name = entry[: -len(".parquet")]
         if name in out or not name.isidentifier():
             continue  # non-identifier stems can't be SQL view names
-        try:
-            out[name] = read_parquet(spark, os.path.join(sf_dir, entry))
-        except AnalysisException:
-            # stray entry with no readable footer (empty dir, non-parquet
-            # content). ONLY AnalysisException: IO/permission errors on a
-            # genuinely referenced table must surface as themselves, not
-            # as a misleading downstream TABLE_OR_VIEW_NOT_FOUND.
+        path = os.path.join(sf_dir, entry)
+        if not _has_data_files(path):
+            # genuinely empty entry (empty dir / zero-byte file): nothing
+            # to register, skip quietly
             continue
+        # Entries WITH data are read without a catch: a corrupt footer
+        # raises AnalysisException too, and swallowing it here would
+        # surface as a misleading TABLE_OR_VIEW_NOT_FOUND when the query
+        # references the table — the parquet error itself must propagate.
+        out[name] = read_parquet(spark, path)
     return out
+
+
+def _has_data_files(path: str) -> bool:
+    """True if ``path`` is a non-empty file or a directory containing at
+    least one non-empty, non-hidden data file (``_SUCCESS``/dotfiles
+    don't count) — the precondition for attempting a parquet read."""
+    if os.path.isfile(path):
+        return os.path.getsize(path) > 0
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in filenames:
+            if f.startswith((".", "_")):
+                continue
+            if os.path.getsize(os.path.join(dirpath, f)) > 0:
+                return True
+    return False
 
 
 def register_tables(
@@ -473,28 +490,130 @@ def latest_snapshot(spark: SparkSession, root: str) -> str:
     return os.path.join(root, f"{_VERSION_PREFIX}{max(committed)}")
 
 
+_CLAIM_SUFFIX = ".claim"
+
+
+def _claimed_versions(jvm, fs, hroot) -> set[int]:
+    """Version numbers with a ``v=N.claim`` sentinel under ``root`` —
+    claimed by some publisher (committed, in-flight, or crashed)."""
+    if not fs.exists(hroot):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if not (
+            st.isFile()
+            and name.startswith(_VERSION_PREFIX)
+            and name.endswith(_CLAIM_SUFFIX)
+        ):
+            continue
+        try:
+            out.add(int(name[len(_VERSION_PREFIX):-len(_CLAIM_SUFFIX)]))
+        except ValueError:
+            continue
+    return out
+
+
 def publish_snapshot(df: DataFrame, root: str) -> str:
     """Write ``df`` as the NEXT snapshot version and return its path.
 
-    Targets max(existing version, committed or not) + 1 with
-    errorifexists semantics; a crashed partial version is simply skipped
-    forever (it never gets a _SUCCESS, so ``latest_snapshot`` never
-    serves it — garbage-collect offline). The _SUCCESS marker Spark
-    drops on successful job commit is the publish step; readers flip
-    atomically from vN to vN+1.
+    Version allocation is protected by an atomic CLAIM sentinel: the
+    publisher targets max(existing ∪ claimed) + 1 and must win
+    ``FileSystem.createNewFile`` on ``v=N.claim`` (O_EXCL semantics on
+    local FS, atomic create-if-absent on HDFS) before writing. Two
+    concurrent publishers racing the same version therefore cannot both
+    write into one directory — exactly one wins the claim; the loser
+    raises a clean error instead of corrupting the ledger. (True
+    multi-writer TRANSACTIONS — e.g. merge-then-publish read-write
+    conflicts — still need a table format with a commit protocol
+    (Delta/Iceberg); the claim only serializes version allocation.)
 
-    SINGLE PUBLISHER PER ROOT is assumed (the normal incremental-export
-    deployment: one scheduled job). The exists-check is check-then-act,
-    so two publishers racing the same version can BOTH commit into one
-    directory — true multi-writer atomicity needs an external lock or a
-    table format with an atomic commit protocol (Delta/Iceberg).
+    A crashed publisher leaves a claim (and possibly a partial dir) that
+    skips its version number forever: it never gets a _SUCCESS, so
+    ``latest_snapshot`` never serves it; ``vacuum_snapshots`` removes
+    dead claims below the retention cut. The _SUCCESS marker Spark drops
+    on successful job commit is the publish step; readers flip
+    atomically from vN to vN+1.
     """
     spark = df.sparkSession
+    jvm = spark._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
     versions = snapshot_versions(spark, root)
-    nxt = (max(versions) + 1) if versions else 0
+    claimed = _claimed_versions(jvm, fs, hroot)
+    nxt = max(set(versions) | claimed, default=-1) + 1
+    fs.mkdirs(hroot)
+    claim = jvm.org.apache.hadoop.fs.Path(
+        hroot, f"{_VERSION_PREFIX}{nxt}{_CLAIM_SUFFIX}"
+    )
+    if not fs.createNewFile(claim):
+        raise RuntimeError(
+            f"concurrent publisher detected: version {nxt} already "
+            f"claimed under {root} — exactly one publisher may allocate "
+            "a version; re-run to target the next one"
+        )
     path = os.path.join(root, f"{_VERSION_PREFIX}{nxt}")
     df.write.mode("error").parquet(path)
     return path
+
+
+def vacuum_snapshots(spark: SparkSession, root: str, keep: int) -> list[int]:
+    """Delete committed snapshot versions older than the newest ``keep``
+    and return the deleted version numbers (sorted).
+
+    Retention for the nightly incremental-export loop: without it,
+    ``--snapshot-root`` accumulates ``v=N`` directories forever. Safety
+    contract:
+
+    - ``keep >= 1`` — the latest committed version is NEVER deleted.
+    - Only COMMITTED (_SUCCESS-marked) directories below the cut are
+      removed; an uncommitted dir is never touched — it may be a
+      publisher mid-write, and a crashed partial is invisible to
+      readers anyway (garbage-collect those offline, with the publisher
+      stopped).
+    - A root with no committed version refuses to vacuum (FileNotFoundError)
+      rather than silently no-op on a half-written layout.
+    - Dead claim sentinels below the cut are removed with their versions.
+    """
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    jvm = spark._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    versions = snapshot_versions(spark, root)
+    committed = sorted(n for n, ok in versions.items() if ok)
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed snapshot under {root} — refusing to vacuum"
+        )
+    if len(committed) <= keep:
+        return []
+    cut = committed[-keep]  # oldest version that survives
+    deleted: list[int] = []
+    for n in committed:
+        if n >= cut:
+            continue
+        vdir = jvm.org.apache.hadoop.fs.Path(
+            hroot, f"{_VERSION_PREFIX}{n}"
+        )
+        fs.delete(vdir, True)
+        claim = jvm.org.apache.hadoop.fs.Path(
+            hroot, f"{_VERSION_PREFIX}{n}{_CLAIM_SUFFIX}"
+        )
+        if fs.exists(claim):
+            fs.delete(claim, False)
+        deleted.append(n)
+    # Dead claims with no directory at all (publisher crashed before
+    # writing) below the cut are ledger noise — sweep them too.
+    for n in _claimed_versions(jvm, fs, hroot):
+        if n < cut and n not in versions:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    hroot, f"{_VERSION_PREFIX}{n}{_CLAIM_SUFFIX}"
+                ),
+                False,
+            )
+    return deleted
 
 
 def fold_cdc_snapshot(

@@ -48,77 +48,79 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (B1-B35, asof) AND every Tier C / LLM-pipeline component (C1-C6, tpch
 # composites).  Variant queries beyond the head stay registered — the local
 # gate (tests/test_oracle_parity.py) still checks all of them.
-# ROTATION (r4, VERDICT r3 ask #3): give never-driver-checked queries their
-# first external adjudication. 14 queries that have never held a head slot
-# rotate IN (agg_salted, date_parts, json_struct, tpch_q5/q10_shape,
-# sample_stratified, ann_lsh_topk, embedding_project,
-# dedup_minhash_verified, dedup_ngram_jaccard, text_bm25/top_terms/
-# repetition/normalize), plus the three r4-wired operators (merge_upsert,
-# pipeline_shuffle, text_pii). Displaced: thrice-proven rows whose
-# component stays covered by a sibling in the head (join_inner/broadcast →
-# join_multiway evidences B6+B7; str_funcs → text_normalize for B22;
-# date_funcs → date_parts; json_funcs → json_struct; agg_group/pivot →
-# agg_percentile+agg_salted; tpch_q6/q3 → q5/q10) and rows-only entries
-# whose driver row carries no hash information anyway (dedup_minhash,
-# dedup_simhash, ann_ivf_persisted — all quality-gated in pytest, minhash
-# perf still tracked in bench). Per-round history: ROTATION.md. Every
-# SURVEY §2 / Tier C component keeps at least one head entry — asserted by
-# tests/test_registry.py.
+# ROTATION (r5, VERDICT r4 ask #2): FINISH the rotation program — the last
+# 12 never-driver-checked queries (gen_rotation NEXT_ROUND_BACKLOG as of
+# r4) all take head slots this round, after which every one of the 103
+# registered queries has ≥1 driver adjudication across r1–r5. Rotated IN:
+# dedup_embedding, multimodal_frames, dedup_minhash_cc, dedup_minhash_ml,
+# similarity_pairs, similarity_pairs_blocked, stream_rollup_batch,
+# text_fingerprint_winnow, text_stats, text_termfreq, text_tokens,
+# text_tokens_regex. agg_salted KEEPS its slot for re-adjudication after
+# the r4 decimal-shape fix. Displaced (all with ≥1 green driver row, most
+# 3×-proven; component coverage preserved by an in-head sibling or — for
+# B13 only — by agg_distinct's 4× green history, per the proven-component
+# rule in tests/test_registry.py): agg_percentile, agg_distinct,
+# stream_sliding_batch, dedup_minhash_verified, ann_lsh_topk,
+# embedding_project, text_bm25, text_top_terms, text_repetition,
+# multimodal_binary, sample_stratified, tpch_q10_shape. Per-round
+# history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # B-tier: one-ish query per component
     "scan_project",       # B1
     "expr_arith",         # B4 + B26 (casts)
-    "filter_like",        # B5 (r3 green; filter_pred r1+r2 green)
+    "filter_like",        # B5 (r3+r4 green; filter_pred r1+r2 green)
     "join_left",          # B8
     "join_semi",          # B9
     "join_range",         # B10
     "join_multiway",      # B11 (also evidences B6 inner chain + B7 dims)
     "join_asof",          # as-of join (custom operator)
-    "agg_percentile",     # B12
-    "agg_salted",         # B12 skew-salted variant (first driver check)
-    "agg_distinct",       # B13
+    "agg_salted",         # B12 skew-salted (r4 FAIL was output shape —
+                          # now ROUND(CAST AS DOUBLE,2); re-adjudicate)
     "agg_cube",           # B14 (agg_rollup r1+r2, grouping_sets r3 green)
     "agg_having",         # B15
-    "window_percent",     # B16 (r3 green; window_rank r1+r2 green)
-    "window_analytic",    # B17 (r3 green; window_lag r1+r2 green)
+    "window_percent",     # B16 (r3+r4 green; window_rank r1+r2 green)
+    "window_analytic",    # B17 (r3+r4 green; window_lag r1+r2 green)
     "window_range_frame", # B18 (time RANGE frame)
     "sort_nulls",         # B19
-    "sort_limit_offset",  # B20 (r3 green; sort_limit_topk r1+r2 green)
+    "sort_limit_offset",  # B20 (r3+r4 green; sort_limit_topk r1+r2)
     "set_ops",            # B21 (UNION ALL + INTERSECT + EXCEPT composite)
-    "date_parts",         # B23 (first driver check; date_funcs 3x green)
+    "date_parts",         # B23 (r4 green; date_funcs 3x green)
     "math_funcs",         # B24
     "cond_funcs",         # B25
-    "json_struct",        # B27 (first driver check; json_funcs 3x green)
+    "json_struct",        # B27 (r4 green; json_funcs 3x green)
     "array_funcs",        # B28
     "subquery_cte",       # B29
-    "udf_grouped",        # B30 (r3 green; udf_pandas r1+r2 green)
-    "stream_sliding_batch",   # B32 (r3 green; tumbling r1+r2 green)
+    "udf_grouped",        # B30 (r3+r4 green; udf_pandas r1+r2 green)
+    "stream_rollup_batch",    # B32 chained windowed rollup (first check;
+                              # sliding 3x green, tumbling r1+r2 green)
     "stream_session_batch",   # B33
     "stream_dedup_batch",     # B35
     "stream_enrich_batch",    # B31 stream-static enrichment
     # Tier C / LLM-pipeline components
     "dedup_exact",          # C1
-    "dedup_minhash_verified",  # C2 two-stage LSH+verify (first check)
-    "dedup_ngram_jaccard",  # C2 exact-jaccard (first driver check)
-    "ann_lsh_topk",         # C3 LSH ANN (first driver check)
-    "embedding_project",    # C3 JL projection (first driver check)
-    "embedding_quantize",   # C3 int8 quantization (r3 row ERRORED on
-                            # array shape — now posexploded to scalars)
-    "text_bm25",            # C4 BM25 scoring (first driver check)
-    "text_top_terms",       # C4 per-lang top-k terms (first check)
-    "text_repetition",      # C4 intra-doc repetition (first check)
-    "text_normalize",       # C4 + B22 string canonicalization (first)
-    "text_pii",             # PII redaction (r4 wired operator)
-    "multimodal_binary",    # C5
-    "sample_stratified",    # C6 stratified sampling (first driver check)
+    "dedup_ngram_jaccard",  # C2 exact-jaccard (r4 green)
+    "dedup_embedding",      # C2 semantic cosine dedup (first check)
+    "dedup_minhash_cc",     # C2 connected-components (first, rows-only)
+    "dedup_minhash_ml",     # C2 Spark-ML LSH (first check, rows-only)
+    "similarity_pairs",     # C3 exact cosine pairs (first driver check)
+    "similarity_pairs_blocked",  # C3 blocked pair join (first check)
+    "embedding_quantize",   # C3 int8 quantization (r4 green)
+    "text_stats",           # C4 per-lang doc stats (first driver check)
+    "text_termfreq",        # C4 term frequency (first driver check)
+    "text_tokens",          # C4 token counting (first driver check)
+    "text_tokens_regex",    # C4 BPE-ish tokenizer (first driver check)
+    "text_fingerprint_winnow",  # C4 winnowing (first, rows-only)
+    "text_normalize",       # C4 + B22 string canonicalization (r4 green)
+    "text_pii",             # PII redaction (r4 green)
+    "multimodal_frames",    # C5 frame-sampling fan-out (first, rows-only;
+                            # multimodal_binary hash-green r4)
     "pipeline_pack",        # C6 (sequence packing)
     "pipeline_decontaminate",  # C6 (eval decontamination)
     "pipeline_chunk",       # C6 (context-window chunking)
-    "pipeline_shuffle",     # C6 corpus shuffle+shard (r4 wired operator)
-    "merge_upsert",         # MERGE/CDC incremental export (r4 wired)
+    "pipeline_shuffle",     # C6 corpus shuffle+shard (r4 green)
+    "merge_upsert",         # MERGE/CDC incremental export (r4 green)
     # TPC-H composites
-    "tpch_q5_shape",        # first driver check (q6/q3 3x green)
-    "tpch_q10_shape",       # first driver check
+    "tpch_q5_shape",        # r4 green (q6/q3 3x green, q10 r4 green)
 )
 
 

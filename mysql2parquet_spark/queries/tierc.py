@@ -605,7 +605,7 @@ def sample_split(spark, sf_dir):
     """
     SELECT o_orderstatus,
            CAST(cnt AS BIGINT) AS cnt,
-           CAST(total AS DECIMAL(18,2)) AS total
+           ROUND(CAST(total AS DOUBLE), 2) AS total
     FROM (
       SELECT o_orderstatus, COUNT(*) AS cnt,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
@@ -615,7 +615,10 @@ def sample_split(spark, sf_dir):
     "C6: skew-salted two-phase aggregation (operators/scale.py) — the "
     "answer when one hot key melts a reducer and AQE can't split a "
     "single key. Oracle = the plain GROUP BY: salting must be "
-    "semantically invisible.",
+    "semantically invisible. The sum is decimal-exact internally; the "
+    "DECLARED column is ROUND(CAST(... AS DOUBLE), 2) per the SURVEY "
+    "§2.2 determinism rule — a top-level DECIMAL tripped the driver "
+    "canonicalizer in r4 (values were bit-identical; shape was not).",
 )
 def agg_salted(spark, sf_dir):
     from mysql2parquet_spark.operators.scale import salted_group_count
@@ -629,7 +632,7 @@ def agg_salted(spark, sf_dir):
     return out.select(
         "o_orderstatus",
         F.col("cnt").cast("long").alias("cnt"),
-        F.col("total").cast("decimal(18,2)").alias("total"),
+        F.round(F.col("total").cast("double"), 2).alias("total"),
     )
 
 

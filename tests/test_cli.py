@@ -339,3 +339,218 @@ def test_snapshot_root_refuses_cdc_bootstrap(tmp_path, spark):
     assert rc.returncode == 2, rc.stderr[-1500:]
     assert "cannot bootstrap" in rc.stderr
     assert not (root / "v=0").exists()  # nothing published
+
+
+def test_snapshot_root_rejects_partition_by_and_bad_keep(capsys):
+    """ADVICE r4: --partition-by was silently ignored in snapshot-root
+    mode (a user asking for hive-partitioned output got an unpartitioned
+    snapshot, no warning) — now rejected like --compat/--single-file.
+    --keep-versions is validated up front too."""
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--snapshot-root", "/tmp/r", "--partition-by", "dt"]
+    )
+    assert rc == 1
+    assert "not supported with" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--snapshot-root", "/tmp/r", "--keep-versions", "0"]
+    )
+    assert rc == 1
+    assert "--keep-versions must be >= 1" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q",
+         "--parquet", "/tmp/o", "--keep-versions", "2"]
+    )
+    assert rc == 1
+    assert "requires --snapshot-root" in capsys.readouterr().err
+
+
+def test_snapshot_root_bootstrap_dedupes_on_merge_keys(tmp_path, spark):
+    """ADVICE r4: a fresh root with --merge-keys must apply the same
+    key-uniqueness contract to the BOOTSTRAP batch that later folds
+    enforce — duplicate keys error strictly, or resolve last-event-wins
+    with --order-column; a duplicated-key v=0 must never be committed.
+    Also exercises --keep-versions retention in the same lifecycle."""
+    from mysql2parquet_spark.io import latest_snapshot, snapshot_versions
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "b", 1)],
+        "k bigint, v string, seq bigint",
+    ).write.parquet(str(tables / "dup.parquet"))
+    spark.createDataFrame(
+        [(2, "B2", 3)], "k bigint, v string, seq bigint"
+    ).write.parquet(str(tables / "delta.parquet"))
+
+    root = str(tmp_path / "root")
+
+    def run(query, *extra):
+        return subprocess.run(
+            [
+                sys.executable, "-m", "mysql2parquet_spark.cli",
+                "--tables-dir", str(tables),
+                "--query", query,
+                "--snapshot-root", root,
+                "--master", "local[2]",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    # strict bootstrap: duplicate key 1 must fail, nothing committed
+    r_strict = run("SELECT k, v, seq FROM dup", "--merge-keys", "k")
+    assert r_strict.returncode == 2, r_strict.stderr[-1500:]
+    assert "multiple source rows" in r_strict.stderr
+    assert snapshot_versions(spark, root) in ({}, {0: False})
+
+    # last-event-wins bootstrap commits one row per key
+    r0 = run(
+        "SELECT k, v, seq FROM dup",
+        "--merge-keys", "k", "--order-column", "seq",
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    got = {
+        (r.k, r.v)
+        for r in spark.read.parquet(latest_snapshot(spark, root)).collect()
+    }
+    assert got == {(1, "new"), (2, "b")}
+
+    # two more folds with --keep-versions 2: old versions vacuumed,
+    # latest survives
+    for _ in range(2):
+        r = run(
+            "SELECT k, v, seq FROM delta",
+            "--merge-keys", "k", "--order-column", "seq",
+            "--keep-versions", "2",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    versions = snapshot_versions(spark, root)
+    committed = sorted(n for n, ok in versions.items() if ok)
+    assert len(committed) == 2 and max(committed) == committed[-1]
+    got = {
+        (r.k, r.v)
+        for r in spark.read.parquet(latest_snapshot(spark, root)).collect()
+    }
+    assert got == {(1, "new"), (2, "B2")}
+
+
+def test_stream_events_flag_validation(capsys):
+    rc = main(["--stream-events", "/tmp/landing"])
+    assert rc == 1
+    assert "--stream-events requires" in capsys.readouterr().err
+
+    rc = main(
+        ["--stream-events", "/tmp/landing", "--snapshot-root", "/tmp/r",
+         "--merge-keys", "k", "--cdc-op-column", "op",
+         "--cdc-seq-column", "seq", "--checkpoint", "/tmp/c",
+         "--query", "SELECT 1"]
+    )
+    assert rc == 1
+    assert "replaces --query" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--checkpoint", "/tmp/c"]
+    )
+    assert rc == 1
+    assert "--checkpoint requires --stream-events" in capsys.readouterr().err
+
+
+def test_end_to_end_stream_cdc_with_restart(tmp_path, spark):
+    """VERDICT r4 ask #5: the proven streaming CDC fold, driven through
+    the CLI. Land delta files → run → land more → RERUN with the same
+    checkpoint: already-folded batches are not re-folded (versions stay
+    contiguous, one per delta file) and the final snapshot equals the
+    ground truth of replaying every event in sequence order."""
+    import glob as _glob
+    import os
+    import time
+
+    from mysql2parquet_spark.io import latest_snapshot, snapshot_versions
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "ann", 10.0), (2, "bo", 20.0), (3, "cy", 30.0)],
+        "k bigint, name string, bal double",
+    ).write.parquet(str(tables / "users.parquet"))
+
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    schema = "k bigint, name string, bal double, op string, seq bigint"
+    batches = [
+        [(2, "bo2", 21.0, "U", 101), (4, "di", 40.0, "I", 102)],
+        [(1, None, None, "D", 201), (4, "di2", 41.0, "U", 202)],
+        [(4, None, None, "D", 301), (4, "di3", 42.0, "I", 302)],
+    ]
+
+    def land(i):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(batches[i], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = _glob.glob(staging + "/part-*.parquet")
+        dst = os.path.join(landing, f"delta_{i:03d}.parquet")
+        os.replace(part, dst)
+        t = int(time.time()) - 3600 + 10 * i
+        os.utime(dst, (t, t))
+
+    def run_cli(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "mysql2parquet_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    # streaming into an empty root is refused (CDC can't bootstrap)
+    r = run_cli(
+        "--stream-events", landing, "--snapshot-root", root,
+        "--merge-keys", "k", "--cdc-op-column", "op",
+        "--cdc-seq-column", "seq", "--checkpoint", ckpt,
+    )
+    assert r.returncode == 2, r.stderr[-1500:]
+    assert "cannot stream CDC into an empty root" in r.stderr
+
+    # bootstrap v=0 from the full table
+    r0 = run_cli(
+        "--tables-dir", str(tables), "--query", "SELECT * FROM users",
+        "--snapshot-root", root,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+
+    # land two deltas, stream them: one version per file
+    land(0)
+    land(1)
+    r1 = run_cli(
+        "--stream-events", landing, "--snapshot-root", root,
+        "--merge-keys", "k", "--cdc-op-column", "op",
+        "--cdc-seq-column", "seq", "--checkpoint", ckpt,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert r1.stdout.strip().endswith("v=2")
+    assert snapshot_versions(spark, root) == {0: True, 1: True, 2: True}
+
+    # restart after landing one more: only the new file is folded
+    land(2)
+    r2 = run_cli(
+        "--stream-events", landing, "--snapshot-root", root,
+        "--merge-keys", "k", "--cdc-op-column", "op",
+        "--cdc-seq-column", "seq", "--checkpoint", ckpt,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.strip().endswith("v=3")
+    versions = snapshot_versions(spark, root)
+    assert versions == {0: True, 1: True, 2: True, 3: True}
+
+    got = {
+        (r_.k, r_.name, r_.bal)
+        for r_ in spark.read.parquet(latest_snapshot(spark, root)).collect()
+    }
+    assert got == {(2, "bo2", 21.0), (3, "cy", 30.0), (4, "di3", 42.0)}

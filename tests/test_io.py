@@ -274,3 +274,145 @@ def test_fold_cdc_snapshot_end_to_end(spark, tmp_path):
     assert p == latest_snapshot(spark, root)
     got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
     assert got == {(1, "a"), (3, "c")}
+
+
+def test_publish_claim_blocks_concurrent_publisher(spark, tmp_path):
+    """Interleaved publishers, both targeting v=1: A enumerates versions,
+    then B claims v=1 (atomic createNewFile) before A does. A's
+    createNewFile must lose, A fails loudly, and A writes NO v=1
+    directory — never two writers committing into one version dir. A's
+    retry (fresh enumeration sees B's claim) targets the next number.
+
+    The race window is between enumeration and the claim, so B's claim
+    is planted while A's view is pinned stale via monkeypatching the
+    claim enumeration — a claim already visible at enumeration time is
+    simply skipped (self-healing), which the retry half also proves.
+    """
+    import os
+    from unittest import mock
+
+    import pytest as _pytest
+
+    import mysql2parquet_spark.io as mio
+    from mysql2parquet_spark.io import (
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snaps_race")
+    publish_snapshot(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), root
+    )
+    # B wins the claim on v=1 after A's (stale, empty) enumeration.
+    with open(os.path.join(root, "v=1.claim"), "x"):
+        pass
+    with mock.patch.object(mio, "_claimed_versions", return_value=set()):
+        with _pytest.raises(RuntimeError, match="concurrent publisher"):
+            publish_snapshot(
+                spark.createDataFrame([(2, "b")], "k bigint, v string"),
+                root,
+            )
+    assert snapshot_versions(spark, root) == {0: True}  # no partial v=1
+    # Retry with a fresh view: B's claim counts as taken → v=2.
+    p2 = publish_snapshot(
+        spark.createDataFrame([(2, "b")], "k bigint, v string"), root
+    )
+    assert p2.endswith("v=2")
+    assert latest_snapshot(spark, root) == p2
+
+
+def test_vacuum_keeps_newest_n_and_claims(spark, tmp_path):
+    import os
+
+    from mysql2parquet_spark.io import (
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    root = str(tmp_path / "snaps_vac")
+    for i in range(4):
+        publish_snapshot(
+            spark.createDataFrame([(i, "x")], "k bigint, v string"), root
+        )
+    deleted = vacuum_snapshots(spark, root, keep=2)
+    assert deleted == [0, 1]
+    assert snapshot_versions(spark, root) == {2: True, 3: True}
+    assert latest_snapshot(spark, root).endswith("v=3")
+    # claim sentinels of vacuumed versions are swept with them
+    assert not os.path.exists(os.path.join(root, "v=0.claim"))
+    assert not os.path.exists(os.path.join(root, "v=1.claim"))
+    assert os.path.exists(os.path.join(root, "v=3.claim"))
+    # keep=1 leaves only the latest
+    assert vacuum_snapshots(spark, root, keep=1) == [2]
+    assert snapshot_versions(spark, root) == {3: True}
+
+
+def test_vacuum_never_touches_latest_or_uncommitted(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from mysql2parquet_spark.io import (
+        publish_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    root = str(tmp_path / "snaps_vac2")
+    # refusal: root with no committed version (uncommitted-only layout)
+    os.makedirs(os.path.join(root, "v=0"))
+    with open(os.path.join(root, "v=0", "part-xxx.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    with _pytest.raises(FileNotFoundError, match="refusing to vacuum"):
+        vacuum_snapshots(spark, root, keep=1)
+
+    # keep < 1 is invalid — the latest is never deletable
+    with _pytest.raises(ValueError, match="keep must be >= 1"):
+        vacuum_snapshots(spark, root, keep=0)
+
+    root2 = str(tmp_path / "snaps_vac3")
+    for i in range(3):
+        publish_snapshot(
+            spark.createDataFrame([(i, "x")], "k bigint, v string"), root2
+        )
+    # an uncommitted (in-flight/crashed) dir below the cut survives vacuum
+    os.remove(os.path.join(root2, "v=1", "_SUCCESS"))
+    deleted = vacuum_snapshots(spark, root2, keep=1)
+    assert deleted == [0]
+    assert snapshot_versions(spark, root2) == {1: False, 2: True}
+
+    # single committed version: vacuum is a no-op, never deletes latest
+    root3 = str(tmp_path / "snaps_vac4")
+    publish_snapshot(
+        spark.createDataFrame([(1, "x")], "k bigint, v string"), root3
+    )
+    assert vacuum_snapshots(spark, root3, keep=1) == []
+    assert snapshot_versions(spark, root3) == {0: True}
+
+
+def test_load_tables_skips_empty_but_propagates_corrupt(spark, tmp_path):
+    """ADVICE r4: an empty stray *.parquet entry is skipped quietly, but
+    a corrupt footer on a table with real bytes must raise the parquet
+    error itself — not surface later as TABLE_OR_VIEW_NOT_FOUND."""
+    import os
+
+    import pytest as _pytest
+
+    from mysql2parquet_spark.io import load_tables
+
+    d = tmp_path / "tables"
+    os.makedirs(d / "empty_table.parquet")  # empty dir — skip
+    spark.createDataFrame([(1,)], "k bigint").write.parquet(
+        str(d / "good.parquet")
+    )
+    dfs = load_tables(spark, str(d))
+    assert set(dfs) == {"good"}
+
+    with open(d / "corrupt.parquet", "wb") as fh:
+        fh.write(b"this is not parquet at all")
+    with _pytest.raises(Exception) as ei:
+        load_tables(spark, str(d))
+    assert "TABLE_OR_VIEW_NOT_FOUND" not in str(ei.value)

@@ -1,13 +1,26 @@
 """Local mirror of the driver's correctness gate: run every registered
 query on Spark AND its DuckDB oracle, compare row count, column names,
-and an order-insensitive value hash (values stringified with float
-normalization, rows sorted). Rows-only queries just assert they execute
-and return a stable schema.
+per-column value TYPE classes, and an order-insensitive value hash.
+Rows-only queries just assert they execute and return a stable schema.
+
+Strictness contract (VERDICT r4 ask #7): the old mirror stringified
+cells, so a Spark ``Decimal('1.50')`` and a DuckDB ``1.5`` float could
+compare equal here while the driver's canonicalizer hash-FAILed the
+same query (``agg_salted``, CORRECTNESS_r04; ``embedding_quantize``'s
+unhashable lists in r3 were the same blindness). Cells are now tagged
+with a type class (int / float / decimal / str / bool / date /
+timestamp / bytes / list) before hashing — decimals compare as
+``Decimal`` with no str round-trip, and a float-vs-decimal or
+int-vs-float column mismatch is a hard failure even when the numeric
+values are identical. ``test_mirror_canonicalizer_is_type_strict``
+plants exactly the agg_salted failure shape to keep this gate honest.
 """
 
 from __future__ import annotations
 
+import datetime
 import math
+from decimal import Decimal
 
 import pytest
 
@@ -16,24 +29,74 @@ from mysql2parquet_spark.queries import REGISTRY, _load
 _load()
 
 
+def _type_class(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, Decimal):
+        return "decimal"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return "str"
+
+
 def _norm_cell(v) -> str:
+    """Type-tagged canonical form. The tag makes cross-type equality
+    impossible: ``f:1.5`` never equals ``d:1.5`` — mirroring the
+    driver's observed behavior of hashing a decimal column differently
+    from a float column with identical values."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+            return "f:NaN"
+        s = f"{v:.6f}".rstrip("0").rstrip(".")
+        return f"f:{s or '0'}"
+    if isinstance(v, Decimal):
+        # No str/float round-trip: normalize the exponent only, so
+        # Decimal('1.50') == Decimal('1.5') but never equals float 1.5.
+        return f"d:{v.normalize()}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
+        return f"x:{v.hex()}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
+    return f"s:{v}"
 
 
 def _canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = ["|".join(_norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
+    return out
+
+
+def _column_type_classes(rows, colnames) -> dict[str, set]:
+    """Observed non-null type classes per column name."""
+    out: dict[str, set] = {c: set() for c in colnames}
+    for r in rows:
+        for c, v in zip(colnames, r):
+            tc = _type_class(v)
+            if tc != "null":
+                out[c].add(tc)
     return out
 
 
@@ -58,6 +121,19 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     # is vacuous — bit us in r2 with pipeline_curate's 0.5 quality gate).
     # Every oracled query must compare real values at the test SF.
     assert len(drows) > 0, f"{name}: oracle returned 0 rows — vacuous parity"
+    # Pairwise dtype gate: every column must carry the same value type
+    # class on both engines (shape bugs die here, before the hash).
+    stypes = _column_type_classes([tuple(r) for r in srows], scols)
+    dtypes = _column_type_classes(drows, dcols)
+    type_mismatch = {
+        c: (sorted(stypes[c]), sorted(dtypes[c]))
+        for c in scols
+        if stypes[c] != dtypes[c]
+    }
+    assert not type_mismatch, (
+        f"{name}: per-column value-type classes differ "
+        f"(spark, duckdb): {type_mismatch}"
+    )
     sc = _canon([tuple(r) for r in srows], scols)
     dc = _canon(drows, dcols)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
@@ -71,3 +147,24 @@ def test_rows_only_executes(spark, sf_dir, name):
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
+
+
+def test_mirror_canonicalizer_is_type_strict():
+    """Plant the exact agg_salted r4 failure: bit-identical money values,
+    one side Decimal, the other float. The old stringifying mirror
+    passed this; the driver did not. The mirror must now flag it."""
+    spark_like = [("F", Decimal("1233170551.74"))]
+    oracle_like = [("F", 1233170551.74)]
+    cols = ["o_orderstatus", "total"]
+    st = _column_type_classes(spark_like, cols)
+    dt = _column_type_classes(oracle_like, cols)
+    assert st["total"] != dt["total"], (
+        "mirror failed to distinguish Decimal from float — the r4 "
+        "agg_salted blindness is back"
+    )
+    assert _canon(spark_like, cols) != _canon(oracle_like, cols)
+    # And identical shapes still pass, exponent-insensitively.
+    assert _norm_cell(Decimal("1.50")) == _norm_cell(Decimal("1.5"))
+    assert _norm_cell(1.50) == _norm_cell(1.5)
+    # int vs float is likewise a shape difference, not an equality.
+    assert _norm_cell(5) != _norm_cell(5.0)
