@@ -46,38 +46,54 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.transform(F.array(toks), build)[0]
 
 
-def seeded_hash(col: Column | str, seed: int) -> Column:
-    """Murmur3 32-bit hash of ``col`` mixed with a seed literal.
-
-    ``F.hash(seed_lit, col)`` folds the seed into the hash state, giving an
-    independent-enough family for minhash."""
-    return F.hash(F.lit(seed), _c(col))
-
-
 def minhash_signature(shingle_arr: Column | str, num_hashes: int = 32) -> Column:
     """MinHash signature: array of ``num_hashes`` ints, element j =
     min over shingles of hash_j(shingle).
 
     Built as ONE fold over the shingle array (each shingle hashed with
-    every seed, running element-wise min via zip_with) — the naive
-    `array(array_min(transform(...)) for each seed)` form embeds the
-    shingle expression num_hashes times and re-evaluates it per seed.
-    Seeds are INDEPENDENT Murmur3 evaluations: a cheaper two-hash
-    Kirsch-Mitzenmacher family (h1 + j·h2) was tried and rejected —
-    within int64's ANSI-safe range the combined functions share argmins
-    and planted-duplicate recall drops from ≥0.9 to ~0.5.
-    Pure projection — scales linearly, no shuffle.
+    every hash function, running element-wise min via zip_with) — the
+    naive `array(array_min(transform(...)) for each seed)` form embeds
+    the shingle expression num_hashes times and re-evaluates it per
+    seed.
+
+    Hash family: each 64-bit xxhash64(seed_j, shingle) is SPLIT into
+    its two 32-bit halves, yielding two independent full-width hash
+    functions per evaluation — num_hashes components cost num_hashes/2
+    hash calls (the r4 bench follow-up: dedup_minhash read high three
+    rounds running; this packing cut the signature fold ~27% on sf0.1,
+    docs/BENCH_NOTES.md). Unlike the rejected Kirsch-Mitzenmacher
+    family (h1 + j·h2 — linearly dependent functions share argmins and
+    planted-dup recall collapsed to ~0.5), the halves of one xxhash64
+    carry independent bits, and the planted-recall/estimator gates in
+    tests/test_tierc.py hold unchanged. Both halves are extracted with
+    shiftleft/shiftright sign-extension (not a raw long→int cast, which
+    throws under ANSI mode). Pure projection — scales linearly, no
+    shuffle.
     """
     arr = _c(shingle_arr)
     int_max = 2147483647
+    n_longs = (num_hashes + 1) // 2
+
+    def pieces(s: Column) -> Column:
+        h64 = F.transform(
+            F.sequence(F.lit(0), F.lit(n_longs - 1)),
+            lambda j: F.xxhash64(j, s),
+        )
+        both = F.flatten(
+            F.transform(
+                h64,
+                lambda x: F.array(
+                    F.shiftright(x, 32).cast("int"),
+                    F.shiftright(F.shiftleft(x, 32), 32).cast("int"),
+                ),
+            )
+        )
+        return F.slice(both, 1, num_hashes)
+
     return F.aggregate(
         arr,
         F.array_repeat(F.lit(int_max), num_hashes),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[seeded_hash(s, j) for j in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+        lambda acc, s: F.zip_with(acc, pieces(s), lambda a, b: F.least(a, b)),
     )
 
 
