@@ -60,6 +60,8 @@ HEADLINE = [
     "text_pii",           # regex redaction (codegen projection)
     "dedup_embedding",    # semantic dedup (blocked cosine pairs, r4)
     "multimodal_frames",  # frame-sampling fan-out via mapInPandas (r4)
+    "dedup_incremental",  # batch-vs-store anti-join dedup (r5)
+    "pipeline_mix",       # budget-weighted corpus mixing (r5)
 ]
 
 

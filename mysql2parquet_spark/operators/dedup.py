@@ -543,3 +543,43 @@ def embedding_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(losers, id_col, "left_anti")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup a NEW batch against an accumulated fingerprint store — the
+    shape every continuously-ingesting corpus needs: tonight's crawl
+    must drop documents already accepted on ANY previous night, without
+    re-deduping the historical corpus.
+
+    Two stages, both exact: (1) in-batch content dedup (md5 fingerprint,
+    min-id keeper — same contract as ``fingerprint_dedup``); (2) one
+    left-anti equi-join of the batch's fingerprints against ``seen``
+    (a relation with column ``fp_col``, e.g. the parquet fingerprint
+    store of all previously accepted docs). Returns the surviving batch
+    rows with their ``fp`` column retained so the caller can append
+    exactly these fingerprints to the store (see
+    ``accepted_fingerprints``).
+
+    Scale shape: the store side is pure 16-byte-key rows — at 100 TB of
+    corpus the store is ~billions of fingerprints but still orders of
+    magnitude narrower than the corpus itself. The anti-join hashes on
+    the constant-width fingerprint; with the store bucketed by ``fp`` at
+    write time only the (small) nightly batch shuffles. Nothing ever
+    rescans or re-shuffles the historical documents.
+    """
+    deduped = exact_dedup(fingerprint(batch, text_col, fp_col), [fp_col], id_col)
+    store = seen.select(F.col(fp_col))
+    return deduped.join(store, fp_col, "left_anti")
+
+
+def accepted_fingerprints(accepted: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """The rows to append to the fingerprint store after a batch: just
+    the constant-width fingerprints of the accepted docs."""
+    return accepted.select(F.col(fp_col)).distinct()

@@ -226,3 +226,65 @@ def shuffle_shards(
     return keyed.withColumn(
         "pos", F.row_number().over(w).cast("bigint")
     ).drop("_hx")
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    *,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget-weighted corpus mixing — compose a training corpus
+    of ~``budget`` total units (chars/tokens) with per-source proportions
+    given by ``weights`` (e.g. ``{"wiki": 3.0, "web": 1.0}`` = 3:1).
+    The core data-mixture step of every pretraining run.
+
+    Deterministic greedy prefix per source: docs are ordered by
+    ``md5(seed:id)`` (a content-addressed shuffle — stable across runs,
+    engines, and cluster sizes, unlike ``rand()``), and a doc is kept
+    iff the running size of docs BEFORE it is still under its source's
+    share ``weight/sum(weights) * budget`` — so the first doc crossing
+    the boundary is included (standard bin-packing convention; each
+    source overshoots by at most one document). Sources not in
+    ``weights`` are dropped.
+
+    Scale shape: ONE shuffle (window partitioned by source, streamed
+    running sum); the weights table is a broadcast of len(weights) rows.
+    A skewed source is one window partition — at real scale pre-shard
+    hot sources (the ``pack_sequences`` shard trick) or mix per-shard
+    with per-shard budgets; the greedy-prefix semantics compose.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    shares = spark.createDataFrame(
+        [(s, float(w) / total_w * budget) for s, w in weights.items()],
+        f"{source_col} string, _share double",
+    )
+    hx = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_hx", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keyed = docs.join(F.broadcast(shares), source_col).withColumn("_hx", hx)
+    return (
+        keyed.withColumn(
+            "_cum_before", F.coalesce(F.sum(size_col).over(w), F.lit(0))
+        )
+        .filter(F.col("_cum_before") < F.col("_share"))
+        .drop("_hx", "_cum_before", "_share")
+    )

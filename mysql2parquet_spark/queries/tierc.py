@@ -64,6 +64,35 @@ def dedup_fingerprint(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental",
+    """
+    WITH batch AS (
+      SELECT doc_id, lang, source, md5(text) AS fp,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id >= 250
+    ), hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250
+    )
+    SELECT doc_id, lang, source, fp FROM batch
+    WHERE rn = 1 AND fp NOT IN (SELECT fp FROM hist)
+    """,
+    "C1: incremental dedup (operators/dedup.incremental_dedup) — "
+    "tonight's batch deduped in-batch AND against the accumulated "
+    "fingerprint store of every prior night, without rescanning the "
+    "historical corpus. The store side is 16-byte keys only; the "
+    "anti-join hashes on the fingerprint. Here history = doc_id<250, "
+    "batch = the rest.",
+)
+def dedup_incremental(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    seen = dedup.accepted_fingerprints(dedup.fingerprint(history, "text"))
+    out = dedup.incremental_dedup(batch, seen)
+    return out.select("doc_id", "lang", "source", "fp")
+
+
+@register(
     "dedup_minhash",
     None,  # approximate (LSH banding) — rows-only; recall tested in pytest
     "C2: MinHash+LSH near-dup dedup — signature projection, band-key "
@@ -1054,6 +1083,43 @@ def pipeline_shuffle(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     return shuffle_shards(d, seed=42, n_shards=16)
+
+
+@register(
+    "pipeline_mix",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked
+    WHERE cum_before < CASE source WHEN 'src0' THEN 4000.0 ELSE 2000.0 END
+    """,
+    "C6/pipeline: token-budget-weighted corpus mixing "
+    "(operators/pipeline.mix_corpus) — compose a training mixture with "
+    "2:1:1 source proportions against a total char budget via a "
+    "content-addressed greedy prefix (md5 order, deterministic at any "
+    "cluster size). One window shuffle; the weights join is a "
+    "broadcast. Oracle = the same window arithmetic with the shares "
+    "inlined (2/4*8000, 1/4*8000).",
+)
+def pipeline_mix(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import mix_corpus
+
+    d = T(spark, sf_dir, "documents")
+    out = mix_corpus(
+        d,
+        {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+        budget=8000,
+        seed=42,
+    )
+    return out.select("doc_id", "source", F.col("n_chars").cast("long"))
 
 
 @register(

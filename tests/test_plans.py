@@ -230,3 +230,24 @@ def test_merge_upsert_target_never_exchanges(spark, sf_dir):
     assert p.count("LeftAnti") >= 2  # upsert anti + delete anti
     assert "SortMergeJoin" not in p  # anti joins must stay broadcast
     assert target_feeds_anti_directly(p), p
+
+
+def test_mix_corpus_one_window_exchange_broadcast_weights(spark, sf_dir):
+    """Budget mixing is ONE hash exchange (the per-source window) plus a
+    broadcast of the weights table — a shuffled weights join or a second
+    exchange would re-move the corpus for a len(weights)-row lookup."""
+    p = plan(spark, sf_dir, "pipeline_mix", mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_incremental_dedup_anti_join_on_fingerprint(spark, sf_dir):
+    """The store probe is an anti-join keyed on the 16-byte fingerprint
+    — never a join on the document text, and never a cartesian shape.
+    The batch's own dedup window plus the anti-join's exchanges are the
+    only data movement; the HISTORICAL corpus contributes fingerprints,
+    not text, to the shuffle."""
+    p = plan(spark, sf_dir, "dedup_incremental", mode="simple")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

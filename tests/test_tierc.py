@@ -503,3 +503,108 @@ def test_embedding_dedup_drops_planted_near_dups(spark):
 
     with _pytest.raises(ValueError, match="quadratic"):
         embedding_dedup(e, threshold=0.95).collect()
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (batch vs accumulated fingerprint store)
+# --------------------------------------------------------------------------
+
+def test_incremental_dedup_nightly_flow(spark, tmp_path):
+    """Three 'nights' of batches against a parquet fingerprint store:
+    in-batch dups collapse to the min id, cross-night dups are dropped
+    entirely, and the store accumulates exactly the accepted prints —
+    re-running a night against the grown store accepts nothing."""
+    store = str(tmp_path / "fp_store")
+    nights = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],       # 3 dups 1 in-batch
+        [(10, "beta"), (11, "gamma"), (12, "gamma")],    # beta seen; 12 dups 11
+        [(20, "alpha"), (21, "delta")],                  # alpha seen
+    ]
+    expected_survivors = [{1, 2}, {11}, {21}]
+    seen_empty = spark.createDataFrame([], "fp string")
+    for i, batch_rows in enumerate(nights):
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        if i == 0:
+            seen = seen_empty
+        else:
+            seen = spark.read.parquet(store)
+        accepted = dedup.incremental_dedup(batch, seen)
+        got = {r.doc_id for r in accepted.collect()}
+        assert got == expected_survivors[i], f"night {i}"
+        dedup.accepted_fingerprints(accepted).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(store)
+    # replaying any night accepts nothing (all fingerprints now seen)
+    for batch_rows in nights:
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        again = dedup.incremental_dedup(batch, spark.read.parquet(store))
+        assert again.count() == 0
+    # store holds exactly the distinct accepted prints
+    assert spark.read.parquet(store).distinct().count() == 4
+
+
+def test_incremental_dedup_keeps_fp_and_payload(spark):
+    batch = spark.createDataFrame(
+        [(5, "x", "en"), (6, "y", "fr")], "doc_id long, text string, lang string"
+    )
+    seen = spark.createDataFrame([], "fp string")
+    out = dedup.incremental_dedup(batch, seen)
+    assert set(out.columns) == {"doc_id", "text", "lang", "fp"}
+    assert out.count() == 2
+
+
+# --------------------------------------------------------------------------
+# budget-weighted corpus mixing
+# --------------------------------------------------------------------------
+
+def _mix_fixture(spark):
+    rows = []
+    for s, n in (("a", 40), ("b", 40), ("c", 40)):
+        for i in range(n):
+            rows.append((hash((s, i)) % 100000 + (0 if s == "a" else 100000 if s == "b" else 200000), s, 100))
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_mix_corpus_budget_and_proportions(spark):
+    from mysql2parquet_spark.operators.pipeline import mix_corpus
+
+    docs = _mix_fixture(spark)
+    out = mix_corpus(docs, {"a": 2.0, "b": 1.0, "c": 1.0}, budget=4000)
+    sizes = {
+        r.source: r.total
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("total")).collect()
+    }
+    # shares: a=2000, b=1000, c=1000; fixed 100-char docs land exactly
+    assert sizes == {"a": 2000, "b": 1000, "c": 1000}
+    # greedy prefix: each source overshoots its share by at most one doc
+    out2 = mix_corpus(docs, {"a": 1.0}, budget=1050)
+    total_a = out2.agg(F.sum("n_chars")).collect()[0][0]
+    assert 1050 <= total_a <= 1150  # boundary doc included, nothing more
+
+
+def test_mix_corpus_deterministic_and_drops_unknown_sources(spark):
+    from mysql2parquet_spark.operators.pipeline import mix_corpus
+
+    docs = _mix_fixture(spark)
+    w = {"a": 1.0, "b": 3.0}
+    a = mix_corpus(docs, w, budget=2000)
+    b = mix_corpus(docs.repartition(7), w, budget=2000)
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+    assert a.filter(F.col("source") == "c").count() == 0
+    # different seed = different (but valid) selection
+    c = mix_corpus(docs, w, budget=2000, seed=7)
+    assert {r.doc_id for r in c.collect()} != {r.doc_id for r in a.collect()}
+
+
+def test_mix_corpus_validation(spark):
+    from mysql2parquet_spark.operators.pipeline import mix_corpus
+
+    docs = _mix_fixture(spark)
+    with pytest.raises(ValueError, match="budget"):
+        mix_corpus(docs, {"a": 1.0}, budget=0)
+    with pytest.raises(ValueError, match="weights"):
+        mix_corpus(docs, {}, budget=100)
+    with pytest.raises(ValueError, match="positive"):
+        mix_corpus(docs, {"a": 0.0}, budget=100)
