@@ -85,7 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--single-file", action="store_true",
                    help="coalesce output to one file (reference layout)")
     p.add_argument("--partition-by", default=None,
-                   help="comma-separated partition columns for output")
+                   help="comma-separated partition columns: hive-style "
+                        "layout for the export, or for every published "
+                        "version in --snapshot-root mode")
     p.add_argument("--partition-column", default=None,
                    help="JDBC partitioned-read column")
     p.add_argument("--lower", type=int, default=None)
@@ -151,7 +153,7 @@ def _split_session_prelude(query: str) -> tuple[str | None, str]:
     return ("; ".join(sets) or None), parts[-1]
 
 
-def _run_stream_cdc(spark, args) -> int:
+def _run_stream_cdc(spark, args, part_cols: list[str] | None = None) -> int:
     """--stream-events: the proven streaming CDC fold (tests/
     test_cdc_e2e.py — foreachBatch + fold_cdc_snapshot, exactly-once
     across restarts via the checkpoint), exposed as a CLI surface. Each
@@ -206,6 +208,7 @@ def _run_stream_cdc(spark, args) -> int:
             seq_col=args.cdc_seq_column,
             delete_op=args.cdc_delete_op,
             broadcast_source=not args.no_broadcast_delta,
+            partition_by=part_cols,
         )
 
     stream = (
@@ -290,14 +293,12 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if args.compat or args.single_file or args.partition_by:
-            # the publish path doesn't run the compat projection, the
-            # single-file coalesce, or hive partitioning — silently
-            # unused flags mislead (a user asking for partitioned output
-            # would get an unpartitioned snapshot with no warning)
+        if args.compat or args.single_file:
+            # the publish path doesn't run the compat projection or the
+            # single-file coalesce — silently unused flags mislead
             print(
-                "--compat/--single-file/--partition-by are not supported "
-                "with --snapshot-root",
+                "--compat/--single-file are not supported with "
+                "--snapshot-root",
                 file=sys.stderr,
             )
             return 1
@@ -340,6 +341,24 @@ def main(argv: list[str] | None = None) -> int:
         print(
             "--keep-versions requires --snapshot-root (only the "
             "versioned layout has versions to vacuum)",
+            file=sys.stderr,
+        )
+        return 1
+    if args.partition_by and args.single_file:
+        print(
+            "--single-file and --partition-by are exclusive (a "
+            "partitioned layout is a directory tree by definition)",
+            file=sys.stderr,
+        )
+        return 1
+    part_cols = (
+        [c.strip() for c in args.partition_by.split(",") if c.strip()]
+        if args.partition_by
+        else None
+    )
+    if args.partition_by and not part_cols:
+        print(
+            "--partition-by must name at least one column",
             file=sys.stderr,
         )
         return 1
@@ -417,7 +436,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("mysql2parquet-spark-cli", master=args.master)
     try:
         if args.stream_events:
-            return _run_stream_cdc(spark, args)
+            return _run_stream_cdc(spark, args, part_cols)
         if args.tables_dir:
             register_tables(spark, args.tables_dir)
             try:
@@ -558,7 +577,9 @@ def main(argv: list[str] | None = None) -> int:
                             broadcast_source=not args.no_broadcast_delta,
                             order_col=args.order_column,
                         )
-                path = publish_snapshot(df, args.snapshot_root)
+                path = publish_snapshot(
+                    df, args.snapshot_root, partition_by=part_cols
+                )
                 if args.keep_versions is not None:
                     dropped = vacuum_snapshots(
                         spark, args.snapshot_root, args.keep_versions
@@ -580,6 +601,7 @@ def main(argv: list[str] | None = None) -> int:
             args.parquet,
             compat=args.compat,
             single_file=args.single_file,
+            partition_by=part_cols,
         )
         return 0
     finally:

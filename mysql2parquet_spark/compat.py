@@ -143,6 +143,7 @@ def export(
     *,
     compat: bool = False,
     single_file: bool = False,
+    partition_by: list[str] | None = None,
 ) -> None:
     """The reference's pipeline tail (main.go:165-203): result set →
     Parquet. ``compat`` applies the type projection; ``single_file``
@@ -151,11 +152,14 @@ def export(
     (main.go:165, ``fmt.Sprintf("%s.parquet", *fParquet)``), so
     ``--parquet=users.parquet`` yields ``users.parquet.parquet`` there
     and here. Small extracts only; the scale default is a directory of
-    part-files at ``out_path`` verbatim."""
+    part-files at ``out_path`` verbatim, hive-partitioned by
+    ``partition_by`` when given (exclusive with ``single_file``)."""
     from mysql2parquet_spark.io import write_parquet
 
     out = reference_type_projection(df) if compat else df
     if single_file:
+        if partition_by:
+            raise ValueError("single_file and partition_by are exclusive")
         write_parquet(out, out_path + ".parquet", single_file=True)
     else:
-        write_parquet(out, out_path)
+        write_parquet(out, out_path, partition_by=partition_by)

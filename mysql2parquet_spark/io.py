@@ -514,8 +514,15 @@ def _claimed_versions(jvm, fs, hroot) -> set[int]:
     return out
 
 
-def publish_snapshot(df: DataFrame, root: str) -> str:
+def publish_snapshot(
+    df: DataFrame, root: str, *, partition_by: list[str] | None = None
+) -> str:
     """Write ``df`` as the NEXT snapshot version and return its path.
+
+    ``partition_by`` hive-partitions every version's layout (e.g. by a
+    date or tenant column) so downstream readers get partition pruning
+    inside each snapshot; Spark still drops the _SUCCESS commit marker
+    at the VERSION root, so the audit/publish contract is unchanged.
 
     Version allocation is protected by an atomic CLAIM sentinel: the
     publisher targets max(existing ∪ claimed) + 1 and must win
@@ -553,7 +560,10 @@ def publish_snapshot(df: DataFrame, root: str) -> str:
             "a version; re-run to target the next one"
         )
     path = os.path.join(root, f"{_VERSION_PREFIX}{nxt}")
-    df.write.mode("error").parquet(path)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     return path
 
 
@@ -626,11 +636,14 @@ def fold_cdc_snapshot(
     seq_col: str = "seq",
     delete_op: str = "D",
     broadcast_source: bool = True,
+    partition_by: list[str] | None = None,
 ) -> str:
     """One incremental-export step: read the latest committed snapshot,
     fold a raw CDC event batch in (``operators/merge.apply_cdc`` —
     compaction, tombstones, zero snapshot-side shuffle), publish the
-    next version. Returns the new version's path."""
+    next version (hive-partitioned when ``partition_by`` is given —
+    pass the same columns every fold so the layout stays stable).
+    Returns the new version's path."""
     from mysql2parquet_spark.operators.merge import apply_cdc
 
     current = read_parquet(spark, latest_snapshot(spark, root))
@@ -643,4 +656,4 @@ def fold_cdc_snapshot(
         delete_op=delete_op,
         broadcast_source=broadcast_source,
     )
-    return publish_snapshot(merged, root)
+    return publish_snapshot(merged, root, partition_by=partition_by)

@@ -341,17 +341,25 @@ def test_snapshot_root_refuses_cdc_bootstrap(tmp_path, spark):
     assert not (root / "v=0").exists()  # nothing published
 
 
-def test_snapshot_root_rejects_partition_by_and_bad_keep(capsys):
-    """ADVICE r4: --partition-by was silently ignored in snapshot-root
-    mode (a user asking for hive-partitioned output got an unpartitioned
-    snapshot, no warning) — now rejected like --compat/--single-file.
-    --keep-versions is validated up front too."""
+def test_partition_by_and_keep_versions_validation(capsys):
+    """ADVICE r4 follow-through: --partition-by is now THREADED through
+    both the plain export and --snapshot-root publishes (it was silently
+    ignored); what remains rejected is the genuinely impossible combo
+    with --single-file, plus blank column lists. --keep-versions is
+    validated up front too."""
     rc = main(
-        ["--tables-dir", "/x", "--query", "q",
-         "--snapshot-root", "/tmp/r", "--partition-by", "dt"]
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--single-file", "--partition-by", "dt"]
     )
     assert rc == 1
-    assert "not supported with" in capsys.readouterr().err
+    assert "exclusive" in capsys.readouterr().err
+
+    rc = main(
+        ["--tables-dir", "/x", "--query", "q", "--parquet", "/tmp/o",
+         "--partition-by", " , "]
+    )
+    assert rc == 1
+    assert "at least one column" in capsys.readouterr().err
 
     rc = main(
         ["--tables-dir", "/x", "--query", "q",
@@ -554,3 +562,70 @@ def test_end_to_end_stream_cdc_with_restart(tmp_path, spark):
         for r_ in spark.read.parquet(latest_snapshot(spark, root)).collect()
     }
     assert got == {(2, "bo2", 21.0), (3, "cy", 30.0), (4, "di3", 42.0)}
+
+
+def test_export_partition_by_actually_partitions(tmp_path, spark, sf_dir):
+    """Regression for the silent-ignore bug behind ADVICE r4: the plain
+    export path accepted --partition-by but never passed it to the
+    writer. The output must be a hive tree."""
+    import os
+
+    out = str(tmp_path / "parted")
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "mysql2parquet_spark.cli",
+            "--tables-dir", sf_dir,
+            "--query", "SELECT doc_id, lang FROM documents",
+            "--parquet", out,
+            "--partition-by", "lang",
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    assert os.path.isdir(os.path.join(out, "lang=en")), os.listdir(out)
+
+
+def test_snapshot_root_partitioned_lifecycle(tmp_path, spark):
+    """--partition-by with --snapshot-root: bootstrap AND folds keep the
+    hive layout per version."""
+    import os
+
+    from mysql2parquet_spark.io import latest_snapshot
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr")], "k bigint, v string, lang string"
+    ).write.parquet(str(tables / "full.parquet"))
+    spark.createDataFrame(
+        [(2, "B", "fr"), (3, "c", "zh")], "k bigint, v string, lang string"
+    ).write.parquet(str(tables / "delta.parquet"))
+
+    root = str(tmp_path / "root")
+
+    def run(query, *extra):
+        return subprocess.run(
+            [
+                sys.executable, "-m", "mysql2parquet_spark.cli",
+                "--tables-dir", str(tables),
+                "--query", query,
+                "--snapshot-root", root,
+                "--partition-by", "lang",
+                "--master", "local[2]",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    r0 = run("SELECT k, v, lang FROM full")
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    assert os.path.isdir(os.path.join(root, "v=0", "lang=en"))
+
+    r1 = run("SELECT k, v, lang FROM delta", "--merge-keys", "k")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.isdir(os.path.join(root, "v=1", "lang=zh"))
+
+    latest = latest_snapshot(spark, root)
+    got = {(r.k, r.v, r.lang) for r in spark.read.parquet(latest).collect()}
+    assert got == {(1, "a", "en"), (2, "B", "fr"), (3, "c", "zh")}

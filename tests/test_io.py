@@ -416,3 +416,52 @@ def test_load_tables_skips_empty_but_propagates_corrupt(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         load_tables(spark, str(d))
     assert "TABLE_OR_VIEW_NOT_FOUND" not in str(ei.value)
+
+
+def test_snapshot_publish_partitioned_and_pruned(spark, tmp_path):
+    """partition_by gives every version a hive layout: _SUCCESS still
+    lands at the version root (commit contract unchanged), values
+    round-trip, and a partition-key filter prunes at read (the reason
+    to partition a snapshot at all)."""
+    import os
+
+    from mysql2parquet_spark.io import (
+        fold_cdc_snapshot,
+        latest_snapshot,
+        publish_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snapsP")
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr"), (3, "c", "en")],
+        "k bigint, v string, lang string",
+    )
+    p0 = publish_snapshot(df, root, partition_by=["lang"])
+    assert os.path.isdir(os.path.join(p0, "lang=en"))
+    assert os.path.isdir(os.path.join(p0, "lang=fr"))
+    assert snapshot_versions(spark, root) == {0: True}
+
+    back = spark.read.parquet(latest_snapshot(spark, root))
+    assert {(r.k, r.v, r.lang) for r in back.collect()} == {
+        (1, "a", "en"), (2, "b", "fr"), (3, "c", "en")
+    }
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        back.filter(back.lang == "en")
+        ._jdf.queryExecution()
+        .explainString(jmode)
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+
+    # a CDC fold carries the layout forward
+    events = spark.createDataFrame(
+        [(2, None, None, "D", 1), (4, "d", "zh", "I", 2)],
+        "k bigint, v string, lang string, op string, seq bigint",
+    )
+    p1 = fold_cdc_snapshot(spark, root, events, ["k"], partition_by=["lang"])
+    assert os.path.isdir(os.path.join(p1, "lang=zh"))
+    got = {(r.k, r.v, r.lang) for r in spark.read.parquet(p1).collect()}
+    assert got == {(1, "a", "en"), (3, "c", "en"), (4, "d", "zh")}
