@@ -6,13 +6,15 @@ Convention: a multimodal asset is a row with
   - ``meta``: StructType — typed metadata (width/height/duration/...)
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape through
-``mapInPandas``) is real and tested, and so are the codecs for the two
+``mapInPandas``) is real and tested, and so are the codecs for the
 container-feasible formats: ``decode_image`` is a pure-stdlib PNG decoder
-(zlib inflate + scanline unfilter) and ``decode_audio`` a stdlib ``wave``
-PCM decoder. ``extract_features`` routes by media_type — PNG/WAV rows get
-real decoded features; anything else falls back to a deterministic byte
-histogram so the distributed path still runs for formats whose codec
-libraries (PIL/ffmpeg) aren't installed.
+(zlib inflate + scanline unfilter), ``decode_bmp`` an uncompressed-BMP
+decoder (both normalize to the same top-down RGB(A) row contract, so
+every downstream stage is codec-agnostic), and ``decode_audio`` a stdlib
+``wave`` PCM decoder. ``extract_features`` routes by media_type —
+PNG/BMP/WAV rows get real decoded features; anything else falls back to
+a deterministic byte histogram so the distributed path still runs for
+formats whose codec libraries (PIL/ffmpeg) aren't installed.
 """
 
 from __future__ import annotations
@@ -146,6 +148,70 @@ def decode_image(content: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, channels, rows
 
 
+def decode_bmp(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Pure-stdlib BMP decoder (uncompressed BI_RGB, 24/32-bit,
+    BITMAPINFOHEADER-family): returns (width, height, channels, rows)
+    in the SAME contract as ``decode_image`` — rows top-down, pixels in
+    RGB(A) order (BMP stores BGR(A) bottom-up with 4-byte row padding;
+    both are normalized here so every downstream stage — features,
+    resize, frame sampling — is codec-agnostic)."""
+    import struct
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP (bad signature)")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size,) = struct.unpack("<I", content[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height_raw = struct.unpack("<ii", content[18:26])
+    _planes, bpp = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if width <= 0 or height_raw == 0:
+        raise ValueError("bad BMP dimensions")
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    src_ch = bpp // 8
+    channels = 3 if bpp == 24 else 4
+    stride = (width * src_ch + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(content) < data_off + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    rows: list[bytes] = []
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        line = content[data_off + src_y * stride:][: width * src_ch]
+        out = bytearray(width * channels)
+        for x in range(width):
+            b, g, r = line[x * src_ch : x * src_ch + 3]
+            out[x * channels : x * channels + 3] = bytes((r, g, b))
+            if channels == 4:
+                out[x * channels + 3] = line[x * src_ch + 3]
+        rows.append(bytes(out))
+    return width, height, channels, rows
+
+
+_IMAGE_DECODERS = {
+    "image/png": decode_image,
+    "image/bmp": decode_bmp,
+    "image/x-ms-bmp": decode_bmp,
+}
+
+
+def decode_any_image(
+    media_type: str, content: bytes
+) -> tuple[int, int, int, list[bytes]]:
+    """Route to the codec for ``media_type``; raises for types with no
+    registered decoder (callers degrade per-row)."""
+    try:
+        dec = _IMAGE_DECODERS[media_type]
+    except KeyError:
+        raise ValueError(f"no image decoder for {media_type!r}") from None
+    return dec(content)
+
+
 def decode_audio(content: bytes) -> tuple[int, list[float]]:
     """Pure-stdlib WAV (PCM) decoder via ``wave``: returns
     (sample_rate, samples) with interleaved samples normalized to
@@ -181,11 +247,12 @@ def byte_histogram(content: bytes, bins: int = 16) -> list[float]:
     return [c / n for c in counts]
 
 
-def png_features(content: bytes) -> list[float]:
-    """Real image features from a decoded PNG: [width, height, channels,
-    mean/255 per channel] — the shape a resize/embed stage would start
-    from."""
-    width, height, channels, rows = decode_image(content)
+def _pixel_features(
+    width: int, height: int, channels: int, rows: list[bytes]
+) -> list[float]:
+    """[width, height, channels, mean/255 per channel] from decoded
+    pixels — codec-agnostic (every decoder emits the same row
+    contract)."""
     sums = [0] * channels
     for row in rows:
         for x, v in enumerate(row):
@@ -194,6 +261,17 @@ def png_features(content: bytes) -> list[float]:
     return [float(width), float(height), float(channels)] + [
         s / n / 255.0 for s in sums
     ]
+
+
+def png_features(content: bytes) -> list[float]:
+    """Real image features from a decoded PNG — the shape a resize/embed
+    stage would start from."""
+    return _pixel_features(*decode_image(content))
+
+
+def bmp_features(content: bytes) -> list[float]:
+    """Same features from a decoded BMP (shared pixel contract)."""
+    return _pixel_features(*decode_bmp(content))
 
 
 def wav_features(content: bytes) -> list[float]:
@@ -234,8 +312,8 @@ def extract_features(
         # zlib.error, struct.error, ValueError, IndexError, ...) falls
         # back to the typed-bytes histogram for that ROW only.
         try:
-            if media_type == "image/png":
-                return png_features(b)
+            if media_type in _IMAGE_DECODERS:
+                return _pixel_features(*decode_any_image(media_type, b))
             if media_type in ("audio/wav", "audio/x-wav"):
                 return wav_features(b)
         except Exception:
@@ -287,15 +365,16 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_image_nn(
-    content: bytes, out_w: int, out_h: int
+    content: bytes, out_w: int, out_h: int, media_type: str = "image/png"
 ) -> tuple[int, int, int, bytes]:
-    """Nearest-neighbor resample of a decoded PNG → (width, height,
-    channels, row-major raw pixel bytes). Pure stdlib on the REAL decoded
-    pixels; swap the sampling kernel (bilinear, Lanczos via PIL/opencv)
-    without touching the distributed plumbing."""
+    """Nearest-neighbor resample of a decoded image (any registered
+    codec) → (width, height, channels, row-major raw pixel bytes). Pure
+    stdlib on the REAL decoded pixels; swap the sampling kernel
+    (bilinear, Lanczos via PIL/opencv) without touching the distributed
+    plumbing."""
     if out_w <= 0 or out_h <= 0:
         raise ValueError("resize dimensions must be positive")
-    w, h, c, rows = decode_image(content)
+    w, h, c, rows = decode_any_image(media_type, content)
     out = bytearray()
     for y in range(out_h):
         row = rows[min(h - 1, (y * h) // out_h)]
@@ -314,10 +393,11 @@ def with_resized(
     content_col: str = "content",
     media_type_col: str = "media_type",
 ) -> DataFrame:
-    """Arrow-batched image resize stage (mapInPandas): PNG payloads
-    decode + nearest-neighbor resample to ``width``×``height``;
-    non-image or corrupt payloads degrade to NULL pixels for that ROW
-    (never a job abort — same contract as extract_features)."""
+    """Arrow-batched image resize stage (mapInPandas): image payloads
+    (any registered codec — PNG, BMP) decode + nearest-neighbor resample
+    to ``width``×``height``; non-image or corrupt payloads degrade to
+    NULL pixels for that ROW (never a job abort — same contract as
+    extract_features)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,9 +405,9 @@ def with_resized(
                    "channels": [], "pixels": []}
             for mt, b in zip(pdf[media_type_col], pdf[content_col]):
                 try:
-                    if mt != "image/png" or b is None:
+                    if mt not in _IMAGE_DECODERS or b is None:
                         raise ValueError("not an image")
-                    rw, rh, c, px = resize_image_nn(bytes(b), width, height)
+                    rw, rh, c, px = resize_image_nn(bytes(b), width, height, mt)
                     out["width"].append(rw)
                     out["height"].append(rh)
                     out["channels"].append(c)

@@ -297,3 +297,102 @@ def test_sample_frames_wav_structure_and_fanout(spark):
     # deterministic across partitionings
     out2 = sample_frames(df.repartition(2), n_frames=2, bins=8).collect()
     assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+# --------------------------------------------------------------------------
+# BMP codec
+# --------------------------------------------------------------------------
+
+def make_bmp(
+    pixels: list[list[tuple[int, int, int]]], *, top_down: bool = False
+) -> bytes:
+    """Minimal 24-bit BI_RGB BMP: BGR pixel order, 4-byte row padding,
+    bottom-up rows unless top_down (negative height)."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    raw = bytearray()
+    row_order = pixels if top_down else list(reversed(pixels))
+    for row in row_order:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        raw += line
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(raw), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (-h if top_down else h), 1, 24, 0, len(raw), 2835, 2835, 0, 0,
+        )
+    )
+    return bytes(header + raw)
+
+
+def test_bmp_decode_roundtrip_both_orientations():
+    from mysql2parquet_spark.operators.multimodal import decode_bmp
+
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    for top_down in (False, True):
+        w, h, c, rows = decode_bmp(make_bmp(px, top_down=top_down))
+        assert (w, h, c) == (3, 2, 3)
+        got = [
+            [tuple(row[x * 3 : x * 3 + 3]) for x in range(w)] for row in rows
+        ]
+        assert got == px  # top-down RGB regardless of storage order
+
+
+def test_bmp_decode_rejects_garbage_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from mysql2parquet_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"NOTABMP" + b"\x00" * 60)
+    good = make_bmp([[(1, 2, 3)]])
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with _pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(rle))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-2])
+
+
+def test_extract_features_routes_bmp(spark):
+    from mysql2parquet_spark.operators.multimodal import extract_features
+
+    bmp = make_bmp([[(255, 0, 0), (255, 0, 0)], [(255, 0, 0), (255, 0, 0)]])
+    assets = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp"),
+         (2, bytearray(b"garbagebmpbytes"), "image/bmp")],
+        "asset_id long, content binary, media_type string",
+    )
+    feats = {r.asset_id: r.features for r in extract_features(assets).collect()}
+    # real decode: [w, h, c, mean_r, mean_g, mean_b] — pure red
+    assert feats[1][:3] == [2.0, 2.0, 3.0]
+    assert feats[1][3] == 1.0 and feats[1][4] == 0.0 and feats[1][5] == 0.0
+    # corrupt payload degrades to the 16-bin histogram for that row only
+    assert len(feats[2]) == 16
+
+
+def test_with_resized_handles_bmp(spark):
+    from mysql2parquet_spark.operators.multimodal import with_resized
+
+    px = [[(9, 9, 9), (200, 100, 50)], [(1, 2, 3), (4, 5, 6)]]
+    assets = spark.createDataFrame(
+        [(1, bytearray(make_bmp(px)), "image/bmp")],
+        "asset_id long, content binary, media_type string",
+    )
+    (row,) = with_resized(assets, 1, 1).collect()
+    # NN at 2x2 -> 1x1 samples the top-left pixel, RGB order
+    assert (row.width, row.height, row.channels) == (1, 1, 3)
+    assert bytes(row.pixels) == bytes((9, 9, 9))
