@@ -409,6 +409,106 @@ def write_clustered(
     out.write.mode(mode).option("compression", compression).parquet(path)
 
 
+def _zorder_numeric(df: DataFrame, col: str):
+    """A double-valued expression for a cluster column: numerics cast,
+    dates/timestamps go through their epoch forms (ANSI forbids a direct
+    temporal→double cast)."""
+    from pyspark.sql import types as _T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, _T.DateType):
+        return F.unix_date(F.col(col)).cast("double")
+    if isinstance(dt, _T.TimestampType) or isinstance(dt, _T.TimestampNTZType):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    if isinstance(dt, _T.NumericType):
+        return F.col(col).cast("double")
+    raise ValueError(
+        f"write_zordered: column {col!r} has unsupported type {dt} "
+        "(numeric/date/timestamp only)"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    *,
+    n_files: int | None = None,
+    bits: int = 16,
+    mode: str = "error",
+    compression: str = "snappy",
+) -> None:
+    """Multi-column clustered layout via a Z-order (Morton) key: scale
+    each cluster column to a ``bits``-bit integer against its observed
+    min/max, interleave the bits, then range-partition + sort on the
+    interleaved key. Every output file owns a small BOUNDING BOX in the
+    cluster-column space, so parquet min/max stats prune files for
+    predicates on ANY of the columns — where 1-D clustering
+    (``write_clustered``) prunes only its leading column.
+
+    The at-100 TB layout answer to "we filter by customer AND by date":
+    one z-ordered write serves both predicate families from file-level
+    stats without partitioning by either (and without the tiny-file
+    explosion hive-partitioning on a high-cardinality key causes).
+
+    Cost shape: one tiny min/max aggregate over the cluster columns
+    (bounded metadata: 2 values/column to the driver), one projection
+    (pure bit arithmetic in codegen), one range exchange — the same
+    shuffle count as ``write_clustered``. Skewed columns skew the
+    z-key, but the range partitioner samples its quantiles, so FILE
+    SIZES stay balanced regardless; skew only widens those files'
+    boxes. NULLs scale to bucket 0 (the bottom corner). ``bits=16``
+    gives 65 536 buckets/column — far more resolution than a file
+    count; raise it only past ~10⁵ files or >4 columns (the interleaved
+    key must stay under 63 bits: bits × n_cols ≤ 62).
+    """
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    if len(cols) < 2:
+        raise ValueError(
+            "write_zordered needs >=2 cluster columns (use "
+            "write_clustered for one)"
+        )
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"bits*len(cluster_by) = {bits * len(cols)} exceeds 62 — "
+            "the interleaved key must fit a signed long"
+        )
+    nums = {c: _zorder_numeric(df, c) for c in cols}
+    row = df.agg(
+        *[F.min(nums[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(nums[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]  # bounded-metadata: 2 scalars per cluster column
+
+    top = (1 << bits) - 1
+    n_cols = len(cols)
+    zkey = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo = row[f"lo_{i}"]
+        hi = row[f"hi_{i}"]
+        span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
+        scaled = (F.coalesce(nums[c], F.lit(lo or 0.0)) - F.lit(lo or 0.0)) / F.lit(span) * top
+        bucket = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(F.lit(0).cast("long"), F.floor(scaled)),
+        )
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long"))
+            zkey = zkey.bitwiseOR(F.shiftleft(bit, b * n_cols + i))
+    keyed = df.withColumn("_zkey", zkey)
+    out = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    (
+        out.sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

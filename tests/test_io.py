@@ -465,3 +465,77 @@ def test_snapshot_publish_partitioned_and_pruned(spark, tmp_path):
     assert os.path.isdir(os.path.join(p1, "lang=zh"))
     got = {(r.k, r.v, r.lang) for r in spark.read.parquet(p1).collect()}
     assert got == {(1, "a", "en"), (3, "c", "en"), (4, "d", "zh")}
+
+
+def test_write_zordered_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order vs 1-D clustering: with files laid out on the Morton key
+    of (o_custkey, o_totalprice), file-level min/max stats prune for
+    predicates on EITHER column; the 1-D layout on o_custkey alone
+    cannot prune a price-only predicate."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.io import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_files = 8
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(
+        orders, zpath, ["o_custkey", "o_totalprice"], n_files=n_files
+    )
+    assert len(glob.glob(zpath + "/part-*.parquet")) == n_files
+    assert "_zkey" not in spark.read.parquet(zpath).columns
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == orders.count()
+
+    lo_ck, hi_ck, lo_tp, hi_tp = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+
+    def touched(df, pred):
+        return (
+            df.filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    ck_band = F.col("o_custkey") <= lo_ck + (hi_ck - lo_ck) * 0.10
+    tp_band = F.col("o_totalprice") <= lo_tp + (hi_tp - lo_tp) * 0.10
+    assert touched(back, ck_band) < n_files
+    assert touched(back, tp_band) < n_files
+
+    # 1-D clustering on custkey: the price-only predicate hits every file
+    from mysql2parquet_spark.io import write_clustered
+
+    cpath = str(tmp_path / "orders_c")
+    write_clustered(orders, cpath, cluster_by="o_custkey", n_files=n_files)
+    cback = spark.read.parquet(cpath)
+    assert touched(cback, ck_band) < n_files  # its own column prunes
+    assert touched(cback, tp_band) == n_files  # the other cannot
+
+
+def test_write_zordered_dates_and_validation(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from mysql2parquet_spark.io import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_zd")
+    write_zordered(orders, out, ["o_orderdate", "o_custkey"], n_files=4)
+    assert spark.read.parquet(out).count() == orders.count()
+
+    with _pytest.raises(ValueError, match=">=2 cluster columns"):
+        write_zordered(orders, str(tmp_path / "x"), ["o_custkey"])
+    with _pytest.raises(ValueError, match="exceeds 62"):
+        write_zordered(
+            orders, str(tmp_path / "y"),
+            ["o_custkey", "o_totalprice"], bits=32,
+        )
+    with _pytest.raises(ValueError, match="unsupported type"):
+        write_zordered(
+            orders, str(tmp_path / "z"), ["o_orderstatus", "o_custkey"]
+        )

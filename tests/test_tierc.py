@@ -608,3 +608,21 @@ def test_mix_corpus_validation(spark):
         mix_corpus(docs, {}, budget=100)
     with pytest.raises(ValueError, match="positive"):
         mix_corpus(docs, {"a": 0.0}, budget=100)
+
+
+def test_mix_corpus_budget_monotone_nesting(spark):
+    """Growing the budget under the same seed/weights only ADDS docs —
+    the selection at budget B1 < B2 is a strict subset of B2's (the md5
+    order is budget-independent, so a mixture can be grown for a longer
+    training run without invalidating what was already selected —
+    mirrors the nested-subsets contract of stratified sampling)."""
+    from mysql2parquet_spark.operators.pipeline import mix_corpus
+
+    docs = _mix_fixture(spark)
+    w = {"a": 2.0, "b": 1.0}
+    prev: set = set()
+    for budget in (300, 900, 2100, 6000):
+        sel = {r.doc_id for r in mix_corpus(docs, w, budget=budget).collect()}
+        assert prev <= sel, f"budget {budget} dropped earlier selections"
+        assert len(sel) > len(prev)
+        prev = sel
