@@ -36,11 +36,13 @@ Engine extensions (not in the reference):
   result in as a delta and publish the next version. --keep-versions N
   vacuums old committed versions after each publish. One command for
   the whole nightly-job lifecycle.
-- streaming CDC (--stream-events + --checkpoint): fold every CDC delta
+- streaming folds (--stream-events + --checkpoint): fold every delta
   parquet file landed in a directory into --snapshot-root, one
   committed version per file, exactly-once across restarts via the
-  streaming checkpoint (foreachBatch → io.fold_cdc_snapshot). Drains
-  what's landed and exits; rerunning catches up on new files only.
+  streaming checkpoint (foreachBatch → io.fold_cdc_snapshot for CDC
+  event files, io.fold_merge_snapshot for full-row last-event-wins
+  deltas). Drains what's landed and exits; rerunning catches up on new
+  files only.
 """
 
 from __future__ import annotations
@@ -126,15 +128,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "committed versions older than the newest N "
                         "(never the latest; never an uncommitted dir)")
     p.add_argument("--stream-events", default=None,
-                   help="streaming CDC mode: watch this landing "
-                        "directory for CDC delta parquet files and fold "
+                   help="streaming fold mode: watch this landing "
+                        "directory for delta parquet files and fold "
                         "each one into --snapshot-root as the next "
                         "version (foreachBatch, exactly-once via "
                         "--checkpoint; processes everything landed, "
                         "then exits — rerun to catch up). Replaces "
-                        "--query; requires --snapshot-root "
-                        "--merge-keys --cdc-op-column --cdc-seq-column "
-                        "--checkpoint and an already-bootstrapped root")
+                        "--query; requires --snapshot-root --merge-keys "
+                        "--checkpoint, an already-bootstrapped root, "
+                        "and a fold mode: --cdc-op-column/"
+                        "--cdc-seq-column (CDC events) or "
+                        "--order-column (full-row last-event-wins)")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir (with --stream-events); "
                         "reusing it across runs is what makes restarts "
@@ -153,16 +157,19 @@ def _split_session_prelude(query: str) -> tuple[str | None, str]:
     return ("; ".join(sets) or None), parts[-1]
 
 
-def _run_stream_cdc(spark, args, part_cols: list[str] | None = None) -> int:
-    """--stream-events: the proven streaming CDC fold (tests/
-    test_cdc_e2e.py — foreachBatch + fold_cdc_snapshot, exactly-once
-    across restarts via the checkpoint), exposed as a CLI surface. Each
-    landed delta file becomes one committed snapshot version
-    (maxFilesPerTrigger=1); the run drains everything currently landed
-    and exits — the reference's nightly cron (main.go:87-165) becomes
-    "rerun to catch up", processing only what's new."""
+def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
+    """--stream-events: the proven streaming fold (tests/test_cdc_e2e.py
+    — foreachBatch + fold_cdc_snapshot, exactly-once across restarts via
+    the checkpoint), exposed as a CLI surface. Two fold modes: CDC event
+    files (--cdc-op-column/--cdc-seq-column) or full-row delta files
+    resolved last-event-wins (--order-column). Each landed delta file
+    becomes one committed snapshot version (maxFilesPerTrigger=1); the
+    run drains everything currently landed and exits — the reference's
+    nightly cron (main.go:87-165) becomes "rerun to catch up",
+    processing only what's new."""
     from mysql2parquet_spark.io import (
         fold_cdc_snapshot,
+        fold_merge_snapshot,
         latest_snapshot,
         snapshot_versions,
         vacuum_snapshots,
@@ -176,9 +183,9 @@ def _run_stream_cdc(spark, args, part_cols: list[str] | None = None) -> int:
     ]
     if not committed:
         print(
-            "snapshot error: cannot stream CDC into an empty root — "
+            "snapshot error: cannot stream deltas into an empty root — "
             "publish an initial full load first (run once with --query "
-            "and without CDC flags)",
+            "and without delta flags)",
             file=sys.stderr,
         )
         return 2
@@ -199,17 +206,28 @@ def _run_stream_cdc(spark, args, part_cols: list[str] | None = None) -> int:
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return  # no-op trigger must not publish a no-op version
-        fold_cdc_snapshot(
-            batch_df.sparkSession,
-            args.snapshot_root,
-            batch_df,
-            keys,
-            op_col=args.cdc_op_column,
-            seq_col=args.cdc_seq_column,
-            delete_op=args.cdc_delete_op,
-            broadcast_source=not args.no_broadcast_delta,
-            partition_by=part_cols,
-        )
+        if args.cdc_op_column:
+            fold_cdc_snapshot(
+                batch_df.sparkSession,
+                args.snapshot_root,
+                batch_df,
+                keys,
+                op_col=args.cdc_op_column,
+                seq_col=args.cdc_seq_column,
+                delete_op=args.cdc_delete_op,
+                broadcast_source=not args.no_broadcast_delta,
+                partition_by=part_cols,
+            )
+        else:
+            fold_merge_snapshot(
+                batch_df.sparkSession,
+                args.snapshot_root,
+                batch_df,
+                keys,
+                order_col=args.order_column,
+                broadcast_source=not args.no_broadcast_delta,
+                partition_by=part_cols,
+            )
 
     stream = (
         spark.readStream.schema(schema)
@@ -260,8 +278,6 @@ def main(argv: list[str] | None = None) -> int:
             for name, val in (
                 ("--snapshot-root", args.snapshot_root),
                 ("--merge-keys", args.merge_keys),
-                ("--cdc-op-column", args.cdc_op_column),
-                ("--cdc-seq-column", args.cdc_seq_column),
                 ("--checkpoint", args.checkpoint),
             )
             if not val
@@ -269,6 +285,17 @@ def main(argv: list[str] | None = None) -> int:
         if need:
             print(
                 f"--stream-events requires {' '.join(need)}",
+                file=sys.stderr,
+            )
+            return 1
+        if not args.cdc_op_column and not args.order_column:
+            # two fold modes, both explicit: CDC event batches
+            # (op+seq) or full-row deltas resolved last-event-wins
+            print(
+                "--stream-events needs a fold mode: --cdc-op-column/"
+                "--cdc-seq-column for CDC event files, or "
+                "--order-column for full-row delta files "
+                "(last-event-wins)",
                 file=sys.stderr,
             )
             return 1
@@ -436,7 +463,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("mysql2parquet-spark-cli", master=args.master)
     try:
         if args.stream_events:
-            return _run_stream_cdc(spark, args, part_cols)
+            return _run_stream_fold(spark, args, part_cols)
         if args.tables_dir:
             register_tables(spark, args.tables_dir)
             try:

@@ -726,6 +726,36 @@ def vacuum_snapshots(spark: SparkSession, root: str, keep: int) -> list[int]:
     return deleted
 
 
+def fold_merge_snapshot(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    keys: list[str],
+    *,
+    order_col: str | None = None,
+    broadcast_source: bool = True,
+    partition_by: list[str] | None = None,
+) -> str:
+    """One incremental-export step for FULL-ROW deltas (no CDC op/seq
+    columns): read the latest committed snapshot, MERGE the delta in on
+    ``keys`` (last-event-wins by ``order_col``; without it duplicate
+    delta keys are a runtime error, like MERGE INTO), publish the next
+    version. The plain-export sibling of ``fold_cdc_snapshot`` — for
+    producers that re-export changed rows rather than emit change
+    events."""
+    from mysql2parquet_spark.operators.merge import merge_upsert
+
+    current = read_parquet(spark, latest_snapshot(spark, root))
+    merged = merge_upsert(
+        current,
+        delta,
+        keys,
+        broadcast_source=broadcast_source,
+        order_col=order_col,
+    )
+    return publish_snapshot(merged, root, partition_by=partition_by)
+
+
 def fold_cdc_snapshot(
     spark: SparkSession,
     root: str,

@@ -524,7 +524,7 @@ def test_end_to_end_stream_cdc_with_restart(tmp_path, spark):
         "--cdc-seq-column", "seq", "--checkpoint", ckpt,
     )
     assert r.returncode == 2, r.stderr[-1500:]
-    assert "cannot stream CDC into an empty root" in r.stderr
+    assert "cannot stream deltas into an empty root" in r.stderr
 
     # bootstrap v=0 from the full table
     r0 = run_cli(
@@ -629,3 +629,80 @@ def test_snapshot_root_partitioned_lifecycle(tmp_path, spark):
     latest = latest_snapshot(spark, root)
     got = {(r.k, r.v, r.lang) for r in spark.read.parquet(latest).collect()}
     assert got == {(1, "a", "en"), (2, "B", "fr"), (3, "c", "zh")}
+
+
+def test_stream_events_requires_a_fold_mode(capsys):
+    rc = main(
+        ["--stream-events", "/tmp/landing", "--snapshot-root", "/tmp/r",
+         "--merge-keys", "k", "--checkpoint", "/tmp/c"]
+    )
+    assert rc == 1
+    assert "needs a fold mode" in capsys.readouterr().err
+
+
+def test_end_to_end_stream_plain_merge(tmp_path, spark):
+    """--stream-events with --order-column: full-row delta files (no CDC
+    op/seq) fold last-event-wins, one version per file."""
+    import glob as _glob
+    import os
+    import time
+
+    from mysql2parquet_spark.io import latest_snapshot, snapshot_versions
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k bigint, v string, seq bigint"
+    ).write.parquet(str(tables / "users.parquet"))
+
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    schema = "k bigint, v string, seq bigint"
+    batches = [
+        # in-file duplicate key 2: seq 12 must win
+        [(2, "b1", 11, ), (2, "b2", 12), (3, "c", 13)],
+        [(1, "a2", 21)],
+    ]
+
+    def land(i):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(batches[i], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = _glob.glob(staging + "/part-*.parquet")
+        dst = os.path.join(landing, f"delta_{i:03d}.parquet")
+        os.replace(part, dst)
+        t = int(time.time()) - 3600 + 10 * i
+        os.utime(dst, (t, t))
+
+    def run_cli(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "mysql2parquet_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    r0 = run_cli(
+        "--tables-dir", str(tables), "--query", "SELECT * FROM users",
+        "--snapshot-root", root,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+
+    land(0)
+    land(1)
+    r1 = run_cli(
+        "--stream-events", landing, "--snapshot-root", root,
+        "--merge-keys", "k", "--order-column", "seq",
+        "--checkpoint", ckpt,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert r1.stdout.strip().endswith("v=2")
+    assert snapshot_versions(spark, root) == {0: True, 1: True, 2: True}
+    got = {
+        (r_.k, r_.v)
+        for r_ in spark.read.parquet(latest_snapshot(spark, root)).collect()
+    }
+    assert got == {(1, "a2"), (2, "b2"), (3, "c")}
