@@ -45,9 +45,11 @@ HEADLINE = [
     "ann_ivf_persisted",  # Tier C IVF ANN from persisted index (amortized probe)
     "embedding_centroids",  # Tier C per-label centroid agg
     "text_quality",       # Tier C text scoring
+    "tpch_q1",            # composite: pricing-summary scan-aggregate (r5)
     "tpch_q3_shape",      # composite: filtered 3-way join + grouped top-k
     "tpch_q6",            # composite: pushdown scan-filter-aggregate
     "tpch_q10_shape",     # composite: 4-way join + grouped top-20
+    "tpch_q18",           # composite: HAVING semi-join + grouped top-k (r5)
     "pipeline_curate",    # capstone: dedup -> quality -> lang -> report
     "pipeline_pack",      # sequence packing (per-shard running-sum window)
     "pipeline_decontaminate",  # eval-gram broadcast probe + per-doc count

@@ -150,6 +150,124 @@ def tpch_q6(spark, sf_dir):
 
 
 @register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 2) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 (exact): the canonical pricing-summary scan-aggregate — 8 "
+    "aggregates over 6 groups, one shuffle of 6 rows after map-side "
+    "partials. All money math in DECIMAL(18,2) so the sums are "
+    "order-independent; averages as exact-decimal-sum / exact-count in "
+    "one double division (deterministic on both engines).",
+)
+def tpch_q1(spark, sf_dir):
+    """Pricing summary. Sums are decimal-exact (associative under any
+    partial-aggregation order, so a 1000-executor partial+final plan
+    matches single-node bit-for-bit); only the final division and the
+    declared output cast are floating-point."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty, price, disc, tax = (
+        dec("l_quantity"), dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
+    )
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        F.sum(disc).alias("_sd"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 2).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / F.col("count_order"), 2).alias("avg_price"),
+        F.round(F.col("_sd").cast("double") / F.col("count_order"), 2).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 shape: large-volume customers — a grouped-HAVING "
+    "subquery feeding a semi-join, then a 3-way join and grouped top-k. "
+    "The big-order key set is tiny relative to lineitem, so Spark "
+    "broadcasts it into a BroadcastHashJoin(LeftSemi): lineitem is "
+    "scanned twice but never shuffled for the filter.",
+)
+def tpch_q18(spark, sf_dir):
+    """Large-volume-customer shape (reference delegates to MySQL,
+    main.go:106). The HAVING aggregate shuffles only (orderkey, qty)
+    pairs; the outer agg groups an already-filtered ~0.3% of orders."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
     "tpch_q10_shape",
     f"""
     SELECT c_custkey, c_name, n_name,

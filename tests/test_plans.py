@@ -127,12 +127,22 @@ def test_no_collect_in_operator_paths():
 
 @pytest.mark.parametrize(
     "name",
-    ["agg_group", "join_broadcast", "window_rank", "stream_tumbling_batch"],
+    ["agg_group", "join_broadcast", "window_rank", "stream_tumbling_batch", "tpch_q1"],
 )
 def test_single_shuffle_queries(spark, sf_dir, name):
     """These shapes need exactly one data exchange (plus broadcasts)."""
     p = plan(spark, sf_dir, name, mode="simple")  # formatted counts 0, vacuously
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_tpch_q18_semi_join_broadcasts_big_orders(spark, sf_dir):
+    """Q18's HAVING key-set is ~0.3% of orders; materializing it through
+    a shuffled semi-join would re-exchange the orders table at 100 TB.
+    The plan must probe it as a broadcast LeftSemi instead."""
+    p = plan(spark, sf_dir, "tpch_q18", mode="simple")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    semi = p[p.index("LeftSemi") - 60 : p.index("LeftSemi") + 20]
+    assert "BroadcastHashJoin" in semi, p
 
 
 def test_ivf_assignment_never_shuffles_corpus(spark, sf_dir):

@@ -100,7 +100,14 @@ COMPONENT_EVIDENCE = {
     "pipeline_decontaminate": ["pipeline_decontaminate"],
     "pipeline_chunk": ["pipeline_chunk"],
     "embedding_quantize": ["embedding_quantize"],
-    "tpch_composites": ["tpch_q6", "tpch_q3_shape", "tpch_q5_shape", "tpch_q10_shape"],
+    "tpch_composites": [
+        "tpch_q1",
+        "tpch_q6",
+        "tpch_q3_shape",
+        "tpch_q5_shape",
+        "tpch_q10_shape",
+        "tpch_q18",
+    ],
 }
 
 
