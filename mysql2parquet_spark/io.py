@@ -192,6 +192,110 @@ def read_json(
     return reader.json(path)
 
 
+def parse_corpus(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    fmt: str = "jsonl",
+    delimiter: str = ",",
+) -> DataFrame:
+    """Raw text-corpus landing → typed rows + per-line quarantine flag,
+    in ONE splittable text scan.
+
+    Reads ``path`` with the ``text`` source (splittable, no inference
+    pass) and parses each line JVM-side with ``from_json`` /
+    ``from_csv`` — whole-stage-codegen expressions, no Python. A line
+    that fails to parse keeps its raw bytes in ``_raw`` with
+    ``_corrupt = true``; parsed lines carry their typed columns.
+
+    This deliberately avoids ``spark.read.json`` PERMISSIVE mode's
+    corrupt-record column for the split: Spark disallows queries that
+    reference ONLY the corrupt column without caching the parsed
+    relation (SPARK-21610), and caching a 100 TB landing dir is not a
+    plan. Here ``_corrupt`` is an ordinary projected column, so the
+    good/bad split is two plain filters over one text scan each —
+    pushdown-friendly, cache-free.
+
+    ``fmt``: ``jsonl`` (one object per line) or ``csv`` (no header
+    line; headers belong to schema declarations, not 100 TB of data
+    files). Schema is REQUIRED: inference is a second full pass and
+    drifts across files.
+    """
+    if fmt not in ("jsonl", "csv"):
+        raise ValueError(f"unsupported corpus format: {fmt!r} (jsonl|csv)")
+    if any(f.name == "_cr" for f in schema.fields):
+        raise ValueError("schema field name _cr is reserved for corrupt records")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # The corrupt marker is a FIELD of the parse schema, so malformed
+    # lines (bad JSON, type-coercion failures, wrong CSV arity) land in
+    # it per-row — verified behavior of both parsers. This sidesteps
+    # spark.read.json's SPARK-21610 restriction (queries referencing
+    # only the corrupt column require caching the relation): here
+    # ``_corrupt`` is an ordinary projected boolean.
+    pschema = StructType(list(schema.fields) + [StructField("_cr", StringType())])
+    opts = {"columnNameOfCorruptRecord": "_cr", "mode": "PERMISSIVE"}
+    raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+    if fmt == "jsonl":
+        parsed = F.from_json("_raw", pschema, opts)
+    else:
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in pschema.fields
+        )
+        parsed = F.from_csv("_raw", F.lit(ddl), dict(opts, sep=delimiter))
+    out = (
+        raw.filter(F.length(F.trim("_raw")) > 0)  # blank lines are noise
+        .select("_raw", parsed.alias("_parsed"))
+        .withColumn("_corrupt", F.col("_parsed._cr").isNotNull())
+    )
+    return out.select(
+        *[F.col(f"_parsed.{f.name}").alias(f.name) for f in schema.fields],
+        "_raw",
+        "_corrupt",
+    )
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    schema,
+    *,
+    fmt: str = "jsonl",
+    delimiter: str = ",",
+    quarantine_dir: str | None = None,
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Land a raw JSONL/CSV corpus as typed parquet, quarantining
+    malformed lines instead of failing the job or silently dropping
+    them (the two default behaviors Spark offers).
+
+    Good rows → ``dest`` as parquet (optionally hive-partitioned);
+    corrupt raw lines → ``quarantine_dir`` as text for replay after a
+    parser fix. Returns ``{"good": n, "quarantined": m}`` so a nightly
+    job can alert on a quarantine-rate spike — at 100 TB a 0.1% bad-line
+    rate is a hundred gigabytes of silently lost data if unmonitored.
+
+    Two passes over the text source (one per sink) rather than a cached
+    single pass: the landing dir never fits in cluster memory, and the
+    text scan is the cheapest operator in the plan.
+    """
+    parsed = parse_corpus(spark, src, schema, fmt=fmt, delimiter=delimiter)
+    good = parsed.filter(~F.col("_corrupt")).drop("_raw", "_corrupt")
+    w = good.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dest)
+    n_good = spark.read.parquet(dest).count()
+    n_bad = 0
+    if quarantine_dir is not None:
+        bad = parsed.filter(F.col("_corrupt")).select(F.col("_raw").alias("value"))
+        bad.write.mode("overwrite").text(quarantine_dir)
+        n_bad = spark.read.text(quarantine_dir).count()
+    return {"good": n_good, "quarantined": n_bad}
+
+
 def write_csv(
     df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True
 ) -> None:

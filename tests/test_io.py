@@ -539,3 +539,123 @@ def test_write_zordered_dates_and_validation(spark, sf_dir, tmp_path):
         write_zordered(
             orders, str(tmp_path / "z"), ["o_orderstatus", "o_custkey"]
         )
+
+
+# ---------------------------------------------------------------- ingest
+
+
+def _corpus_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+
+
+def test_parse_corpus_jsonl_flags_malformed(spark, tmp_path):
+    from mysql2parquet_spark.io import parse_corpus
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        "not json at all\n"
+        "\n"  # blank line: dropped, not quarantined
+        '{"doc_id": "NaN-ish", "text": "bad type", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "welt", "lang": "de"}\n'
+    )
+    out = parse_corpus(spark, str(src), _corpus_schema()).orderBy("_raw")
+    rows = out.collect()  # bounded-metadata: 4-line fixture
+    assert len(rows) == 4  # blank line gone
+    by_corrupt = {r["_raw"]: r["_corrupt"] for r in rows}
+    assert by_corrupt["not json at all"] is True
+    assert by_corrupt['{"doc_id": 1, "text": "hello", "lang": "en"}'] is False
+    # type-coercion failure is corrupt, not silently nulled
+    assert by_corrupt['{"doc_id": "NaN-ish", "text": "bad type", "lang": "en"}'] is True
+    good = {r["doc_id"]: r["lang"] for r in rows if not r["_corrupt"]}
+    assert good == {1: "en", 2: "de"}
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "text", "lang", "_raw", "_corrupt",
+    ]
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_parse_corpus_csv_arity_and_types(spark, tmp_path):
+    from mysql2parquet_spark.io import parse_corpus
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "part.csv").write_text(
+        "1|alpha|en\n"
+        "zz|beta|de\n"  # bad bigint
+        "3|gamma|fr|EXTRA\n"  # wrong arity
+        "4|delta|es\n"
+    )
+    out = parse_corpus(
+        spark, str(src), _corpus_schema(), fmt="csv", delimiter="|"
+    )
+    rows = out.collect()  # bounded-metadata: 4-line fixture
+    corrupt = sorted(r["_raw"] for r in rows if r["_corrupt"])
+    assert corrupt == ["3|gamma|fr|EXTRA", "zz|beta|de"]
+    good = sorted(r["doc_id"] for r in rows if not r["_corrupt"])
+    assert good == [1, 4]
+
+
+def test_parse_corpus_validation(spark, tmp_path):
+    import pytest
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from mysql2parquet_spark.io import parse_corpus
+
+    with pytest.raises(ValueError, match="jsonl|csv"):
+        parse_corpus(spark, str(tmp_path), _corpus_schema(), fmt="xml")
+    clash = StructType([StructField("_cr", StringType())])
+    with pytest.raises(ValueError, match="_cr is reserved"):
+        parse_corpus(spark, str(tmp_path), clash)
+
+
+def test_parse_corpus_is_scan_side_only(spark, tmp_path):
+    """The good/bad split must stay a projection+filter over the text
+    scan — an Exchange here would shuffle the whole landing dir."""
+    from mysql2parquet_spark.io import parse_corpus
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"doc_id": 1, "text": "t", "lang": "en"}\n')
+    df = parse_corpus(spark, str(src), _corpus_schema())
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_ingest_corpus_quarantine_roundtrip(spark, tmp_path):
+    from mysql2parquet_spark.io import ingest_corpus
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        "BROKEN LINE\n"
+        '{"doc_id": 2, "text": "welt", "lang": "de"}\n'
+        '{"doc_id": 3, "text": "salut", "lang": "fr"}\n'
+    )
+    dest = tmp_path / "typed"
+    q = tmp_path / "quarantine"
+    stats = ingest_corpus(
+        spark, str(src), str(dest), _corpus_schema(),
+        quarantine_dir=str(q), partition_by=["lang"],
+    )
+    assert stats == {"good": 3, "quarantined": 1}
+    typed = spark.read.parquet(str(dest))
+    assert sorted(r["doc_id"] for r in typed.collect()) == [1, 2, 3]
+    assert "_corrupt" not in typed.columns and "_raw" not in typed.columns
+    # hive partitioning materialized (lang read back from dir structure)
+    langs = {d.name for d in dest.iterdir() if d.is_dir()}
+    assert {"lang=en", "lang=de", "lang=fr"} <= langs
+    # quarantined raw line preserved verbatim for replay
+    replay = spark.read.text(str(q)).collect()
+    assert [r["value"] for r in replay] == ["BROKEN LINE"]
