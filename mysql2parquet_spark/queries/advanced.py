@@ -159,3 +159,143 @@ def window_analytic(spark, sf_dir):
         ),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT s.stage, s.n_users,
+           ROUND(CAST(s.n_users AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 4) AS conversion
+    FROM (
+      SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT 'view>click', COUNT(*) FROM c
+      UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+    ) s
+    ORDER BY n_users DESC, stage
+    """,
+    "Behavioral funnel: ordered view→click→purchase progression per "
+    "user (strictly later timestamps at each stage), stage populations "
+    "+ conversion rate. Each stage is a per-user MIN-aggregate joined "
+    "to the previous stage's first-hit time — user-count rows only, so "
+    "every join after the first aggregation is broadcast-sized even "
+    "when the raw event log is 100 TB.",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel. The event log is scanned once per stage
+    with the stage predicate pushed to parquet; per-user stage tables
+    are tiny (<= one row per user) so Catalyst broadcasts them."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count("*").alias("n_users")).select(F.lit("view").alias("stage"), "n_users")
+        .unionAll(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+    # Entry population as a broadcast one-row cross join, not a driver
+    # .count() — the whole funnel stays one lazy plan.
+    base = v.agg(F.count("*").alias("_base"))
+    return (
+        stages.crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_base"), 4
+            ).alias("conversion"),
+        )
+        .orderBy(F.col("n_users").desc(), "stage")
+    )
+
+
+@register(
+    "events_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_w
+      FROM events GROUP BY user_id
+    )
+    SELECT STRFTIME(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST((EPOCH(DATE_TRUNC('week', e.ts)) - EPOCH(f.cohort_w)) / 604800
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY f.cohort_w, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    "Retention cohorts: users bucketed by first-seen week, distinct "
+    "actives per (cohort, week offset). The first-seen table is one row "
+    "per user — broadcast back onto the log; both week boundaries are "
+    "UTC Monday truncations so the offset division is exact on both "
+    "engines.",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention grid. One shuffle builds first_seen, the join
+    back is broadcast, and the distinct-count shuffles (cohort, offset,
+    user) triples — never raw events."""
+    ev = T(spark, sf_dir, "events")
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_w"))
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_w")
+                )
+                / 604800
+            ).cast("bigint"),
+        )
+        .groupBy("cohort_w", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
