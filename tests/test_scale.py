@@ -170,3 +170,48 @@ def test_stratified_sample_rates_nesting_and_edges(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """At 100 TB one hot join key turns a shuffle partition into a
+    straggler. The engine session ships with AQE skew-join enabled
+    (session.py); this pins that the runtime re-plan actually fires:
+    with a 90%-hot key and sub-partition advisory sizes, the executed
+    plan must show SortMergeJoin(skew=true) fed by a skewed
+    AQEShuffleRead — and the split must not change the join result."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "1.0")
+        spark.conf.set(keys[1], "4096")  # hot partition ≫ 4 KB at this scale
+        spark.conf.set(keys[2], "4096")
+        spark.conf.set(keys[3], "-1")  # force SMJ: broadcast would hide skew
+        fact = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(500).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+        )
+        j = fact.join(dim, "k")
+        # materialize j ITSELF so its AdaptiveSparkPlan finalizes — an
+        # action on a derived frame (count/write) runs a different
+        # QueryExecution and leaves j's plan isFinalPlan=false
+        assert len(j.collect()) == 60_000  # every key has exactly one dim row
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
