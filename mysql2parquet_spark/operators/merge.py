@@ -23,6 +23,13 @@ module owns that operator as a join composition:
   compacted to one final event per key (``compact_cdc_batch`` does
   this); a key present in both ``source`` and ``deletes`` ends up
   deleted.
+- ``scd2_history`` + ``scd2_asof``: Slowly-Changing-Dimension Type 2 —
+  fold the FULL event log into a versioned history table (one row per
+  key-version with ``effective_from``/``effective_to``/``is_current``)
+  instead of collapsing to the latest state, then look any past state
+  back up with a point-in-time filter. This is the warehouse-dimension
+  counterpart of the nightly exporter: the reference's consumers diff
+  successive full exports to reconstruct history; SCD2 keeps it.
 
 Scale shape: one shuffle per side on the merge keys (the left-anti
 join), union is shuffle-free. When the delta batch is small relative to
@@ -255,3 +262,90 @@ def snapshot_merge(
         broadcast_source=broadcast_source,
         order_col=order_col,
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str | None = None,
+    delete_op: str = "D",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a CDC event log into an SCD Type 2 history table.
+
+    Every non-delete event opens one version of its key, effective from
+    its own ``seq_col`` value until the NEXT event of that key (any op —
+    an update supersedes, a delete terminates); the last open version has
+    ``effective_to`` NULL and ``is_current`` 1. Delete events emit no row
+    themselves — they only close the preceding interval (and because the
+    lead is computed BEFORE the delete rows are dropped, a key whose
+    final event is a delete correctly has no current version).
+
+    ``(keys, seq_col, *tiebreak_cols)`` must totally order events within
+    a key — an executor-side assert fails the job on a duplicate rather
+    than emitting an ambiguous interval chain (same contract style as
+    strict ``merge_upsert``). Pass the binlog file/position pair or an
+    event id as the tiebreak when timestamps alone can collide.
+
+    Scale shape: ONE shuffle of the event log on ``keys`` (the window),
+    then pure projection/filter — no join against the history, no
+    iteration, no driver materialization. Rebuilding history at 100 TB
+    is a single pass; incremental maintenance appends new events and
+    re-folds only affected keys upstream of this operator.
+    """
+    if not keys:
+        raise ValueError("scd2_history requires at least one key column")
+    ties = tiebreak_cols or []
+    for c in [seq_col, *ties, *([op_col] if op_col else [])]:
+        if c not in events.columns:
+            raise ValueError(f"scd2_history: column {c!r} not in events")
+    order = [F.col(seq_col).asc(), *[F.col(c).asc() for c in ties]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # Duplicate-ordering detection rides the SAME window spec as the
+    # lead: duplicates are ADJACENT in the (keys, seq, ties) sort, so
+    # lag() finds them without the second (keys, seq, ties)-partitioned
+    # exchange a count-per-tuple window would cost — the fold stays one
+    # shuffle. Null-safe equality so the first row per key (NULL lags)
+    # always passes.
+    dup = F.lag(F.col(seq_col)).over(w).eqNullSafe(F.col(seq_col))
+    for c in ties:
+        dup = dup & F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+    guard = F.assert_true(
+        ~dup,
+        F.concat(
+            F.lit("scd2_history: duplicate event ordering for key ("),
+            F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            F.lit(") at "),
+            F.col(seq_col).cast("string"),
+            F.lit(" — add tiebreak_cols for a total order"),
+        ),
+    )
+    out = (
+        events.withColumn("effective_from", F.col(seq_col))
+        .withColumn("effective_to", F.lead(seq_col).over(w))
+        .withColumn("_ord_guard", guard)
+        .filter(F.col("_ord_guard").isNull())
+        .drop("_ord_guard")
+        .withColumn(
+            "is_current", F.col("effective_to").isNull().cast("int")
+        )
+    )
+    if op_col is not None:
+        out = out.filter(F.col(op_col) != delete_op).drop(op_col)
+    return out
+
+
+def scd2_asof(history: DataFrame, as_of, *, seq_col: str = "seq") -> DataFrame:
+    """Point-in-time lookup over an ``scd2_history`` result: the one
+    version of each key live at ``as_of`` (a literal comparable to the
+    history's ``effective_from`` type). Half-open intervals —
+    ``effective_from <= as_of < effective_to`` — so an event AT the
+    as-of instant is already visible and no two versions of a key can
+    both match. Pure filter: pushes to the scan, zero shuffle."""
+    ts = F.lit(as_of)
+    return history.filter(
+        (F.col("effective_from") <= ts)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > ts))
+    ).drop(seq_col)

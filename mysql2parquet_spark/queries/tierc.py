@@ -1262,3 +1262,115 @@ def multimodal_frames(spark, sf_dir):
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4
         ).alias("f_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2 history over a CDC event log (operators/merge.py — the
+# warehouse-dimension counterpart of the reference's nightly full export,
+# /root/reference/main.go:87-165: keep every version, not just the last).
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_scd2",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type AS status, value
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, ts, event_id, op, status, value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS effective_to
+      FROM log
+    )
+    SELECT user_id, status, value,
+           ts AS effective_from, effective_to,
+           CAST(effective_to IS NULL AS INT) AS is_current
+    FROM v WHERE op <> 'D'
+    """,
+    "SCD Type 2 fold: every non-delete CDC event opens a key version, "
+    "closed by the NEXT event of that key (deletes close but emit "
+    "nothing). One window shuffle on the key, then projection — "
+    "full-history rebuild is a single pass at any scale.",
+)
+def cdc_scd2(spark, sf_dir):
+    from mysql2parquet_spark.operators.merge import scd2_history
+
+    log = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("status"),
+        "value",
+    )
+    hist = scd2_history(
+        log,
+        ["user_id"],
+        seq_col="ts",
+        op_col="op",
+        tiebreak_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id",
+        "status",
+        "value",
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+@register(
+    "cdc_scd2_asof",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type AS status, value
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, ts, event_id, op, status, value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS effective_to
+      FROM log
+    )
+    SELECT user_id, status, ROUND(value, 2) AS val
+    FROM v
+    WHERE op <> 'D'
+      AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (effective_to IS NULL
+           OR effective_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+    "Point-in-time (time-travel) lookup over the SCD2 history: the one "
+    "version of each key live at the as-of instant. Half-open intervals "
+    "guarantee at most one match per key; the filter is a pure "
+    "projection-side predicate (zero extra shuffle beyond the fold).",
+)
+def cdc_scd2_asof(spark, sf_dir):
+    import datetime
+
+    from mysql2parquet_spark.operators.merge import scd2_asof, scd2_history
+
+    log = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("status"),
+        "value",
+    )
+    hist = scd2_history(
+        log, ["user_id"], seq_col="ts", op_col="op", tiebreak_cols=["event_id"]
+    )
+    live = scd2_asof(hist, datetime.datetime(2024, 1, 15), seq_col="ts")
+    return live.select(
+        "user_id", "status", F.round("value", 2).alias("val")
+    )

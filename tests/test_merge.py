@@ -196,3 +196,99 @@ def test_compact_cdc_superseded_null_op_is_harmless(spark):
     ups, dels = compact_cdc_batch(events, ["k"])
     assert [(r.k, r.v) for r in ups.collect()] == [(5, "fixed")]
     assert dels.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 history fold + point-in-time lookup
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.merge import scd2_asof, scd2_history
+
+
+def _scd2_fixture(spark):
+    # key 1: two updates then a delete (no current version)
+    # key 2: single insert (one open version)
+    # key 3: update, delete, re-insert (history resumes after the gap)
+    events = [
+        (1, "a", "U", 10),
+        (1, "b", "U", 20),
+        (1, None, "D", 30),
+        (2, "x", "U", 15),
+        (3, "p", "U", 5),
+        (3, None, "D", 12),
+        (3, "q", "U", 40),
+    ]
+    return spark.createDataFrame(events, "k bigint, v string, op string, seq bigint")
+
+
+def test_scd2_history_intervals_and_current(spark):
+    hist = scd2_history(_scd2_fixture(spark), ["k"], seq_col="seq", op_col="op")
+    rows = {
+        (r.k, r.v): (r.effective_from, r.effective_to, r.is_current)
+        for r in hist.collect()
+    }
+    assert rows == {
+        (1, "a"): (10, 20, 0),
+        (1, "b"): (20, 30, 0),  # closed by the delete, emits no row itself
+        (2, "x"): (15, None, 1),
+        (3, "p"): (5, 12, 0),
+        (3, "q"): (40, None, 1),  # re-insert after delete reopens history
+    }
+    # deleted key 1 has NO current version
+    assert hist.filter((F.col("k") == 1) & (F.col("is_current") == 1)).count() == 0
+
+
+def test_scd2_history_without_op_keeps_every_event(spark):
+    """op_col=None: a pure attribute-change log (no tombstones) — every
+    event is a version."""
+    ev = spark.createDataFrame(
+        [(7, "a", 1), (7, "b", 2)], "k bigint, v string, seq bigint"
+    )
+    hist = scd2_history(ev, ["k"], seq_col="seq")
+    got = sorted((r.v, r.effective_from, r.effective_to) for r in hist.collect())
+    assert got == [("a", 1, 2), ("b", 2, None)]
+
+
+def test_scd2_history_duplicate_ordering_fails_loudly(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", "U", 10), (1, "b", "U", 10)],
+        "k bigint, v string, op string, seq bigint",
+    )
+    with pytest.raises(Exception, match="duplicate event ordering"):
+        scd2_history(ev, ["k"], seq_col="seq", op_col="op").collect()
+    # the same data passes once a tiebreak gives a total order
+    ev2 = ev.withColumn("eid", F.monotonically_increasing_id())
+    assert (
+        scd2_history(
+            ev2, ["k"], seq_col="seq", op_col="op", tiebreak_cols=["eid"]
+        ).count()
+        == 2
+    )
+
+
+@pytest.mark.parametrize(
+    ("as_of", "expected"),
+    [
+        (4, set()),  # before any event
+        (10, {(1, "a"), (3, "p")}),  # inclusive at effective_from
+        (25, {(1, "b"), (2, "x"), (3, None)}),  # 3 is deleted at 12
+        (30, {(2, "x"), (3, None)}),  # 1's delete is visible AT its instant
+        (99, {(2, "x"), (3, "q")}),
+    ],
+)
+def test_scd2_asof_point_in_time(spark, as_of, expected):
+    hist = scd2_history(_scd2_fixture(spark), ["k"], seq_col="seq", op_col="op")
+    live = scd2_asof(hist, as_of)
+    got = {(r.k, r.v) for r in live.collect()}
+    expected = {(k, v) for k, v in expected if v is not None}
+    assert got == expected
+    # at most one live version per key, by construction
+    assert live.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_scd2_single_shuffle(spark):
+    """The fold is ONE exchange on the key — rebuilding history at scale
+    is a single pass, not a self-join."""
+    hist = scd2_history(_scd2_fixture(spark), ["k"], seq_col="seq", op_col="op")
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
