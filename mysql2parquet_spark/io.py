@@ -613,6 +613,62 @@ def write_zordered(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str | list[str],
+    num_buckets: int,
+    sort_by: str | list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Hash-bucketed parquet table — the co-located-join layout.
+
+    ``bucketBy(n, keys)`` pre-hashes rows into ``n`` files per partition
+    by the join/agg key, recorded in the catalog, so a later
+    join-on-key between two tables bucketed the SAME way (same keys,
+    same ``n``) needs NO Exchange on either side, and a groupBy on the
+    key needs none at all — the shuffle was paid ONCE at write time and
+    amortizes over every subsequent query. At 100 TB this is the
+    difference between re-shuffling both fact tables on every run and
+    a scan+sort-merge straight off disk (``tests/test_io.py`` pins the
+    Exchange-free plans).
+
+    ``sort_by`` additionally sorts within each bucket file so the
+    sort-merge join can skip its sort. Mismatched bucket counts still
+    work (Spark shuffles the smaller side only).
+
+    Catalog caveat: bucket metadata lives in the session catalog —
+    in-memory by default, a persistent metastore in production — and
+    reads must go through ``spark.table(table)``; a bare
+    ``spark.read.parquet(path)`` sees plain files and loses the layout.
+    ``path`` makes it an external table (data at ``path``, metadata in
+    the catalog) so the files live beside the rest of the lake.
+    """
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    if not keys:
+        raise ValueError("write_bucketed needs at least one bucket column")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"bucket columns not in DataFrame: {missing}")
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("compression", compression)
+        .bucketBy(num_buckets, *keys)
+    )
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -3,6 +3,8 @@ visibility, single-file compat layout."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mysql2parquet_spark.io import (
@@ -659,3 +661,101 @@ def test_ingest_corpus_quarantine_roundtrip(spark, tmp_path):
     # quarantined raw line preserved verbatim for replay
     replay = spark.read.text(str(q)).collect()
     assert [r["value"] for r in replay] == ["BROKEN LINE"]
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables — the co-located-join layout (io.write_bucketed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def bucketed_pair(spark, sf_dir, tmp_path):
+    """orders + customer bucketed 8 ways on the join key, registered as
+    external tables under tmp_path; dropped (metadata only) after."""
+    from mysql2parquet_spark.io import load_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bt_orders",
+        bucket_by="o_custkey",
+        num_buckets=8,
+        sort_by="o_custkey",
+        path=str(tmp_path / "bt_orders"),
+    )
+    write_bucketed(
+        c.select("c_custkey", "c_name"),
+        "bt_customer",
+        bucket_by="c_custkey",
+        num_buckets=8,
+        sort_by="c_custkey",
+        path=str(tmp_path / "bt_customer"),
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_pair):
+    """Same keys + same bucket count on both sides: the sort-merge join
+    runs straight off the bucketed files — ZERO Exchange in the plan.
+    The write-time shuffle amortizes over every later join; this is the
+    co-location contract 100 TB fact-to-fact joins rely on."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_orders").join(
+            spark.table("bt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # and the result is still correct vs a plain-parquet join
+        from mysql2parquet_spark.io import load_table
+
+        expected = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    """Aggregation on the bucket key reuses the bucketing as its
+    distribution — no shuffle at all."""
+    agg = (
+        spark.table("bt_orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bare_path_read_loses_bucketing(spark, tmp_path, bucketed_pair):
+    """The documented catalog caveat: reading the same files WITHOUT the
+    catalog (spark.read.parquet) sees plain parquet — the groupBy
+    shuffles again. Pins that the no-Exchange plans above really come
+    from the bucket metadata, not plan luck."""
+    bare = spark.read.parquet(str(tmp_path / "bt_orders"))
+    agg = bare.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+
+def test_write_bucketed_validates_inputs(spark):
+    from mysql2parquet_spark.io import write_bucketed
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="bucket columns not in"):
+        write_bucketed(df, "t_bad", bucket_by="nope", num_buckets=4)
+    with pytest.raises(ValueError, match="num_buckets"):
+        write_bucketed(df, "t_bad", bucket_by="k", num_buckets=0)
