@@ -64,6 +64,8 @@ HEADLINE = [
     "multimodal_frames",  # frame-sampling fan-out via mapInPandas (r4)
     "dedup_incremental",  # batch-vs-store anti-join dedup (r5)
     "pipeline_mix",       # budget-weighted corpus mixing (r5)
+    "cdc_scd2",           # SCD2 history fold (single-shuffle window, r5)
+    "sketch_cms_freq",    # count-min build + broadcast probe (r5)
 ]
 
 

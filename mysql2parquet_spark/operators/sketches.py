@@ -67,3 +67,111 @@ def merge_sketch_estimates(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketches (row-form: mergeable by plain SUM)
+# ---------------------------------------------------------------------------
+
+#: Default count-min geometry: depth 5 × width 2048 → overestimate
+#: ≤ e/width · N ≈ 0.13% of total weight with probability 1-e^-5 ≈ 99.3%,
+#: at ~80 KB per sketch in row form. Fixed defaults keep independently
+#: produced shard sketches mergeable (mixed geometries cannot be summed).
+CMS_DEPTH = 5
+CMS_WIDTH = 2048
+CMS_SEED = 0x5EED
+
+
+def _cms_pos(key_col: str, depth_idx, width: int, seed: int):
+    """Bucket index for one hash row: xxhash64 seeded per depth, folded
+    to [0, width). pmod, not %, so negative hashes land in range."""
+    return F.pmod(
+        F.xxhash64(F.col(key_col), depth_idx + F.lit(seed)), F.lit(width)
+    ).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Per-group count-min sketch of ``key_col`` frequencies, in ROW
+    form: ``(group_cols…, d, pos, cnt)`` — one row per non-empty cell of
+    the depth×width count matrix.
+
+    Row form instead of a binary blob on purpose: Spark's built-in
+    ``count_min_sketch`` aggregate produces a blob with NO SQL-side
+    union, so rollups would bounce through the driver. Cells merge by
+    plain SUM — any coarser rollup is one more aggregate over kilobyte-
+    scale sketch rows (``cms_merge``), never the raw data, exactly the
+    HLL pattern above. The explode is a d-way fan-out of constant-width
+    rows before a partial+final hash agg: the shuffle carries at most
+    depth×width cells per group per map task regardless of row count.
+
+    The sketch answers "how often does key X occur" within ε·N (ε =
+    e/width) with probability 1-e^-depth — per-key frequency at 100 TB
+    without materializing a per-key aggregate, and unlike exact groupBy
+    output its size is CAPPED by geometry, not cardinality.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad count-min geometry: depth={depth} width={width}")
+    rows = df.select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    )
+    return (
+        rows.withColumn("pos", _cms_pos(key_col, F.col("d"), width, seed))
+        .groupBy(*group_cols, "d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Roll shard sketches up to ``rollup_cols`` granularity: cells sum
+    element-wise, and the merged sketch is IDENTICAL to the sketch a
+    single pass over the unioned data would have produced (pinned in
+    tests) — same contract as ``merge_sketch_estimates``."""
+    return sketches.groupBy(*rollup_cols, "d", "pos").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Frequency estimates for every key in ``keys``: min over the depth
+    cells each key hashes to — the classic count-min point query.
+
+    Join direction is the scale story: the SKETCH is the broadcast side
+    (its size is capped by geometry — at most depth×width rows — never
+    by data volume), so ``keys`` may be arbitrarily large (e.g. every
+    distinct key in the corpus) and never shuffles for the lookup. The
+    left join + coalesce keeps EMPTY cells as zeros, so the min is over
+    all ``depth`` cells exactly like the textbook query — a key absent
+    from any one of its cells estimates 0. Estimates never undercount;
+    overcounts are bounded by the geometry (quality-gated in tests).
+
+    ``sketch`` must be single-group (one depth×width matrix): roll
+    per-group sketches to the wanted granularity with ``cms_merge``
+    (or filter one group) first.
+    """
+    probes = keys.dropDuplicates([key_col]).select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).withColumn("pos", _cms_pos(key_col, F.col("d"), width, seed))
+    cells = sketch.select("d", "pos", "cnt")
+    joined = probes.join(F.broadcast(cells), on=["d", "pos"], how="left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("approx_count")
+    )

@@ -1374,3 +1374,56 @@ def cdc_scd2_asof(spark, sf_dir):
     return live.select(
         "user_id", "status", F.round("value", 2).alias("val")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py) — approximate by design,
+# rows-only here; accuracy vs exact answers is gated in
+# tests/test_sketches.py (HLL ±3σ, count-min never-undercount + ε·N).
+# --------------------------------------------------------------------------
+
+@register(
+    "sketch_hll_rollup",
+    None,  # HLL estimates are approximate — rows-only by design
+    "Mergeable distinct-count rollup: per-event-type HLL sketches of "
+    "user_id fold to the global distinct estimate WITHOUT re-scanning "
+    "raw events — the shuffle carries few-KB sketch state, not keys. "
+    "The union estimate is pinned equal to a single-pass estimate in "
+    "tests/test_sketches.py.",
+)
+def sketch_hll_rollup(spark, sf_dir):
+    from mysql2parquet_spark.operators.sketches import (
+        distinct_sketches,
+        merge_sketch_estimates,
+    )
+
+    e = T(spark, sf_dir, "events")
+    shards = distinct_sketches(e, "user_id", ["event_type"])
+    rolled = merge_sketch_estimates(shards, [])
+    return rolled.select(
+        F.col("approx_distinct").cast("long").alias("approx_users"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "sketch_cms_freq",
+    None,  # count-min estimates are approximate — rows-only by design
+    "Count-min frequency sketch: event_type occurrence estimates from a "
+    "geometry-capped cell matrix (depth 5 × width 2048 ≈ 80 KB at ANY "
+    "corpus size). Never undercounts; overcount ≤ ε·N gated in "
+    "tests/test_sketches.py. The probe side streams; the sketch "
+    "broadcasts.",
+)
+def sketch_cms_freq(spark, sf_dir):
+    from mysql2parquet_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    e = T(spark, sf_dir, "events")
+    sk = cms_sketch(e, "event_type", [])
+    keys = e.select("event_type").dropDuplicates(["event_type"])
+    return cms_estimate(sk, keys, "event_type").select(
+        "event_type", F.col("approx_count").cast("long").alias("approx_count")
+    )

@@ -4,6 +4,7 @@ the binary sketch column."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysql2parquet_spark.io import load_table
@@ -68,3 +69,107 @@ def test_sketch_agg_plan_is_partial_final(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "hll_sketch_agg" in p, p
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketches
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.sketches import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+)
+
+
+def _freq_df(spark, pairs):
+    """pairs: (key, count) → one row per occurrence."""
+    rows = [(k,) for k, n in pairs for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    pairs = [(f"key{i}", (i % 7) + 1) for i in range(200)]
+    df = _freq_df(spark, pairs)
+    sk = cms_sketch(df, "k", [], width=256)
+    keys = spark.createDataFrame([(k,) for k, _ in pairs], "k string")
+    est = {r.k: r.approx_count for r in cms_estimate(sk, keys, "k", width=256).collect()}
+    true = dict(pairs)
+    n_total = sum(true.values())
+    # ε = e/width; allow 3× the single-cell bound for the min-of-depth
+    bound = int(3 * 2.718 / 256 * n_total) + 1
+    for k, t in true.items():
+        assert est[k] >= t, f"undercount for {k}: {est[k]} < {t}"
+        assert est[k] <= t + bound, f"overcount for {k}: {est[k]} vs {t}+{bound}"
+
+
+def test_cms_absent_key_estimates_zero_when_cells_empty(spark):
+    df = _freq_df(spark, [("only", 3)])
+    sk = cms_sketch(df, "k", [])
+    keys = spark.createDataFrame([("only",), ("ghost",)], "k string")
+    est = {r.k: r.approx_count for r in cms_estimate(sk, keys, "k").collect()}
+    assert est["only"] == 3
+    # with one distinct stored key, a probe key collides in ALL 5 depths
+    # with probability ~(1/2048)^5 — the zero-cell path must fire
+    assert est["ghost"] == 0
+
+
+def test_cms_merge_equals_single_pass(spark):
+    """Element-wise cell sums: sketch(A) ⊕ sketch(B) == sketch(A∪B)
+    EXACTLY — the invariant that makes shard sketches roll up without
+    re-scanning raw data."""
+    a = _freq_df(spark, [("x", 5), ("y", 2)]).withColumn("shard", F.lit("a"))
+    b = _freq_df(spark, [("x", 1), ("z", 4)]).withColumn("shard", F.lit("b"))
+    both = a.unionByName(b)
+    per_shard = cms_sketch(both, "k", ["shard"])
+    merged = cms_merge(per_shard, [])
+    single = cms_sketch(both, "k", [])
+    m = {(r.d, r.pos): r.cnt for r in merged.collect()}
+    s = {(r.d, r.pos): r.cnt for r in single.collect()}
+    assert m == s
+
+
+def test_cms_sketch_size_capped_by_geometry(spark):
+    """10k rows of high-cardinality keys: the sketch row count stays
+    ≤ depth×width no matter the cardinality — the whole point vs an
+    exact per-key aggregate."""
+    df = spark.range(10_000).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    sk = cms_sketch(df, "k", [], depth=4, width=64)
+    assert sk.count() <= 4 * 64
+
+
+def test_cms_estimate_broadcasts_sketch_not_keys(spark):
+    """Plan pin for the join direction: the geometry-capped sketch is
+    the broadcast build side; the (potentially corpus-sized) key side
+    streams."""
+    df = _freq_df(spark, [("x", 3), ("y", 1)])
+    sk = cms_sketch(df, "k", [])
+    keys = spark.createDataFrame([("x",), ("y",)], "k string")
+    est = cms_estimate(sk, keys, "k")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_rejects_bad_geometry(spark):
+    df = _freq_df(spark, [("x", 1)])
+    with pytest.raises(ValueError, match="geometry"):
+        cms_sketch(df, "k", [], depth=0)
+
+
+def test_cms_on_events_matches_exact_counts(spark, sf_dir):
+    """Real-data accuracy gate (the sf0.001 twin of the rows-only
+    driver query): event_type cardinality (5) is far below width 2048,
+    so collisions across all 5 depths are ~impossible — estimates must
+    equal exact counts here."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "event_type", [])
+    keys = ev.select("event_type").dropDuplicates(["event_type"])
+    est = {
+        r.event_type: r.approx_count
+        for r in cms_estimate(sk, keys, "event_type").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est == exact
