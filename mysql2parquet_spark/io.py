@@ -886,6 +886,103 @@ def vacuum_snapshots(spark: SparkSession, root: str, keep: int) -> list[int]:
     return deleted
 
 
+def read_snapshot(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: a specific COMMITTED snapshot version, or the
+    latest when ``version`` is None. Uncommitted directories stay
+    invisible (same contract as ``latest_snapshot``); asking for one —
+    or for a number that never existed — is an explicit error, not an
+    empty DataFrame."""
+    if version is None:
+        return read_parquet(spark, latest_snapshot(spark, root))
+    committed = snapshot_versions(spark, root)
+    if version not in committed:
+        raise FileNotFoundError(f"no snapshot {_VERSION_PREFIX}{version} under {root}")
+    if not committed[version]:
+        raise FileNotFoundError(
+            f"snapshot {_VERSION_PREFIX}{version} under {root} is uncommitted "
+            "(crashed mid-write?) — refusing to read partial data"
+        )
+    return read_parquet(spark, os.path.join(root, f"{_VERSION_PREFIX}{version}"))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed row-level diff between two committed snapshot versions:
+    one row per changed key with ``change`` ∈ {'I','U','D'} — inserts
+    and updates carry the NEW values, deletes the last-seen OLD values.
+
+    This is the consumer-side answer to "what changed between last
+    night's export and tonight's": the reference's users diff full
+    exports out-of-band; here it is one full-outer join on the snapshot
+    keys (one shuffle per side — or none, if the snapshots were
+    bucketed on the keys) with null-safe per-column comparison, never a
+    driver materialization. Unchanged keys drop out before anything
+    else happens to them.
+    """
+    if not keys:
+        raise ValueError("snapshot_diff requires at least one key column")
+    old = read_snapshot(spark, root, version=v_old)
+    new = read_snapshot(spark, root, version=v_new)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)} — diff needs a shared column set"
+        )
+    missing = [k for k in keys if k not in new.columns]
+    if missing:
+        raise ValueError(f"diff keys missing from snapshots: {missing}")
+    vals = [c for c in new.columns if c not in keys]
+    # explicit presence markers, NOT key-null checks: eqNullSafe joins
+    # match NULL keys, so a nullable key column must not double as the
+    # "row exists on this side" signal.
+    o = old.select(
+        F.lit(True).alias("_o_present"),
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_ov_{c}") for c in vals],
+    )
+    n = new.select(
+        F.lit(True).alias("_n_present"),
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_nv_{c}") for c in vals],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
+    same = F.lit(True)
+    for c in vals:
+        same = same & F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+    change = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(~same, F.lit("U"))
+        .otherwise(F.lit(None))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    # I/U rows carry new values; D rows the old ones (there are no new)
+    out_cols += [
+        F.when(in_new, F.col(f"_nv_{c}")).otherwise(F.col(f"_ov_{c}")).alias(c)
+        for c in vals
+    ]
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select("change", *out_cols)
+    )
+
+
 def fold_merge_snapshot(
     spark: SparkSession,
     root: str,

@@ -759,3 +759,86 @@ def test_write_bucketed_validates_inputs(spark):
         write_bucketed(df, "t_bad", bucket_by="nope", num_buckets=4)
     with pytest.raises(ValueError, match="num_buckets"):
         write_bucketed(df, "t_bad", bucket_by="k", num_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time-travel reads + keyed version diff
+# ---------------------------------------------------------------------------
+
+
+def _publish(spark, root, rows):
+    from mysql2parquet_spark.io import publish_snapshot
+
+    df = spark.createDataFrame(rows, "k bigint, name string, bal double")
+    return publish_snapshot(df, root)
+
+
+def test_read_snapshot_time_travel(spark, tmp_path):
+    from mysql2parquet_spark.io import read_snapshot
+
+    root = str(tmp_path / "snap")
+    _publish(spark, root, [(1, "a", 1.0)])
+    _publish(spark, root, [(1, "a2", 1.5), (2, "b", 2.0)])
+    latest = {r.k for r in read_snapshot(spark, root).collect()}
+    v0 = {r.k for r in read_snapshot(spark, root, version=0).collect()}
+    assert latest == {1, 2} and v0 == {1}
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        read_snapshot(spark, root, version=7)
+
+
+def test_read_snapshot_refuses_uncommitted(spark, tmp_path):
+    import os
+
+    from mysql2parquet_spark.io import read_snapshot
+
+    root = str(tmp_path / "snap")
+    _publish(spark, root, [(1, "a", 1.0)])
+    os.remove(os.path.join(root, "v=0", "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="uncommitted"):
+        read_snapshot(spark, root, version=0)
+
+
+def test_snapshot_diff_classifies_iud(spark, tmp_path):
+    from mysql2parquet_spark.io import snapshot_diff
+
+    root = str(tmp_path / "snap")
+    _publish(
+        spark,
+        root,
+        [(1, "keep", 1.0), (2, "upd", 2.0), (3, "del", 3.0), (4, None, 4.0)],
+    )
+    _publish(
+        spark,
+        root,
+        [(1, "keep", 1.0), (2, "UPD", 2.5), (4, None, 4.0), (5, "new", 5.0)],
+    )
+    got = {
+        (r.change, r.k): (r.name, r.bal)
+        for r in snapshot_diff(spark, root, 0, 1, ["k"]).collect()
+    }
+    # unchanged keys 1 and 4 (4 has a NULL value column — null-safe
+    # comparison must call it unchanged) are absent
+    assert got == {
+        ("U", 2): ("UPD", 2.5),  # updates carry NEW values
+        ("D", 3): ("del", 3.0),  # deletes carry the last-seen OLD values
+        ("I", 5): ("new", 5.0),
+    }
+
+
+def test_snapshot_diff_same_version_is_empty(spark, tmp_path):
+    from mysql2parquet_spark.io import snapshot_diff
+
+    root = str(tmp_path / "snap")
+    _publish(spark, root, [(1, "a", 1.0), (2, "b", 2.0)])
+    assert snapshot_diff(spark, root, 0, 0, ["k"]).count() == 0
+
+
+def test_snapshot_diff_validates(spark, tmp_path):
+    from mysql2parquet_spark.io import snapshot_diff
+
+    root = str(tmp_path / "snap")
+    _publish(spark, root, [(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(spark, root, 0, 0, [])
+    with pytest.raises(ValueError, match="missing from snapshots"):
+        snapshot_diff(spark, root, 0, 0, ["nope"])
