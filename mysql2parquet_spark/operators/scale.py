@@ -1,12 +1,13 @@
-"""Scale-posture operators (SURVEY.md C6): skew salting and bucketed
-co-located joins. These change nothing semantically — they reshape the
-same computation so it survives pathological data distributions and
-repeated big-big joins at 100 TB.
+"""Scale-posture operators (SURVEY.md C6): skew salting and
+deterministic stratified sampling. These change nothing semantically —
+they reshape the same computation so it survives pathological data
+distributions at 100 TB. (Bucketed co-located-join LAYOUT lives with
+the other layout writers: io.write_bucketed.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -79,35 +80,6 @@ def salted_join(
     )
     out = salted_big.join(exploded_small, [on, "_salt"], how)
     return out.drop("_salt")
-
-
-def write_bucketed_table(
-    df: DataFrame,
-    table_name: str,
-    bucket_cols: list[str],
-    num_buckets: int = 16,
-    *,
-    sort_cols: list[str] | None = None,
-) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table.
-
-    Two tables bucketed identically on their join key join WITHOUT a
-    shuffle — the layout cost is paid once at write time. This is the
-    100 TB answer for fact-fact joins repeated across many queries
-    (the reference has no concept of layout at all — one flat file,
-    main.go:165)."""
-    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table_name)
-
-
-def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
-) -> DataFrame:
-    """Join two identically-bucketed tables — verify with .explain that
-    no Exchange precedes the join."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
 def stratified_sample(

@@ -6,12 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mysql2parquet_spark.io import load_table, write_parquet
+from mysql2parquet_spark.io import load_table, write_bucketed, write_parquet
 from mysql2parquet_spark.operators.scale import (
-    bucketed_join,
     salted_group_count,
     salted_join,
-    write_bucketed_table,
 )
 
 
@@ -108,9 +106,9 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        write_bucketed_table(o, "b_orders", ["o_custkey"], 8)
-        write_bucketed_table(c, "b_customer", ["o_custkey"], 8)
-        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        write_bucketed(o, "b_orders", bucket_by="o_custkey", num_buckets=8)
+        write_bucketed(c, "b_customer", bucket_by="o_custkey", num_buckets=8)
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan[:2000]
         want = o.join(c, "o_custkey").count()
