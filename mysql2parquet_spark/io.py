@@ -913,10 +913,17 @@ def snapshot_diff(
     v_old: int,
     v_new: int,
     keys: list[str],
+    *,
+    include_old: bool = False,
 ) -> DataFrame:
     """Keyed row-level diff between two committed snapshot versions:
     one row per changed key with ``change`` ∈ {'I','U','D'} — inserts
     and updates carry the NEW values, deletes the last-seen OLD values.
+
+    ``include_old=True`` additionally emits ``old_<col>`` for every
+    value column (NULL on inserts) — the form downstream incremental
+    maintenance needs (``incremental_agg_update`` subtracts the old
+    contribution of a U/D row and adds the new one of an I/U row).
 
     This is the consumer-side answer to "what changed between last
     night's export and tonight's": the reference's users diff full
@@ -976,6 +983,8 @@ def snapshot_diff(
         F.when(in_new, F.col(f"_nv_{c}")).otherwise(F.col(f"_ov_{c}")).alias(c)
         for c in vals
     ]
+    if include_old:
+        out_cols += [F.col(f"_ov_{c}").alias(f"old_{c}") for c in vals]
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
