@@ -1,0 +1,141 @@
+"""Declarative data-quality constraints — the validation pass a nightly
+export pipeline runs before publishing a snapshot.
+
+The reference ships whatever MySQL returns (main.go:106-203 — no checks
+between query and parquet). At 100 TB, publishing a corrupt export is
+expensive to claw back, so write-audit-publish needs the AUDIT step:
+each constraint compiles to a declarative aggregate/join over the
+DataFrame (no UDFs, no collect), and ``validate`` unions the per-rule
+violation counts into one small report — gate the publish on
+``violations == 0``.
+
+Row-local rules (not_null / accepted_values / expression) are single
+conditional aggregates (zero shuffle beyond the final fold); unique is
+one hash aggregate on the key; referential is one anti-join (broadcast
+the parent key-set when it is dimension-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows with a NULL in any named column."""
+    cond = None
+    for c in cols:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    return df.filter(cond)
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key tuples appearing more than once, with their multiplicity."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def accepted_values_violations(
+    df: DataFrame, col: str, values: list
+) -> DataFrame:
+    """Rows whose ``col`` is outside ``values`` (NULL is not a
+    membership violation — pair with not_null if required)."""
+    return df.filter(~F.col(col).isin(values) & F.col(col).isNotNull())
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    on: list[tuple[str, str]],
+    *,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Child rows whose FK tuple has no parent (orphans) — one anti-join
+    against the parent KEY-SET (projected + deduplicated, broadcast by
+    default: dimension keys are small even when the dimension is wide).
+    NULL FKs are not orphans (SQL FK semantics); filter separately."""
+    keys = parent.select(
+        *[F.col(p).alias(c) for c, p in on]
+    ).dropDuplicates([c for c, _ in on])
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    cond = None
+    for c, _ in on:
+        notnull = F.col(c).isNotNull()
+        cond = notnull if cond is None else (cond & notnull)
+    return child.filter(cond).join(keys, on=[c for c, _ in on], how="left_anti")
+
+
+def validate(
+    df: DataFrame, rules: list[dict], *, tables: dict | None = None
+) -> DataFrame:
+    """Compile a rule list into ONE lazy report DataFrame: a row per
+    rule, ``(rule, violations)``, zero means pass. Nothing executes
+    until the caller acts on the report (no driver-side counting here —
+    the report is a union of one-row aggregates, so all rules evaluate
+    in a single job when materialized; gate a snapshot publish on
+    ``report.filter(violations > 0).isEmpty()``).
+
+    Rule dicts::
+
+        {"type": "not_null", "cols": [...]}
+        {"type": "unique", "cols": [...]}
+        {"type": "accepted_values", "col": ..., "values": [...]}
+        {"type": "expression", "name": ..., "expr": "<SQL boolean>"}
+          # violations = rows where the expression is NOT true
+        {"type": "referential", "parent": "<tables key>", "on": [(c, p)…]}
+
+    ``tables`` supplies parent DataFrames for referential rules.
+    """
+
+    def _report(name: str, violations: DataFrame, cnt_col=None) -> DataFrame:
+        agg = (
+            F.coalesce(F.sum(cnt_col), F.lit(0)).cast("long")
+            if cnt_col
+            else F.count(F.lit(1)).cast("long")
+        )
+        return violations.agg(agg.alias("violations")).select(
+            F.lit(name).alias("rule"), "violations"
+        )
+
+    parts = []
+    for r in rules:
+        t = r["type"]
+        if t == "not_null":
+            name = f"not_null({','.join(r['cols'])})"
+            parts.append(_report(name, not_null_violations(df, r["cols"])))
+        elif t == "unique":
+            name = f"unique({','.join(r['cols'])})"
+            parts.append(
+                _report(name, unique_violations(df, r["cols"]), cnt_col="n_rows")
+            )
+        elif t == "accepted_values":
+            name = f"accepted_values({r['col']})"
+            parts.append(
+                _report(
+                    name, accepted_values_violations(df, r["col"], r["values"])
+                )
+            )
+        elif t == "expression":
+            name = r["name"]
+            bad = df.filter(~F.coalesce(F.expr(r["expr"]), F.lit(False)))
+            parts.append(_report(name, bad))
+        elif t == "referential":
+            name = f"referential({','.join(c for c, _ in r['on'])})"
+            parts.append(
+                _report(
+                    name, referential_violations(df, tables[r["parent"]], r["on"])
+                )
+            )
+        else:
+            raise ValueError(f"unknown rule type: {t!r}")
+    if not parts:
+        raise ValueError("validate requires at least one rule")
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -1427,3 +1427,59 @@ def sketch_cms_freq(spark, sf_dir):
     return cms_estimate(sk, keys, "event_type").select(
         "event_type", F.col("approx_count").cast("long").alias("approx_count")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint validation (operators/constraints.py) — the
+# AUDIT step of write-audit-publish; the reference publishes unchecked
+# (/root/reference/main.go:106-203).
+# --------------------------------------------------------------------------
+
+@register(
+    "quality_report",
+    """
+    SELECT 'not_null(o_custkey)' AS rule,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS violations
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           (SELECT COALESCE(SUM(n), 0) FROM (
+              SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+              HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O')
+              AND o_orderstatus IS NOT NULL)
+    UNION ALL
+    SELECT 'positive_total',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+    UNION ALL
+    SELECT 'referential(o_custkey)',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    """,
+    "Constraint-validation report over orders: not-null, key "
+    "uniqueness, accepted values (catches the third TPC-H status 'P'), "
+    "an SQL expression rule, and FK integrity vs customer — one lazy "
+    "union of one-row aggregates; publish gates on all-zeros. "
+    "Cross-engine: the whole report hash-matches DuckDB.",
+)
+def quality_report(spark, sf_dir):
+    from mysql2parquet_spark.operators.constraints import validate
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return validate(
+        o,
+        [
+            {"type": "not_null", "cols": ["o_custkey"]},
+            {"type": "unique", "cols": ["o_orderkey"]},
+            {"type": "accepted_values", "col": "o_orderstatus", "values": ["F", "O"]},
+            {"type": "expression", "name": "positive_total", "expr": "o_totalprice > 0"},
+            {"type": "referential", "parent": "customer", "on": [("o_custkey", "c_custkey")]},
+        ],
+        tables={"customer": c},
+    )

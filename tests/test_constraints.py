@@ -1,0 +1,99 @@
+"""Constraint validation (operators/constraints.py): every rule type on
+data with PLANTED violations, the lazy all-rules report, and the
+broadcast shape of the referential check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.constraints import (
+    accepted_values_violations,
+    not_null_violations,
+    referential_violations,
+    unique_violations,
+    validate,
+)
+
+
+@pytest.fixture
+def dirty(spark):
+    rows = [
+        (1, "a", 10.0, "F"),
+        (2, None, 20.0, "O"),   # null name
+        (2, "b", -5.0, "F"),    # duplicate id=2 AND negative amount
+        (3, "c", 30.0, "X"),    # bad status
+        (None, "d", 40.0, "O"),  # null id
+    ]
+    return spark.createDataFrame(rows, "id bigint, name string, amt double, st string")
+
+
+@pytest.fixture
+def parents(spark):
+    return spark.createDataFrame([(1,), (2,)], "pid bigint")
+
+
+def test_not_null(dirty):
+    got = {r.name for r in not_null_violations(dirty, ["id", "name"]).collect()}
+    assert got == {None, "d"}  # row with null name + row with null id
+
+
+def test_unique(dirty):
+    got = {(r.id, r.n_rows) for r in unique_violations(dirty, ["id"]).collect()}
+    assert got == {(2, 2)}
+
+
+def test_accepted_values(dirty):
+    got = {r.id for r in accepted_values_violations(dirty, "st", ["F", "O"]).collect()}
+    assert got == {3}
+
+
+def test_referential_orphans_and_null_fk(dirty, parents):
+    orphans = referential_violations(dirty, parents, [("id", "pid")])
+    # id=3 has no parent; NULL id is NOT an orphan (SQL FK semantics)
+    assert {r.id for r in orphans.collect()} == {3}
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_validate_report_counts(dirty, parents):
+    report = validate(
+        dirty,
+        [
+            {"type": "not_null", "cols": ["id", "name"]},
+            {"type": "unique", "cols": ["id"]},
+            {"type": "accepted_values", "col": "st", "values": ["F", "O"]},
+            {"type": "expression", "name": "amt_positive", "expr": "amt > 0"},
+            {"type": "referential", "parent": "p", "on": [("id", "pid")]},
+        ],
+        tables={"p": parents},
+    )
+    got = {r.rule: r.violations for r in report.collect()}
+    assert got == {
+        "not_null(id,name)": 2,
+        "unique(id)": 2,  # total rows in violating key groups
+        "accepted_values(st)": 1,
+        "amt_positive": 1,
+        "referential(id)": 1,
+    }
+
+
+def test_validate_clean_data_is_all_zero(spark, sf_dir):
+    from mysql2parquet_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    report = validate(
+        c,
+        [
+            {"type": "not_null", "cols": ["c_custkey"]},
+            {"type": "unique", "cols": ["c_custkey"]},
+        ],
+    )
+    assert report.filter(F.col("violations") > 0).isEmpty()
+
+
+def test_validate_rejects_unknown_and_empty(dirty):
+    with pytest.raises(ValueError, match="unknown rule type"):
+        validate(dirty, [{"type": "nope"}])
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate(dirty, [])
