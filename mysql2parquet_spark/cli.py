@@ -36,6 +36,11 @@ Engine extensions (not in the reference):
   result in as a delta and publish the next version. --keep-versions N
   vacuums old committed versions after each publish. One command for
   the whole nightly-job lifecycle.
+- audit gate (--audit-rules rules.json): run a declarative data-quality
+  rule list (operators/constraints.py) on the final result BEFORE any
+  write; violations abort with exit code 3 and a per-rule report — the
+  audit half of write-audit-publish, so a nightly job cannot publish a
+  corrupt snapshot.
 - streaming folds (--stream-events + --checkpoint): fold every delta
   parquet file landed in a directory into --snapshot-root, one
   committed version per file, exactly-once across restarts via the
@@ -143,6 +148,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming checkpoint dir (with --stream-events); "
                         "reusing it across runs is what makes restarts "
                         "exactly-once")
+    p.add_argument("--audit-rules", default=None,
+                   help="JSON file with a data-quality rule list "
+                        "(operators/constraints.py schema). The rules "
+                        "run on the final result BEFORE anything is "
+                        "written; any violation aborts with exit code 3 "
+                        "and a per-rule report on stderr — the audit "
+                        "half of write-audit-publish. Referential "
+                        "rules resolve parents against --tables-dir")
     return p
 
 
@@ -155,6 +168,41 @@ def _split_session_prelude(query: str) -> tuple[str | None, str]:
         return None, query
     sets = [s for s in parts[:-1] if s.upper().startswith("SET ")]
     return ("; ".join(sets) or None), parts[-1]
+
+
+def _run_audit(df, args, spark) -> int | None:
+    """--audit-rules: run the constraint report on the final DataFrame
+    before any write. Returns an exit code to abort with, or None to
+    proceed. The report is rule-count-sized (one row per rule), so
+    materializing it here is bounded metadata, not a data collect."""
+    import json as _json
+
+    from mysql2parquet_spark.operators.constraints import validate
+
+    try:
+        with open(args.audit_rules) as fh:
+            rules = _json.load(fh)
+        if not isinstance(rules, list):
+            raise ValueError("audit rules file must contain a JSON list")
+        for r in rules:
+            if r.get("type") == "referential":
+                r["on"] = [tuple(pair) for pair in r["on"]]
+        parents = {
+            r["parent"]: df.sparkSession.table(r["parent"])
+            for r in rules
+            if r.get("type") == "referential"
+        }
+        report = validate(df, rules, tables=parents)
+        bad = report.filter(report.violations > 0).collect()
+    except Exception as e:
+        msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+        print(f"audit error: {msg}", file=sys.stderr)
+        return 2
+    if bad:
+        for r in bad:
+            print(f"audit FAILED: {r.rule}: {r.violations} violations", file=sys.stderr)
+        return 3
+    return None
 
 
 def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
@@ -303,6 +351,17 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 "--stream-events replaces --query (the landing "
                 "directory is the source)",
+                file=sys.stderr,
+            )
+            return 1
+        if args.audit_rules:
+            # per-batch auditing inside the fold is a different contract
+            # (partial failure mid-stream); refuse rather than silently
+            # skip the audit
+            print(
+                "--audit-rules is not supported with --stream-events "
+                "(audit the query-result paths; stream folds validate "
+                "via the merge-key contract)",
                 file=sys.stderr,
             )
             return 1
@@ -604,6 +663,10 @@ def main(argv: list[str] | None = None) -> int:
                             broadcast_source=not args.no_broadcast_delta,
                             order_col=args.order_column,
                         )
+                if args.audit_rules:
+                    rc = _run_audit(df, args, spark)
+                    if rc is not None:
+                        return rc
                 path = publish_snapshot(
                     df, args.snapshot_root, partition_by=part_cols
                 )
@@ -623,6 +686,10 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(path)
             return 0
+        if args.audit_rules:
+            rc = _run_audit(df, args, spark)
+            if rc is not None:
+                return rc
         export(
             df,
             args.parquet,

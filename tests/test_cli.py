@@ -706,3 +706,139 @@ def test_end_to_end_stream_plain_merge(tmp_path, spark):
         for r_ in spark.read.parquet(latest_snapshot(spark, root)).collect()
     }
     assert got == {(1, "a2"), (2, "b2"), (3, "c")}
+
+
+# ---------------------------------------------------------------------------
+# --audit-rules: the write-audit-publish gate
+# ---------------------------------------------------------------------------
+
+
+def _write_rules(tmp_path, rules):
+    import json
+
+    p = tmp_path / "rules.json"
+    p.write_text(json.dumps(rules))
+    return str(p)
+
+
+def test_audit_pass_writes_output(tmp_path, sf_dir):
+    rules = _write_rules(
+        tmp_path,
+        [
+            {"type": "not_null", "cols": ["c_custkey"]},
+            {"type": "unique", "cols": ["c_custkey"]},
+        ],
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT c_custkey, c_name FROM customer",
+            "--parquet", out,
+            "--audit-rules", rules,
+        ]
+    )
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_audit_violation_aborts_before_write(capsys, tmp_path, sf_dir):
+    rules = _write_rules(
+        tmp_path,
+        [
+            # every row violates: acctbal is never null, so NOT(NULL-check)...
+            {"type": "expression", "name": "impossible", "expr": "c_acctbal IS NULL"},
+            {"type": "unique", "cols": ["c_custkey"]},  # passes
+        ],
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT c_custkey, c_acctbal FROM customer",
+            "--parquet", out,
+            "--audit-rules", rules,
+        ]
+    )
+    assert rc == 3
+    err = capsys.readouterr().err
+    assert "audit FAILED: impossible" in err
+    assert "unique" not in err  # passing rules are not reported as failures
+    import os
+
+    assert not os.path.exists(out)  # nothing was written
+
+
+def test_audit_blocks_snapshot_publish(capsys, tmp_path, sf_dir):
+    import os
+
+    rules = _write_rules(
+        tmp_path, [{"type": "expression", "name": "nope", "expr": "FALSE"}]
+    )
+    root = str(tmp_path / "snaproot")
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT r_regionkey, r_name FROM region",
+            "--snapshot-root", root,
+            "--audit-rules", rules,
+        ]
+    )
+    assert rc == 3
+    # no version directory was published
+    assert not os.path.exists(os.path.join(root, "v=0"))
+
+
+def test_audit_referential_resolves_registered_parent(tmp_path, sf_dir):
+    rules = _write_rules(
+        tmp_path,
+        [
+            {
+                "type": "referential",
+                "parent": "region",
+                "on": [["n_regionkey", "r_regionkey"]],
+            }
+        ],
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT n_nationkey, n_regionkey FROM nation",
+            "--parquet", out,
+            "--audit-rules", rules,
+        ]
+    )
+    assert rc == 0
+
+
+def test_audit_bad_rules_file_is_clean_error(capsys, tmp_path, sf_dir):
+    bad = tmp_path / "rules.json"
+    bad.write_text("{not json")
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT 1 AS one",
+            "--parquet", str(tmp_path / "out"),
+            "--audit-rules", str(bad),
+        ]
+    )
+    assert rc == 2
+    assert "audit error:" in capsys.readouterr().err
+
+
+def test_audit_rejected_with_stream_events(capsys, tmp_path):
+    rc = main(
+        [
+            "--stream-events", str(tmp_path / "landing"),
+            "--snapshot-root", str(tmp_path / "root"),
+            "--merge-keys", "k",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--order-column", "seq",
+            "--audit-rules", str(tmp_path / "rules.json"),
+        ]
+    )
+    assert rc == 1
+    assert "not supported with --stream-events" in capsys.readouterr().err
