@@ -175,3 +175,123 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("approx_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histograms (quantile estimates that roll up)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group fixed-geometry histogram of ``value_col`` in ROW form
+    ``(group_cols…, bin, cnt)`` — the third mergeable sketch family
+    (HLL = distincts, count-min = frequencies, this = distributions).
+
+    ``lo``/``hi`` are part of the GEOMETRY and must be identical across
+    every shard that will ever merge (like lg_k / depth×width above) —
+    they come from domain knowledge or one prior bounded-metadata
+    min/max pass, not from each shard's own data (per-shard ranges
+    would make bins incomparable). Values outside [lo, hi) clamp to the
+    edge bins, so a drifting tail degrades resolution, never
+    correctness of counts. One partial+final aggregate; the shuffle
+    carries ≤ ``bins`` cells per group per map task.
+
+    ``percentile_approx`` answers one query in one pass; this persists
+    a few-KB artifact per shard that answers ANY quantile later and
+    rolls up by plain SUM (``histogram_merge``) without re-scanning —
+    same nightly-artifact pattern as the HLL sketches.
+    """
+    if bins < 2 or not (hi > lo):
+        raise ValueError(f"bad histogram geometry: bins={bins} lo={lo} hi={hi}")
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", b)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Roll shard histograms up: cells sum element-wise; the merged
+    histogram is IDENTICAL to a single pass over the unioned data
+    (pinned in tests)."""
+    return sketches.groupBy(*rollup_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile(
+    sketch: DataFrame,
+    qs: list[float],
+    group_cols: list[str],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: per group and per q
+    in ``qs``, linear interpolation inside the first bin whose
+    cumulative count reaches q·total. Error ≤ one bin width —
+    (hi-lo)/bins — by construction.
+
+    Window arithmetic over ≤ ``bins`` rows per group (the SKETCH, never
+    the data): a running sum ordered by bin, then the argmin bin per
+    quantile. Output: ``group_cols…, q, est``.
+    """
+    from pyspark.sql import Window
+
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0,1]: {qs}")
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_tot", F.sum("cnt").over(tot)
+    )
+    q_lit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    probed = cum.select(*group_cols, "bin", "cnt", "_cum", "_tot", q_lit)
+    # first bin whose cumulative count reaches the target rank
+    hit = probed.filter(
+        F.col("_cum") >= F.col("q") * F.col("_tot")
+    )
+    first = (
+        hit.groupBy(*group_cols, "q")
+        .agg(
+            F.min_by(
+                F.struct("bin", "cnt", "_cum", "_tot"), F.col("bin")
+            ).alias("_h")
+        )
+        .select(
+            *group_cols,
+            "q",
+            F.col("_h.bin").alias("_bin"),
+            F.col("_h.cnt").alias("_cnt"),
+            F.col("_h._cum").alias("_cum"),
+            F.col("_h._tot").alias("_tot"),
+        )
+    )
+    # interpolate the rank's position inside the hit bin
+    frac = (
+        F.col("q") * F.col("_tot") - (F.col("_cum") - F.col("_cnt"))
+    ) / F.col("_cnt")
+    est = F.lit(lo) + (F.col("_bin") + F.least(F.lit(1.0), frac)) * F.lit(width)
+    return first.select(
+        *group_cols, "q", F.round(est, 6).alias("est")
+    )

@@ -1483,3 +1483,53 @@ def quality_report(spark, sf_dir):
         ],
         tables={"customer": c},
     )
+
+
+@register(
+    "sketch_histogram_q",
+    """
+    WITH h AS (
+      SELECT LEAST(255, GREATEST(0,
+               CAST(FLOOR((value - 0.0) / 3.90625) AS INT))) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER () AS tot
+      FROM h
+    ),
+    qs AS (SELECT CAST(UNNEST(ARRAY[0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    hit AS (
+      SELECT qs.q, c.bin, c.cnt, c.cum, c.tot
+      FROM qs JOIN c ON c.cum >= qs.q * c.tot
+    ),
+    f AS (SELECT q, MIN(bin) AS bin FROM hit GROUP BY q),
+    j AS (
+      SELECT f.q, f.bin, c.cnt, c.cum, c.tot
+      FROM f JOIN c ON c.bin = f.bin
+    )
+    SELECT q,
+           ROUND(0.0 + (bin + LEAST(1.0,
+                 (q * tot - (cum - cnt)) / cnt)) * 3.90625, 6) AS est
+    FROM j
+    """,
+    "Mergeable equi-width histogram sketch (256 bins over [0,1000)) → "
+    "quantile estimates by in-bin linear interpolation. Deterministic "
+    "arithmetic, so unlike percentile_approx it carries a FULL "
+    "cross-engine oracle; error ≤ one bin width is separately gated "
+    "against exact percentiles in tests/test_sketches.py. The persisted "
+    "sketch answers any later quantile by plain-SUM rollup.",
+)
+def sketch_histogram_q(spark, sf_dir):
+    from mysql2parquet_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    e = T(spark, sf_dir, "events")
+    sk = histogram_sketch(e, "value", [], lo=0.0, hi=1000.0, bins=256)
+    return histogram_quantile(
+        sk, [0.1, 0.5, 0.9, 0.99], [], lo=0.0, hi=1000.0, bins=256
+    )

@@ -173,3 +173,72 @@ def test_cms_on_events_matches_exact_counts(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert est == exact
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histograms
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.sketches import (
+    histogram_merge,
+    histogram_quantile,
+    histogram_sketch,
+)
+
+
+def test_histogram_merge_equals_single_pass(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.dayofmonth("ts"))
+    per_day = histogram_sketch(ev, "value", ["day"], lo=0.0, hi=1000.0)
+    merged = histogram_merge(per_day, [])
+    single = histogram_sketch(ev, "value", [], lo=0.0, hi=1000.0)
+    m = {r.bin: r.cnt for r in merged.collect()}
+    s = {r.bin: r.cnt for r in single.collect()}
+    assert m == s
+
+
+def test_histogram_quantile_within_bin_width(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi, bins = 0.0, 1000.0, 256
+    sk = histogram_sketch(ev, "value", [], lo=lo, hi=hi, bins=bins)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {r.q: r.est for r in histogram_quantile(sk, qs, [], lo=lo, hi=hi, bins=bins).collect()}
+    exact = ev.agg(
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("p")
+    ).collect()[0].p
+    width = (hi - lo) / bins
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) <= width + 1e-9, (q, est[q], ex)
+
+
+def test_histogram_quantile_per_group(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi, bins = 0.0, 1000.0, 128
+    sk = histogram_sketch(ev, "value", ["event_type"], lo=lo, hi=hi, bins=bins)
+    med = histogram_quantile(sk, [0.5], ["event_type"], lo=lo, hi=hi, bins=bins)
+    rows = med.collect()
+    assert len(rows) == 5  # one median per event type
+    exact = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.est - exact[r.event_type]) <= (hi - lo) / bins + 1e-9
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-50.0,), (0.0,), (99.0,), (500.0,)], "v double")
+    sk = histogram_sketch(df, "v", [], lo=0.0, hi=100.0, bins=10)
+    cells = {r.bin: r.cnt for r in sk.collect()}
+    assert cells == {0: 2, 9: 2}  # -50 clamps to bin 0; 500 to bin 9
+    assert sum(cells.values()) == 4  # nothing lost
+
+
+def test_histogram_rejects_bad_geometry(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="geometry"):
+        histogram_sketch(df, "v", [], lo=5.0, hi=5.0)
+    sk = histogram_sketch(df, "v", [], lo=0.0, hi=10.0)
+    with pytest.raises(ValueError, match="quantiles"):
+        histogram_quantile(sk, [1.5], [], lo=0.0, hi=10.0)
