@@ -193,7 +193,8 @@ def _run_audit(df, args, spark) -> int | None:
             if r.get("type") == "referential"
         }
         report = validate(df, rules, tables=parents)
-        bad = report.filter(report.violations > 0).collect()
+        # one row per RULE, never per data row — bounded-metadata
+        bad = report.filter(report.violations > 0).collect()  # bounded-metadata
     except Exception as e:
         msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
         print(f"audit error: {msg}", file=sys.stderr)
