@@ -66,6 +66,8 @@ HEADLINE = [
     "pipeline_mix",       # budget-weighted corpus mixing (r5)
     "cdc_scd2",           # SCD2 history fold (single-shuffle window, r5)
     "sketch_cms_freq",    # count-min build + broadcast probe (r5)
+    "sketch_histogram_q", # histogram sketch + quantile interpolation (r5)
+    "quality_report",     # 5-rule audit gate over orders (r5)
 ]
 
 

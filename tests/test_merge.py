@@ -292,3 +292,33 @@ def test_scd2_single_shuffle(spark):
     hist = scd2_history(_scd2_fixture(spark), ["k"], seq_col="seq", op_col="op")
     plan = hist._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4), st.sampled_from("UD")),
+        min_size=1,
+        max_size=20,
+    ),
+    probe=st.integers(min_value=0, max_value=21),
+)
+def test_scd2_asof_matches_sequential_replay(spark, ops, probe):
+    """For ANY interleaving of update/delete events, point-in-time
+    lookup over the SCD2 history equals replaying events up to (and
+    including) the probe instant — the timeline semantics a dimension
+    consumer relies on."""
+    events = [
+        (k, None if op == "D" else f"v{i}", op, i) for i, (k, op) in enumerate(ops)
+    ]
+    state: dict = {}
+    for k, v, op, seq in events:
+        if seq > probe:
+            break
+        state.pop(k, None) if op == "D" else state.update({k: v})
+    expected = set(state.items())
+
+    ev = spark.createDataFrame(events, "k bigint, v string, op string, seq bigint")
+    hist = scd2_history(ev, ["k"], seq_col="seq", op_col="op")
+    got = {(r.k, r.v) for r in scd2_asof(hist, probe).collect()}
+    assert got == expected
