@@ -36,6 +36,11 @@ Engine extensions (not in the reference):
   result in as a delta and publish the next version. --keep-versions N
   vacuums old committed versions after each publish. One command for
   the whole nightly-job lifecycle.
+- SCD2 history export (--scd2-history): the query result is a CDC
+  event log; export the full Type 2 history table (one row per key
+  version, effective_from/effective_to/is_current) instead of the
+  current state — the reference's consumers reconstruct this by
+  diffing nightly full exports; here it is one command.
 - audit gate (--audit-rules rules.json): run a declarative data-quality
   rule list (operators/constraints.py) on the final result BEFORE any
   write; violations abort with exit code 3 and a per-rule report — the
@@ -148,6 +153,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streaming checkpoint dir (with --stream-events); "
                         "reusing it across runs is what makes restarts "
                         "exactly-once")
+    p.add_argument("--scd2-history", action="store_true",
+                   help="transform the query result (a CDC event log) "
+                        "into an SCD Type 2 history table instead of a "
+                        "current-state export: one row per key version "
+                        "with effective_from/effective_to/is_current "
+                        "(operators/merge.py::scd2_history). Requires "
+                        "--merge-keys and --cdc-seq-column; "
+                        "--cdc-op-column marks delete events (optional "
+                        "— omit for a pure attribute-change log); "
+                        "--cdc-tiebreak-column totally orders "
+                        "same-sequence events")
+    p.add_argument("--cdc-tiebreak-column", default=None,
+                   help="tiebreak column for --scd2-history when the "
+                        "sequence column alone can collide (e.g. an "
+                        "event id beside a timestamp)")
     p.add_argument("--audit-rules", default=None,
                    help="JSON file with a data-quality rule list "
                         "(operators/constraints.py schema). The rules "
@@ -415,6 +435,42 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 1
+    if args.scd2_history:
+        conflicts = [
+            flag
+            for flag, val in (
+                ("--merge-into", args.merge_into),
+                ("--snapshot-root", args.snapshot_root),
+                ("--stream-events", args.stream_events),
+                ("--order-column", args.order_column),
+            )
+            if val
+        ]
+        if conflicts:
+            print(
+                f"--scd2-history conflicts with {' '.join(conflicts)} "
+                "(the history table IS the output — it is not a "
+                "current-state snapshot to merge into or version)",
+                file=sys.stderr,
+            )
+            return 1
+        need = [
+            flag
+            for flag, val in (
+                ("--merge-keys", args.merge_keys),
+                ("--cdc-seq-column", args.cdc_seq_column),
+            )
+            if not val
+        ]
+        if need:
+            print(f"--scd2-history requires {' '.join(need)}", file=sys.stderr)
+            return 1
+    elif args.cdc_tiebreak_column:
+        print(
+            "--cdc-tiebreak-column requires --scd2-history",
+            file=sys.stderr,
+        )
+        return 1
     if args.tables_dir is None and args.stream_events is None:
         missing += [
             name
@@ -453,7 +509,7 @@ def main(argv: list[str] | None = None) -> int:
         missing += ["--merge-keys"]
     if args.snapshot_root and args.cdc_op_column and not args.merge_keys:
         missing += ["--merge-keys"]
-    if not args.merge_into and not args.snapshot_root:
+    if not args.merge_into and not args.snapshot_root and not args.scd2_history:
         stray = [
             flag
             for flag, val in (
@@ -687,6 +743,27 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(path)
             return 0
+        if args.scd2_history:
+            from mysql2parquet_spark.operators.merge import scd2_history
+
+            keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
+            try:
+                df = scd2_history(
+                    df,
+                    keys,
+                    seq_col=args.cdc_seq_column,
+                    op_col=args.cdc_op_column,
+                    delete_op=args.cdc_delete_op,
+                    tiebreak_cols=(
+                        [args.cdc_tiebreak_column]
+                        if args.cdc_tiebreak_column
+                        else None
+                    ),
+                )
+            except Exception as e:
+                msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+                print(f"scd2 error: {msg}", file=sys.stderr)
+                return 2
         if args.audit_rules:
             rc = _run_audit(df, args, spark)
             if rc is not None:

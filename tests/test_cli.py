@@ -721,6 +721,14 @@ def _write_rules(tmp_path, rules):
     return str(p)
 
 
+def _cli(args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "mysql2parquet_spark.cli", *args,
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
 def test_audit_pass_writes_output(tmp_path, sf_dir):
     rules = _write_rules(
         tmp_path,
@@ -730,7 +738,7 @@ def test_audit_pass_writes_output(tmp_path, sf_dir):
         ],
     )
     out = str(tmp_path / "out")
-    rc = main(
+    r = _cli(
         [
             "--tables-dir", sf_dir,
             "--query", "SELECT c_custkey, c_name FROM customer",
@@ -738,23 +746,22 @@ def test_audit_pass_writes_output(tmp_path, sf_dir):
             "--audit-rules", rules,
         ]
     )
-    assert rc == 0
+    assert r.returncode == 0, r.stderr[-2000:]
     import os
 
     assert os.path.exists(out)
 
 
-def test_audit_violation_aborts_before_write(capsys, tmp_path, sf_dir):
+def test_audit_violation_aborts_before_write(tmp_path, sf_dir):
     rules = _write_rules(
         tmp_path,
         [
-            # every row violates: acctbal is never null, so NOT(NULL-check)...
             {"type": "expression", "name": "impossible", "expr": "c_acctbal IS NULL"},
             {"type": "unique", "cols": ["c_custkey"]},  # passes
         ],
     )
     out = str(tmp_path / "out")
-    rc = main(
+    r = _cli(
         [
             "--tables-dir", sf_dir,
             "--query", "SELECT c_custkey, c_acctbal FROM customer",
@@ -762,23 +769,22 @@ def test_audit_violation_aborts_before_write(capsys, tmp_path, sf_dir):
             "--audit-rules", rules,
         ]
     )
-    assert rc == 3
-    err = capsys.readouterr().err
-    assert "audit FAILED: impossible" in err
-    assert "unique" not in err  # passing rules are not reported as failures
+    assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
+    assert "audit FAILED: impossible" in r.stderr
+    assert "unique" not in r.stderr  # passing rules are not reported
     import os
 
     assert not os.path.exists(out)  # nothing was written
 
 
-def test_audit_blocks_snapshot_publish(capsys, tmp_path, sf_dir):
+def test_audit_blocks_snapshot_publish(tmp_path, sf_dir):
     import os
 
     rules = _write_rules(
         tmp_path, [{"type": "expression", "name": "nope", "expr": "FALSE"}]
     )
     root = str(tmp_path / "snaproot")
-    rc = main(
+    r = _cli(
         [
             "--tables-dir", sf_dir,
             "--query", "SELECT r_regionkey, r_name FROM region",
@@ -786,8 +792,7 @@ def test_audit_blocks_snapshot_publish(capsys, tmp_path, sf_dir):
             "--audit-rules", rules,
         ]
     )
-    assert rc == 3
-    # no version directory was published
+    assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
     assert not os.path.exists(os.path.join(root, "v=0"))
 
 
@@ -803,7 +808,7 @@ def test_audit_referential_resolves_registered_parent(tmp_path, sf_dir):
         ],
     )
     out = str(tmp_path / "out")
-    rc = main(
+    r = _cli(
         [
             "--tables-dir", sf_dir,
             "--query", "SELECT n_nationkey, n_regionkey FROM nation",
@@ -811,13 +816,13 @@ def test_audit_referential_resolves_registered_parent(tmp_path, sf_dir):
             "--audit-rules", rules,
         ]
     )
-    assert rc == 0
+    assert r.returncode == 0, r.stderr[-2000:]
 
 
-def test_audit_bad_rules_file_is_clean_error(capsys, tmp_path, sf_dir):
+def test_audit_bad_rules_file_is_clean_error(tmp_path, sf_dir):
     bad = tmp_path / "rules.json"
     bad.write_text("{not json")
-    rc = main(
+    r = _cli(
         [
             "--tables-dir", sf_dir,
             "--query", "SELECT 1 AS one",
@@ -825,8 +830,8 @@ def test_audit_bad_rules_file_is_clean_error(capsys, tmp_path, sf_dir):
             "--audit-rules", str(bad),
         ]
     )
-    assert rc == 2
-    assert "audit error:" in capsys.readouterr().err
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "audit error:" in r.stderr
 
 
 def test_audit_rejected_with_stream_events(capsys, tmp_path):
@@ -842,3 +847,82 @@ def test_audit_rejected_with_stream_events(capsys, tmp_path):
     )
     assert rc == 1
     assert "not supported with --stream-events" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# --scd2-history: Type 2 history export from a CDC event-log query
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_export_end_to_end(tmp_path, sf_dir):
+    import duckdb
+
+    out = str(tmp_path / "hist")
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query",
+            "SELECT user_id, event_id, ts, event_type AS status, "
+            "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op "
+            "FROM events",
+            "--parquet", out,
+            "--scd2-history",
+            "--merge-keys", "user_id",
+            "--cdc-seq-column", "ts",
+            "--cdc-op-column", "op",
+            "--cdc-tiebreak-column", "event_id",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    con = duckdb.connect()
+    cols = {
+        c[0]
+        for c in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert {"effective_from", "effective_to", "is_current"} <= cols
+    assert "op" not in cols  # delete rows (and the op col) don't survive
+    # at most one current version per key
+    n_bad = con.execute(
+        f"SELECT COUNT(*) FROM (SELECT user_id FROM "
+        f"read_parquet('{out}/*.parquet') WHERE is_current = 1 "
+        f"GROUP BY user_id HAVING COUNT(*) > 1)"
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
+def test_scd2_history_runtime_error_is_clean(tmp_path, sf_dir):
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT r_regionkey AS k, r_name FROM region",
+            "--parquet", str(tmp_path / "o"),
+            "--scd2-history",
+            "--merge-keys", "k",
+            "--cdc-seq-column", "not_a_column",
+        ]
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "scd2 error:" in r.stderr
+
+
+def test_scd2_history_flag_validation(capsys, tmp_path, sf_dir):
+    base = [
+        "--tables-dir", sf_dir,
+        "--query", "SELECT 1 AS k, 2 AS seq",
+        "--parquet", str(tmp_path / "o"),
+    ]
+    rc = main(base + ["--scd2-history"])
+    assert rc == 1
+    assert "--scd2-history requires" in capsys.readouterr().err
+
+    rc = main(base + ["--scd2-history", "--merge-keys", "k",
+                      "--cdc-seq-column", "seq",
+                      "--merge-into", str(tmp_path / "m")])
+    assert rc == 1
+    assert "conflicts with" in capsys.readouterr().err
+
+    rc = main(base + ["--cdc-tiebreak-column", "e"])
+    assert rc == 1
+    assert "requires --scd2-history" in capsys.readouterr().err
