@@ -30,6 +30,9 @@ module owns that operator as a join composition:
   back up with a point-in-time filter. This is the warehouse-dimension
   counterpart of the nightly exporter: the reference's consumers diff
   successive full exports to reconstruct history; SCD2 keeps it.
+  ``scd2_apply_batch`` maintains that history incrementally — one CDC
+  batch folded in at delta-shaped cost (closed versions are immutable;
+  only touched keys' open tails re-fold).
 
 Scale shape: one shuffle per side on the merge keys (the left-anti
 join), union is shuffle-free. When the delta batch is small relative to
@@ -349,3 +352,84 @@ def scd2_asof(history: DataFrame, as_of, *, seq_col: str = "seq") -> DataFrame:
         (F.col("effective_from") <= ts)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > ts))
     ).drop(seq_col)
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    events: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str | None = None,
+    delete_op: str = "D",
+    tiebreak_cols: list[str] | None = None,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Fold ONE new CDC event batch into an existing ``scd2_history``
+    table without re-scanning the event log — the nightly-incremental
+    face of ``scd2_history`` (which rebuilds from the full log).
+
+    Closed versions are immutable: a new event can only (a) close the
+    currently-open version of its key and (b) append versions after it.
+    So the fold is delta-shaped:
+
+    - UNTOUCHED keys (no event in the batch): every row passes through
+      unchanged — via an anti-join against the batch's key-set
+      (broadcast by default; a CDC batch's key-set is small).
+    - TOUCHED keys: their CLOSED rows pass through unchanged; their
+      OPEN row — which is exactly the last event of the key, carrying
+      its attributes and ``effective_from`` — re-enters the fold as a
+      pseudo-event alongside the new events, and ``scd2_history`` over
+      that delta-sized union re-derives the key's tail (re-closing the
+      old open version if a newer event arrived).
+
+    Events must be strictly newer than the open version they extend
+    (normal CDC: batches arrive in sequence order). A late event older
+    than its key's open version would interleave into closed territory
+    — re-fold from the full log (``scd2_history``) for backfills.
+
+    Equivalence with the full re-fold across chained batches is pinned
+    in tests. Cost: one shuffle of (batch ∪ touched open rows) — both
+    delta-sized — plus the anti-join passes over the history scan.
+    """
+    ties = tiebreak_cols or []
+    meta = ["effective_from", "effective_to", "is_current"]
+    for c in meta:
+        if c not in history.columns:
+            raise ValueError(f"history lacks {c!r} — not an scd2_history output")
+    batch_keys = events.select(*keys).dropDuplicates(keys)
+    if broadcast_touched:
+        batch_keys = F.broadcast(batch_keys)
+
+    untouched = history.join(batch_keys, on=keys, how="left_anti")
+    touched = history.join(batch_keys, on=keys, how="left_semi")
+    closed = touched.filter(F.col("is_current") == 0)
+
+    # The open row IS its key's last event: strip interval metadata and
+    # re-enter it with its original sequence value. The history does not
+    # carry the op column (scd2_history drops it) — the pseudo-event
+    # gets a definite non-delete op, because the open row is by
+    # construction a non-delete event (a NULL op would silently fall
+    # out of the op != delete_op filter).
+    open_rows = touched.filter(F.col("is_current") == 1)
+    pseudo_op = F.lit("_open_" if delete_op != "_open_" else "_open2_")
+
+    def _pseudo_col(c: str):
+        if c == seq_col:
+            return F.col("effective_from").alias(seq_col)
+        if op_col is not None and c == op_col:
+            return pseudo_op.alias(op_col)
+        return F.col(c)
+
+    pseudo = open_rows.select(*[_pseudo_col(c) for c in events.columns])
+    refolded = scd2_history(
+        pseudo.unionByName(events),
+        keys,
+        seq_col=seq_col,
+        op_col=op_col,
+        delete_op=delete_op,
+        tiebreak_cols=tiebreak_cols,
+    )
+    return untouched.unionByName(closed.select(*untouched.columns)).unionByName(
+        refolded.select(*untouched.columns)
+    )

@@ -322,3 +322,61 @@ def test_scd2_asof_matches_sequential_replay(spark, ops, probe):
     hist = scd2_history(ev, ["k"], seq_col="seq", op_col="op")
     got = {(r.k, r.v) for r in scd2_asof(hist, probe).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply_batch — incremental history maintenance
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.merge import scd2_apply_batch
+
+_SCD2_DDL = "k bigint, v string, op string, seq bigint"
+
+_B0 = [(1, "a", "U", 10), (2, "x", "U", 15), (3, "p", "U", 5)]
+_B1 = [(1, "b", "U", 20), (3, None, "D", 12)]     # update 1; delete 3
+_B2 = [(1, None, "D", 30), (3, "q", "U", 40), (4, "n", "U", 35)]  # del 1, rebirth 3, new 4
+
+
+def _hist_set(df):
+    return {
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_scd2_apply_batch_equals_full_refold(spark):
+    """Chained incremental folds over three CDC batches must equal
+    scd2_history over the concatenated log — including deletes,
+    re-inserts after deletes, brand-new keys, and untouched keys."""
+    hist = scd2_history(
+        spark.createDataFrame(_B0, _SCD2_DDL), ["k"], seq_col="seq", op_col="op"
+    )
+    for batch in (_B1, _B2):
+        ev = spark.createDataFrame(batch, _SCD2_DDL)
+        hist = scd2_apply_batch(hist, ev, ["k"], seq_col="seq", op_col="op")
+    full = scd2_history(
+        spark.createDataFrame(_B0 + _B1 + _B2, _SCD2_DDL),
+        ["k"],
+        seq_col="seq",
+        op_col="op",
+    )
+    assert _hist_set(hist) == _hist_set(full)
+
+
+def test_scd2_apply_batch_preserves_untouched_keys_without_refold(spark):
+    """A key with no event in the batch passes through bit-identically
+    (closed AND open rows), proving the fold is delta-shaped."""
+    hist = scd2_history(
+        spark.createDataFrame(_B0, _SCD2_DDL), ["k"], seq_col="seq", op_col="op"
+    )
+    ev = spark.createDataFrame([(1, "b", "U", 20)], _SCD2_DDL)
+    out = scd2_apply_batch(hist, ev, ["k"], seq_col="seq", op_col="op")
+    before = {t for t in _hist_set(hist) if t[0] != 1}
+    after = {t for t in _hist_set(out) if t[0] != 1}
+    assert before == after
+
+
+def test_scd2_apply_batch_validates_history_shape(spark):
+    ev = spark.createDataFrame(_B0, _SCD2_DDL)
+    with pytest.raises(ValueError, match="not an scd2_history output"):
+        scd2_apply_batch(ev, ev, ["k"], seq_col="seq", op_col="op")
