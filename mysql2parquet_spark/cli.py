@@ -41,6 +41,11 @@ Engine extensions (not in the reference):
   version, effective_from/effective_to/is_current) instead of the
   current state — the reference's consumers reconstruct this by
   diffing nightly full exports; here it is one command.
+- snapshot diff export (--diff-versions OLD NEW): the consumer-side
+  "what changed between two nightly exports" — a keyed I/U/D row diff
+  between two committed versions of --snapshot-root, written to
+  --parquet (--diff-include-old adds old_<col> for incremental-rollup
+  consumers, operators/rollup.py).
 - audit gate (--audit-rules rules.json): run a declarative data-quality
   rule list (operators/constraints.py) on the final result BEFORE any
   write; violations abort with exit code 3 and a per-rule report — the
@@ -168,6 +173,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiebreak column for --scd2-history when the "
                         "sequence column alone can collide (e.g. an "
                         "event id beside a timestamp)")
+    p.add_argument("--diff-versions", nargs=2, type=int, default=None,
+                   metavar=("OLD", "NEW"),
+                   help="with --snapshot-root and --merge-keys: export "
+                        "the keyed row-level diff between two committed "
+                        "snapshot versions to --parquet — one row per "
+                        "changed key, change in {I,U,D}; inserts/updates "
+                        "carry new values, deletes the last-seen old "
+                        "row. Replaces --query (the versions are the "
+                        "source). --diff-include-old adds old_<col> "
+                        "columns for incremental-rollup consumers")
+    p.add_argument("--diff-include-old", action="store_true",
+                   help="with --diff-versions: emit old_<col> beside "
+                        "each value column (NULL on inserts)")
     p.add_argument("--audit-rules", default=None,
                    help="JSON file with a data-quality rule list "
                         "(operators/constraints.py schema). The rules "
@@ -393,10 +411,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.snapshot_root:
         # versioned mode owns the output path; --parquet is not used
         missing = [m for m in missing if m != "--parquet"]
-        if args.parquet or args.merge_into:
+        if (args.parquet and args.diff_versions is None) or args.merge_into:
             print(
                 "--snapshot-root replaces --parquet/--merge-into "
-                "(the engine manages version paths)",
+                "(the engine manages version paths; --parquet is only "
+                "an output for --diff-versions)",
                 file=sys.stderr,
             )
             return 1
@@ -471,7 +490,35 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 1
-    if args.tables_dir is None and args.stream_events is None:
+    if args.diff_versions is not None:
+        need = [
+            flag
+            for flag, val in (
+                ("--snapshot-root", args.snapshot_root),
+                ("--merge-keys", args.merge_keys),
+                ("--parquet", args.parquet),
+            )
+            if not val
+        ]
+        if need:
+            print(f"--diff-versions requires {' '.join(need)}", file=sys.stderr)
+            return 1
+        if args.query:
+            print(
+                "--diff-versions replaces --query (the two versions are "
+                "the source)",
+                file=sys.stderr,
+            )
+            return 1
+        missing = [m for m in missing if m not in ("--query", "--parquet")]
+    elif args.diff_include_old:
+        print("--diff-include-old requires --diff-versions", file=sys.stderr)
+        return 1
+    if (
+        args.tables_dir is None
+        and args.stream_events is None
+        and args.diff_versions is None
+    ):
         missing += [
             name
             for name, val in (
@@ -580,6 +627,32 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.stream_events:
             return _run_stream_fold(spark, args, part_cols)
+        if args.diff_versions is not None:
+            from mysql2parquet_spark.io import snapshot_diff
+
+            keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
+            v_old, v_new = args.diff_versions
+            try:
+                diff = snapshot_diff(
+                    spark,
+                    args.snapshot_root,
+                    v_old,
+                    v_new,
+                    keys,
+                    include_old=args.diff_include_old,
+                )
+            except Exception as e:
+                msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+                print(f"diff error: {msg}", file=sys.stderr)
+                return 2
+            export(
+                diff,
+                args.parquet,
+                compat=args.compat,
+                single_file=args.single_file,
+                partition_by=part_cols,
+            )
+            return 0
         if args.tables_dir:
             register_tables(spark, args.tables_dir)
             try:

@@ -926,3 +926,90 @@ def test_scd2_history_flag_validation(capsys, tmp_path, sf_dir):
     rc = main(base + ["--cdc-tiebreak-column", "e"])
     assert rc == 1
     assert "requires --scd2-history" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# --diff-versions: keyed snapshot diff export
+# ---------------------------------------------------------------------------
+
+
+def test_diff_versions_end_to_end(tmp_path, spark):
+    import duckdb
+
+    from mysql2parquet_spark.io import publish_snapshot
+
+    root = str(tmp_path / "snaps")
+    publish_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k bigint, v string, x double"
+        ),
+        root,
+    )
+    publish_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0)], "k bigint, v string, x double"
+        ),
+        root,
+    )
+    out = str(tmp_path / "diff")
+    r = _cli(
+        [
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--diff-versions", "0", "1",
+            "--diff-include-old",
+            "--parquet", out,
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    con = duckdb.connect()
+    rows = {
+        (r_[0], r_[1]): r_[2:]
+        for r_ in con.execute(
+            f"SELECT change, k, v, old_v FROM read_parquet('{out}/*.parquet') ORDER BY k"
+        ).fetchall()
+    }
+    assert rows == {
+        ("U", 2): ("B", "b"),
+        ("D", 3): ("c", "c"),
+        ("I", 4): ("d", None),
+    }
+
+
+def test_diff_versions_flag_validation(capsys, tmp_path):
+    rc = main(["--diff-versions", "0", "1"])
+    assert rc == 1
+    assert "--diff-versions requires" in capsys.readouterr().err
+
+    rc = main(
+        [
+            "--snapshot-root", str(tmp_path / "r"),
+            "--merge-keys", "k",
+            "--diff-versions", "0", "1",
+            "--parquet", str(tmp_path / "o"),
+            "--query", "SELECT 1",
+        ]
+    )
+    assert rc == 1
+    assert "replaces --query" in capsys.readouterr().err
+
+    rc = main(["--diff-include-old"])
+    assert rc == 1
+    assert "requires --diff-versions" in capsys.readouterr().err
+
+
+def test_diff_versions_missing_version_clean_error(tmp_path, spark):
+    from mysql2parquet_spark.io import publish_snapshot
+
+    root = str(tmp_path / "snaps")
+    publish_snapshot(spark.createDataFrame([(1, "a")], "k bigint, v string"), root)
+    r = _cli(
+        [
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--diff-versions", "0", "9",
+            "--parquet", str(tmp_path / "o"),
+        ]
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "diff error:" in r.stderr
