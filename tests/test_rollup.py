@@ -119,3 +119,44 @@ def test_update_cost_is_delta_shaped(spark, tmp_path):
     # only aggregate below the join consumes the delta-sized union
     assert plan.count("Union") == 1
     assert plan.count("Join FullOuter") == 1
+
+
+def test_bucketed_rollup_saves_the_rollup_side_exchange(spark, tmp_path):
+    """The SCALE.md claim, proven comparatively: storing the rollup
+    bucketed on its group columns removes exactly one Exchange from the
+    incremental update (the rollup side of the merge join); the
+    delta side still shuffles both times."""
+    from mysql2parquet_spark.io import publish_snapshot, snapshot_diff, write_bucketed
+
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(V0, DDL), root)
+    publish_snapshot(spark.createDataFrame(V1, DDL), root)
+    sums = {"total_qty": "qty"}
+    dpath = str(tmp_path / "diff")
+    snapshot_diff(spark, root, 0, 1, ["k"], include_old=True).write.parquet(dpath)
+    diff = spark.read.parquet(dpath)
+
+    plain = aggregate_snapshot(spark.createDataFrame(V0, DDL), ["grp"], sums)
+    rpath = str(tmp_path / "rollup_plain")
+    plain.write.parquet(rpath)
+    write_bucketed(
+        plain,
+        "rollup_bucketed",
+        bucket_by="grp",
+        num_buckets=8,
+        sort_by="grp",
+        path=str(tmp_path / "rollup_bucketed"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(old):
+            upd = incremental_agg_update(old, diff, ["grp"], sums)
+            return upd._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+        n_plain = n_exchanges(spark.read.parquet(rpath))
+        n_bucketed = n_exchanges(spark.table("rollup_bucketed"))
+        assert n_bucketed == n_plain - 1, (n_plain, n_bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS rollup_bucketed")
