@@ -74,11 +74,17 @@ def validate(
     df: DataFrame, rules: list[dict], *, tables: dict | None = None
 ) -> DataFrame:
     """Compile a rule list into ONE lazy report DataFrame: a row per
-    rule, ``(rule, violations)``, zero means pass. Nothing executes
-    until the caller acts on the report (no driver-side counting here —
-    the report is a union of one-row aggregates, so all rules evaluate
-    in a single job when materialized; gate a snapshot publish on
-    ``report.filter(violations > 0).isEmpty()``).
+    rule, ``(rule, violations)``, zero means pass (row-local rules
+    appear contiguously at the first row-local rule's position).
+    Nothing executes until the caller acts on the report; gate a
+    snapshot publish on ``report.filter(violations > 0).isEmpty()``.
+
+    Scan economics: all ROW-LOCAL rules (not_null / accepted_values /
+    expression) fuse into a SINGLE conditional aggregate — one pass
+    over the table no matter how many such rules there are (at 100 TB,
+    10 rules = 1 scan, not 10). Only rules that genuinely need their
+    own shape scan separately: ``unique`` (hash aggregate on its key)
+    and ``referential`` (broadcast anti-join per parent).
 
     Rule dicts::
 
@@ -91,50 +97,72 @@ def validate(
 
     ``tables`` supplies parent DataFrames for referential rules.
     """
-
-    def _report(name: str, violations: DataFrame, cnt_col=None) -> DataFrame:
-        agg = (
-            F.coalesce(F.sum(cnt_col), F.lit(0)).cast("long")
-            if cnt_col
-            else F.count(F.lit(1)).cast("long")
-        )
-        return violations.agg(agg.alias("violations")).select(
-            F.lit(name).alias("rule"), "violations"
-        )
-
-    parts = []
+    # (name, None, predicate) for fused row-local rules;
+    # (name, one_row_df, None) for standalone heavy rules
+    compiled: list[tuple] = []
     for r in rules:
         t = r["type"]
         if t == "not_null":
             name = f"not_null({','.join(r['cols'])})"
-            parts.append(_report(name, not_null_violations(df, r["cols"])))
-        elif t == "unique":
-            name = f"unique({','.join(r['cols'])})"
-            parts.append(
-                _report(name, unique_violations(df, r["cols"]), cnt_col="n_rows")
-            )
+            pred = None
+            for c in r["cols"]:
+                n = F.col(c).isNull()
+                pred = n if pred is None else (pred | n)
+            compiled.append((name, None, pred))
         elif t == "accepted_values":
             name = f"accepted_values({r['col']})"
-            parts.append(
-                _report(
-                    name, accepted_values_violations(df, r["col"], r["values"])
-                )
-            )
+            pred = ~F.col(r["col"]).isin(r["values"]) & F.col(r["col"]).isNotNull()
+            compiled.append((name, None, pred))
         elif t == "expression":
-            name = r["name"]
-            bad = df.filter(~F.coalesce(F.expr(r["expr"]), F.lit(False)))
-            parts.append(_report(name, bad))
+            pred = ~F.coalesce(F.expr(r["expr"]), F.lit(False))
+            compiled.append((r["name"], None, pred))
+        elif t == "unique":
+            name = f"unique({','.join(r['cols'])})"
+            agg = unique_violations(df, r["cols"]).agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("violations")
+            )
+            compiled.append((name, agg, None))
         elif t == "referential":
             name = f"referential({','.join(c for c, _ in r['on'])})"
-            parts.append(
-                _report(
-                    name, referential_violations(df, tables[r["parent"]], r["on"])
-                )
+            agg = referential_violations(df, tables[r["parent"]], r["on"]).agg(
+                F.count(F.lit(1)).cast("long").alias("violations")
             )
+            compiled.append((name, agg, None))
         else:
             raise ValueError(f"unknown rule type: {t!r}")
-    if not parts:
+    if not compiled:
         raise ValueError("validate requires at least one rule")
+
+    # One conditional aggregate covers every row-local rule, then an
+    # inline stack() pivots the counts to (rule, violations) rows.
+    row_local = [(n, pred) for n, _a, pred in compiled if pred is not None]
+    fused = None
+    if row_local:
+        counts = df.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias(f"_c{i}")
+                for i, (_n, pred) in enumerate(row_local)
+            ]
+        )
+        stack_args = ", ".join(
+            "'{}', _c{}".format(n.replace("'", "''"), i)
+            for i, (n, _p) in enumerate(row_local)
+        )
+        fused = counts.selectExpr(
+            f"stack({len(row_local)}, {stack_args}) AS (rule, violations)"
+        )
+
+    parts = []
+    fused_done = False
+    for name, agg, pred in compiled:
+        if pred is not None:
+            if not fused_done:
+                parts.append(fused)
+                fused_done = True
+            continue
+        parts.append(agg.select(F.lit(name).alias("rule"), "violations"))
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)

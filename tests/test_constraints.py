@@ -97,3 +97,43 @@ def test_validate_rejects_unknown_and_empty(dirty):
         validate(dirty, [{"type": "nope"}])
     with pytest.raises(ValueError, match="at least one rule"):
         validate(dirty, [])
+
+
+def test_row_local_rules_fuse_into_one_scan(dirty):
+    """Ten row-local rules must cost ONE pass over the table — the plan
+    contains a single scan of the input, not ten."""
+    rules = [
+        {"type": "expression", "name": f"r{i}", "expr": f"amt > {i}"}
+        for i in range(8)
+    ] + [
+        {"type": "not_null", "cols": ["id"]},
+        {"type": "accepted_values", "col": "st", "values": ["F", "O"]},
+    ]
+    report = validate(dirty, rules)
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1, plan
+    got = {r.rule: r.violations for r in report.collect()}
+    assert len(got) == 10 and got["not_null(id)"] == 1
+
+
+def test_heavy_rules_still_scan_separately_but_fused_stay_one(dirty, parents):
+    """unique + referential need their own shapes; the row-local block
+    stays a single scan beside them."""
+    rules = [
+        {"type": "not_null", "cols": ["id"]},
+        {"type": "expression", "name": "amt_pos", "expr": "amt > 0"},
+        {"type": "unique", "cols": ["id"]},
+        {"type": "referential", "parent": "p", "on": [("id", "pid")]},
+    ]
+    report = validate(dirty, rules, tables={"p": parents})
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    # one fused row-local scan + one for unique + two for the anti-join
+    # (child + parent) = 4 logical scans of RDD-backed inputs
+    assert plan.count("LogicalRDD") == 4, plan
+    got = {r.rule: r.violations for r in report.collect()}
+    assert got == {
+        "not_null(id)": 1,
+        "amt_pos": 1,
+        "unique(id)": 2,
+        "referential(id)": 1,
+    }
