@@ -419,12 +419,13 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if args.compat or args.single_file:
+        if (args.compat or args.single_file) and args.diff_versions is None:
             # the publish path doesn't run the compat projection or the
             # single-file coalesce — silently unused flags mislead
+            # (--diff-versions is an EXPORT, where both apply)
             print(
                 "--compat/--single-file are not supported with "
-                "--snapshot-root",
+                "--snapshot-root publishes",
                 file=sys.stderr,
             )
             return 1
@@ -645,6 +646,10 @@ def main(argv: list[str] | None = None) -> int:
                 msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
                 print(f"diff error: {msg}", file=sys.stderr)
                 return 2
+            if args.audit_rules:
+                rc = _run_audit(diff, args, spark)
+                if rc is not None:
+                    return rc
             export(
                 diff,
                 args.parquet,

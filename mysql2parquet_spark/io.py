@@ -946,6 +946,13 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"diff keys missing from snapshots: {missing}")
     vals = [c for c in new.columns if c not in keys]
+    reserved = {"change"} | ({f"old_{c}" for c in vals} if include_old else set())
+    clash = reserved & set(new.columns)
+    if clash:
+        raise ValueError(
+            f"snapshot_diff output names collide with snapshot columns: "
+            f"{sorted(clash)} — rename them before diffing"
+        )
     # explicit presence markers, NOT key-null checks: eqNullSafe joins
     # match NULL keys, so a nullable key column must not double as the
     # "row exists on this side" signal.

@@ -147,7 +147,12 @@ def validate(
             ]
         )
         stack_args = ", ".join(
-            "'{}', _c{}".format(n.replace("'", "''"), i)
+            # escape backslashes BEFORE quotes: Spark SQL literals
+            # honor backslash escapes by default, so a name ending in
+            # a backslash would swallow the closing quote
+            "'{}', _c{}".format(
+                n.replace("\\", "\\\\").replace("'", "\\'"), i
+            )
             for i, (n, _p) in enumerate(row_local)
         )
         fused = counts.selectExpr(

@@ -336,6 +336,21 @@ def scd2_history(
         )
     )
     if op_col is not None:
+        # A NULL op would satisfy neither != nor == and silently vanish
+        # from the history (leaving an interval hole) — same failure
+        # class compact_cdc_batch guards against; embed the check in
+        # the column so Catalyst can't push the filter below it.
+        checked = F.when(F.col(op_col).isNotNull(), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_history: NULL op for key ("),
+                    F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                    F.lit(") at "),
+                    F.col(seq_col).cast("string"),
+                )
+            )
+        )
+        out = out.withColumn(op_col, checked)
         out = out.filter(F.col(op_col) != delete_op).drop(op_col)
     return out
 

@@ -166,6 +166,14 @@ def cms_estimate(
     per-group sketches to the wanted granularity with ``cms_merge``
     (or filter one group) first.
     """
+    extra = set(sketch.columns) - {"d", "pos", "cnt"}
+    if extra:
+        raise ValueError(
+            f"cms_estimate needs a single-group sketch (columns d,pos,cnt) "
+            f"but got extra columns {sorted(extra)} — roll up with "
+            "cms_merge(sketches, []) or filter one group first; joining a "
+            "per-group sketch would min() across groups and undercount"
+        )
     probes = keys.dropDuplicates([key_col]).select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
@@ -214,8 +222,14 @@ def histogram_sketch(
     if bins < 2 or not (hi > lo):
         raise ValueError(f"bad histogram geometry: bins={bins} lo={lo} hi={hi}")
     width = (hi - lo) / bins
-    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
-    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
+    # clamp BEFORE narrowing to int: floor() yields a long, and a far
+    # outlier (1e12 with width ~4) overflows int32 and wraps negative —
+    # which greatest(0, ·) would then route into bin 0 instead of the
+    # documented top edge bin.
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.least(
+        F.lit(bins - 1).cast("long"), F.greatest(F.lit(0).cast("long"), b)
+    ).cast("int")
     return (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("bin", b)

@@ -123,12 +123,18 @@ def _make_sessionizer(gap_us: int):
         if ts.size:
             # segment the batch at gaps; every segment but the last is a
             # finished session ALREADY — emit in this batch, don't wait
-            # for the timeout.
-            cuts = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            # for the timeout. Boundaries are HALF-OPEN to match
+            # F.session_window: an event exactly gap after its
+            # predecessor starts a NEW session (>=, not >).
+            cuts = np.flatnonzero(np.diff(ts) >= gap_us) + 1
             segments = np.split(ts, cuts)
             first = segments[0]
-            if start is not None and first[0] - end <= gap_us:
-                end = int(first[-1])
+            if start is not None and first[0] - end < gap_us:
+                # min/max merge, not assignment: a within-watermark
+                # late event may SORT BEFORE the open session's end —
+                # the session's bounds only ever widen.
+                start = min(start, int(first[0]))
+                end = max(end, int(first[-1]))
                 n += len(first)
             else:
                 if start is not None:

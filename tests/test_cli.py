@@ -1013,3 +1013,44 @@ def test_diff_versions_missing_version_clean_error(tmp_path, spark):
     )
     assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
     assert "diff error:" in r.stderr
+
+
+def test_diff_versions_respects_audit_and_single_file(tmp_path, spark):
+    """Review findings: --audit-rules must gate the diff export too
+    (it promised to run on the final result before ANY write), and
+    --single-file is a legal diff-export layout."""
+    import json
+    import os
+
+    from mysql2parquet_spark.io import publish_snapshot
+
+    root = str(tmp_path / "snaps")
+    publish_snapshot(spark.createDataFrame([(1, "a")], "k bigint, v string"), root)
+    publish_snapshot(spark.createDataFrame([(1, "b")], "k bigint, v string"), root)
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([{"type": "expression", "name": "no", "expr": "FALSE"}]))
+    out = str(tmp_path / "diff")
+    r = _cli(
+        [
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--diff-versions", "0", "1",
+            "--parquet", out,
+            "--audit-rules", str(rules),
+        ]
+    )
+    assert r.returncode == 3, (r.returncode, r.stderr[-2000:])
+    assert not os.path.exists(out)
+
+    r = _cli(
+        [
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--diff-versions", "0", "1",
+            "--parquet", out,
+            "--single-file",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isfile(out + ".parquet")  # compat naming: suffix appended

@@ -137,3 +137,15 @@ def test_heavy_rules_still_scan_separately_but_fused_stay_one(dirty, parents):
         "unique(id)": 2,
         "referential(id)": 1,
     }
+
+
+def test_rule_names_with_quotes_and_backslashes(dirty):
+    """Review finding: names are interpolated into stack() — quotes AND
+    backslashes must escape (Spark SQL literals honor backslash
+    escapes by default)."""
+    rules = [
+        {"type": "expression", "name": "it's a trap\\", "expr": "amt > 0"},
+        {"type": "expression", "name": "plain", "expr": "amt IS NOT NULL"},
+    ]
+    got = {r.rule: r.violations for r in validate(dirty, rules).collect()}
+    assert got == {"it's a trap\\": 1, "plain": 0}

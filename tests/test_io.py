@@ -842,3 +842,14 @@ def test_snapshot_diff_validates(spark, tmp_path):
         snapshot_diff(spark, root, 0, 0, [])
     with pytest.raises(ValueError, match="missing from snapshots"):
         snapshot_diff(spark, root, 0, 0, ["nope"])
+
+
+def test_snapshot_diff_rejects_reserved_names(spark, tmp_path):
+    from mysql2parquet_spark.io import publish_snapshot, snapshot_diff
+
+    root = str(tmp_path / "snap")
+    publish_snapshot(
+        spark.createDataFrame([(1, "x")], "k bigint, change string"), root
+    )
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(spark, root, 0, 0, ["k"])

@@ -380,3 +380,15 @@ def test_scd2_apply_batch_validates_history_shape(spark):
     ev = spark.createDataFrame(_B0, _SCD2_DDL)
     with pytest.raises(ValueError, match="not an scd2_history output"):
         scd2_apply_batch(ev, ev, ["k"], seq_col="seq", op_col="op")
+
+
+def test_scd2_null_op_fails_loudly(spark):
+    """Review finding: a NULL op satisfied neither filter branch and
+    silently vanished, leaving an interval hole — must error like
+    compact_cdc_batch does."""
+    ev = spark.createDataFrame(
+        [(1, "a", "U", 10), (1, "b", None, 20), (1, "c", "U", 30)],
+        "k bigint, v string, op string, seq bigint",
+    )
+    with pytest.raises(Exception, match="NULL op"):
+        scd2_history(ev, ["k"], seq_col="seq", op_col="op").collect()

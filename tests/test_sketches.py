@@ -242,3 +242,22 @@ def test_histogram_rejects_bad_geometry(spark):
     sk = histogram_sketch(df, "v", [], lo=0.0, hi=10.0)
     with pytest.raises(ValueError, match="quantiles"):
         histogram_quantile(sk, [1.5], [], lo=0.0, hi=10.0)
+
+
+def test_histogram_extreme_outlier_clamps_to_top_bin(spark):
+    """Review finding: a value overflowing int32 after binning must land
+    in the TOP edge bin (documented clamp), not wrap negative into bin 0."""
+    df = spark.createDataFrame([(1e12,), (5.0,)], "v double")
+    sk = histogram_sketch(df, "v", [], lo=0.0, hi=1000.0, bins=256)
+    cells = {r.bin: r.cnt for r in sk.collect()}
+    assert cells == {255: 1, 1: 1}
+
+
+def test_cms_estimate_refuses_per_group_sketch(spark):
+    """Review finding: a per-group sketch would min() across groups and
+    silently undercount — fail fast instead."""
+    df = _freq_df(spark, [("x", 3)]).withColumn("shard", F.lit("a"))
+    grouped = cms_sketch(df, "k", ["shard"])
+    keys = spark.createDataFrame([("x",)], "k string")
+    with pytest.raises(ValueError, match="single-group"):
+        cms_estimate(grouped, keys, "k")

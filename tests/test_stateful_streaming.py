@@ -175,3 +175,69 @@ def test_sessionize_closed_match_batch_session_window(spark, sf_dir, tmp_path):
     non_tail = {x for x in batch_set if x != last_per_user[x[0]]}
     missing = non_tail - set(got_list)
     assert not missing, f"{len(missing)} closed sessions never emitted"
+
+
+def test_sessionize_out_of_order_event_widens_not_regresses(spark, tmp_path):
+    """Review finding: a within-watermark late event that sorts BEFORE
+    the open session's end must widen the session bounds (min/max), not
+    regress session_end — the regressed end mis-times the timeout and
+    splits later events into a phantom session."""
+    files = [
+        [_ev(1, 100, 1)],
+        [_ev(1, 95, 2)],   # late but above watermark (100-10=90): merges
+        [_ev(1, 200, 3)],  # closes the widened session, opens a new one
+    ]
+    d = str(tmp_path / "ooo_events")
+    os.makedirs(d, exist_ok=True)
+    base = int(time.time()) - 3600
+    for i, batch in enumerate(files):
+        df = spark.createDataFrame(batch, _EVENTS_DDL).coalesce(1)
+        staging = f"{d}_stage{i}"
+        df.write.mode("overwrite").parquet(staging)
+        (part,) = _glob.glob(staging + "/part-*.parquet")
+        dst = os.path.join(d, f"events_{i:03d}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (base + 10 * i, base + 10 * i))
+
+    stream = stream_events_path(spark, d, max_files_per_trigger=1)
+    sess = sessionize_with_timeout(stream, gap=30, watermark="10 seconds")
+    got = run_to_memory(sess, "sess_ooo", output_mode="append")
+    rows = sorted(
+        (
+            r.user_id,
+            int((r.session_start - _T0).total_seconds()),
+            int((r.session_end - _T0).total_seconds()),
+            r.n_events,
+        )
+        for r in got.collect()
+    )
+    assert rows == [(1, 95, 100, 2)]
+
+
+def test_sessionize_gap_boundary_matches_session_window(spark, tmp_path):
+    """Review finding: an event exactly gap after its predecessor must
+    start a NEW session (half-open, like F.session_window), not extend
+    the old one."""
+    files = [[_ev(1, 100, 1), _ev(1, 130, 2), _ev(1, 159, 3)]]  # 130-100 == gap
+    d = str(tmp_path / "bound_events")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(files[0], _EVENTS_DDL).coalesce(1)
+    staging = f"{d}_stage"
+    df.write.mode("overwrite").parquet(staging)
+    (part,) = _glob.glob(staging + "/part-*.parquet")
+    os.replace(part, os.path.join(d, "events_000.parquet"))
+
+    stream = stream_events_path(spark, d, max_files_per_trigger=1)
+    sess = sessionize_with_timeout(stream, gap=30, watermark="10 seconds")
+    got = run_to_memory(sess, "sess_bound", output_mode="append")
+    rows = sorted(
+        (
+            int((r.session_start - _T0).total_seconds()),
+            int((r.session_end - _T0).total_seconds()),
+            r.n_events,
+        )
+        for r in got.collect()
+    )
+    # (100) closes in-batch at the boundary; (130,159) stays open
+    # (159-130=29 < gap merges them)
+    assert rows == [(100, 100, 1)]
