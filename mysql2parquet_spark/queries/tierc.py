@@ -1533,3 +1533,87 @@ def sketch_histogram_q(spark, sf_dir):
     return histogram_quantile(
         sk, [0.1, 0.5, 0.9, 0.99], [], lo=0.0, hi=1000.0, bins=256
     )
+
+
+@register(
+    "rollup_incremental",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 3 THEN price + 1 ELSE price END
+               AS price
+      FROM base WHERE o_orderkey % 10 <> 5
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', price
+      FROM base WHERE o_orderkey % 100 = 7
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total
+    FROM v1 GROUP BY o_orderstatus
+    """,
+    "Incremental aggregate maintenance, externally adjudicated: the "
+    "rollup of a modified orders table computed as old-rollup + diff "
+    "deltas (adds for I, subtracts for D, both for U — including rows "
+    "MOVING between groups and a group born from the update) must "
+    "equal the DuckDB recompute over the modified table. Decimal "
+    "arithmetic keeps add/subtract bitwise-equal to recompute.",
+)
+def rollup_incremental(spark, sf_dir):
+    from mysql2parquet_spark.operators.rollup import (
+        aggregate_snapshot,
+        incremental_agg_update,
+    )
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    agg_old = aggregate_snapshot(base, ["o_orderstatus"], {"total": "price"})
+
+    upd = base.filter(F.col("o_orderkey") % 10 == 3)
+    dels = base.filter(F.col("o_orderkey") % 10 == 5)
+    ins = base.filter(F.col("o_orderkey") % 100 == 7)
+    diff = (
+        upd.select(
+            F.lit("U").alias("change"),
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price") + 1).alias("price"),
+            F.col("o_orderstatus").alias("old_o_orderstatus"),
+            F.col("price").alias("old_price"),
+        )
+        .unionByName(
+            dels.select(
+                F.lit("D").alias("change"),
+                "o_orderstatus",
+                "price",
+                F.col("o_orderstatus").alias("old_o_orderstatus"),
+                F.col("price").alias("old_price"),
+            )
+        )
+        .unionByName(
+            ins.select(
+                F.lit("I").alias("change"),
+                F.lit("N").alias("o_orderstatus"),
+                "price",
+                F.lit(None).cast("string").alias("old_o_orderstatus"),
+                F.lit(None).cast("decimal(18,2)").alias("old_price"),
+            )
+        )
+    )
+    updated = incremental_agg_update(
+        agg_old, diff, ["o_orderstatus"], {"total": "price"}
+    )
+    return updated.select(
+        "o_orderstatus",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
