@@ -392,3 +392,22 @@ def test_scd2_null_op_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL op"):
         scd2_history(ev, ["k"], seq_col="seq", op_col="op").collect()
+
+
+def test_scd2_apply_batch_shuffled_and_no_op_variants(spark):
+    """The backfill-sized escape hatch (broadcast_touched=False) and the
+    pure attribute-log form (op_col=None) both hold the refold
+    equivalence."""
+    b0 = [(1, "a", 10), (2, "x", 15)]
+    b1 = [(1, "b", 20), (3, "n", 25)]
+    ddl = "k bigint, v string, seq bigint"
+    hist = scd2_history(spark.createDataFrame(b0, ddl), ["k"], seq_col="seq")
+    out = scd2_apply_batch(
+        hist,
+        spark.createDataFrame(b1, ddl),
+        ["k"],
+        seq_col="seq",
+        broadcast_touched=False,
+    )
+    full = scd2_history(spark.createDataFrame(b0 + b1, ddl), ["k"], seq_col="seq")
+    assert _hist_set(out) == _hist_set(full)
