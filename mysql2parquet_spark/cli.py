@@ -46,6 +46,10 @@ Engine extensions (not in the reference):
   between two committed versions of --snapshot-root, written to
   --parquet (--diff-include-old adds old_<col> for incremental-rollup
   consumers, operators/rollup.py).
+- sketch sidecars (--with-sketches col,col): every plain export also
+  ships mergeable HLL distinct-count sketches of the named columns —
+  successive nightly sidecars roll up (merge_sketch_estimates) to any
+  period's distinct counts without re-scanning a single export.
 - audit gate (--audit-rules rules.json): run a declarative data-quality
   rule list (operators/constraints.py) on the final result BEFORE any
   write; violations abort with exit code 3 and a per-rule report — the
@@ -186,6 +190,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diff-include-old", action="store_true",
                    help="with --diff-versions: emit old_<col> beside "
                         "each value column (NULL on inserts)")
+    p.add_argument("--with-sketches", default=None, metavar="COLS",
+                   help="comma-separated columns: after a plain "
+                        "--parquet export, also write mergeable HLL "
+                        "distinct-count sketches of those columns to "
+                        "<parquet>_sketches (one row per column: "
+                        "column, sketch, n_rows). Sidecars from "
+                        "successive nightly exports roll up with "
+                        "operators/sketches.merge_sketch_estimates "
+                        "(group by 'column') without re-scanning any "
+                        "export. Not valid with --snapshot-root "
+                        "(versions commit atomically; a post-commit "
+                        "sidecar would break the audit contract)")
     p.add_argument("--audit-rules", default=None,
                    help="JSON file with a data-quality rule list "
                         "(operators/constraints.py schema). The rules "
@@ -491,6 +507,29 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.with_sketches is not None:
+        if args.snapshot_root:
+            print(
+                "--with-sketches is not supported with --snapshot-root "
+                "(versions commit atomically via _SUCCESS; a sidecar "
+                "written after the commit would break the audit "
+                "contract — sketch the published version separately)",
+                file=sys.stderr,
+            )
+            return 1
+        if args.stream_events:
+            print(
+                "--with-sketches requires a --parquet export, not "
+                "--stream-events",
+                file=sys.stderr,
+            )
+            return 1
+        if not [c.strip() for c in args.with_sketches.split(",") if c.strip()]:
+            print(
+                "--with-sketches must name at least one column",
+                file=sys.stderr,
+            )
+            return 1
     if args.diff_versions is not None:
         need = [
             flag
@@ -853,6 +892,30 @@ def main(argv: list[str] | None = None) -> int:
             single_file=args.single_file,
             partition_by=part_cols,
         )
+        if args.with_sketches:
+            from pyspark.sql import functions as F
+
+            from mysql2parquet_spark.operators.sketches import DEFAULT_LG_K
+
+            cols = [c.strip() for c in args.with_sketches.split(",") if c.strip()]
+            missing_cols = [c for c in cols if c not in df.columns]
+            if missing_cols:
+                print(
+                    f"sketch error: columns not in result: {missing_cols}",
+                    file=sys.stderr,
+                )
+                return 2
+            parts = [
+                df.agg(
+                    F.hll_sketch_agg(c, F.lit(DEFAULT_LG_K)).alias("sketch"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                ).select(F.lit(c).alias("column"), "sketch", "n_rows")
+                for c in cols
+            ]
+            side = parts[0]
+            for p_ in parts[1:]:
+                side = side.unionByName(p_)
+            side.write.mode("overwrite").parquet(args.parquet + "_sketches")
         return 0
     finally:
         spark.stop()

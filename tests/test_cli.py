@@ -1054,3 +1054,77 @@ def test_diff_versions_respects_audit_and_single_file(tmp_path, spark):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isfile(out + ".parquet")  # compat naming: suffix appended
+
+
+# ---------------------------------------------------------------------------
+# --with-sketches: mergeable HLL sidecars beside plain exports
+# ---------------------------------------------------------------------------
+
+
+def test_with_sketches_sidecars_merge_across_exports(tmp_path, spark, sf_dir):
+    """Two 'nightly' exports over disjoint slices each ship a sketch
+    sidecar; merging the sidecars must estimate the UNION's distinct
+    count without re-reading either export."""
+    from mysql2parquet_spark.io import load_table
+    from mysql2parquet_spark.operators.sketches import merge_sketch_estimates
+
+    outs = []
+    for i, pred in enumerate(("o_orderkey % 2 = 0", "o_orderkey % 2 = 1")):
+        out = str(tmp_path / f"night{i}")
+        r = _cli(
+            [
+                "--tables-dir", sf_dir,
+                "--query", f"SELECT o_custkey, o_orderstatus FROM orders WHERE {pred}",
+                "--parquet", out,
+                "--with-sketches", "o_custkey",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(out)
+
+    side = spark.read.parquet(outs[0] + "_sketches").unionByName(
+        spark.read.parquet(outs[1] + "_sketches")
+    )
+    assert set(side.columns) == {"column", "sketch", "n_rows"}
+    est = merge_sketch_estimates(side, ["column"]).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    assert est.n_rows == orders.count()
+    assert abs(est.approx_distinct - exact) <= max(1, 0.05 * exact)
+
+
+def test_with_sketches_flag_validation(capsys, tmp_path, sf_dir):
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT 1 AS a",
+            "--snapshot-root", str(tmp_path / "r"),
+            "--with-sketches", "a",
+        ]
+    )
+    assert rc == 1
+    assert "not supported with --snapshot-root" in capsys.readouterr().err
+
+    rc = main(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT 1 AS a",
+            "--parquet", str(tmp_path / "o"),
+            "--with-sketches", " , ",
+        ]
+    )
+    assert rc == 1
+    assert "at least one column" in capsys.readouterr().err
+
+
+def test_with_sketches_unknown_column_clean_error(tmp_path, sf_dir):
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT r_regionkey FROM region",
+            "--parquet", str(tmp_path / "o"),
+            "--with-sketches", "nope",
+        ]
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
+    assert "sketch error:" in r.stderr

@@ -261,3 +261,62 @@ def test_cms_estimate_refuses_per_group_sketch(spark):
     keys = spark.createDataFrame([("x",)], "k string")
     with pytest.raises(ValueError, match="single-group"):
         cms_estimate(grouped, keys, "k")
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the sketch guarantees hold for ARBITRARY multisets
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    freqs=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cms_never_undercounts_property(spark, freqs):
+    """Count-min's one-sided error is structural: for ANY multiset,
+    est(k) >= true(k), and merge == single pass."""
+    pairs = list(freqs.items())
+    df = _freq_df(spark, pairs)
+    sk = cms_sketch(df, "k", [], depth=3, width=32)  # small geometry: collisions certain
+    keys = spark.createDataFrame([(k,) for k in freqs], "k string")
+    est = {
+        r.k: r.approx_count
+        for r in cms_estimate(sk, keys, "k", depth=3, width=32).collect()
+    }
+    for k, t in freqs.items():
+        assert est[k] >= t, (k, est[k], t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=40),
+)
+def test_histogram_shard_merge_property(spark, vals, split):
+    """For ANY values (including out-of-range) and ANY shard split,
+    merged shard histograms == the single-pass histogram, and total
+    counts are conserved."""
+    split = min(split, len(vals))
+    a = [(v, "a") for v in vals[:split]]
+    b = [(v, "b") for v in vals[split:]]
+    df = spark.createDataFrame(a + b, "v double, shard string")
+    per_shard = histogram_sketch(df, "v", ["shard"], lo=0.0, hi=100.0, bins=16)
+    merged = {r.bin: r.cnt for r in histogram_merge(per_shard, []).collect()}
+    single = {
+        r.bin: r.cnt
+        for r in histogram_sketch(df, "v", [], lo=0.0, hi=100.0, bins=16).collect()
+    }
+    assert merged == single
+    assert sum(merged.values()) == len(vals)
