@@ -7,7 +7,7 @@ the other layout writers: io.write_bucketed.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,3 +119,37 @@ def stratified_sample(
         hex_thr = "zz" if n >= 256 else f"{n:02x}"
         thr = F.when(F.col(strata_col) == k, F.lit(hex_thr)).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    *,
+    key_col: str,
+    salt: str = "npg",
+) -> DataFrame:
+    """Exactly min(n, group size) rows per stratum, chosen by
+    content-addressed rank: rows sort by ``md5(key || ':' || salt)``
+    within their stratum and the first ``n`` win.
+
+    Same determinism contract as ``stratified_sample`` (pure function
+    of row content — stable across engines, reruns, cluster sizes) but
+    for FIXED-SIZE quotas instead of fractions: eval-set carving,
+    per-language caps, "give me 10k docs per source" curation. Changing
+    ``n`` grows/shrinks the selection monotonically (rank order is
+    fixed by content), so a bigger quota strictly extends a smaller
+    one. One shuffle on the stratum (the window); Spark's
+    WindowGroupLimit pushes the rank filter below the sort at scale.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        key_col,  # total order even under md5 collisions
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

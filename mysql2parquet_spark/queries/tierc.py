@@ -1617,3 +1617,29 @@ def rollup_incremental(spark, sf_dir):
         F.col("cnt").cast("long").alias("cnt"),
         F.round(F.col("total").cast("double"), 2).alias("total"),
     )
+
+
+@register(
+    "sample_topn_group",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':npg'), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 40
+    """,
+    "C6: fixed-quota per-stratum sampling — exactly 40 docs per "
+    "language by content-addressed md5 rank (doc_id tiebreak), the "
+    "eval-carving / per-source-cap primitive. Deterministic across "
+    "engines and cluster sizes; a larger quota strictly extends a "
+    "smaller one. One window shuffle; WindowGroupLimit prunes below "
+    "the sort.",
+)
+def sample_topn_group(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import sample_n_per_group
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_n_per_group(d, "lang", 40, key_col="doc_id")

@@ -213,3 +213,37 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sample_n_per_group_quota_and_nesting(spark, sf_dir):
+    """Exact quotas, deterministic membership, and monotone nesting:
+    the n=5 selection is a strict subset of n=20 per stratum."""
+    from mysql2parquet_spark.operators.scale import sample_n_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    s20 = sample_n_per_group(d, "lang", 20, key_col="doc_id")
+    s5 = sample_n_per_group(d, "lang", 5, key_col="doc_id")
+    sizes = {r.lang: r.n for r in s20.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    truth = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(20, truth[lang])
+    ids5 = {r.doc_id for r in s5.collect()}
+    ids20 = {r.doc_id for r in s20.collect()}
+    assert ids5 < ids20
+    # repartitioning the input must not change membership
+    again = {
+        r.doc_id
+        for r in sample_n_per_group(d.repartition(13), "lang", 20, key_col="doc_id").collect()
+    }
+    assert again == ids20
+
+
+def test_sample_n_per_group_uses_window_group_limit(spark, sf_dir):
+    """Scale pin: the rank<=n filter pushes below the per-partition
+    sort (WindowGroupLimit) so each task keeps a bounded heap instead
+    of fully sorting every stratum."""
+    from mysql2parquet_spark.operators.scale import sample_n_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = sample_n_per_group(d, "lang", 10, key_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1500]
