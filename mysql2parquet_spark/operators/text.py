@@ -336,3 +336,70 @@ def with_pii_redaction(
         red = F.regexp_replace(red, pat, repl)
     cols[out_col] = red
     return df.withColumns(cols)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    *,
+    max_distance: int,
+    block_cols: list[str] | None = None,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Entity resolution: pairs of rows whose ``text_col`` values are
+    within ``max_distance`` Levenshtein edits — the fuzzy-match /
+    record-linkage primitive (near-duplicate NAMES, where MinHash on
+    shingles is the wrong tool: short strings, character-level noise).
+
+    Candidate generation is a BLOCKED equi-self-join — the same
+    never-O(n²) contract as cosine_pairs and the MinHash band join:
+    rows meet only inside a block (``block_cols`` and/or a computed
+    ``block_expr``, e.g. a normalized prefix or a phonetic code), so
+    the join shuffles each side once on the block key and the
+    quadratic term is bounded by the largest block, not the table.
+    Levenshtein then verifies INSIDE the block only. Blocking trades
+    recall for scale exactly like LSH banding: two names differing in
+    their block key never pair — pick block keys stable under the
+    edits you want to catch. ``key_a < key_b`` canonicalizes pairs.
+
+    Output: ``key_a, key_b, <text>_a, <text>_b, distance``.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if block_cols is None and block_expr is None:
+        raise ValueError(
+            "fuzzy_pairs requires blocking (block_cols and/or block_expr) — "
+            "an unblocked self-join is O(n²) at corpus scale"
+        )
+    blocks = list(block_cols or [])
+    side = df.select(
+        *blocks,
+        F.col(key_col).alias("k"),
+        F.col(text_col).alias("t"),
+        *([] if block_expr is None else [block_expr.alias("_blk")]),
+    )
+    join_keys = blocks + ([] if block_expr is None else ["_blk"])
+    a = side.select(
+        *join_keys, F.col("k").alias("key_a"), F.col("t").alias("t_a")
+    )
+    b = side.select(
+        *join_keys, F.col("k").alias("key_b"), F.col("t").alias("t_b")
+    )
+    pairs = a.join(b, on=join_keys, how="inner").filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    # levenshtein's optional threshold arg short-circuits: cost is
+    # O(len·k) per candidate, and over-threshold pairs return -1
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), max_distance)
+    return (
+        pairs.withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .select(
+            "key_a",
+            "key_b",
+            F.col("t_a").alias(f"{text_col}_a"),
+            F.col("t_b").alias(f"{text_col}_b"),
+            "distance",
+        )
+    )

@@ -1643,3 +1643,28 @@ def sample_topn_group(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     return sample_n_per_group(d, "lang", 40, key_col="doc_id")
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS c_name_a, b.c_name AS c_name_b,
+           levenshtein(a.c_name, b.c_name) AS distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "Entity resolution: customer-name pairs within 2 edits, blocked by "
+    "nation — the record-linkage primitive for short strings where "
+    "shingle-MinHash is the wrong tool. Blocked equi-self-join (the "
+    "cosine_pairs/LSH never-O(n²) contract); Spark's thresholded "
+    "levenshtein short-circuits verification inside blocks.",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    from mysql2parquet_spark.operators.text import fuzzy_pairs
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    return fuzzy_pairs(
+        c, "c_custkey", "c_name", max_distance=2, block_cols=["c_nationkey"]
+    )

@@ -178,3 +178,66 @@ def test_pii_requires_patterns(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError, match="at least one pattern"):
         text.with_pii_redaction(df, patterns=[])
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs — blocked record linkage
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_semantics_and_blocking(spark):
+    from mysql2parquet_spark.operators.text import fuzzy_pairs
+
+    rows = [
+        (1, "smith", "a"),
+        (2, "smyth", "a"),   # distance 1, same block
+        (3, "smith", "b"),   # identical text but DIFFERENT block: never pairs
+        (4, "jones", "a"),   # distance > 2 from smith/smyth
+        (5, "smiths", "a"),  # distance 1 from smith, 2 from smyth
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    got = {
+        (r.key_a, r.key_b, r.distance)
+        for r in fuzzy_pairs(
+            df, "id", "name", max_distance=2, block_cols=["blk"]
+        ).collect()
+    }
+    assert got == {(1, 2, 1), (1, 5, 1), (2, 5, 2)}
+
+
+def test_fuzzy_pairs_requires_blocking_and_plan_is_equi_join(spark):
+    import pytest as _pytest
+
+    from mysql2parquet_spark.operators.text import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "a", "x")], "id bigint, name string, blk string")
+    with _pytest.raises(ValueError, match="O\\(n²\\)|blocking"):
+        fuzzy_pairs(df, "id", "name", max_distance=1)
+    plan = (
+        fuzzy_pairs(df, "id", "name", max_distance=1, block_cols=["blk"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_fuzzy_pairs_computed_block_expr(spark):
+    """block_expr: a normalized prefix as the blocking key."""
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.operators.text import fuzzy_pairs
+
+    rows = [(1, "Smith"), (2, "smyth"), (3, "Zeta")]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r.key_a, r.key_b)
+        for r in fuzzy_pairs(
+            df,
+            "id",
+            "name",
+            max_distance=2,
+            block_expr=F.substring(F.lower("name"), 1, 2),
+        ).collect()
+    }
+    assert got == {(1, 2)}  # 'sm' block; Zeta blocks alone
