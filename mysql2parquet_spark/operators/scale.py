@@ -153,3 +153,40 @@ def sample_n_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    *,
+    key_col: str,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Per-row Bernoulli sampling with a PER-ROW keep probability:
+    keep iff ``u(key) < weight``, where ``u`` is the row's md5-derived
+    uniform in [0, 1) — content-addressed like ``stratified_sample``
+    (stable across engines/reruns/partitionings, zero shuffle, no RNG
+    state) but with the probability a COLUMN, not a constant: quality
+    -weighted keeps, temperature-scaled source curves, per-domain
+    down-weighting — anywhere the keep rate is a function of the row.
+
+    Weights clamp to [0, 1] (a weight ≥ 1 always keeps, ≤ 0 never).
+    ``u`` uses the first 8 md5 hex chars → 32-bit resolution (~2.3e-10
+    granularity), so tiny weights still land proportionally. Nested
+    like the other samplers: raising a row's weight can only ADD it to
+    the kept set, never evict others.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col).cast("double")))
+    return df.filter(u < w)

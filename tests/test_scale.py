@@ -247,3 +247,40 @@ def test_sample_n_per_group_uses_window_group_limit(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     plan = sample_n_per_group(d, "lang", 10, key_col="doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_sample_weighted_rate_determinism_and_monotonicity(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import sample_weighted
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("w", (F.col("doc_id") % 100) / 100.0)  # spread over [0,1)
+    )
+    kept = sample_weighted(d, "w", key_col="doc_id")
+    n, expected = kept.count(), d.agg(F.sum(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("w")))
+    )).collect()[0][0]
+    # binomial-ish: within 5 sigma of the expected keep mass
+    import math
+
+    assert abs(n - expected) <= 5 * math.sqrt(expected) + 1
+    # determinism under repartitioning
+    ids = {r.doc_id for r in kept.collect()}
+    again = {
+        r.doc_id
+        for r in sample_weighted(d.repartition(17), "w", key_col="doc_id").collect()
+    }
+    assert ids == again
+    # monotone in the weight: doubling weights only ADDS rows
+    boosted = sample_weighted(
+        d.withColumn("w", F.col("w") * 2), "w", key_col="doc_id"
+    )
+    assert ids <= {r.doc_id for r in boosted.collect()}
+    # weight >= 1 keeps everything; <= 0 keeps nothing
+    assert sample_weighted(
+        d.withColumn("w", F.lit(1.5)), "w", key_col="doc_id"
+    ).count() == d.count()
+    assert sample_weighted(
+        d.withColumn("w", F.lit(0.0)), "w", key_col="doc_id"
+    ).count() == 0
