@@ -260,6 +260,38 @@ def _run_audit(df, args, spark) -> int | None:
     return None
 
 
+def _write_sketch_sidecar(spark, args, df) -> int | None:
+    """--with-sketches: HLL sidecars built by READING BACK the export
+    just written (not by re-running the source query — a JDBC source
+    can change between the export read and a second read, and the
+    sidecar must describe the parquet it ships beside). Shard-artifact
+    definition comes from operators/sketches.distinct_sketches so the
+    geometry can never drift from the library's. Returns an exit code
+    on failure, None on success."""
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.operators.sketches import distinct_sketches
+
+    exported = args.parquet + (".parquet" if args.single_file else "")
+    try:
+        back = spark.read.parquet(exported)
+        parts = [
+            distinct_sketches(back, c, []).select(
+                F.lit(c).alias("column"), "sketch", "n_rows"
+            )
+            for c in args.sketch_cols
+        ]
+        side = parts[0]
+        for p_ in parts[1:]:
+            side = side.unionByName(p_)
+        side.write.mode("overwrite").parquet(args.parquet + "_sketches")
+    except Exception as e:
+        msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+        print(f"sketch error: {msg}", file=sys.stderr)
+        return 2
+    return None
+
+
 def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
     """--stream-events: the proven streaming fold (tests/test_cdc_e2e.py
     — foreachBatch + fold_cdc_snapshot, exactly-once across restarts via
@@ -524,7 +556,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-        if not [c.strip() for c in args.with_sketches.split(",") if c.strip()]:
+        # dedupe while preserving order: a repeated name would write two
+        # sidecar rows whose n_rows double-count on merge
+        args.sketch_cols = list(
+            dict.fromkeys(
+                c.strip() for c in args.with_sketches.split(",") if c.strip()
+            )
+        )
+        if not args.sketch_cols:
             print(
                 "--with-sketches must name at least one column",
                 file=sys.stderr,
@@ -860,6 +899,29 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(path)
             return 0
+        if args.with_sketches:
+            # fail BEFORE the (possibly hours-long) export: unknown
+            # column or a type hll_sketch_agg cannot digest must not
+            # cost a completed export
+            missing_cols = [c for c in args.sketch_cols if c not in df.columns]
+            if missing_cols:
+                print(
+                    f"sketch error: columns not in result: {missing_cols}",
+                    file=sys.stderr,
+                )
+                return 2
+            sketchable = ("int", "bigint", "smallint", "tinyint", "string", "binary")
+            dt = dict(df.dtypes)
+            bad_types = [
+                f"{c}:{dt[c]}" for c in args.sketch_cols if dt[c] not in sketchable
+            ]
+            if bad_types:
+                print(
+                    "sketch error: hll_sketch_agg supports integral/string/"
+                    f"binary columns only, got {bad_types}",
+                    file=sys.stderr,
+                )
+                return 2
         if args.scd2_history:
             from mysql2parquet_spark.operators.merge import scd2_history
 
@@ -893,29 +955,9 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=part_cols,
         )
         if args.with_sketches:
-            from pyspark.sql import functions as F
-
-            from mysql2parquet_spark.operators.sketches import DEFAULT_LG_K
-
-            cols = [c.strip() for c in args.with_sketches.split(",") if c.strip()]
-            missing_cols = [c for c in cols if c not in df.columns]
-            if missing_cols:
-                print(
-                    f"sketch error: columns not in result: {missing_cols}",
-                    file=sys.stderr,
-                )
-                return 2
-            parts = [
-                df.agg(
-                    F.hll_sketch_agg(c, F.lit(DEFAULT_LG_K)).alias("sketch"),
-                    F.count(F.lit(1)).alias("n_rows"),
-                ).select(F.lit(c).alias("column"), "sketch", "n_rows")
-                for c in cols
-            ]
-            side = parts[0]
-            for p_ in parts[1:]:
-                side = side.unionByName(p_)
-            side.write.mode("overwrite").parquet(args.parquet + "_sketches")
+            rc = _write_sketch_sidecar(spark, args, df)
+            if rc is not None:
+                return rc
         return 0
     finally:
         spark.stop()

@@ -139,8 +139,10 @@ def sample_n_per_group(
     per-language caps, "give me 10k docs per source" curation. Changing
     ``n`` grows/shrinks the selection monotonically (rank order is
     fixed by content), so a bigger quota strictly extends a smaller
-    one. One shuffle on the stratum (the window); Spark's
-    WindowGroupLimit pushes the rank filter below the sort at scale.
+    one. Rows with a NULL ``key_col`` are dropped (they have no
+    content address — same contract as the md5-threshold samplers).
+    One shuffle on the stratum (the window); Spark's WindowGroupLimit
+    pushes the rank filter below the sort at scale.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -148,8 +150,13 @@ def sample_n_per_group(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
         key_col,  # total order even under md5 collisions
     )
+    # NULL keys have a NULL md5 AND a NULL tiebreak: they'd all tie at
+    # rank 1 (NULLS FIRST), crowding out real rows nondeterministically.
+    # Drop them — the same silent behavior the md5-comparison samplers
+    # have (NULL predicates filter false).
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
@@ -170,7 +177,9 @@ def sample_weighted(
     -weighted keeps, temperature-scaled source curves, per-domain
     down-weighting — anywhere the keep rate is a function of the row.
 
-    Weights clamp to [0, 1] (a weight ≥ 1 always keeps, ≤ 0 never).
+    Weights clamp to [0, 1] (a weight ≥ 1 always keeps, ≤ 0 never;
+    NaN/NULL weights keep NOTHING — an undefined score must not decay
+    into keep-always).
     ``u`` uses the first 8 md5 hex chars → 32-bit resolution (~2.3e-10
     granularity), so tiny weights still land proportionally. Nested
     like the other samplers: raising a row's weight can only ADD it to
@@ -188,5 +197,11 @@ def sample_weighted(
         ).cast("double")
         / F.lit(float(1 << 32))
     )
-    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(weight_col).cast("double")))
+    wc = F.col(weight_col).cast("double")
+    # NaN sorts ABOVE everything in Spark, so greatest(0, NaN)=NaN and
+    # least(1, NaN)=1 — an undefined score (0/0 in a quality pipeline)
+    # would silently become keep-always. NaN and NULL mean "no weight":
+    # keep nothing.
+    wc = F.when(F.isnan(wc) | wc.isNull(), F.lit(0.0)).otherwise(wc)
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), wc))
     return df.filter(u < w)

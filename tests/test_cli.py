@@ -1128,3 +1128,51 @@ def test_with_sketches_unknown_column_clean_error(tmp_path, sf_dir):
     )
     assert r.returncode == 2, (r.returncode, r.stderr[-2000:])
     assert "sketch error:" in r.stderr
+
+
+def test_with_sketches_precheck_aborts_before_export(tmp_path, sf_dir):
+    """Review findings: unknown columns and unsketchable types must
+    fail BEFORE the export is written, and repeated names dedupe."""
+    import os
+
+    out = str(tmp_path / "o")
+    # unknown column: nothing written
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT r_regionkey FROM region",
+            "--parquet", out,
+            "--with-sketches", "nope",
+        ]
+    )
+    assert r.returncode == 2 and "not in result" in r.stderr
+    assert not os.path.exists(out)
+    # unsketchable type (double): nothing written
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT o_totalprice FROM orders",
+            "--parquet", out,
+            "--with-sketches", "o_totalprice",
+        ]
+    )
+    assert r.returncode == 2 and "integral/string/binary" in r.stderr
+    assert not os.path.exists(out)
+
+
+def test_with_sketches_dedupes_columns_and_reads_back_export(tmp_path, spark, sf_dir):
+    """Repeated names produce ONE sidecar row (double-counted n_rows on
+    merge otherwise), and the sidecar describes the WRITTEN parquet."""
+    out = str(tmp_path / "o")
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query", "SELECT r_regionkey FROM region",
+            "--parquet", out,
+            "--with-sketches", "r_regionkey,r_regionkey",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    side = spark.read.parquet(out + "_sketches").collect()
+    assert len(side) == 1
+    assert side[0].n_rows == spark.read.parquet(out).count()

@@ -284,3 +284,27 @@ def test_sample_weighted_rate_determinism_and_monotonicity(spark, sf_dir):
     assert sample_weighted(
         d.withColumn("w", F.lit(0.0)), "w", key_col="doc_id"
     ).count() == 0
+
+
+def test_sample_n_per_group_drops_null_keys_deterministically(spark):
+    """Review finding: NULL keys tied at rank 1 (NULL md5 + NULL
+    tiebreak) and crowded out real rows nondeterministically — they
+    are dropped like in the md5-threshold samplers."""
+    from mysql2parquet_spark.operators.scale import sample_n_per_group
+
+    rows = [(None, "a"), (None, "a"), (None, "a"), (1, "a"), (2, "a")]
+    df = spark.createDataFrame(rows, "id bigint, blk string")
+    got = {r.id for r in sample_n_per_group(df, "blk", 2, key_col="id").collect()}
+    assert got == {1, 2}
+
+
+def test_sample_weighted_nan_and_null_keep_nothing(spark):
+    """Review finding: least(1, greatest(0, NaN)) = 1.0 — a 0/0 quality
+    score silently kept every junk row. NaN/NULL weights keep none."""
+    from mysql2parquet_spark.operators.scale import sample_weighted
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 1.0)], "id bigint, w double"
+    )
+    got = {r.id for r in sample_weighted(df, "w", key_col="id").collect()}
+    assert got == {3}
