@@ -241,3 +241,59 @@ def test_fuzzy_pairs_computed_block_expr(spark):
         ).collect()
     }
     assert got == {(1, 2)}  # 'sm' block; Zeta blocks alone
+
+
+def test_fuzzy_pairs_equals_brute_force_within_blocks(spark):
+    """Property: for ANY small corpus, fuzzy_pairs returns exactly the
+    brute-force pair set {(a,b): same block, a<b, lev(a,b)<=k} — the
+    blocking changes WHICH pairs are candidates, never the verdict on
+    a candidate."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mysql2parquet_spark.operators.text import fuzzy_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        names=st.lists(
+            st.tuples(
+                st.text(alphabet="abc", min_size=0, max_size=5),
+                st.sampled_from("xy"),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        k=st.integers(min_value=0, max_value=3),
+    )
+    def check(names, k):
+        rows = [(i, t, blk) for i, (t, blk) in enumerate(names)]
+        df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+        got = {
+            (r.key_a, r.key_b, r.distance)
+            for r in fuzzy_pairs(
+                df, "id", "name", max_distance=k, block_cols=["blk"]
+            ).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for (i, (a, ba)), (j, (b, bb)) in itertools.combinations(
+                enumerate(names), 2
+            )
+            if ba == bb and lev(a, b) <= k
+        }
+        assert got == want
+
+    check()
