@@ -1668,3 +1668,27 @@ def fuzzy_name_pairs(spark, sf_dir):
     return fuzzy_pairs(
         c, "c_custkey", "c_name", max_distance=2, block_cols=["c_nationkey"]
     )
+
+
+@register(
+    "sample_weighted_rows",
+    """
+    SELECT o_orderkey, (o_orderkey % 256) / 256.0 AS w
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':wsamp'), 1, 8)
+          < printf('%08x', CAST(o_orderkey % 256 AS BIGINT) * 16777216)
+    """,
+    "C6: per-row weighted Bernoulli keep (content-addressed md5 "
+    "uniform vs a per-row probability column) — quality-weighted / "
+    "temperature-curve retention. The declared weights are dyadic "
+    "(k/256, exact multiples of 2^-32), so the operator's numeric "
+    "u < w compare and the oracle's zero-padded-hex string compare "
+    "are EXACTLY equivalent — no tie ambiguity at any row.",
+)
+def sample_weighted_rows(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import sample_weighted
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", ((F.col("o_orderkey") % 256) / 256.0).alias("w")
+    )
+    return sample_weighted(o, "w", key_col="o_orderkey")
