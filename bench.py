@@ -68,6 +68,8 @@ HEADLINE = [
     "sketch_cms_freq",    # count-min build + broadcast probe (r5)
     "sketch_histogram_q", # histogram sketch + quantile interpolation (r5)
     "quality_report",     # 5-rule audit gate over orders (r5)
+    "events_funnel",      # ordered-sequence funnel over the event log (r5)
+    "events_retention",   # weekly retention cohorts (r5)
 ]
 
 
