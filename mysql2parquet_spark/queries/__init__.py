@@ -48,79 +48,80 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (B1-B35, asof) AND every Tier C / LLM-pipeline component (C1-C6, tpch
 # composites).  Variant queries beyond the head stay registered — the local
 # gate (tests/test_oracle_parity.py) still checks all of them.
-# ROTATION (r5, VERDICT r4 ask #2): FINISH the rotation program — the last
-# 12 never-driver-checked queries (gen_rotation NEXT_ROUND_BACKLOG as of
-# r4) all take head slots this round, after which every one of the 103
-# registered queries has ≥1 driver adjudication across r1–r5. Rotated IN:
-# dedup_embedding, multimodal_frames, dedup_minhash_cc, dedup_minhash_ml,
-# similarity_pairs, similarity_pairs_blocked, stream_rollup_batch,
-# text_fingerprint_winnow, text_stats, text_termfreq, text_tokens,
-# text_tokens_regex. agg_salted KEEPS its slot for re-adjudication after
-# the r4 decimal-shape fix. Displaced (all with ≥1 green driver row, most
-# 3×-proven; component coverage preserved by an in-head sibling or — for
-# B13 only — by agg_distinct's 4× green history, per the proven-component
-# rule in tests/test_registry.py): agg_percentile, agg_distinct,
-# stream_sliding_batch, dedup_minhash_verified, ann_lsh_topk,
-# embedding_project, text_bm25, text_top_terms, text_repetition,
-# multimodal_binary, sample_stratified, tpch_q10_shape. Per-round
-# history: ROTATION.md.
+# ROTATION (r6, VERDICT r5 ask #1): drain the adjudication backlog — ALL
+# 16 never-driver-checked r5 registrations take head slots this round, so
+# every one of the 119 registered queries has ≥1 driver adjudication
+# across r1–r6. Rotated IN: cdc_scd2, cdc_scd2_asof, dedup_incremental,
+# events_funnel, events_retention, fuzzy_name_pairs, pipeline_mix,
+# quality_report, rollup_incremental, sample_topn_group,
+# sample_weighted_rows, sketch_cms_freq, sketch_histogram_q,
+# sketch_hll_rollup, tpch_q1, tpch_q18. Displaced (EVERY one of the 16 is
+# itself thrice-proven — 4–5 hash-green driver rows — so each component
+# stays guarded by the proven-component rule in tests/test_registry.py):
+# scan_project, expr_arith, join_left, join_semi, join_range,
+# join_multiway, join_asof, agg_cube, agg_having, window_percent,
+# window_analytic, window_range_frame, sort_nulls, sort_limit_offset,
+# set_ops, math_funcs. New query registration is FROZEN this round
+# (VERDICT r5: second consecutive round the window lost ground) — the
+# registry gate test_no_new_queries_while_backlog pins the count.
+# Per-round history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # B-tier: one-ish query per component
-    "scan_project",       # B1
-    "expr_arith",         # B4 + B26 (casts)
-    "filter_like",        # B5 (r3+r4 green; filter_pred r1+r2 green)
-    "join_left",          # B8
-    "join_semi",          # B9
-    "join_range",         # B10
-    "join_multiway",      # B11 (also evidences B6 inner chain + B7 dims)
-    "join_asof",          # as-of join (custom operator)
-    "agg_salted",         # B12 skew-salted (r4 FAIL was output shape —
-                          # now ROUND(CAST AS DOUBLE,2); re-adjudicate)
-    "agg_cube",           # B14 (agg_rollup r1+r2, grouping_sets r3 green)
-    "agg_having",         # B15
-    "window_percent",     # B16 (r3+r4 green; window_rank r1+r2 green)
-    "window_analytic",    # B17 (r3+r4 green; window_lag r1+r2 green)
-    "window_range_frame", # B18 (time RANGE frame)
-    "sort_nulls",         # B19
-    "sort_limit_offset",  # B20 (r3+r4 green; sort_limit_topk r1+r2)
-    "set_ops",            # B21 (UNION ALL + INTERSECT + EXCEPT composite)
-    "date_parts",         # B23 (r4 green; date_funcs 3x green)
-    "math_funcs",         # B24
+    # B-tier survivors (fewer than 3 green rows, or re-adjudication)
+    "filter_like",        # B5 (r3+r4+r5 green; filter_pred r1+r2 green)
+    "agg_salted",         # B12 skew-salted (r5 hash-green after the r4
+                          # decimal-shape fix; keep for a 2nd green row)
+    "date_parts",         # B23 (r4+r5 green; date_funcs 3x green)
     "cond_funcs",         # B25
-    "json_struct",        # B27 (r4 green; json_funcs 3x green)
+    "json_struct",        # B27 (r4+r5 green; json_funcs 3x green)
     "array_funcs",        # B28
     "subquery_cte",       # B29
-    "udf_grouped",        # B30 (r3+r4 green; udf_pandas r1+r2 green)
-    "stream_rollup_batch",    # B32 chained windowed rollup (first check;
-                              # sliding 3x green, tumbling r1+r2 green)
+    "udf_grouped",        # B30 (r3-r5 green; udf_pandas r1+r2 green)
+    "stream_rollup_batch",    # B32 chained windowed rollup (r5 green)
     "stream_session_batch",   # B33
     "stream_dedup_batch",     # B35
     "stream_enrich_batch",    # B31 stream-static enrichment
     # Tier C / LLM-pipeline components
     "dedup_exact",          # C1
-    "dedup_ngram_jaccard",  # C2 exact-jaccard (r4 green)
-    "dedup_embedding",      # C2 semantic cosine dedup (first check)
-    "dedup_minhash_cc",     # C2 connected-components (first, rows-only)
-    "dedup_minhash_ml",     # C2 Spark-ML LSH (first check, rows-only)
-    "similarity_pairs",     # C3 exact cosine pairs (first driver check)
-    "similarity_pairs_blocked",  # C3 blocked pair join (first check)
-    "embedding_quantize",   # C3 int8 quantization (r4 green)
-    "text_stats",           # C4 per-lang doc stats (first driver check)
-    "text_termfreq",        # C4 term frequency (first driver check)
-    "text_tokens",          # C4 token counting (first driver check)
-    "text_tokens_regex",    # C4 BPE-ish tokenizer (first driver check)
-    "text_fingerprint_winnow",  # C4 winnowing (first, rows-only)
-    "text_normalize",       # C4 + B22 string canonicalization (r4 green)
-    "text_pii",             # PII redaction (r4 green)
-    "multimodal_frames",    # C5 frame-sampling fan-out (first, rows-only;
+    "dedup_ngram_jaccard",  # C2 exact-jaccard (r4+r5 green)
+    "dedup_embedding",      # C2 semantic cosine dedup (r5 green)
+    "dedup_incremental",    # C1 fingerprint-store dedup (FIRST check)
+    "dedup_minhash_cc",     # C2 connected-components (rows-only)
+    "dedup_minhash_ml",     # C2 Spark-ML LSH (rows-only)
+    "similarity_pairs",     # C3 exact cosine pairs (r5 green)
+    "similarity_pairs_blocked",  # C3 blocked pair join (r5 green)
+    "embedding_quantize",   # C3 int8 quantization (r4+r5 green)
+    "text_stats",           # C4 per-lang doc stats (r5 green)
+    "text_termfreq",        # C4 term frequency (r5 green)
+    "text_tokens",          # C4 token counting (r5 green)
+    "text_tokens_regex",    # C4 BPE-ish tokenizer (r5 green)
+    "text_fingerprint_winnow",  # C4 winnowing (rows-only)
+    "text_normalize",       # C4 + B22 string canonicalization
+    "text_pii",             # PII redaction
+    "fuzzy_name_pairs",     # fuzzy record linkage (FIRST driver check)
+    "multimodal_frames",    # C5 frame-sampling fan-out (rows-only;
                             # multimodal_binary hash-green r4)
     "pipeline_pack",        # C6 (sequence packing)
     "pipeline_decontaminate",  # C6 (eval decontamination)
     "pipeline_chunk",       # C6 (context-window chunking)
-    "pipeline_shuffle",     # C6 corpus shuffle+shard (r4 green)
-    "merge_upsert",         # MERGE/CDC incremental export (r4 green)
+    "pipeline_shuffle",     # C6 corpus shuffle+shard
+    "pipeline_mix",         # C6 budget-weighted mixing (FIRST check)
+    "sample_topn_group",    # fixed-quota per-group sample (FIRST check)
+    "sample_weighted_rows", # weighted Bernoulli keep (FIRST check)
+    "merge_upsert",         # MERGE/CDC incremental export
+    "cdc_scd2",             # SCD Type 2 history fold (FIRST check)
+    "cdc_scd2_asof",        # SCD2 point-in-time lookup (FIRST check)
+    "events_funnel",        # ordered-sequence funnel (FIRST check)
+    "events_retention",     # weekly retention cohorts (FIRST check;
+                            # r6 drops the forced per-user broadcast)
+    "quality_report",       # constraint-validation report (FIRST check)
+    "rollup_incremental",   # incremental agg maintenance (FIRST check)
+    "sketch_hll_rollup",    # mergeable HLL rollup (FIRST, rows-only)
+    "sketch_cms_freq",      # count-min frequencies (FIRST, rows-only)
+    "sketch_histogram_q",   # mergeable histogram quantiles (FIRST check)
     # TPC-H composites
-    "tpch_q5_shape",        # r4 green (q6/q3 3x green, q10 r4 green)
+    "tpch_q1",              # pricing summary (FIRST driver check)
+    "tpch_q18",             # large-volume customer (FIRST driver check)
+    "tpch_q5_shape",        # r4+r5 green (q6/q3 3x green, q10 r4 green)
 )
 
 

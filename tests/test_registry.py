@@ -108,6 +108,16 @@ COMPONENT_EVIDENCE = {
         "tpch_q10_shape",
         "tpch_q18",
     ],
+    # r5-added surfaces (VERDICT r5 ask #1: every one adjudicated in r6)
+    "scd2_history": ["cdc_scd2", "cdc_scd2_asof"],
+    "incremental_dedup": ["dedup_incremental"],
+    "funnel_retention": ["events_funnel", "events_retention"],
+    "fuzzy_linkage": ["fuzzy_name_pairs"],
+    "corpus_mixing": ["pipeline_mix"],
+    "constraints_audit": ["quality_report"],
+    "incremental_rollup": ["rollup_incremental"],
+    "samplers": ["sample_topn_group", "sample_weighted_rows", "sample_stratified"],
+    "sketches": ["sketch_hll_rollup", "sketch_cms_freq", "sketch_histogram_q"],
 }
 
 
@@ -188,7 +198,22 @@ ROWS_ONLY_OK = {
     "multimodal_binary",
     "multimodal_frames",
     "text_fingerprint_winnow",
+    "sketch_hll_rollup",
+    "sketch_cms_freq",
 }
+
+
+def test_no_new_queries_while_backlog():
+    """Registration freeze (VERDICT r5 ask #1): the registry stayed at 119
+    for r6 so the 50-slot driver window can drain the 16-query
+    adjudication backlog. Bumping this count requires a matching rotation
+    plan in scripts/gen_rotation.py (head slot in the debut round or an
+    explicit NEXT_ROUND_BACKLOG entry) — see test_rotation_ledger_current.
+    """
+    assert len(REGISTRY) == 119, (
+        f"registry count changed ({len(REGISTRY)} != 119); r6 froze new "
+        "query registration until the adjudication backlog is empty"
+    )
 
 
 def test_rotation_ledger_current():
