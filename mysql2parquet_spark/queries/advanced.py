@@ -265,21 +265,27 @@ def events_funnel(spark, sf_dir):
     """,
     "Retention cohorts: users bucketed by first-seen week, distinct "
     "actives per (cohort, week offset). The first-seen table is one row "
-    "per user — broadcast back onto the log; both week boundaries are "
-    "UTC Monday truncations so the offset division is exact on both "
-    "engines.",
+    "per user — UNBOUNDED at scale, so the join back carries NO "
+    "broadcast hint: AQE broadcasts it when it is small and falls back "
+    "to a shuffled join on user_id when it is not (a forced hint would "
+    "be an executor OOM at 100 TB that AQE cannot override). Both week "
+    "boundaries are UTC Monday truncations so the offset division is "
+    "exact on both engines.",
 )
 def events_retention(spark, sf_dir):
-    """Cohort retention grid. One shuffle builds first_seen, the join
-    back is broadcast, and the distinct-count shuffles (cohort, offset,
-    user) triples — never raw events."""
+    """Cohort retention grid. One shuffle builds first_seen; the join
+    back is hint-free (first_seen is one row per user — linear in the
+    user population, NOT a bounded dim, so Catalyst/AQE must own the
+    join strategy); the distinct-count shuffles (cohort, offset, user)
+    triples — never raw events. Negative plan pin:
+    tests/test_plans.py::test_retention_correct_without_broadcast."""
     ev = T(spark, sf_dir, "events")
     first_seen = (
         ev.groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_w"))
     )
     return (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .withColumn(
             "week_offset",
             (

@@ -128,14 +128,19 @@ def join_inner(spark, sf_dir):
     SELECT p_brand, COUNT(*) AS cnt,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_partkey <= 500
     GROUP BY p_brand
     """,
-    "B7: explicit broadcast of the small dim — no shuffle of the 100 TB "
-    "fact side for the join itself; only the tiny post-agg exchange.",
+    "B7: explicit broadcast of a GENUINELY bounded dim — the part side "
+    "is capped by an absolute key range (<=500 rows at ANY scale "
+    "factor), so the hint stays safe at 100 TB; no shuffle of the fact "
+    "side for the join itself, only the tiny post-agg exchange. A full "
+    "or fixed-selectivity-filtered part grows linearly with SF and must "
+    "NOT carry the hint (docs/SCALE.md 'Joins').",
 )
 def join_broadcast(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
-    p = T(spark, sf_dir, "part")
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")

@@ -47,8 +47,9 @@ def _rev():
     LIMIT 10
     """,
     "TPC-H Q3 shape: segment-filtered 3-way join, revenue per unshipped "
-    "order, top-10. Customer dim broadcasts; only the orders⋈lineitem "
-    "shuffle moves data.",
+    "order, top-10. The segment-filtered customer grows linearly with "
+    "scale factor, so it carries NO broadcast hint — AQE broadcasts it "
+    "at small SF and shuffles at 100x, where a forced hint would OOM.",
 )
 def tpch_q3_shape(spark, sf_dir):
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -60,7 +61,7 @@ def tpch_q3_shape(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .select(
@@ -89,7 +90,9 @@ def tpch_q3_shape(spark, sf_dir):
     GROUP BY n_name
     """,
     "TPC-H Q5 shape: 6-way join with a local-supplier equality, revenue "
-    "by nation. region/nation/supplier broadcast; CBO orders the rest.",
+    "by nation. region/nation broadcast (bounded dims: 5/25 rows at any "
+    "SF); supplier and customer are hint-free — both grow linearly with "
+    "scale factor, so AQE owns their join strategy.",
 )
 def tpch_q5_shape(spark, sf_dir):
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -105,7 +108,7 @@ def tpch_q5_shape(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )

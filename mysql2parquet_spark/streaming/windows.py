@@ -203,21 +203,29 @@ def enrich_with_dimension(
     dim_key: str = "c_custkey",
     dim_cols: tuple[str, ...] = ("c_mktsegment",),
     how: str = "left",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join (B31): attach slowly-changing
     dimension attributes to a fact stream.
 
-    The dimension side is explicitly ``broadcast`` — stream-static joins
-    with a broadcast static side are STATELESS (no watermark needed, no
-    join state to expire): each micro-batch hash-probes the broadcast
-    table map-side. That is the 100 TB-safe shape for enrichment — the
-    alternative (shuffled stream-static join) would re-shuffle every
-    micro-batch on the key. Left join keeps facts with no dimension row
-    (NULL attributes), matching warehouse enrichment semantics. The same
+    With ``broadcast_dim=True`` (default) the dimension side carries an
+    explicit ``broadcast`` hint — stream-static joins with a broadcast
+    static side are STATELESS (no watermark needed, no join state to
+    expire): each micro-batch hash-probes the broadcast table map-side,
+    and the alternative (shuffled stream-static join) re-shuffles every
+    micro-batch on the key. The hint is a CONTRACT that the projected
+    dim (dim_key + dim_cols) fits in executor memory; for a dimension
+    that grows with the fact population (hundreds of millions of users
+    at 100 TB) pass ``broadcast_dim=False`` and let Catalyst/AQE pick
+    the strategy instead — a forced hint there is an executor OOM AQE
+    cannot override. Left join keeps facts with no dimension row (NULL
+    attributes), matching warehouse enrichment semantics. The same
     expression runs on a batch ``facts`` table for oracle checks.
     """
     d = dim.select(F.col(dim_key).alias(fact_key), *dim_cols)
-    return facts.join(F.broadcast(d), on=fact_key, how=how)
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return facts.join(d, on=fact_key, how=how)
 
 
 def enriched_segment_counts(

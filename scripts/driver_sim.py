@@ -3,43 +3,48 @@ external harness does — a VANILLA SparkSession (none of our engine
 defaults), entry() smoke at sf0.001, then every queries() entry vs its
 oracle_sql() on DuckDB at sf0.01 with an order-insensitive value hash.
 
+The value compare is TYPE-STRICT (VERDICT r5 "What's wrong" #2): it
+uses the same ``mysql2parquet_spark.canon`` canonicalizer as the local
+mirror test, so a Decimal-vs-float output-shape drift that the real
+driver hash-FAILs (the agg_salted class) fails here too instead of
+slipping through a ``str()`` round-trip. A planted agg_salted-shape
+fixture is self-checked at startup so a future canonicalizer
+regression makes the sim refuse to run rather than go blind.
+
 Usage: python scripts/driver_sim.py [sf_dir]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from mysql2parquet_spark.canon import canon, column_type_classes  # noqa: E402
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
-def norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+def _self_check_strictness():
+    """The exact agg_salted r4 failure: bit-identical money values, one
+    side Decimal, the other float. A stringifying canon passes this;
+    the driver does not — the sim must not either."""
+    from decimal import Decimal
 
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["|".join(norm(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+    spark_like = [("F", Decimal("1233170551.74"))]
+    oracle_like = [("F", 1233170551.74)]
+    cols = ["o_orderstatus", "total"]
+    assert canon(spark_like, cols) != canon(oracle_like, cols), (
+        "driver_sim canonicalizer is not type-strict — Decimal vs float "
+        "compared equal (the r4 agg_salted blindness); refusing to run"
+    )
+    assert canon([(5,)], ["v"]) != canon([(5.0,)], ["v"])
 
 
 def main():
+    _self_check_strictness()
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -93,6 +98,12 @@ def main():
         else:
             print(f"FAIL {name}: cols={ok_cols} cnt={ok_cnt}({len(srows)}/{len(drows)}) vals={ok_vals}")
             if ok_cols and ok_cnt:
+                st = column_type_classes(srows, scols)
+                ot = column_type_classes(drows, dcols)
+                for c in scols:
+                    if st[c] != ot[c]:
+                        print(f"    type drift {c}: spark={sorted(st[c])} "
+                              f"duck={sorted(ot[c])}")
                 sc, dc = canon(srows, scols), canon(drows, dcols)
                 diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
                 for a, b in diffs:

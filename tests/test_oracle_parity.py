@@ -14,90 +14,27 @@ timestamp / bytes / list) before hashing — decimals compare as
 int-vs-float column mismatch is a hard failure even when the numeric
 values are identical. ``test_mirror_canonicalizer_is_type_strict``
 plants exactly the agg_salted failure shape to keep this gate honest.
+
+The canonicalizer itself lives in ``mysql2parquet_spark.canon`` so the
+pre-flight sim (``scripts/driver_sim.py``) shares the EXACT same code
+path — VERDICT r5 found the sim still stringifying after the mirror
+was cured, which is the one divergence this layout makes impossible.
 """
 
 from __future__ import annotations
 
-import datetime
-import math
 from decimal import Decimal
 
 import pytest
 
+from mysql2parquet_spark.canon import (
+    canon as _canon,
+    column_type_classes as _column_type_classes,
+    norm_cell as _norm_cell,
+)
 from mysql2parquet_spark.queries import REGISTRY, _load
 
 _load()
-
-
-def _type_class(v) -> str:
-    if v is None:
-        return "null"
-    if isinstance(v, bool):
-        return "bool"
-    if isinstance(v, int):
-        return "int"
-    if isinstance(v, float):
-        return "float"
-    if isinstance(v, Decimal):
-        return "decimal"
-    if isinstance(v, bytes):
-        return "bytes"
-    if isinstance(v, datetime.datetime):
-        return "timestamp"
-    if isinstance(v, datetime.date):
-        return "date"
-    if isinstance(v, (list, tuple)):
-        return "list"
-    return "str"
-
-
-def _norm_cell(v) -> str:
-    """Type-tagged canonical form. The tag makes cross-type equality
-    impossible: ``f:1.5`` never equals ``d:1.5`` — mirroring the
-    driver's observed behavior of hashing a decimal column differently
-    from a float column with identical values."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:NaN"
-        s = f"{v:.6f}".rstrip("0").rstrip(".")
-        return f"f:{s or '0'}"
-    if isinstance(v, Decimal):
-        # No str/float round-trip: normalize the exponent only, so
-        # Decimal('1.50') == Decimal('1.5') but never equals float 1.5.
-        return f"d:{v.normalize()}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, bytes):
-        return f"x:{v.hex()}"
-    if isinstance(v, datetime.datetime):
-        return f"ts:{v.isoformat()}"
-    if isinstance(v, datetime.date):
-        return f"dt:{v.isoformat()}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return f"s:{v}"
-
-
-def _canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = ["|".join(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
-
-
-def _column_type_classes(rows, colnames) -> dict[str, set]:
-    """Observed non-null type classes per column name."""
-    out: dict[str, set] = {c: set() for c in colnames}
-    for r in rows:
-        for c, v in zip(colnames, r):
-            tc = _type_class(v)
-            if tc != "null":
-                out[c].add(tc)
-    return out
 
 
 ORACLE_CASES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)

@@ -261,3 +261,138 @@ def test_incremental_dedup_anti_join_on_fingerprint(spark, sf_dir):
     p = plan(spark, sf_dir, "dedup_incremental", mode="simple")
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def _rows_sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _without_auto_broadcast(spark, name, sf_dir):
+    """Run a head query with auto-broadcast disabled — proves its
+    correctness does not depend on any join side fitting in memory
+    (the plan AQE falls back to at 100 TB)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _rows_sorted(REGISTRY[name].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_retention_correct_without_broadcast(spark, sf_dir):
+    """Negative plan pin (VERDICT r5 'What's wrong' #1): events_retention
+    used to FORCE-broadcast first_seen — one row per user, an executor
+    OOM at 100 TB that a hint prevents AQE from overriding. The hint is
+    gone; same answer with broadcasting disabled entirely (the shuffled
+    user_id join is the 100x plan)."""
+    assert _rows_sorted(REGISTRY["events_retention"].fn(spark, sf_dir)) == \
+        _without_auto_broadcast(spark, "events_retention", sf_dir)
+
+
+def test_q3_correct_without_broadcast(spark, sf_dir):
+    """Same genus, milder: tpch_q3_shape force-broadcast the
+    segment-filtered customer — a side that grows linearly with scale
+    factor. Hint removed; AQE owns the strategy, answer unchanged when
+    broadcasting is impossible."""
+    assert _rows_sorted(REGISTRY["tpch_q3_shape"].fn(spark, sf_dir)) == \
+        _without_auto_broadcast(spark, "tpch_q3_shape", sf_dir)
+
+
+def test_q5_correct_without_broadcast(spark, sf_dir):
+    """tpch_q5_shape dropped the forced supplier broadcast (linear in
+    SF); region/nation keep theirs (5/25 rows at any SF). Disabling
+    auto-broadcast must not change the answer."""
+    assert _rows_sorted(REGISTRY["tpch_q5_shape"].fn(spark, sf_dir)) == \
+        _without_auto_broadcast(spark, "tpch_q5_shape", sf_dir)
+
+
+# The 100x broadcast contract (docs/SCALE.md "Joins"): a forced
+# F.broadcast() hint is only legal on a side whose size is BOUNDED
+# independent of the fact/corpus scale — a fixed-cardinality dim
+# (nation/region), an absolute key cap, a per-batch delta, a query/eval
+# set, or sketch/centroid metadata. Sides that grow with the data
+# (per-user tables, SF-linear dims) must stay hint-free so AQE can pick
+# shuffle vs broadcast at runtime. Every call site below is reviewed
+# against that contract; the sweep fails on any NEW site until it is
+# reviewed and listed here.
+BROADCAST_ALLOWLIST = {
+    ("operators/constraints.py", "referential_violations"):
+        "caller-gated (broadcast_parent flag); default is dim KEY-SET",
+    ("operators/merge.py", "merge_upsert"):
+        "per-batch delta keys — bounded by the CDC batch, not the target",
+    ("operators/merge.py", "scd2_apply_batch"):
+        "per-batch delta keys — bounded by the CDC batch, not history",
+    ("operators/pipeline.py", "contamination_report"):
+        "eval-set n-grams — benchmark suites are bounded metadata",
+    ("operators/pipeline.py", "mix_corpus"):
+        "one row per corpus source — bounded config, not data",
+    ("operators/similarity.py", "score_against"):
+        "query vectors — bounded by contract (top-k query side)",
+    ("operators/similarity.py", "lsh_topk"):
+        "query-side band buckets — bounded by the query set",
+    ("operators/sketches.py", "cms_estimate"):
+        "CMS cells — kilobytes of sketch state by construction",
+    ("operators/text.py", "bm25_scores"):
+        "df over the QUERY terms (isin-filtered) + one-row corpus stats",
+    ("queries/advanced.py", "events_funnel"):
+        "one-row entry-population aggregate",
+    ("queries/relext.py", "subquery_scalar"):
+        "one-row scalar aggregate",
+    ("queries/tierb.py", "join_broadcast"):
+        "part capped by absolute key range (<=500 rows at any SF)",
+    ("queries/tierb.py", "join_range"):
+        "static band table — fixed row count",
+    ("queries/tierb.py", "join_multiway"):
+        "nation (25) + region (5) — fixed-cardinality dims",
+    ("queries/tierb.py", "agg_rollup"):
+        "nation — fixed-cardinality dim",
+    ("queries/tierb.py", "agg_groupconcat"):
+        "nation — fixed-cardinality dim",
+    ("queries/tierc.py", "ann_ivf_topk"):
+        "probe centroid ids — k rows",
+    ("queries/tpch.py", "tpch_q5_shape"):
+        "nation (25) + region (5) only; supplier/customer hint-free",
+    ("queries/tpch.py", "tpch_q10_shape"):
+        "nation — fixed-cardinality dim",
+    ("streaming/windows.py", "enrich_with_dimension"):
+        "caller-gated (broadcast_dim flag) with documented size contract",
+}
+
+
+def test_broadcast_hints_only_on_bounded_sides():
+    """Sweep (VERDICT r5 ask #2): enumerate every F.broadcast() call site
+    in the package via AST and assert each enclosing function is on the
+    reviewed allowlist — so a forced hint on a side that scales with the
+    fact table (the events_retention class of bug) cannot land silently."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "mysql2parquet_spark"
+    sites = set()
+    for path in sorted(pkg.rglob("*.py")):
+        src = path.read_text()
+        if "broadcast(" not in src:
+            continue
+        tree = ast.parse(src)
+        spans = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+            ):
+                enc = [nm for a, b, nm in spans if a <= node.lineno <= b]
+                sites.add(
+                    (str(path.relative_to(pkg)), enc[-1] if enc else "<module>")
+                )
+    unreviewed = sites - set(BROADCAST_ALLOWLIST)
+    assert not unreviewed, (
+        f"unreviewed F.broadcast() sites (add to BROADCAST_ALLOWLIST only "
+        f"after checking the side is bounded at 100 TB): {sorted(unreviewed)}"
+    )
+    stale = set(BROADCAST_ALLOWLIST) - sites
+    assert not stale, f"allowlist entries with no call site: {sorted(stale)}"
