@@ -22,7 +22,10 @@ disappears entirely if the rollup is stored bucketed on its group
 columns (``io.write_bucketed``). AVG/stddev follow by carrying (sum,
 count[, sum-of-squares]); order statistics (MIN/MAX/percentiles) are
 NOT abelian — deletes can expose a new extremum only a re-scan of the
-group can find — and are refused rather than silently wrong.
+group can find. They are refused unless the caller supplies the new
+snapshot, in which case ONLY the affected groups are re-aggregated
+from it (delta-keyed semi-join) and untouched groups pass through —
+cost proportional to the changed groups, never the table.
 """
 
 from __future__ import annotations
@@ -31,16 +34,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_MINMAX_OPS = {"min": F.min, "max": F.max}
+
+
+def _nullsafe_keys(left: DataFrame, right: DataFrame, cols: list[str]):
+    """Null-safe (<=>) equi-join condition on ``cols`` — still a hash
+    join, but NULL group keys match each other as groupBy semantics
+    require."""
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
+def _agg_exprs(
+    sum_cols: dict[str, str], minmax_cols: dict[str, tuple[str, str]] | None
+) -> list:
+    exprs = [F.count(F.lit(1)).alias("cnt")]
+    exprs += [F.sum(src).alias(out) for out, src in sum_cols.items()]
+    for out, (op, src) in (minmax_cols or {}).items():
+        if op not in _MINMAX_OPS:
+            raise ValueError(f"minmax_cols op must be min/max, got {op!r}")
+        exprs.append(_MINMAX_OPS[op](src).alias(out))
+    return exprs
+
+
 def aggregate_snapshot(
-    snapshot: DataFrame, group_cols: list[str], sum_cols: dict[str, str]
+    snapshot: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    minmax_cols: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The batch face: the rollup shape ``incremental_agg_update``
     maintains — ``group_cols…, cnt, <out>…`` with one SUM per
-    ``sum_cols`` entry {out_name: source_col}. Run once to bootstrap;
-    afterwards maintain incrementally."""
+    ``sum_cols`` entry {out_name: source_col} and (optionally) one
+    MIN/MAX per ``minmax_cols`` entry {out_name: (op, source_col)}.
+    Run once to bootstrap; afterwards maintain incrementally."""
     return snapshot.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[F.sum(src).alias(out) for out, src in sum_cols.items()],
+        *_agg_exprs(sum_cols, minmax_cols)
     )
 
 
@@ -49,6 +81,8 @@ def incremental_agg_update(
     diff: DataFrame,
     group_cols: list[str],
     sum_cols: dict[str, str],
+    minmax_cols: dict[str, tuple[str, str]] | None = None,
+    snapshot_new: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a ``snapshot_diff(..., include_old=True)`` batch into a
     rollup produced by ``aggregate_snapshot`` (or a previous call of
@@ -63,10 +97,20 @@ def incremental_agg_update(
     plan re-runs its snapshot join per side. Equivalence with a full
     recompute is pinned in tests, including group-moving updates and
     group birth/death.
+
+    MIN/MAX (``minmax_cols`` = {out: ("min"|"max", src)}) are NOT
+    abelian — a delete can expose an extremum only a re-scan can find —
+    so they are refused unless ``snapshot_new`` (the post-diff table)
+    is supplied. With it, the AFFECTED groups (any group key a diff row
+    enters or leaves) are re-aggregated from ``snapshot_new`` via a
+    delta-keyed semi-join — cost proportional to changed groups'
+    rows, not the table (bucketed/clustered layouts prune the scan
+    further) — and untouched groups pass through from ``agg_old``
+    via an anti-join, no abelian arithmetic needed for either side.
     """
     if not group_cols:
         raise ValueError("incremental_agg_update requires group columns")
-    reserved = {"cnt", *sum_cols}
+    reserved = {"cnt", *sum_cols, *(minmax_cols or {})}
     clash = reserved & set(group_cols)
     if clash:
         raise ValueError(f"group/aggregate name clash: {sorted(clash)}")
@@ -76,6 +120,42 @@ def incremental_agg_update(
                 f"diff lacks old_{c} — produce it with "
                 "snapshot_diff(..., include_old=True)"
             )
+
+    if minmax_cols:
+        if snapshot_new is None:
+            raise ValueError(
+                "MIN/MAX aggregates are not incrementally maintainable "
+                "(a delete can expose a new extremum); pass snapshot_new "
+                "for affected-group re-aggregation, or recompute"
+            )
+        # every group key the diff touches, on either side of a move
+        affected = (
+            diff.filter(F.col("change").isin("I", "U"))
+            .select(*group_cols)
+            .unionByName(
+                diff.filter(F.col("change").isin("D", "U")).select(
+                    *[F.col(f"old_{c}").alias(c) for c in group_cols]
+                )
+            )
+            .distinct()
+        )
+        # null-safe key equality: NULL is a legitimate group and must
+        # still route to the re-aggregation side when touched
+        untouched = agg_old.join(
+            affected, on=_nullsafe_keys(agg_old, affected, group_cols),
+            how="left_anti",
+        )
+        recomputed = aggregate_snapshot(
+            snapshot_new.join(
+                affected,
+                on=_nullsafe_keys(snapshot_new, affected, group_cols),
+                how="left_semi",
+            ),
+            group_cols,
+            sum_cols,
+            minmax_cols,
+        )
+        return untouched.unionByName(recomputed)
 
     # new-side contributions of I and U rows
     adds = diff.filter(F.col("change").isin("I", "U")).select(
@@ -98,6 +178,14 @@ def incremental_agg_update(
             *[F.sum(out).alias(f"_d_{out}") for out in sum_cols],
         )
     )
+    # Name-based USING join: plain equi-keys keep a bucketed rollup's
+    # Exchange elimination intact (null-safe <=> keys are rewritten to
+    # coalesce/isnull pairs that no longer match the bucket
+    # partitioning). A NULL group key therefore doesn't MATCH across
+    # the join — it splits into (at most) one old-side and one
+    # delta-side row — and the nullable-key path below re-merges the
+    # split with a post-join aggregate that rides the join's existing
+    # hash partitioning (no extra Exchange).
     merged = agg_old.join(delta, on=group_cols, how="full_outer")
     out_cols = [
         *group_cols,
@@ -106,11 +194,40 @@ def incremental_agg_update(
             + F.coalesce(F.col("_dcnt"), F.lit(0))
         ).alias("cnt"),
         *[
-            (
+            # both sides NULL => the group's SUM is genuinely NULL
+            # (all contributing values NULL) — a recompute would say
+            # NULL, so the fold must too, not 0
+            F.when(
+                F.col(out).isNull() & F.col(f"_d_{out}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(out), F.lit(0))
                 + F.coalesce(F.col(f"_d_{out}"), F.lit(0))
-            ).alias(out)
+            )
+            .alias(out)
             for out in sum_cols
         ],
     ]
-    return merged.select(*out_cols).filter(F.col("cnt") > 0)
+    sel = merged.select(*out_cols)
+    keys_nullable = any(
+        f.nullable
+        for df in (agg_old, diff)
+        for f in df.schema
+        if f.name in group_cols
+    )
+    if keys_nullable:
+        # SUM re-merge of the split NULL-key rows (identity for every
+        # non-NULL group: exactly one row). sum() ignores NULLs except
+        # the all-NULL case, which stays NULL — the same contract as
+        # the per-row fold above. Cast back to the rollup's own types
+        # so decimal sums don't silently widen across nightly folds.
+        types = dict(sel.dtypes)
+        sel = sel.groupBy(*group_cols).agg(
+            F.sum("cnt").cast(types["cnt"]).alias("cnt"),
+            *[
+                F.sum(out).cast(types[out]).alias(out)
+                for out in sum_cols
+            ],
+        )
+    return sel.filter(F.col("cnt") > 0)

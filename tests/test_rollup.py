@@ -121,6 +121,113 @@ def test_update_cost_is_delta_shaped(spark, tmp_path):
     assert plan.count("Join FullOuter") == 1
 
 
+def test_minmax_refused_without_snapshot(spark, tmp_path):
+    """The honest-refusal contract survives: MIN/MAX without the new
+    snapshot raises instead of answering wrong."""
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(V0, DDL), root)
+    publish_snapshot(spark.createDataFrame(V1, DDL), root)
+    old = aggregate_snapshot(
+        spark.createDataFrame(V0, DDL), ["grp"], {"total_qty": "qty"},
+        minmax_cols={"max_qty": ("max", "qty")},
+    )
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    with pytest.raises(ValueError, match="snapshot_new"):
+        incremental_agg_update(
+            old, diff, ["grp"], {"total_qty": "qty"},
+            minmax_cols={"max_qty": ("max", "qty")},
+        )
+
+
+def test_minmax_affected_groups_reaggregated(spark, tmp_path):
+    """A delete exposes a new group max (b: 40 deleted, new max 33) —
+    the affected-group fallback re-scans only touched groups and
+    equals the full recompute, including a moved row's old AND new
+    group and the untouched-group pass-through."""
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(V0, DDL), root)
+    publish_snapshot(spark.createDataFrame(V1, DDL), root)
+    sums = {"total_qty": "qty"}
+    mm = {"max_qty": ("max", "qty"), "min_price": ("min", "price")}
+    new = spark.createDataFrame(V1, DDL)
+    old = aggregate_snapshot(spark.createDataFrame(V0, DDL), ["grp"], sums, mm)
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    got = incremental_agg_update(
+        old, diff, ["grp"], sums, minmax_cols=mm, snapshot_new=new
+    )
+    _rollup_eq(got, aggregate_snapshot(new, ["grp"], sums, mm))
+    # the exposed-extremum case specifically: b's max fell 40 -> 33
+    assert {r.grp: r.max_qty for r in got.collect()}["b"] == 33
+
+
+def test_minmax_cost_is_affected_groups_only(spark, tmp_path):
+    """Plan pin for the fallback's cost shape: the new snapshot is
+    scanned through a LeftSemi against the delta-keyed affected set,
+    and the old rollup contributes via LeftAnti pass-through — no
+    full-table re-aggregation."""
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(V0, DDL), root)
+    publish_snapshot(spark.createDataFrame(V1, DDL), root)
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    old = aggregate_snapshot(
+        spark.createDataFrame(V0, DDL), ["grp"], {}, {"max_qty": ("max", "qty")}
+    )
+    plan = incremental_agg_update(
+        old, diff, ["grp"], {},
+        minmax_cols={"max_qty": ("max", "qty")},
+        snapshot_new=spark.createDataFrame(V1, DDL),
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_all_null_sum_group_stays_null(spark, tmp_path):
+    """A group whose SUM is NULL (every value NULL) must come out of
+    an update as NULL, exactly as a recompute would — including when
+    the update doesn't touch that group at all."""
+    ddl = "k bigint, grp string, qty bigint"
+    v0 = [(1, "nullgrp", None), (2, "nullgrp", None), (3, "live", 7)]
+    v1 = [(1, "nullgrp", None), (2, "nullgrp", None), (3, "live", 9),
+          (4, "born", None)]
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(v0, ddl), root)
+    publish_snapshot(spark.createDataFrame(v1, ddl), root)
+    sums = {"total_qty": "qty"}
+    old = aggregate_snapshot(spark.createDataFrame(v0, ddl), ["grp"], sums)
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    got = incremental_agg_update(old, diff, ["grp"], sums)
+    _rollup_eq(got, aggregate_snapshot(spark.createDataFrame(v1, ddl), ["grp"], sums))
+    vals = {r.grp: r.total_qty for r in got.collect()}
+    assert vals["nullgrp"] is None and vals["born"] is None and vals["live"] == 9
+
+
+def test_null_group_key_is_a_group(spark, tmp_path):
+    """NULL is a legitimate groupBy key; the fold must update it like
+    any other group (both the abelian and the MIN/MAX path), not split
+    or strand it on the non-matching side of the merge join."""
+    ddl = "k bigint, grp string, qty bigint"
+    v0 = [(1, None, 10), (2, None, 40), (3, "a", 5)]
+    v1 = [(1, None, 10), (3, "a", 6), (4, None, 15)]  # 2 deleted: max falls
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(v0, ddl), root)
+    publish_snapshot(spark.createDataFrame(v1, ddl), root)
+    sums = {"total_qty": "qty"}
+    new = spark.createDataFrame(v1, ddl)
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    old_sum = aggregate_snapshot(spark.createDataFrame(v0, ddl), ["grp"], sums)
+    _rollup_eq(
+        incremental_agg_update(old_sum, diff, ["grp"], sums),
+        aggregate_snapshot(new, ["grp"], sums),
+    )
+    mm = {"max_qty": ("max", "qty")}
+    old_mm = aggregate_snapshot(spark.createDataFrame(v0, ddl), ["grp"], sums, mm)
+    _rollup_eq(
+        incremental_agg_update(
+            old_mm, diff, ["grp"], sums, minmax_cols=mm, snapshot_new=new
+        ),
+        aggregate_snapshot(new, ["grp"], sums, mm),
+    )
+
+
 def test_bucketed_rollup_saves_the_rollup_side_exchange(spark, tmp_path):
     """The SCALE.md claim, proven comparatively: storing the rollup
     bucketed on its group columns removes exactly one Exchange from the
