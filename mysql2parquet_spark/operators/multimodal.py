@@ -12,9 +12,12 @@ container-feasible formats: ``decode_image`` is a pure-stdlib PNG decoder
 decoder (both normalize to the same top-down RGB(A) row contract, so
 every downstream stage is codec-agnostic), and ``decode_audio`` a stdlib
 ``wave`` PCM decoder. ``extract_features`` routes by media_type —
-PNG/BMP/WAV rows get real decoded features; anything else falls back to
-a deterministic byte histogram so the distributed path still runs for
-formats whose codec libraries (PIL/ffmpeg) aren't installed.
+PNG/BMP/WAV rows get real decoded features; JPEG (whose pixel decode
+needs libjpeg-class DCT/Huffman machinery) gets honest header metadata
+via ``jpeg_dimensions`` (a pure-stdlib SOF-marker walk) plus a byte
+histogram; anything else falls back to the deterministic byte histogram
+so the distributed path still runs for formats whose codec libraries
+(PIL/ffmpeg) aren't installed.
 """
 
 from __future__ import annotations
@@ -199,6 +202,63 @@ _IMAGE_DECODERS = {
     "image/x-ms-bmp": decode_bmp,
 }
 
+#: SOF (start-of-frame) marker codes: 0xC0-0xCF minus DHT (C4),
+#: JPG-reserved (C8) and DAC (CC). Baseline C0, extended C1,
+#: progressive C2, lossless C3, and the differential/arithmetic
+#: variants all carry the same precision/height/width/components
+#: layout.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(content: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG's first SOF segment —
+    pure-stdlib marker walk, no entropy decode. JPEG pixel decoding
+    needs a DCT + Huffman implementation (PIL/libjpeg territory), but
+    the dominant real-world image format deserves honest METADATA
+    rather than a byte histogram: the segment stream is length-prefixed
+    (SOI, then FF-marker segments) and every SOF variant stores
+    precision(1) height(2) width(2) n_components(1) at its head."""
+    if len(content) < 4 or content[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    i, n = 2, len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            # EOI, or SOS (entropy-coded data; SOF must precede it)
+            break
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in _JPEG_SOF_MARKERS:
+            seg = content[i + 4 : i + 2 + seg_len]
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            channels = seg[5]
+            if not (width and height and channels):
+                raise ValueError("bad JPEG SOF dimensions")
+            return width, height, channels
+        i += 2 + seg_len
+    raise ValueError("JPEG SOF marker not found")
+
+
+#: formats with a metadata probe but no pure-stdlib pixel decoder:
+#: feature extraction emits [width, height, channels] + byte histogram
+#: instead of pixel means, and resize/pixel paths still refuse them.
+_IMAGE_DIMENSION_PROBES = {
+    "image/jpeg": jpeg_dimensions,
+    "image/jpg": jpeg_dimensions,
+}
+
 
 def decode_any_image(
     media_type: str, content: bytes
@@ -314,6 +374,12 @@ def extract_features(
         try:
             if media_type in _IMAGE_DECODERS:
                 return _pixel_features(*decode_any_image(media_type, b))
+            if media_type in _IMAGE_DIMENSION_PROBES:
+                # metadata-only formats (JPEG): honest dimensions from
+                # the header probe, byte histogram in place of pixel
+                # means until a real pixel decoder is swapped in
+                w, h, c = _IMAGE_DIMENSION_PROBES[media_type](b)
+                return [float(w), float(h), float(c)] + byte_histogram(b, bins)
             if media_type in ("audio/wav", "audio/x-wav"):
                 return wav_features(b)
         except Exception:

@@ -17,10 +17,34 @@ from mysql2parquet_spark.operators.multimodal import (
     decode_audio,
     decode_image,
     extract_features,
+    jpeg_dimensions,
     png_features,
     text_as_binary_assets,
     wav_features,
 )
+
+
+def make_jpeg(width: int, height: int, channels: int = 3, sof: int = 0xC0,
+              extra_segments: bytes = b"") -> bytes:
+    """Synthetic JPEG header for fixtures: valid SOI/APP0/SOF/SOS/EOI
+    marker stream with the requested frame geometry. The entropy data is
+    junk — the dimension probe only walks markers, and a real pixel
+    decoder would (correctly) refuse it."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    comps = b"".join(bytes((i + 1, 0x11, 0)) for i in range(channels))
+    sof_seg = (
+        bytes((0xFF, sof))
+        + (8 + 3 * channels).to_bytes(2, "big")
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes((channels,))
+        + comps
+    )
+    sos = b"\xff\xda" + (2 + 1 + 2 * channels + 3).to_bytes(2, "big") \
+        + bytes((channels,)) + b"\x00" * (2 * channels + 3)
+    return b"\xff\xd8" + app0 + extra_segments + sof_seg + sos \
+        + b"\x12\x34entropy-junk" + b"\xff\xd9"
 
 
 def make_png(pixels: list[list[tuple[int, ...]]], filters: list[int] | None = None):
@@ -227,6 +251,54 @@ def test_extract_features_corrupt_payload_degrades_per_row(spark):
     assert len(got[2].features) == 16  # corrupt PNG -> histogram, no abort
     assert len(got[3].features) == 16  # mislabeled WAV -> histogram
     assert got[2].n_bytes == len(truncated_png)
+
+
+# --------------------------------------------------------------------------
+# JPEG: header-probe metadata (no pure-stdlib pixel decode exists)
+# --------------------------------------------------------------------------
+
+def test_jpeg_dimensions_parses_sof_variants():
+    # baseline, progressive, grayscale, CMYK-ish 4-channel
+    assert jpeg_dimensions(make_jpeg(640, 480)) == (640, 480, 3)
+    assert jpeg_dimensions(make_jpeg(31, 17, sof=0xC2)) == (31, 17, 3)
+    assert jpeg_dimensions(make_jpeg(8, 8, channels=1)) == (8, 8, 1)
+    assert jpeg_dimensions(make_jpeg(100, 50, channels=4)) == (100, 50, 4)
+    # a COM segment and marker fill bytes before the SOF are walked over
+    com = b"\xff\xfe" + (2 + 5).to_bytes(2, "big") + b"hello"
+    assert jpeg_dimensions(
+        make_jpeg(12, 34, extra_segments=b"\xff" + com)
+    ) == (12, 34, 3)
+
+
+def test_jpeg_dimensions_rejects_garbage():
+    with pytest.raises(ValueError, match="bad SOI"):
+        jpeg_dimensions(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_dimensions(make_jpeg(640, 480)[:8])
+    # SOS with no preceding SOF: probe must stop, not scan entropy junk
+    no_sof = make_jpeg(1, 1).replace(b"\xff\xc0", b"\xff\xee", 1)
+    with pytest.raises(ValueError, match="SOF marker not found"):
+        jpeg_dimensions(no_sof)
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        jpeg_dimensions(b"\xff\xd8\x00\x00\x00\x00")
+
+
+def test_extract_features_routes_jpeg(spark):
+    """JPEG rows get honest header dimensions + a byte histogram (no
+    pixel means — there is no stdlib pixel decode); corrupt JPEG rows
+    degrade per-row to the plain histogram."""
+    good = make_jpeg(320, 200, channels=3)
+    rows = [
+        (1, bytearray(good), "image/jpeg"),
+        (2, bytearray(b"\xff\xd8not really"), "image/jpeg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id: long, content: binary, media_type: string"
+    )
+    got = {r.asset_id: r for r in extract_features(df).collect()}
+    assert got[1].features[:3] == [320.0, 200.0, 3.0]
+    assert len(got[1].features) == 3 + 16  # dims + histogram
+    assert len(got[2].features) == 16  # degraded, job not aborted
 
 
 # --------------------------------------------------------------------------
