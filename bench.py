@@ -22,6 +22,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Headline set: one representative per operator family, weighted toward
 # the queries that scale with sf (lineitem/orders/events-backed).
+# PINNED at 48 entries (r5): additions/removals change the headline
+# total and break round-over-round comparability — any change requires
+# a docs/BENCH_NOTES.md entry explaining the delta. The emitted JSON
+# puts "value" (the total) FIRST so a truncated artifact tail never
+# loses the headline number.
 HEADLINE = [
     "agg_group",          # flagship Q1-shape hash agg
     "filter_pred",        # pushed-down predicates

@@ -46,10 +46,16 @@ Engine extensions (not in the reference):
   between two committed versions of --snapshot-root, written to
   --parquet (--diff-include-old adds old_<col> for incremental-rollup
   consumers, operators/rollup.py).
-- sketch sidecars (--with-sketches col,col): every plain export also
-  ships mergeable HLL distinct-count sketches of the named columns —
-  successive nightly sidecars roll up (merge_sketch_estimates) to any
-  period's distinct counts without re-scanning a single export.
+- sketch sidecars (--with-sketches col,col / --sidecars
+  hll:col,cms:col,hist:col:lo:hi): every export — plain or versioned
+  snapshot — also ships mergeable sketches of the named columns: HLL
+  distinct counts (<base>_sketches), count-min key frequencies
+  (<base>_cms), fixed-geometry histograms (<base>_hist). Successive
+  nightly sidecars roll up (merge_sketch_estimates / cms_merge /
+  histogram_merge) to any period's statistics without re-scanning a
+  single export; with --snapshot-root each committed version carries
+  its sidecars under <root>/sidecars/v=N_* and vacuum drops them with
+  their version.
 - audit gate (--audit-rules rules.json): run a declarative data-quality
   rule list (operators/constraints.py) on the final result BEFORE any
   write; violations abort with exit code 3 and a per-rule report — the
@@ -191,17 +197,35 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --diff-versions: emit old_<col> beside "
                         "each value column (NULL on inserts)")
     p.add_argument("--with-sketches", default=None, metavar="COLS",
-                   help="comma-separated columns: after a plain "
-                        "--parquet export, also write mergeable HLL "
-                        "distinct-count sketches of those columns to "
+                   help="comma-separated columns: after the export, "
+                        "also write mergeable HLL distinct-count "
+                        "sketches of those columns to "
                         "<parquet>_sketches (one row per column: "
                         "column, sketch, n_rows). Sidecars from "
                         "successive nightly exports roll up with "
                         "operators/sketches.merge_sketch_estimates "
                         "(group by 'column') without re-scanning any "
-                        "export. Not valid with --snapshot-root "
-                        "(versions commit atomically; a post-commit "
-                        "sidecar would break the audit contract)")
+                        "export. With --snapshot-root, each published "
+                        "version gets its own sidecar under "
+                        "<root>/sidecars/v=N_sketches, built by "
+                        "reading back the committed version (the "
+                        "version commit itself stays atomic; a "
+                        "sidecar is derived metadata, rebuildable "
+                        "from its version at any time). Shorthand "
+                        "for --sidecars hll:col,...")
+    p.add_argument("--sidecars", default=None, metavar="SPEC",
+                   help="comma-separated sidecar spec covering all "
+                        "three mergeable sketch families: hll:col "
+                        "(distinct counts), cms:col (count-min key "
+                        "frequencies, written to <base>_cms), "
+                        "hist:col:lo:hi (fixed-geometry histogram "
+                        "over [lo,hi), written to <base>_hist). "
+                        "Families merge across nightly exports by "
+                        "hll_union_agg / plain SUM respectively "
+                        "(operators/sketches.py) — no export is ever "
+                        "re-scanned. Combines with --with-sketches "
+                        "and --snapshot-root like above; vacuumed "
+                        "versions drop their sidecars too")
     p.add_argument("--audit-rules", default=None,
                    help="JSON file with a data-quality rule list "
                         "(operators/constraints.py schema). The rules "
@@ -260,36 +284,141 @@ def _run_audit(df, args, spark) -> int | None:
     return None
 
 
-def _write_sketch_sidecar(spark, args, df) -> int | None:
-    """--with-sketches: HLL sidecars built by READING BACK the export
+#: dtypes Spark's hll_sketch_agg can digest
+_HLL_TYPES = ("int", "bigint", "smallint", "tinyint", "string", "binary")
+#: numeric dtypes a fixed-geometry histogram can bin
+_HIST_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double")
+
+
+def _sidecar_precheck(df, plan) -> str | None:
+    """Validate every sidecar entry against the FINAL export schema
+    (post --scd2-history etc.) so a bad entry fails before the possibly
+    hours-long export, never after. Returns an error message or None."""
+    dt = dict(df.dtypes)
+    missing = [
+        c
+        for c in (
+            plan["hll"] + plan["cms"] + [h[0] for h in plan["hist"]]
+        )
+        if c not in dt
+    ]
+    if missing:
+        return f"columns not in result: {sorted(set(missing))}"
+    bad = [f"{c}:{dt[c]}" for c in plan["hll"] if dt[c] not in _HLL_TYPES]
+    if bad:
+        return (
+            "hll_sketch_agg supports integral/string/binary columns "
+            f"only, got {bad}"
+        )
+    bad = [
+        f"{c}:{dt[c]}"
+        for c in plan["cms"]
+        if dt[c].startswith(("array", "map", "struct"))
+    ]
+    if bad:
+        return f"cms sidecars need atomic key columns, got {bad}"
+    bad = [
+        f"{c}:{dt[c]}"
+        for c, _lo, _hi in plan["hist"]
+        if dt[c] not in _HIST_TYPES and not dt[c].startswith("decimal")
+    ]
+    if bad:
+        return f"hist sidecars need numeric columns, got {bad}"
+    return None
+
+
+def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
+    """Write the requested sketch sidecars by READING BACK the export
     just written (not by re-running the source query — a JDBC source
     can change between the export read and a second read, and the
     sidecar must describe the parquet it ships beside). Shard-artifact
-    definition comes from operators/sketches.distinct_sketches so the
-    geometry can never drift from the library's. Returns an exit code
-    on failure, None on success."""
+    definitions come from operators/sketches so the geometry can never
+    drift from the library's. One sidecar file per family —
+    ``<out_base>_sketches`` (HLL), ``_cms``, ``_hist`` — each tagged
+    with the source column (and, for hist, its [lo,hi,bins] geometry,
+    which is part of the sketch identity). Returns an exit code on
+    failure, None on success."""
     from pyspark.sql import functions as F
 
-    from mysql2parquet_spark.operators.sketches import distinct_sketches
+    from mysql2parquet_spark.operators.sketches import (
+        HIST_BINS,
+        cms_sketch,
+        distinct_sketches,
+        histogram_sketch,
+    )
 
-    exported = args.parquet + (".parquet" if args.single_file else "")
-    try:
-        back = spark.read.parquet(exported)
-        parts = [
-            distinct_sketches(back, c, []).select(
-                F.lit(c).alias("column"), "sketch", "n_rows"
-            )
-            for c in args.sketch_cols
-        ]
-        side = parts[0]
+    def _union(parts):
+        out = parts[0]
         for p_ in parts[1:]:
-            side = side.unionByName(p_)
-        side.write.mode("overwrite").parquet(args.parquet + "_sketches")
+            out = out.unionByName(p_)
+        return out
+
+    try:
+        back = spark.read.parquet(read_path)
+        if plan["hll"]:
+            _union(
+                [
+                    distinct_sketches(back, c, []).select(
+                        F.lit(c).alias("column"), "sketch", "n_rows"
+                    )
+                    for c in plan["hll"]
+                ]
+            ).write.mode("overwrite").parquet(out_base + "_sketches")
+        if plan["cms"]:
+            _union(
+                [
+                    cms_sketch(back, c, []).select(
+                        F.lit(c).alias("column"), "d", "pos", "cnt"
+                    )
+                    for c in plan["cms"]
+                ]
+            ).write.mode("overwrite").parquet(out_base + "_cms")
+        if plan["hist"]:
+            _union(
+                [
+                    histogram_sketch(back, c, [], lo=lo, hi=hi).select(
+                        F.lit(c).alias("column"),
+                        F.lit(lo).alias("lo"),
+                        F.lit(hi).alias("hi"),
+                        F.lit(HIST_BINS).alias("bins"),
+                        "bin",
+                        "cnt",
+                    )
+                    for c, lo, hi in plan["hist"]
+                ]
+            ).write.mode("overwrite").parquet(out_base + "_hist")
     except Exception as e:
         msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
         print(f"sketch error: {msg}", file=sys.stderr)
         return 2
     return None
+
+
+def _snapshot_sidecar_base(root: str, version_path: str) -> str:
+    """Sidecar base path for a published version: sidecars live under
+    ``<root>/sidecars/`` (the name cannot collide with ``v=N`` version
+    discovery) keyed by the version dir name, so vacuuming v=N knows
+    exactly which sidecar files to drop."""
+    import os as _os
+
+    return _os.path.join(root, "sidecars", _os.path.basename(version_path))
+
+
+def _vacuum_sidecars(spark, root: str, dropped: list[int]) -> None:
+    """Drop the sidecar files of vacuumed snapshot versions (Hadoop FS
+    so any supported filesystem works). Best-effort: a sidecar is
+    derived metadata; a leftover one merely wastes kilobytes."""
+    from mysql2parquet_spark.io import _VERSION_PREFIX
+
+    jvm = spark._jvm
+    for n in dropped:
+        for suffix in ("_sketches", "_cms", "_hist"):
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/sidecars/{_VERSION_PREFIX}{n}{suffix}"
+            )
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
 
 
 def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
@@ -539,36 +668,104 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 1
-    if args.with_sketches is not None:
-        if args.snapshot_root:
-            print(
-                "--with-sketches is not supported with --snapshot-root "
-                "(versions commit atomically via _SUCCESS; a sidecar "
-                "written after the commit would break the audit "
-                "contract — sketch the published version separately)",
-                file=sys.stderr,
-            )
-            return 1
+    if args.with_sketches is not None or args.sidecars is not None:
         if args.stream_events:
             print(
-                "--with-sketches requires a --parquet export, not "
-                "--stream-events",
+                "--with-sketches/--sidecars require an export or "
+                "snapshot publish, not --stream-events",
                 file=sys.stderr,
             )
             return 1
-        # dedupe while preserving order: a repeated name would write two
-        # sidecar rows whose n_rows double-count on merge
-        args.sketch_cols = list(
-            dict.fromkeys(
-                c.strip() for c in args.with_sketches.split(",") if c.strip()
-            )
-        )
-        if not args.sketch_cols:
+        if args.diff_versions is not None:
             print(
-                "--with-sketches must name at least one column",
+                "--with-sketches/--sidecars describe a table, not a "
+                "change set — not valid with --diff-versions",
                 file=sys.stderr,
             )
             return 1
+        # canonical plan: {"hll": [col...], "cms": [col...],
+        # "hist": [(col, lo, hi)...]}, deduped preserving order — a
+        # repeated entry would write duplicate sidecar rows whose
+        # n_rows/cnt double-count on merge
+        plan: dict[str, list] = {"hll": [], "cms": [], "hist": []}
+        entries: list[str] = []
+        if args.with_sketches is not None:
+            entries += [
+                f"hll:{c.strip()}"
+                for c in args.with_sketches.split(",")
+                if c.strip()
+            ]
+            if not entries:
+                print(
+                    "--with-sketches must name at least one column",
+                    file=sys.stderr,
+                )
+                return 1
+        if args.sidecars is not None:
+            spec_entries = [
+                e.strip() for e in args.sidecars.split(",") if e.strip()
+            ]
+            if not spec_entries:
+                print(
+                    "--sidecars must contain at least one entry",
+                    file=sys.stderr,
+                )
+                return 1
+            entries += spec_entries
+        for e in entries:
+            parts = e.split(":")
+            fam = parts[0]
+            if fam in ("hll", "cms"):
+                if len(parts) != 2 or not parts[1]:
+                    print(
+                        f"bad --sidecars entry {e!r}: expected "
+                        f"{fam}:column",
+                        file=sys.stderr,
+                    )
+                    return 1
+                if parts[1] not in plan[fam]:
+                    plan[fam].append(parts[1])
+            elif fam == "hist":
+                if len(parts) != 4 or not parts[1]:
+                    print(
+                        f"bad --sidecars entry {e!r}: expected "
+                        "hist:column:lo:hi",
+                        file=sys.stderr,
+                    )
+                    return 1
+                try:
+                    lo, hi = float(parts[2]), float(parts[3])
+                except ValueError:
+                    print(
+                        f"bad --sidecars entry {e!r}: lo/hi must be "
+                        "numbers",
+                        file=sys.stderr,
+                    )
+                    return 1
+                if not hi > lo:
+                    print(
+                        f"bad --sidecars entry {e!r}: need hi > lo "
+                        "(the [lo,hi) geometry is part of the sketch "
+                        "identity and must match across every shard "
+                        "that will merge)",
+                        file=sys.stderr,
+                    )
+                    return 1
+                ent = (parts[1], lo, hi)
+                if ent not in plan["hist"]:
+                    plan["hist"].append(ent)
+            else:
+                print(
+                    f"bad --sidecars entry {e!r}: family must be "
+                    "hll, cms, or hist",
+                    file=sys.stderr,
+                )
+                return 1
+        args.sidecar_plan = plan
+        # back-compat alias used by the HLL pre-check/tests
+        args.sketch_cols = plan["hll"]
+    else:
+        args.sidecar_plan = None
     if args.diff_versions is not None:
         need = [
             flag
@@ -725,6 +922,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"diff error: {msg}", file=sys.stderr)
                 return 2
             if args.audit_rules:
+                # referential rules resolve parents via spark.table();
+                # register --tables-dir views first (the main export path
+                # does this as its source step, the diff path must too)
+                if args.tables_dir:
+                    register_tables(spark, args.tables_dir)
                 rc = _run_audit(diff, args, spark)
                 if rc is not None:
                     return rc
@@ -876,6 +1078,11 @@ def main(argv: list[str] | None = None) -> int:
                             broadcast_source=not args.no_broadcast_delta,
                             order_col=args.order_column,
                         )
+                if args.sidecar_plan:
+                    err = _sidecar_precheck(df, args.sidecar_plan)
+                    if err:
+                        print(f"sketch error: {err}", file=sys.stderr)
+                        return 2
                 if args.audit_rules:
                     rc = _run_audit(df, args, spark)
                     if rc is not None:
@@ -883,11 +1090,31 @@ def main(argv: list[str] | None = None) -> int:
                 path = publish_snapshot(
                     df, args.snapshot_root, partition_by=part_cols
                 )
+                if args.sidecar_plan:
+                    # built by reading back the COMMITTED version — the
+                    # same read-back contract as the plain-export path.
+                    # The version commit is already atomic; the sidecar
+                    # is derived metadata, rebuildable from v=N if this
+                    # write dies.
+                    rc = _write_sidecars(
+                        spark,
+                        args.sidecar_plan,
+                        path,
+                        _snapshot_sidecar_base(args.snapshot_root, path),
+                    )
+                    if rc is not None:
+                        print(
+                            f"note: version already committed at {path}; "
+                            "only its sidecar failed",
+                            file=sys.stderr,
+                        )
+                        return rc
                 if args.keep_versions is not None:
                     dropped = vacuum_snapshots(
                         spark, args.snapshot_root, args.keep_versions
                     )
                     if dropped:
+                        _vacuum_sidecars(spark, args.snapshot_root, dropped)
                         print(
                             "vacuumed versions: "
                             + ", ".join(str(n) for n in dropped),
@@ -899,29 +1126,6 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             print(path)
             return 0
-        if args.with_sketches:
-            # fail BEFORE the (possibly hours-long) export: unknown
-            # column or a type hll_sketch_agg cannot digest must not
-            # cost a completed export
-            missing_cols = [c for c in args.sketch_cols if c not in df.columns]
-            if missing_cols:
-                print(
-                    f"sketch error: columns not in result: {missing_cols}",
-                    file=sys.stderr,
-                )
-                return 2
-            sketchable = ("int", "bigint", "smallint", "tinyint", "string", "binary")
-            dt = dict(df.dtypes)
-            bad_types = [
-                f"{c}:{dt[c]}" for c in args.sketch_cols if dt[c] not in sketchable
-            ]
-            if bad_types:
-                print(
-                    "sketch error: hll_sketch_agg supports integral/string/"
-                    f"binary columns only, got {bad_types}",
-                    file=sys.stderr,
-                )
-                return 2
         if args.scd2_history:
             from mysql2parquet_spark.operators.merge import scd2_history
 
@@ -943,6 +1147,17 @@ def main(argv: list[str] | None = None) -> int:
                 msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
                 print(f"scd2 error: {msg}", file=sys.stderr)
                 return 2
+        if args.sidecar_plan:
+            # fail BEFORE the (possibly hours-long) export: unknown
+            # column or a type a family cannot digest must not cost a
+            # completed export. Runs AFTER --scd2-history so the check
+            # sees the transformed schema the sidecars will actually be
+            # built from (is_current etc. accepted, the dropped op
+            # column rejected here, not post-export).
+            err = _sidecar_precheck(df, args.sidecar_plan)
+            if err:
+                print(f"sketch error: {err}", file=sys.stderr)
+                return 2
         if args.audit_rules:
             rc = _run_audit(df, args, spark)
             if rc is not None:
@@ -954,8 +1169,11 @@ def main(argv: list[str] | None = None) -> int:
             single_file=args.single_file,
             partition_by=part_cols,
         )
-        if args.with_sketches:
-            rc = _write_sketch_sidecar(spark, args, df)
+        if args.sidecar_plan:
+            exported = args.parquet + (".parquet" if args.single_file else "")
+            rc = _write_sidecars(
+                spark, args.sidecar_plan, exported, args.parquet
+            )
             if rc is not None:
                 return rc
         return 0

@@ -124,6 +124,11 @@ def validate(
             compiled.append((name, agg, None))
         elif t == "referential":
             name = f"referential({','.join(c for c, _ in r['on'])})"
+            if not tables or r["parent"] not in tables:
+                raise ValueError(
+                    f"referential rule needs parent table {r['parent']!r} "
+                    "in tables= — not supplied"
+                )
             agg = referential_violations(df, tables[r["parent"]], r["on"]).agg(
                 F.count(F.lit(1)).cast("long").alias("violations")
             )

@@ -1056,6 +1056,42 @@ def test_diff_versions_respects_audit_and_single_file(tmp_path, spark):
     assert os.path.isfile(out + ".parquet")  # compat naming: suffix appended
 
 
+def test_diff_versions_referential_audit_registers_tables_dir(tmp_path, spark, sf_dir):
+    """Review finding: a referential audit rule on the --diff-versions
+    path resolves its parent via spark.table(), so --tables-dir views
+    must be registered before the audit runs — previously this always
+    aborted rc 2 with TABLE_OR_VIEW_NOT_FOUND."""
+    import json
+
+    from mysql2parquet_spark.io import publish_snapshot
+
+    root = str(tmp_path / "snaps")
+    ddl = "k bigint, r_fk bigint"
+    publish_snapshot(spark.createDataFrame([(1, 0), (2, 1)], ddl), root)
+    publish_snapshot(spark.createDataFrame([(1, 0), (2, 2), (3, 4)], ddl), root)
+    rules = tmp_path / "rules.json"
+    rules.write_text(
+        json.dumps(
+            [{"type": "referential", "parent": "region",
+              "on": [["r_fk", "r_regionkey"]]}]
+        )
+    )
+    out = str(tmp_path / "diff")
+    r = _cli(
+        [
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--diff-versions", "0", "1",
+            "--parquet", out,
+            "--tables-dir", sf_dir,
+            "--audit-rules", str(rules),
+        ]
+    )
+    # every r_fk in the diff exists in region at any sf => audit passes
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
+    assert "TABLE_OR_VIEW_NOT_FOUND" not in r.stderr
+
+
 # ---------------------------------------------------------------------------
 # --with-sketches: mergeable HLL sidecars beside plain exports
 # ---------------------------------------------------------------------------
@@ -1098,23 +1134,179 @@ def test_with_sketches_flag_validation(capsys, tmp_path, sf_dir):
         [
             "--tables-dir", sf_dir,
             "--query", "SELECT 1 AS a",
-            "--snapshot-root", str(tmp_path / "r"),
-            "--with-sketches", "a",
-        ]
-    )
-    assert rc == 1
-    assert "not supported with --snapshot-root" in capsys.readouterr().err
-
-    rc = main(
-        [
-            "--tables-dir", sf_dir,
-            "--query", "SELECT 1 AS a",
             "--parquet", str(tmp_path / "o"),
             "--with-sketches", " , ",
         ]
     )
     assert rc == 1
     assert "at least one column" in capsys.readouterr().err
+
+
+def test_sidecars_spec_validation(capsys, tmp_path, sf_dir):
+    base = [
+        "--tables-dir", sf_dir,
+        "--query", "SELECT 1 AS a",
+        "--parquet", str(tmp_path / "o"),
+    ]
+    for spec, frag in [
+        ("bogus:a", "family must be"),
+        ("hll", "expected hll:column"),
+        ("cms:", "expected cms:column"),
+        ("hist:a:1", "expected hist:column:lo:hi"),
+        ("hist:a:x:9", "lo/hi must be numbers"),
+        ("hist:a:9:1", "need hi > lo"),
+        (" , ", "at least one entry"),
+    ]:
+        rc = main(base + ["--sidecars", spec])
+        assert rc == 1, spec
+        assert frag in capsys.readouterr().err, spec
+
+    # sidecars describe a table, not a change set
+    rc = main(
+        [
+            "--snapshot-root", str(tmp_path / "r"),
+            "--merge-keys", "k",
+            "--diff-versions", "0", "1",
+            "--parquet", str(tmp_path / "o"),
+            "--sidecars", "hll:k",
+        ]
+    )
+    assert rc == 1
+    assert "not valid with --diff-versions" in capsys.readouterr().err
+
+
+def test_sidecars_cms_and_hist_families(tmp_path, spark, sf_dir):
+    """One export ships all three sidecar families; the CMS answers
+    per-key frequency within its geometry bound and the histogram
+    answers quantiles within one bin width — without re-reading the
+    export."""
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.io import load_table
+    from mysql2parquet_spark.operators.sketches import (
+        HIST_BINS,
+        cms_estimate,
+        histogram_quantile,
+    )
+
+    out = str(tmp_path / "o")
+    lo, hi = 0.0, 600000.0
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query",
+            "SELECT o_custkey, o_orderstatus, o_totalprice FROM orders",
+            "--parquet", out,
+            "--sidecars",
+            f"hll:o_custkey,cms:o_orderstatus,hist:o_totalprice:{lo}:{hi}",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    orders = load_table(spark, sf_dir, "orders")
+
+    cms = spark.read.parquet(out + "_cms")
+    assert set(cms.columns) == {"column", "d", "pos", "cnt"}
+    sk = cms.filter(F.col("column") == "o_orderstatus").select("d", "pos", "cnt")
+    keys = orders.select("o_orderstatus").distinct()
+    got = {
+        r_.o_orderstatus: r_.approx_count
+        for r_ in cms_estimate(sk, keys, "o_orderstatus").collect()
+    }
+    exact = {
+        r_.o_orderstatus: r_["count"]
+        for r_ in orders.groupBy("o_orderstatus").count().collect()
+    }
+    n = orders.count()
+    for k, c in exact.items():
+        assert got[k] >= c  # count-min never undercounts
+        assert got[k] - c <= 0.01 * n  # geometry bound with huge slack
+
+    hist = spark.read.parquet(out + "_hist")
+    assert set(hist.columns) == {"column", "lo", "hi", "bins", "bin", "cnt"}
+    row = hist.first()
+    assert (row.lo, row.hi, row.bins) == (lo, hi, HIST_BINS)
+    sk_h = hist.filter(F.col("column") == "o_totalprice").select("bin", "cnt")
+    est = histogram_quantile(sk_h, [0.5], [], lo=lo, hi=hi).collect()[0].est
+    true_median = orders.select(
+        F.expr("percentile(o_totalprice, 0.5)")
+    ).collect()[0][0]
+    assert abs(est - true_median) <= (hi - lo) / HIST_BINS + 1e-6
+
+    side = spark.read.parquet(out + "_sketches")
+    assert side.count() == 1  # hll family unaffected by the new spec
+
+
+def test_snapshot_versions_carry_sidecars_and_vacuum(tmp_path, spark, sf_dir):
+    """The verdict's nightly-lifecycle contract: every published
+    version carries its own sidecars under <root>/sidecars, each
+    per-version estimate equals a single-pass sketch of that committed
+    version, merging per-version sidecars equals a single pass over
+    the unioned versions, and vacuum drops sidecars with their
+    versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.operators.sketches import (
+        distinct_sketches,
+        merge_sketch_estimates,
+    )
+
+    root = str(tmp_path / "snaps")
+    preds = ["o_orderkey % 3 = 0", "o_orderkey % 3 <= 1", "o_orderkey >= 0"]
+    for i, pred in enumerate(preds):
+        cmd = [
+            "--tables-dir", sf_dir,
+            "--query",
+            "SELECT o_orderkey AS k, o_custkey, o_orderstatus FROM orders "
+            f"WHERE {pred}",
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--sidecars", "hll:o_custkey",
+        ]
+        r = _cli(cmd)
+        assert r.returncode == 0, (i, r.stderr[-2000:])
+
+    def est(side_df):
+        return merge_sketch_estimates(side_df, ["column"]).collect()[0]
+
+    vers = []
+    for n in range(3):
+        vdir = os.path.join(root, f"v={n}")
+        side = spark.read.parquet(os.path.join(root, "sidecars", f"v={n}_sketches"))
+        back = spark.read.parquet(vdir)
+        vers.append(back)
+        # per-version sidecar == single-pass sketch of the committed dir
+        single = distinct_sketches(back, "o_custkey", []).select(
+            F.lit("o_custkey").alias("column"), "sketch", "n_rows"
+        )
+        assert est(side).approx_distinct == est(single).approx_distinct
+        assert est(side).n_rows == back.count()
+
+    # merged across versions == one pass over the unioned versions
+    merged = spark.read.parquet(os.path.join(root, "sidecars", "v=*_sketches"))
+    union = vers[0].unionByName(vers[1]).unionByName(vers[2])
+    one_pass = distinct_sketches(union, "o_custkey", []).select(
+        F.lit("o_custkey").alias("column"), "sketch", "n_rows"
+    )
+    assert est(merged).approx_distinct == est(one_pass).approx_distinct
+
+    # vacuum drops sidecars with their versions
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query",
+            "SELECT o_orderkey AS k, o_custkey, o_orderstatus FROM orders",
+            "--snapshot-root", root,
+            "--merge-keys", "k",
+            "--sidecars", "hll:o_custkey",
+            "--keep-versions", "1",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "vacuumed versions" in r.stderr
+    left = sorted(os.listdir(os.path.join(root, "sidecars")))
+    assert left == ["v=3_sketches"], left
 
 
 def test_with_sketches_unknown_column_clean_error(tmp_path, sf_dir):
@@ -1176,3 +1368,34 @@ def test_with_sketches_dedupes_columns_and_reads_back_export(tmp_path, spark, sf
     side = spark.read.parquet(out + "_sketches").collect()
     assert len(side) == 1
     assert side[0].n_rows == spark.read.parquet(out).count()
+
+
+def test_with_sketches_checks_post_scd2_schema(tmp_path, spark, sf_dir):
+    """Review finding: the sketch pre-check must see the schema AFTER
+    --scd2-history rewrites it — a transform-produced column
+    (is_current) is sketchable, and the dropped op column must be
+    rejected up front, not after an hours-long export."""
+    import os
+
+    base = [
+        "--tables-dir", sf_dir,
+        "--query",
+        "SELECT user_id, event_id, ts, event_type AS status, "
+        "'U' AS op FROM events",
+        "--scd2-history",
+        "--merge-keys", "user_id",
+        "--cdc-seq-column", "ts",
+        "--cdc-op-column", "op",
+        "--cdc-tiebreak-column", "event_id",
+    ]
+    out = str(tmp_path / "hist")
+    r = _cli(base + ["--parquet", out, "--with-sketches", "is_current,status"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    side = {row.column: row for row in spark.read.parquet(out + "_sketches").collect()}
+    assert set(side) == {"is_current", "status"}
+    assert side["status"].n_rows == spark.read.parquet(out).count()
+
+    out2 = str(tmp_path / "hist2")
+    r = _cli(base + ["--parquet", out2, "--with-sketches", "op"])
+    assert r.returncode == 2 and "not in result" in r.stderr
+    assert not os.path.exists(out2)  # rejected BEFORE the export

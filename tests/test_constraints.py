@@ -99,6 +99,17 @@ def test_validate_rejects_unknown_and_empty(dirty):
         validate(dirty, [])
 
 
+def test_referential_missing_parent_is_clean_error(dirty, parents):
+    """Review finding: a referential rule whose parent isn't supplied
+    must raise the same ValueError style as every other bad rule, not
+    a raw TypeError/KeyError from the tables lookup."""
+    rule = [{"type": "referential", "parent": "p", "on": [("id", "pid")]}]
+    with pytest.raises(ValueError, match="parent table 'p'"):
+        validate(dirty, rule)  # tables omitted entirely
+    with pytest.raises(ValueError, match="parent table 'p'"):
+        validate(dirty, rule, tables={"other": parents})
+
+
 def test_row_local_rules_fuse_into_one_scan(dirty):
     """Ten row-local rules must cost ONE pass over the table — the plan
     contains a single scan of the input, not ten."""
