@@ -100,19 +100,25 @@ def minhash_signature(shingle_arr: Column | str, num_hashes: int = 32) -> Column
 def band_hashes(signature: Column | str, bands: int, rows_per_band: int) -> Column:
     """LSH banding: split the signature into ``bands`` groups of
     ``rows_per_band`` and hash each group → array<int> of band keys.
-    Two docs sharing ANY band key become a candidate pair."""
+    Two docs sharing ANY band key become a candidate pair.
+
+    Each band key is one multi-argument murmur3 ``hash(band, c0..ck)``
+    over the group's signature components DIRECTLY — no intermediate
+    string form. The earlier ``hash(array_join(transform(cast string)))``
+    shape materialized num_hashes int→string casts plus bands string
+    concats per document before hashing; hashing the ints in place
+    halved the banding projection on the sf0.1 corpus (0.23 s → 0.11 s,
+    docs/BENCH_NOTES.md r6) and removes a per-doc allocation term that
+    scales with the corpus at 100 TB. Equal band groups still yield
+    equal keys; a cross-group 32-bit hash collision only adds a false
+    candidate pair, which the est_jaccard threshold filter already
+    discards (same property the string form had)."""
     sig = _c(signature)
     return F.array(
         *[
             F.hash(
                 F.lit(b),
-                F.array_join(
-                    F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ),
+                *[sig[b * rows_per_band + i] for i in range(rows_per_band)],
             )
             for b in range(bands)
         ]
