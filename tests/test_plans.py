@@ -396,3 +396,48 @@ def test_broadcast_hints_only_on_bounded_sides():
     )
     stale = set(BROADCAST_ALLOWLIST) - sites
     assert not stale, f"allowlist entries with no call site: {sorted(stale)}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """100 TB posture: when a selectively-filtered build side feeds a
+    shuffle join, Spark's runtime bloom filter (on by default since 3.4)
+    injects a might_contain() probe on the fact side so filtered-out
+    keys die at the scan instead of crossing the exchange. Locally the
+    10 GB application-side threshold keeps it dormant, so this pin
+    lowers the threshold and proves the injection FIRES on our join
+    shape — a session-default or join-shape refactor that silenced it
+    would quietly cost a full fact-table shuffle at scale. Result
+    equivalence with the filter dormant is asserted too (the filter
+    must only prune, never change the answer)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    q = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true", "runtime bloom filtering disabled — scans lose join pruning"
+        phys = q._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower() or "bloomfilter" in phys.lower(), (
+            "runtime bloom filter did not inject on a selective dim->fact "
+            f"shuffle join:\n{phys[:2000]}"
+        )
+        pruned = _rows_sorted(q)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert pruned == _rows_sorted(q)
