@@ -47,15 +47,16 @@ Engine extensions (not in the reference):
   --parquet (--diff-include-old adds old_<col> for incremental-rollup
   consumers, operators/rollup.py).
 - sketch sidecars (--with-sketches col,col / --sidecars
-  hll:col,cms:col,hist:col:lo:hi): every export — plain or versioned
-  snapshot — also ships mergeable sketches of the named columns: HLL
-  distinct counts (<base>_sketches), count-min key frequencies
-  (<base>_cms), fixed-geometry histograms (<base>_hist). Successive
-  nightly sidecars roll up (merge_sketch_estimates / cms_merge /
-  histogram_merge) to any period's statistics without re-scanning a
-  single export; with --snapshot-root each committed version carries
-  its sidecars under <root>/sidecars/v=N_* and vacuum drops them with
-  their version.
+  hll:col,cms:col,hist:col:lo:hi,kmv:col): every export — plain or
+  versioned snapshot — also ships mergeable sketches of the named
+  columns: HLL distinct counts (<base>_sketches), count-min key
+  frequencies (<base>_cms), fixed-geometry histograms (<base>_hist),
+  KMV k-minima for cross-corpus overlap/Jaccard (<base>_kmv).
+  Successive nightly sidecars roll up (merge_sketch_estimates /
+  cms_merge / histogram_merge / kmv_merge) to any period's statistics
+  without re-scanning a single export; with --snapshot-root each
+  committed version carries its sidecars under <root>/sidecars/v=N_*
+  and vacuum drops them with their version.
 - audit gate (--audit-rules rules.json): run a declarative data-quality
   rule list (operators/constraints.py) on the final result BEFORE any
   write; violations abort with exit code 3 and a per-rule report — the
@@ -214,12 +215,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "from its version at any time). Shorthand "
                         "for --sidecars hll:col,...")
     p.add_argument("--sidecars", default=None, metavar="SPEC",
-                   help="comma-separated sidecar spec covering all "
-                        "three mergeable sketch families: hll:col "
+                   help="comma-separated sidecar spec covering the "
+                        "four mergeable sketch families: hll:col "
                         "(distinct counts), cms:col (count-min key "
                         "frequencies, written to <base>_cms), "
                         "hist:col:lo:hi (fixed-geometry histogram "
-                        "over [lo,hi), written to <base>_hist). "
+                        "over [lo,hi), written to <base>_hist), "
+                        "kmv:col (k-minimum-values for cross-corpus "
+                        "overlap/Jaccard estimates, <base>_kmv). "
                         "Families merge across nightly exports by "
                         "hll_union_agg / plain SUM respectively "
                         "(operators/sketches.py) — no export is ever "
@@ -298,7 +301,10 @@ def _sidecar_precheck(df, plan) -> str | None:
     missing = [
         c
         for c in (
-            plan["hll"] + plan["cms"] + [h[0] for h in plan["hist"]]
+            plan["hll"]
+            + plan["cms"]
+            + plan["kmv"]
+            + [h[0] for h in plan["hist"]]
         )
         if c not in dt
     ]
@@ -317,6 +323,13 @@ def _sidecar_precheck(df, plan) -> str | None:
     ]
     if bad:
         return f"cms sidecars need atomic key columns, got {bad}"
+    bad = [
+        f"{c}:{dt[c]}"
+        for c in plan["kmv"]
+        if dt[c].startswith(("array", "map", "struct"))
+    ]
+    if bad:
+        return f"kmv sidecars need atomic key columns, got {bad}"
     bad = [
         f"{c}:{dt[c]}"
         for c, _lo, _hi in plan["hist"]
@@ -345,6 +358,7 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
         cms_sketch,
         distinct_sketches,
         histogram_sketch,
+        kmv_sketch,
     )
 
     def _union(parts):
@@ -387,6 +401,15 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
                     for c, lo, hi in plan["hist"]
                 ]
             ).write.mode("overwrite").parquet(out_base + "_hist")
+        if plan["kmv"]:
+            _union(
+                [
+                    kmv_sketch(back, c, []).select(
+                        F.lit(c).alias("column"), "hv"
+                    )
+                    for c in plan["kmv"]
+                ]
+            ).write.mode("overwrite").parquet(out_base + "_kmv")
     except Exception as e:
         msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
         print(f"sketch error: {msg}", file=sys.stderr)
@@ -412,7 +435,7 @@ def _vacuum_sidecars(spark, root: str, dropped: list[int]) -> None:
 
     jvm = spark._jvm
     for n in dropped:
-        for suffix in ("_sketches", "_cms", "_hist"):
+        for suffix in ("_sketches", "_cms", "_hist", "_kmv"):
             p = jvm.org.apache.hadoop.fs.Path(
                 f"{root}/sidecars/{_VERSION_PREFIX}{n}{suffix}"
             )
@@ -687,7 +710,7 @@ def main(argv: list[str] | None = None) -> int:
         # "hist": [(col, lo, hi)...]}, deduped preserving order — a
         # repeated entry would write duplicate sidecar rows whose
         # n_rows/cnt double-count on merge
-        plan: dict[str, list] = {"hll": [], "cms": [], "hist": []}
+        plan: dict[str, list] = {"hll": [], "cms": [], "hist": [], "kmv": []}
         entries: list[str] = []
         if args.with_sketches is not None:
             entries += [
@@ -715,7 +738,7 @@ def main(argv: list[str] | None = None) -> int:
         for e in entries:
             parts = e.split(":")
             fam = parts[0]
-            if fam in ("hll", "cms"):
+            if fam in ("hll", "cms", "kmv"):
                 if len(parts) != 2 or not parts[1]:
                     print(
                         f"bad --sidecars entry {e!r}: expected "
@@ -757,7 +780,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print(
                     f"bad --sidecars entry {e!r}: family must be "
-                    "hll, cms, or hist",
+                    "hll, cms, kmv, or hist",
                     file=sys.stderr,
                 )
                 return 1

@@ -309,3 +309,171 @@ def histogram_quantile(
     return first.select(
         *group_cols, "q", F.round(est, 6).alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches — set algebra HLL cannot do
+# ---------------------------------------------------------------------------
+
+#: Fixed k so independently produced shard sketches are always mergeable
+#: (mixed k degrades to the smaller sketch's accuracy at best; refusing
+#: is simpler — like lg_k / depth×width / lo,hi above, k IS the
+#: geometry). 1000, not a power of two, on purpose: Spark only rewrites
+#: a rank filter into WindowGroupLimit (the map-side k-heap this
+#: operator's scale story depends on) when the limit is ≤
+#: spark.sql.optimizer.windowGroupLimitThreshold, whose VANILLA default
+#: is 1000 — and the external driver supplies a vanilla session, so the
+#: default k must prune under stock configs (plan-pinned). RSE ≈
+#: 1/sqrt(k-2) ≈ 3.2%, ≤ 8 KB per sketch in row form.
+KMV_K = 1000
+KMV_SEED = 0x0BE5
+
+#: 2^63 / 2^64 as exact doubles — signed-long hash → (0,1) normalizer.
+_TWO63 = float(1 << 63)
+_TWO64 = float(1 << 64)
+
+
+def _kmv_u(key_col) -> "F.Column":
+    """Normalize xxhash64's signed-long output to a uniform (0,1)
+    double, order-preserving over the signed range: u = (h + 2^63)/2^64.
+    +0.5/2^64 keeps u strictly positive so (k-1)/u never divides by 0."""
+    h = F.xxhash64(F.col(key_col), F.lit(KMV_SEED))
+    return (h.cast("double") + F.lit(_TWO63) + F.lit(0.5)) / F.lit(_TWO64)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV sketch of ``key_col``: the ``k`` smallest distinct
+    normalized hash values, in ROW form ``(group_cols…, hv)`` — the
+    fourth mergeable family (HLL = distinct counts, count-min =
+    frequencies, histogram = distributions, KMV = distinct counts WITH
+    set algebra).
+
+    Why another distinct sketch when HLL exists: HLL unions exactly but
+    cannot intersect — "how much does corpus A overlap corpus B"
+    (train-vs-eval contamination, cross-source dedup potential) only
+    falls out of noisy inclusion-exclusion. KMV sketches support a
+    direct Jaccard / intersection estimate (``kmv_overlap``) because
+    the k smallest hashes of A∪B are a uniform coordinated sample of
+    the union that both sides' sketches already contain.
+
+    Plan shape: one shuffle on the group key; ``dense_rank() <= k``
+    runs through WindowGroupLimit (plan-pinned), so each map task keeps
+    a bounded k-heap and the exchange carries ≤ k candidate rows per
+    group per task — never the corpus' distinct keys. dense_rank (not
+    row_number) so duplicate keys cannot occupy multiple of the k
+    slots; the post-filter dropDuplicates collapses them.
+    """
+    if k < 8:
+        raise ValueError(f"kmv needs k >= 8, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, _kmv_u(key_col).alias("hv"))
+        .withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .dropDuplicates([*group_cols, "hv"])
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, rollup_cols: list[str], *, k: int = KMV_K
+) -> DataFrame:
+    """Roll shard sketches up to ``rollup_cols`` granularity: union the
+    rows, keep the k smallest distinct per rollup group. The merged
+    sketch is IDENTICAL to the sketch one pass over the unioned data
+    would have produced (pinned in tests) — the k smallest of a union
+    are a subset of the union of each side's k smallest. Input is
+    kilobytes per shard, so this is trivial at any corpus scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in rollup_cols]).orderBy("hv")
+    return (
+        sketches.select(*rollup_cols, "hv")
+        .dropDuplicates([*rollup_cols, "hv"])
+        .withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], *, k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimates per group from KMV sketches: the
+    classic (k-1)/u_k estimator, where u_k is the largest retained
+    hash. A group with fewer than k rows saw fewer than k distinct
+    keys, so its count is EXACT (the sketch holds every distinct hash).
+    Aggregates over sketch rows only — ≤ k per group."""
+    g = (
+        sketch.groupBy(*group_cols) if group_cols else sketch.groupBy()
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("hv").alias("_uk")
+    )
+    est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise((F.lit(k) - 1) / F.col("_uk"))
+    return agg.select(
+        *group_cols, F.round(est, 4).alias("approx_distinct")
+    )
+
+
+def kmv_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, k: int = KMV_K
+) -> DataFrame:
+    """Jaccard / intersection / union estimates between two corpora
+    from their KMV sketches alone — no raw-data join.
+
+    Method: the k smallest distinct hashes of A∪B (computable from the
+    two sketches, since each side's k-minima contain every union
+    minimum it contributes) form a coordinated uniform sample X of the
+    union; J ≈ |{x ∈ X: x ∈ KMV(A) ∧ x ∈ KMV(B)}| / |X|, and
+    |A∩B| ≈ J · |A∪B|. At 100 TB this answers "how much of corpus A is
+    already in corpus B" by moving two ≤8 KB artifacts, not two
+    corpora. Both inputs must be single-group sketches (column ``hv``
+    only — roll up with ``kmv_merge(…, [])`` first); output is one row:
+    ``jaccard, approx_intersection, approx_union``.
+    """
+    for side, sk in (("a", sketch_a), ("b", sketch_b)):
+        if sk.columns != ["hv"]:
+            raise ValueError(
+                f"kmv_overlap needs single-group sketches (columns ['hv']); "
+                f"side {side} has {sk.columns} — roll up with "
+                "kmv_merge(sketches, []) or filter one group first"
+            )
+    a = sketch_a.select("hv", F.lit(1).alias("_a"))
+    b = sketch_b.select("hv", F.lit(1).alias("_b"))
+    both = a.join(b, "hv", "full_outer").select(
+        "hv",
+        (F.coalesce(F.col("_a"), F.lit(0)) + F.coalesce(F.col("_b"), F.lit(0)))
+        .alias("_sides"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hv")
+    union_k = (
+        both.withColumn("_r", F.dense_rank().over(w)).filter(F.col("_r") <= k)
+    )
+    agg = union_k.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("hv").alias("_uk"),
+        F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).alias("_shared"),
+    )
+    union_est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise((F.lit(k) - 1) / F.col("_uk"))
+    jac = F.col("_shared") / F.col("_n")
+    return agg.select(
+        F.round(jac, 4).alias("jaccard"),
+        F.round(jac * union_est, 4).alias("approx_intersection"),
+        F.round(union_est, 4).alias("approx_union"),
+    )

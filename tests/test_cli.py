@@ -1399,3 +1399,69 @@ def test_with_sketches_checks_post_scd2_schema(tmp_path, spark, sf_dir):
     r = _cli(base + ["--parquet", out2, "--with-sketches", "op"])
     assert r.returncode == 2 and "not in result" in r.stderr
     assert not os.path.exists(out2)  # rejected BEFORE the export
+
+
+def test_sidecars_kmv_family_estimates_cross_export_overlap(
+    tmp_path, spark, sf_dir
+):
+    """The kmv:col sidecar answers the question the other three families
+    cannot: how much do two exports' key sets OVERLAP — straight from
+    their ≤8 KB sidecars, no raw-data join. Two overlapping slices of
+    orders ship kmv sidecars; kmv_overlap on the sidecars must estimate
+    the known Jaccard of their customer sets within sketch error, and
+    the merged sidecars must equal a single-pass sketch of the union."""
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.io import load_table
+    from mysql2parquet_spark.operators.sketches import (
+        kmv_merge,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    outs = []
+    for name, pred in (
+        ("a", "o_orderkey % 3 != 0"),
+        ("b", "o_orderkey % 3 != 1"),
+    ):
+        out = str(tmp_path / name)
+        r = _cli(
+            [
+                "--tables-dir", sf_dir,
+                "--query",
+                f"SELECT o_custkey FROM orders WHERE {pred}",
+                "--parquet", out,
+                "--sidecars", "kmv:o_custkey",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(out)
+
+    ska = spark.read.parquet(outs[0] + "_kmv")
+    assert set(ska.columns) == {"column", "hv"}
+    ska = ska.filter(F.col("column") == "o_custkey").select("hv")
+    skb = (
+        spark.read.parquet(outs[1] + "_kmv")
+        .filter(F.col("column") == "o_custkey")
+        .select("hv")
+    )
+    est = kmv_overlap(ska, skb).collect()[0]
+
+    orders = load_table(spark, sf_dir, "orders")
+    a_keys = orders.filter("o_orderkey % 3 != 0").select("o_custkey")
+    b_keys = orders.filter("o_orderkey % 3 != 1").select("o_custkey")
+    inter = a_keys.intersect(b_keys).count()
+    union = a_keys.union(b_keys).distinct().count()
+    true_j = inter / union
+    assert abs(est["jaccard"] - true_j) < 0.15, (est["jaccard"], true_j)
+
+    merged = kmv_merge(
+        spark.read.parquet(outs[0] + "_kmv")
+        .unionByName(spark.read.parquet(outs[1] + "_kmv"))
+        .select("hv"),
+        [],
+    )
+    single = kmv_sketch(a_keys.unionByName(b_keys), "o_custkey", [])
+    assert sorted(r_["hv"] for r_ in merged.collect()) == sorted(
+        r_["hv"] for r_ in single.collect()
+    )

@@ -320,3 +320,152 @@ def test_histogram_shard_merge_property(spark, vals, split):
     }
     assert merged == single
     assert sum(merged.values()) == len(vals)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketches (distinct counts with set algebra)
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.sketches import (  # noqa: E402
+    kmv_estimate,
+    kmv_merge,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+
+def _kmv_rows(df):
+    return sorted(r["hv"] for r in df.collect())
+
+
+def test_kmv_merge_equals_single_pass(spark, sf_dir):
+    """Shard sketches merged ≡ one sketch over the unioned data — the
+    same contract every mergeable family pins (hash-deterministic, so
+    the comparison is exact row equality, not estimate proximity)."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.withColumn("shard", F.col("event_id") % 4)
+    per_shard = kmv_sketch(shards, "user_id", ["shard"], k=128)
+    merged = kmv_merge(per_shard, [], k=128)
+    single = kmv_sketch(ev, "user_id", [], k=128)
+    assert _kmv_rows(merged) == _kmv_rows(single)
+
+
+def test_kmv_estimate_within_error(spark, sf_dir):
+    """(k-1)/u_k estimator: relative error within 4/sqrt(k-2) (≈4σ) of
+    the exact distinct count on real data."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    k = 512
+    est = kmv_estimate(kmv_sketch(ev, "user_id", [], k=k), [], k=k).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(est - exact) / exact < 4.0 / (k - 2) ** 0.5, (est, exact)
+
+
+def test_kmv_small_group_is_exact(spark):
+    """A group with fewer than k distinct keys keeps every hash, so its
+    estimate is the exact count."""
+    df = spark.createDataFrame(
+        [(g, f"k{i}") for g in ("a", "b") for i in range(g == "b" and 7 or 3)],
+        "g string, key string",
+    )
+    out = {
+        r["g"]: r["approx_distinct"]
+        for r in kmv_estimate(
+            kmv_sketch(df, "key", ["g"], k=64), ["g"], k=64
+        ).collect()
+    }
+    assert out == {"a": 3.0, "b": 7.0}
+
+
+def test_kmv_duplicate_keys_do_not_consume_slots(spark):
+    """Heavy duplication must not evict distinct hashes from the k
+    minima (dense_rank, not row_number): 50 copies of each of 20 keys
+    with k=16 still yields 16 distinct retained hashes."""
+    df = spark.createDataFrame(
+        [(f"k{i % 20}",) for i in range(1000)], "key string"
+    )
+    sk = kmv_sketch(df, "key", [], k=16)
+    rows = _kmv_rows(sk)
+    assert len(rows) == 16 and len(set(rows)) == 16
+
+
+def test_kmv_overlap_estimates_planted_jaccard(spark):
+    """Planted overlap: |A|=4000, |B|=4000, |A∩B|=2000 → J=1/3.
+    Tolerances are ~5σ of each estimator (σ_J = sqrt(J(1-J)/k) ≈ 0.021
+    at k=512; intersection compounds the jaccard and union noise) —
+    and the hash seed is fixed, so the observed errors are DETERMINISTIC;
+    these gates also lock the estimator against regressions."""
+    a = spark.createDataFrame([(f"k{i}",) for i in range(4000)], "key string")
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(2000, 6000)], "key string"
+    )
+    k = 512
+    out = kmv_overlap(
+        kmv_sketch(a, "key", [], k=k),
+        kmv_sketch(b, "key", [], k=k),
+        k=k,
+    ).collect()[0]
+    assert abs(out["jaccard"] - 1 / 3) < 0.11  # ~5σ_J
+    assert abs(out["approx_union"] - 6000) / 6000 < 0.12  # ~4.5σ of n/sqrt(k-2)
+    assert abs(out["approx_intersection"] - 2000) / 2000 < 0.35  # compound
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    """Degenerate overlaps: disjoint corpora estimate J=0; identical
+    corpora estimate J=1 exactly (every union minimum is in both)."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "key string")
+    k = 256
+    ska, skb = (kmv_sketch(d, "key", [], k=k) for d in (a, b))
+    assert kmv_overlap(ska, skb, k=k).collect()[0]["jaccard"] == 0.0
+    same = kmv_overlap(ska, ska, k=k).collect()[0]
+    assert same["jaccard"] == 1.0
+
+
+def test_kmv_overlap_refuses_grouped_sketch(spark):
+    df = spark.createDataFrame([("g", "k"),], "g string, key string")
+    sk = kmv_sketch(df, "key", ["g"], k=64)
+    flat = kmv_sketch(df, "key", [], k=64)
+    with pytest.raises(ValueError, match="single-group"):
+        kmv_overlap(sk, flat, k=64)
+
+
+def test_kmv_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The nightly-artifact contract: persist per-shard sketches,
+    read back, merge — estimate unchanged vs in-memory path."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.withColumn("shard", F.col("event_id") % 3)
+    per_shard = kmv_sketch(shards, "user_id", ["shard"], k=128)
+    path = str(tmp_path / "kmv")
+    per_shard.write.parquet(path)
+    back = spark.read.parquet(path)
+    est_disk = kmv_estimate(kmv_merge(back, [], k=128), [], k=128).collect()[0][
+        "approx_distinct"
+    ]
+    est_mem = kmv_estimate(
+        kmv_merge(per_shard, [], k=128), [], k=128
+    ).collect()[0]["approx_distinct"]
+    assert est_disk == est_mem
+
+
+def test_kmv_sketch_plan_prunes_map_side(spark, sf_dir):
+    """The scale contract: dense_rank(k) over raw rows must run through
+    WindowGroupLimit so each map task keeps a bounded k-heap and the
+    exchange carries ≤ k candidates per group per task — without it the
+    window sorts every corpus row per group."""
+    ev = load_table(spark, sf_dir, "events")
+    for groups in (["event_type"], []):
+        plan = (
+            kmv_sketch(ev, "user_id", groups)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, (groups, plan[:1500])
+
+
+def test_kmv_rejects_tiny_k(spark):
+    df = spark.createDataFrame([("x",)], "key string")
+    with pytest.raises(ValueError, match="k >= 8"):
+        kmv_sketch(df, "key", [], k=4)
