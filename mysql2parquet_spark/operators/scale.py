@@ -205,3 +205,64 @@ def sample_weighted(
     wc = F.when(F.isnan(wc) | wc.isNull(), F.lit(0.0)).otherwise(wc)
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), wc))
     return df.filter(u < w)
+
+
+def assign_split(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    *,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic content-addressed multi-way split: every row gets a
+    split label from ``fractions`` (e.g. ``{"train": .98, "val": .01,
+    "test": .01}``) by hashing ``key_cols`` — no RNG state, so the
+    assignment is identical across runs, engines, partitionings, and
+    cluster sizes, and adding data never reshuffles existing rows'
+    splits. Zero shuffle: one codegen projection.
+
+    The 100 TB leakage contract lives in the CHOICE of ``key_cols``:
+    key by document id and near-duplicate documents can straddle the
+    train/eval boundary (the classic contamination path); key by the
+    GROUPING that shares content — source, domain, license bucket — and
+    every row of a group lands in the SAME split by construction (the
+    hash input is the group key, so the label is a pure function of
+    it). Group-disjointness and cross-cluster-shape determinism are
+    pinned in tests.
+
+    Fractions must be positive and sum to 1 (±1e-9). Boundaries use the
+    md5-derived 32-bit uniform ``u(key) in [0,1)`` against cumulative
+    fraction edges — the same primitive every sampler here uses, so
+    splits compose with them (a stratified sample of train is itself
+    stable).
+    """
+    if not key_cols:
+        raise ValueError("assign_split requires at least one key column")
+    if not fractions:
+        raise ValueError("assign_split requires at least one split")
+    bad = {n: f for n, f in fractions.items() if not (0.0 < f <= 1.0)}
+    if bad:
+        raise ValueError(f"split fractions must be in (0, 1]: {bad}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    # deterministic label order: dict insertion order defines the
+    # cumulative ranges, so the same spec always carves the same bands
+    expr = None
+    edge = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        cond = u < F.lit(edge)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -308,3 +308,93 @@ def test_sample_weighted_nan_and_null_keep_nothing(spark):
     )
     got = {r.id for r in sample_weighted(df, "w", key_col="id").collect()}
     assert got == {3}
+
+
+def test_assign_split_group_disjoint_and_deterministic(spark, sf_dir):
+    """The leakage contract: splitting documents BY SOURCE puts every
+    row of a source in exactly one split (near-dups within a source can
+    never straddle train/eval), and the assignment is a pure function
+    of the key — identical across partitionings and repeated runs."""
+    from mysql2parquet_spark.operators.scale import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_split(docs, ["source"], fr)
+    # group-disjoint: each source maps to exactly one split
+    per_src = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_src.filter(F.col("k") != 1).count() == 0
+    # deterministic across cluster shapes
+    a = sorted(map(tuple, out.select("doc_id", "split").collect()))
+    b = sorted(
+        map(
+            tuple,
+            assign_split(docs.repartition(7), ["source"], fr)
+            .select("doc_id", "split")
+            .collect(),
+        )
+    )
+    assert a == b
+    # every row got a label from the spec
+    assert out.filter(~F.col("split").isin(*fr)).count() == 0
+
+
+def test_assign_split_fractions_approximate_at_key_level(spark):
+    """Row-level split over many distinct keys lands near the requested
+    fractions (md5 uniformity): 10k keys at 75/25 within ±3%."""
+    from mysql2parquet_spark.operators.scale import assign_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = assign_split(df, ["k"], {"train": 0.75, "val": 0.25})
+    got = {
+        r["split"]: r["count"]
+        for r in out.groupBy("split").count().collect()
+    }
+    assert abs(got["train"] / 10_000 - 0.75) < 0.03
+    assert abs(got["val"] / 10_000 - 0.25) < 0.03
+
+
+def test_assign_split_no_shuffle_and_validation(spark, sf_dir):
+    """A split label is one codegen projection — no Exchange in the
+    plan; bad specs are rejected loudly."""
+    import pytest as _pytest
+
+    from mysql2parquet_spark.operators.scale import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        assign_split(docs, ["source"], {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, ["source"], {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        assign_split(docs, ["source"], {"a": 1.5, "b": -0.5})
+    with _pytest.raises(ValueError, match="at least one key"):
+        assign_split(docs, [], {"a": 1.0})
+    with _pytest.raises(ValueError, match="at least one split"):
+        assign_split(docs, ["source"], {})
+
+
+def test_assign_split_stable_under_data_growth(spark):
+    """Content-addressing means adding new keys never moves existing
+    ones: the split of keys 0..999 is unchanged when 1000 more appear."""
+    from mysql2parquet_spark.operators.scale import assign_split
+
+    fr = {"train": 0.9, "val": 0.1}
+    small = spark.range(1_000).withColumnRenamed("id", "k")
+    big = spark.range(2_000).withColumnRenamed("id", "k")
+    a = sorted(
+        map(tuple, assign_split(small, ["k"], fr).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            assign_split(big, ["k"], fr).filter(F.col("k") < 1_000).collect(),
+        )
+    )
+    assert a == b
