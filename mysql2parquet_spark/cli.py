@@ -47,13 +47,14 @@ Engine extensions (not in the reference):
   --parquet (--diff-include-old adds old_<col> for incremental-rollup
   consumers, operators/rollup.py).
 - sketch sidecars (--with-sketches col,col / --sidecars
-  hll:col,cms:col,hist:col:lo:hi,kmv:col): every export — plain or
+  hll:col,cms:col,hist:col:lo:hi,kmv:col,bloom:col): every export — plain or
   versioned snapshot — also ships mergeable sketches of the named
   columns: HLL distinct counts (<base>_sketches), count-min key
   frequencies (<base>_cms), fixed-geometry histograms (<base>_hist),
-  KMV k-minima for cross-corpus overlap/Jaccard (<base>_kmv).
+  KMV k-minima for cross-corpus overlap/Jaccard (<base>_kmv),
+  Bloom membership filters (<base>_bloom).
   Successive nightly sidecars roll up (merge_sketch_estimates /
-  cms_merge / histogram_merge / kmv_merge) to any period's statistics
+  cms_merge / histogram_merge / kmv_merge / bloom_merge) to any period's statistics
   without re-scanning a single export; with --snapshot-root each
   committed version carries its sidecars under <root>/sidecars/v=N_*
   and vacuum drops them with their version.
@@ -216,13 +217,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "for --sidecars hll:col,...")
     p.add_argument("--sidecars", default=None, metavar="SPEC",
                    help="comma-separated sidecar spec covering the "
-                        "four mergeable sketch families: hll:col "
+                        "five mergeable sketch families: hll:col "
                         "(distinct counts), cms:col (count-min key "
                         "frequencies, written to <base>_cms), "
                         "hist:col:lo:hi (fixed-geometry histogram "
                         "over [lo,hi), written to <base>_hist), "
                         "kmv:col (k-minimum-values for cross-corpus "
-                        "overlap/Jaccard estimates, <base>_kmv). "
+                        "overlap/Jaccard estimates, <base>_kmv), "
+                        "bloom:col (membership filters — probe a key "
+                        "against an export without reading it, "
+                        "<base>_bloom). "
                         "Families merge across nightly exports by "
                         "hll_union_agg / plain SUM respectively "
                         "(operators/sketches.py) — no export is ever "
@@ -304,6 +308,7 @@ def _sidecar_precheck(df, plan) -> str | None:
             plan["hll"]
             + plan["cms"]
             + plan["kmv"]
+            + plan["bloom"]
             + [h[0] for h in plan["hist"]]
         )
         if c not in dt
@@ -332,6 +337,13 @@ def _sidecar_precheck(df, plan) -> str | None:
         return f"kmv sidecars need atomic key columns, got {bad}"
     bad = [
         f"{c}:{dt[c]}"
+        for c in plan["bloom"]
+        if dt[c].startswith(("array", "map", "struct"))
+    ]
+    if bad:
+        return f"bloom sidecars need atomic key columns, got {bad}"
+    bad = [
+        f"{c}:{dt[c]}"
         for c, _lo, _hi in plan["hist"]
         if dt[c] not in _HIST_TYPES and not dt[c].startswith("decimal")
     ]
@@ -356,6 +368,7 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
     from mysql2parquet_spark.operators.sketches import (
         HIST_BINS,
         cms_sketch,
+        bloom_sketch,
         distinct_sketches,
         histogram_sketch,
         kmv_sketch,
@@ -410,6 +423,15 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
                     for c in plan["kmv"]
                 ]
             ).write.mode("overwrite").parquet(out_base + "_kmv")
+        if plan["bloom"]:
+            _union(
+                [
+                    bloom_sketch(back, c, []).select(
+                        F.lit(c).alias("column"), "pos"
+                    )
+                    for c in plan["bloom"]
+                ]
+            ).write.mode("overwrite").parquet(out_base + "_bloom")
     except Exception as e:
         msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
         print(f"sketch error: {msg}", file=sys.stderr)
@@ -435,7 +457,7 @@ def _vacuum_sidecars(spark, root: str, dropped: list[int]) -> None:
 
     jvm = spark._jvm
     for n in dropped:
-        for suffix in ("_sketches", "_cms", "_hist", "_kmv"):
+        for suffix in ("_sketches", "_cms", "_hist", "_kmv", "_bloom"):
             p = jvm.org.apache.hadoop.fs.Path(
                 f"{root}/sidecars/{_VERSION_PREFIX}{n}{suffix}"
             )
@@ -710,7 +732,7 @@ def main(argv: list[str] | None = None) -> int:
         # "hist": [(col, lo, hi)...]}, deduped preserving order — a
         # repeated entry would write duplicate sidecar rows whose
         # n_rows/cnt double-count on merge
-        plan: dict[str, list] = {"hll": [], "cms": [], "hist": [], "kmv": []}
+        plan: dict[str, list] = {"hll": [], "cms": [], "hist": [], "kmv": [], "bloom": []}
         entries: list[str] = []
         if args.with_sketches is not None:
             entries += [
@@ -738,7 +760,7 @@ def main(argv: list[str] | None = None) -> int:
         for e in entries:
             parts = e.split(":")
             fam = parts[0]
-            if fam in ("hll", "cms", "kmv"):
+            if fam in ("hll", "cms", "kmv", "bloom"):
                 if len(parts) != 2 or not parts[1]:
                     print(
                         f"bad --sidecars entry {e!r}: expected "
@@ -780,7 +802,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print(
                     f"bad --sidecars entry {e!r}: family must be "
-                    "hll, cms, kmv, or hist",
+                    "hll, cms, kmv, bloom, or hist",
                     file=sys.stderr,
                 )
                 return 1

@@ -477,3 +477,119 @@ def kmv_overlap(
         F.round(jac * union_est, 4).alias("approx_intersection"),
         F.round(union_est, 4).alias("approx_union"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketches (row-form: mergeable by set-union / OR)
+# ---------------------------------------------------------------------------
+
+#: Fixed geometry, same contract as every family above: m bits × k
+#: probes per key. 2^20 bits / 7 probes → <1% false-positive rate up to
+#: ~10^5 distinct keys per group, degrading gracefully (never false
+#: NEGATIVES) as the filter saturates. Row form stores only SET bit
+#: positions, so sketch size is min(k·n_distinct, m) rows — capped by
+#: geometry at any data volume, like the CMS cell matrix.
+BLOOM_M = 1 << 20
+BLOOM_K = 7
+BLOOM_SEED = 0xB100
+
+
+def _bloom_pos(key_col: str, probe_idx, m: int, seed: int):
+    """Bit position for one probe: xxhash64 seeded per probe index,
+    folded to [0, m). pmod, not %, so negative hashes land in range."""
+    return F.pmod(
+        F.xxhash64(F.col(key_col), probe_idx + F.lit(seed)), F.lit(m)
+    ).cast("int")
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Per-group Bloom filter of ``key_col`` in ROW form
+    ``(group_cols…, pos)`` — one row per SET bit — the fifth mergeable
+    family, answering the one question the other four cannot:
+    MEMBERSHIP ("was this key in that export?") without reading the
+    export. (HLL/KMV count distincts, CMS estimates frequencies, the
+    histogram holds distributions; none can test a specific key's
+    presence.)
+
+    One explode (k constant-width rows per input row) into a
+    partial+final distinct aggregate — the shuffle carries at most
+    min(k·distinct, m) positions per group per map task, never the
+    keys. Merging filters is the set union of their positions
+    (bitwise OR in row form — ``bloom_merge``), and the merged filter
+    is IDENTICAL to a single-pass filter over the unioned data (pinned
+    in tests). The 100 TB pattern: each nightly export ships its
+    filter; "is doc X already ingested?" probes kilobyte artifacts
+    instead of anti-joining years of corpus.
+    """
+    if m < 64 or k < 1:
+        raise ValueError(f"bad bloom geometry: m={m} k={k}")
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+    )
+    return (
+        rows.withColumn("pos", _bloom_pos(key_col, F.col("_i"), m, seed))
+        .select(*group_cols, "pos")
+        .dropDuplicates([*group_cols, "pos"])
+    )
+
+
+def bloom_merge(sketches: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Union shard filters up to ``rollup_cols`` granularity: the OR of
+    row-form bit sets is a distinct over positions. Merged ≡ single
+    pass over the unioned data (pinned) — same contract as every other
+    family's merge."""
+    return sketches.select(*rollup_cols, "pos").dropDuplicates(
+        [*rollup_cols, "pos"]
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Membership probe: for every key in ``keys``, ``maybe_present``
+    is true iff ALL k of its bit positions are set. Never a false
+    negative (a key the filter saw always probes true); false positives
+    bounded by the geometry (quality-gated in tests).
+
+    Join direction is the scale story, same as ``cms_estimate``: the
+    SKETCH broadcasts (≤ m rows by construction, regardless of data
+    volume) and the probe keys — arbitrarily many — stream map-side,
+    never shuffling for the lookup. ``sketch`` must be single-group
+    (column ``pos`` only): roll up with ``bloom_merge(…, [])`` or
+    filter one group first.
+    """
+    if sketch.columns != ["pos"]:
+        raise ValueError(
+            f"bloom_contains needs a single-group sketch (columns ['pos']); "
+            f"got {sketch.columns} — roll up with bloom_merge(sketches, []) "
+            "or filter one group first; probing a per-group sketch would "
+            "OR bits across groups and inflate false positives"
+        )
+    probes = keys.dropDuplicates([key_col]).select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+    ).withColumn("pos", _bloom_pos(key_col, F.col("_i"), m, seed))
+    hit = probes.join(
+        F.broadcast(sketch.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return hit.groupBy(key_col).agg(
+        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias(
+            "maybe_present"
+        )
+    )

@@ -1465,3 +1465,45 @@ def test_sidecars_kmv_family_estimates_cross_export_overlap(
     assert sorted(r_["hv"] for r_ in merged.collect()) == sorted(
         r_["hv"] for r_ in single.collect()
     )
+
+
+def test_sidecars_bloom_family_membership_probe(tmp_path, spark, sf_dir):
+    """The bloom:col sidecar answers membership without reading the
+    export: probe night-2 keys against night-1's sidecar — every key
+    night-1 contained probes true (no false negatives), and the spec
+    composes with the other families in one export."""
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.io import load_table
+    from mysql2parquet_spark.operators.sketches import bloom_contains
+
+    out = str(tmp_path / "n1")
+    r = _cli(
+        [
+            "--tables-dir", sf_dir,
+            "--query",
+            "SELECT user_id, event_type FROM events WHERE event_id % 2 = 0",
+            "--parquet", out,
+            "--sidecars", "bloom:user_id,hll:user_id",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    side = spark.read.parquet(out + "_bloom")
+    assert set(side.columns) == {"column", "pos"}
+    sk = side.filter(F.col("column") == "user_id").select("pos")
+
+    ev = load_table(spark, sf_dir, "events")
+    night1 = {
+        row[0]
+        for row in ev.filter("event_id % 2 = 0")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    probe = ev.filter("event_id % 2 = 1").select("user_id").distinct()
+    for row in bloom_contains(sk, probe, "user_id").collect():
+        if row["user_id"] in night1:
+            assert row["maybe_present"]
+    # hll family coexists in the same spec
+    assert spark.read.parquet(out + "_sketches").count() == 1

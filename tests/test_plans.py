@@ -332,6 +332,8 @@ BROADCAST_ALLOWLIST = {
         "query-side band buckets — bounded by the query set",
     ("operators/sketches.py", "cms_estimate"):
         "CMS cells — kilobytes of sketch state by construction",
+    ("operators/sketches.py", "bloom_contains"):
+        "bloom bit positions — ≤ m rows by geometry at any data volume",
     ("operators/text.py", "bm25_scores"):
         "df over the QUERY terms (isin-filtered) + one-row corpus stats",
     ("queries/advanced.py", "events_funnel"):

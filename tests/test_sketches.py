@@ -469,3 +469,107 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("x",)], "key string")
     with pytest.raises(ValueError, match="k >= 8"):
         kmv_sketch(df, "key", [], k=4)
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketches
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.sketches import (  # noqa: E402
+    bloom_contains,
+    bloom_merge,
+    bloom_sketch,
+)
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """Every key the filter saw must probe maybe_present=true — the
+    membership contract deletion-proofing incremental ingest relies on."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = bloom_sketch(ev, "user_id", [])
+    probed = bloom_contains(sk, ev.select("user_id").distinct(), "user_id")
+    assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """10k present keys in a 2^20-bit filter: absent keys must probe
+    true at well under 1% (theory ~1e-5 at this load; 1% is huge slack)."""
+    present = spark.createDataFrame(
+        [(f"in{i}",) for i in range(10_000)], "key string"
+    )
+    absent = spark.createDataFrame(
+        [(f"out{i}",) for i in range(10_000)], "key string"
+    )
+    sk = bloom_sketch(present, "key", [])
+    fp = (
+        bloom_contains(sk, absent, "key")
+        .filter(F.col("maybe_present"))
+        .count()
+    )
+    assert fp < 100, fp
+
+
+def test_bloom_merge_equals_single_pass(spark, sf_dir):
+    """Shard filters OR-merged ≡ one filter over the unioned data —
+    exact row equality (hash-deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.withColumn("shard", F.col("event_id") % 4)
+    merged = bloom_merge(bloom_sketch(shards, "user_id", ["shard"]), [])
+    single = bloom_sketch(ev, "user_id", [])
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in single.collect()
+    )
+
+
+def test_bloom_size_capped_by_geometry(spark):
+    """Row count never exceeds min(k·n, m): tiny geometry saturates at
+    m rows no matter how many keys pour in."""
+    df = spark.createDataFrame([(f"k{i}",) for i in range(5_000)], "key string")
+    sk = bloom_sketch(df, "key", [], m=256, k=4)
+    assert sk.count() <= 256
+
+
+def test_bloom_probe_broadcasts_sketch_not_keys(spark, sf_dir):
+    """Scale contract: the geometry-capped sketch broadcasts; the
+    (arbitrarily large) key side must not shuffle for the lookup."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = bloom_merge(bloom_sketch(ev, "user_id", []), [])
+    plan = (
+        bloom_contains(sk, ev.select("user_id"), "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_bloom_contains_refuses_grouped_sketch(spark):
+    df = spark.createDataFrame([("g", "k")], "g string, key string")
+    grouped = bloom_sketch(df, "key", ["g"])
+    with pytest.raises(ValueError, match="single-group"):
+        bloom_contains(grouped, df.select("key"), "key")
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    df = spark.createDataFrame([("k",)], "key string")
+    with pytest.raises(ValueError, match="bad bloom geometry"):
+        bloom_sketch(df, "key", [], m=16)
+    with pytest.raises(ValueError, match="bad bloom geometry"):
+        bloom_sketch(df, "key", [], k=0)
+
+
+def test_bloom_parquet_roundtrip_cross_export_probe(spark, sf_dir, tmp_path):
+    """The nightly pattern end-to-end: persist night-1's filter, read it
+    back, probe night-2's keys — exactly the already-ingested keys probe
+    true (plus a bounded-FPR fringe; here geometry makes it zero)."""
+    ev = load_table(spark, sf_dir, "events")
+    n1 = ev.filter(F.col("event_id") % 2 == 0)
+    n2 = ev.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "bloom")
+    bloom_sketch(n1, "user_id", []).write.parquet(path)
+    back = spark.read.parquet(path)
+    probed = bloom_contains(back, n2.select("user_id").distinct(), "user_id")
+    seen = {r[0] for r in n1.select("user_id").distinct().collect()}
+    for row in probed.collect():
+        if row["user_id"] in seen:
+            assert row["maybe_present"]
