@@ -940,7 +940,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 1
 
-    from mysql2parquet_spark.compat import export
+    from mysql2parquet_spark.compat import export, reference_type_projection
     from mysql2parquet_spark.io import read_jdbc, register_tables
     from mysql2parquet_spark.session import get_spark
 
@@ -1198,8 +1198,17 @@ def main(argv: list[str] | None = None) -> int:
             # completed export. Runs AFTER --scd2-history so the check
             # sees the transformed schema the sidecars will actually be
             # built from (is_current etc. accepted, the dropped op
-            # column rejected here, not post-export).
-            err = _sidecar_precheck(df, args.sidecar_plan)
+            # column rejected here, not post-export) — and against the
+            # POST---compat projection for the same reason: sidecars
+            # read back the export, where --compat has already turned
+            # temporals into strings (hll-able) and floats into strings
+            # (not hist-able); checking the pre-compat schema would
+            # reject the former and wave the latter through to a
+            # post-export failure.
+            check_df = (
+                reference_type_projection(df) if args.compat else df
+            )
+            err = _sidecar_precheck(check_df, args.sidecar_plan)
             if err:
                 print(f"sketch error: {err}", file=sys.stderr)
                 return 2

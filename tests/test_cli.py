@@ -1507,3 +1507,75 @@ def test_sidecars_bloom_family_membership_probe(tmp_path, spark, sf_dir):
             assert row["maybe_present"]
     # hll family coexists in the same spec
     assert spark.read.parquet(out + "_sketches").count() == 1
+
+
+def test_sidecars_precheck_uses_post_compat_schema(tmp_path, spark):
+    """--compat changes the exported types AFTER the sidecar precheck
+    used to run: temporals export as strings (hll-able), floats export
+    as strings (not hist-able). The precheck must judge the schema the
+    sidecars are actually built from — accept hll on a timestamp under
+    --compat, and reject hist on a float under --compat BEFORE the
+    export (nothing written), not fail after it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "tables")
+    os.makedirs(tdir)
+    spark.range(50).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        (F.col("id") * 1.5).cast("float").alias("score"),
+    ).write.parquet(os.path.join(tdir, "t.parquet"))
+
+    # hll on a timestamp: pre-compat type is unsupported, post-compat
+    # it is a string — must run clean and ship a usable sidecar
+    out_ok = str(tmp_path / "ok")
+    r = _cli(
+        [
+            "--tables-dir", tdir,
+            "--query", "SELECT k, ts, score FROM t",
+            "--parquet", out_ok,
+            "--compat",
+            "--sidecars", "hll:ts",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    side = spark.read.parquet(out_ok + "_sketches")
+    assert side.count() == 1 and side.first()["n_rows"] == 50
+
+    # hist on a float: pre-compat type looks fine, post-compat it is a
+    # string — must be rejected before anything is written
+    out_bad = str(tmp_path / "bad")
+    r = _cli(
+        [
+            "--tables-dir", tdir,
+            "--query", "SELECT k, ts, score FROM t",
+            "--parquet", out_bad,
+            "--compat",
+            "--sidecars", "hist:score:0:100",
+        ]
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-500:])
+    assert "hist sidecars need numeric columns" in r.stderr
+    assert not os.path.exists(out_bad)
+
+    # without --compat the same specs flip: hll:ts rejected, hist ok
+    r = _cli(
+        [
+            "--tables-dir", tdir,
+            "--query", "SELECT k, ts, score FROM t",
+            "--parquet", str(tmp_path / "n1"),
+            "--sidecars", "hll:ts",
+        ]
+    )
+    assert r.returncode == 2 and "hll_sketch_agg supports" in r.stderr
+    r = _cli(
+        [
+            "--tables-dir", tdir,
+            "--query", "SELECT k, ts, score FROM t",
+            "--parquet", str(tmp_path / "n2"),
+            "--sidecars", "hist:score:0:100",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
