@@ -573,3 +573,70 @@ def test_bloom_parquet_roundtrip_cross_export_probe(spark, sf_dir, tmp_path):
     for row in probed.collect():
         if row["user_id"] in seen:
             assert row["maybe_present"]
+
+
+# ---------------------------------------------------------------------------
+# KMV / Bloom property tests
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=5),
+        min_size=1,
+        max_size=60,
+    ),
+    split=st.integers(min_value=0, max_value=60),
+)
+def test_kmv_shard_merge_property(spark, keys, split):
+    """For ANY key multiset and ANY shard split, merged shard KMV
+    sketches == the single-pass sketch (exact row equality), and a
+    small-cardinality input estimates its exact distinct count."""
+    split = min(split, len(keys))
+    rows = [(k, "a") for k in keys[:split]] + [
+        (k, "b") for k in keys[split:]
+    ]
+    df = spark.createDataFrame(rows, "key string, shard string")
+    per_shard = kmv_sketch(df, "key", ["shard"], k=16)
+    merged = sorted(r["hv"] for r in kmv_merge(per_shard, [], k=16).collect())
+    single = sorted(
+        r["hv"] for r in kmv_sketch(df, "key", [], k=16).collect()
+    )
+    assert merged == single
+    n_distinct = len(set(keys))
+    if n_distinct < 16:
+        est = kmv_estimate(
+            kmv_merge(per_shard, [], k=16), [], k=16
+        ).collect()[0]["approx_distinct"]
+        assert est == float(n_distinct)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    present=st.sets(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=5),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=40),
+)
+def test_bloom_no_false_negative_property(spark, present, split):
+    """For ANY key set and ANY shard split: every present key probes
+    true against the merged filter, and merge == single pass."""
+    keys = sorted(present)
+    split = min(split, len(keys))
+    rows = [(k, "a") for k in keys[:split]] + [
+        (k, "b") for k in keys[split:]
+    ]
+    df = spark.createDataFrame(rows, "key string, shard string")
+    merged = bloom_merge(
+        bloom_sketch(df, "key", ["shard"], m=512, k=3), []
+    )
+    single = bloom_sketch(df, "key", [], m=512, k=3)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in single.collect()
+    )
+    probe = spark.createDataFrame([(k,) for k in keys], "key string")
+    out = bloom_contains(merged, probe, "key", m=512, k=3)
+    assert out.filter(~F.col("maybe_present")).count() == 0
