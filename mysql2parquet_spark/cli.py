@@ -230,8 +230,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "Families merge across nightly exports by "
                         "hll_union_agg / plain SUM respectively "
                         "(operators/sketches.py) — no export is ever "
-                        "re-scanned. Combines with --with-sketches "
-                        "and --snapshot-root like above; vacuumed "
+                        "re-scanned. Combines with --with-sketches, "
+                        "--snapshot-root, and --stream-events (one "
+                        "sidecar set per folded version); vacuumed "
                         "versions drop their sidecars too")
     p.add_argument("--audit-rules", default=None,
                    help="JSON file with a data-quality rule list "
@@ -510,13 +511,25 @@ def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.sidecar_plan:
+        # Fail fast, before any fold commits: every folded version has
+        # the current snapshot's schema (CDC op/seq columns never reach
+        # the snapshot), so a bad sidecar entry is knowable up front.
+        err = _sidecar_precheck(
+            spark.read.parquet(latest_snapshot(spark, args.snapshot_root)),
+            args.sidecar_plan,
+        )
+        if err:
+            print(f"sketch error: {err}", file=sys.stderr)
+            return 2
     keys = [k.strip() for k in args.merge_keys.split(",") if k.strip()]
+    sidecar_failures: list[str] = []
 
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return  # no-op trigger must not publish a no-op version
         if args.cdc_op_column:
-            fold_cdc_snapshot(
+            path = fold_cdc_snapshot(
                 batch_df.sparkSession,
                 args.snapshot_root,
                 batch_df,
@@ -528,7 +541,7 @@ def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
                 partition_by=part_cols,
             )
         else:
-            fold_merge_snapshot(
+            path = fold_merge_snapshot(
                 batch_df.sparkSession,
                 args.snapshot_root,
                 batch_df,
@@ -537,6 +550,20 @@ def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
                 broadcast_source=not args.no_broadcast_delta,
                 partition_by=part_cols,
             )
+        if args.sidecar_plan:
+            # The version is already committed; a sidecar failure must
+            # NOT abort the stream (raising here would make the
+            # checkpoint reprocess — and thus re-publish — a batch that
+            # succeeded). Sidecars are rebuildable derived metadata:
+            # record the failure, keep folding, fail the run at the end.
+            rc = _write_sidecars(
+                batch_df.sparkSession,
+                args.sidecar_plan,
+                path,
+                _snapshot_sidecar_base(args.snapshot_root, path),
+            )
+            if rc is not None:
+                sidecar_failures.append(path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -557,10 +584,21 @@ def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:
             spark, args.snapshot_root, args.keep_versions
         )
         if dropped:
+            # versions published by earlier (batch) runs may carry
+            # sidecars even when this run requested none — drop theirs
+            # with them, same as the batch-publish path
+            _vacuum_sidecars(spark, args.snapshot_root, dropped)
             print(
                 "vacuumed versions: " + ", ".join(str(n) for n in dropped),
                 file=sys.stderr,
             )
+    if sidecar_failures:
+        print(
+            "note: all versions committed, but sidecars failed for: "
+            + ", ".join(sidecar_failures),
+            file=sys.stderr,
+        )
+        return 2
     print(latest_snapshot(spark, args.snapshot_root))
     return 0
 
@@ -714,13 +752,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 1
     if args.with_sketches is not None or args.sidecars is not None:
-        if args.stream_events:
-            print(
-                "--with-sketches/--sidecars require an export or "
-                "snapshot publish, not --stream-events",
-                file=sys.stderr,
-            )
-            return 1
         if args.diff_versions is not None:
             print(
                 "--with-sketches/--sidecars describe a table, not a "

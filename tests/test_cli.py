@@ -1579,3 +1579,101 @@ def test_sidecars_precheck_uses_post_compat_schema(tmp_path, spark):
         ]
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_stream_fold_ships_sidecars_per_version(tmp_path, spark):
+    """--stream-events + --sidecars: every folded version carries its
+    own sidecars under <root>/sidecars (same layout as batch publishes),
+    merging the per-version HLL sidecars estimates the latest table's
+    distinct count, and a bad spec fails fast BEFORE any fold commits."""
+    import glob as _glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.io import latest_snapshot, snapshot_versions
+    from mysql2parquet_spark.operators.sketches import merge_sketch_estimates
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k bigint, v string, seq bigint"
+    ).write.parquet(str(tables / "users.parquet"))
+
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    schema = "k bigint, v string, seq bigint"
+    batches = [
+        [(3, "c", 11), (4, "d", 12)],
+        [(5, "e", 21), (1, "a2", 22)],
+    ]
+
+    def land(i):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(batches[i], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        (part,) = _glob.glob(staging + "/part-*.parquet")
+        dst = os.path.join(landing, f"delta_{i:03d}.parquet")
+        os.replace(part, dst)
+        t = int(time.time()) - 3600 + 10 * i
+        os.utime(dst, (t, t))
+
+    def run_cli(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "mysql2parquet_spark.cli",
+             "--master", "local[2]", *argv],
+            capture_output=True, text=True, timeout=300,
+        )
+
+    r0 = run_cli(
+        "--tables-dir", str(tables), "--query", "SELECT * FROM users",
+        "--snapshot-root", root,
+    )
+    assert r0.returncode == 0, r0.stderr[-2000:]
+
+    land(0)
+    land(1)
+
+    # bad spec: column not in the snapshot — rejected before any fold
+    r_bad = run_cli(
+        "--stream-events", landing, "--snapshot-root", root,
+        "--merge-keys", "k", "--order-column", "seq",
+        "--checkpoint", str(tmp_path / "ckpt_bad"),
+        "--sidecars", "hll:nope",
+    )
+    assert r_bad.returncode == 2, (r_bad.returncode, r_bad.stderr[-500:])
+    assert "columns not in result" in r_bad.stderr
+    assert snapshot_versions(spark, root) == {0: True}
+
+    r1 = run_cli(
+        "--stream-events", landing, "--snapshot-root", root,
+        "--merge-keys", "k", "--order-column", "seq",
+        "--checkpoint", ckpt,
+        "--sidecars", "hll:k,bloom:k",
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert snapshot_versions(spark, root) == {0: True, 1: True, 2: True}
+
+    # v=1 and v=2 (the folded versions) each carry both sidecar files
+    for n in (1, 2):
+        for suffix in ("_sketches", "_bloom"):
+            p = os.path.join(root, "sidecars", f"v={n}{suffix}")
+            assert os.path.exists(p), p
+
+    # per-version HLL sidecars roll up to the latest table's distincts
+    merged = merge_sketch_estimates(
+        spark.read.parquet(os.path.join(root, "sidecars", "v=2_sketches")),
+        ["column"],
+    ).collect()[0]
+    exact = (
+        spark.read.parquet(latest_snapshot(spark, root))
+        .select("k")
+        .distinct()
+        .count()
+    )
+    assert abs(merged["approx_distinct"] - exact) / exact < 0.05
