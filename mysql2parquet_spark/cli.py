@@ -322,27 +322,14 @@ def _sidecar_precheck(df, plan) -> str | None:
             "hll_sketch_agg supports integral/string/binary columns "
             f"only, got {bad}"
         )
-    bad = [
-        f"{c}:{dt[c]}"
-        for c in plan["cms"]
-        if dt[c].startswith(("array", "map", "struct"))
-    ]
-    if bad:
-        return f"cms sidecars need atomic key columns, got {bad}"
-    bad = [
-        f"{c}:{dt[c]}"
-        for c in plan["kmv"]
-        if dt[c].startswith(("array", "map", "struct"))
-    ]
-    if bad:
-        return f"kmv sidecars need atomic key columns, got {bad}"
-    bad = [
-        f"{c}:{dt[c]}"
-        for c in plan["bloom"]
-        if dt[c].startswith(("array", "map", "struct"))
-    ]
-    if bad:
-        return f"bloom sidecars need atomic key columns, got {bad}"
+    for fam in ("cms", "kmv", "bloom"):
+        bad = [
+            f"{c}:{dt[c]}"
+            for c in plan[fam]
+            if dt[c].startswith(("array", "map", "struct"))
+        ]
+        if bad:
+            return f"{fam} sidecars need atomic key columns, got {bad}"
     bad = [
         f"{c}:{dt[c]}"
         for c, _lo, _hi in plan["hist"]
@@ -359,80 +346,45 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
     can change between the export read and a second read, and the
     sidecar must describe the parquet it ships beside). Shard-artifact
     definitions come from operators/sketches so the geometry can never
-    drift from the library's. One sidecar file per family —
-    ``<out_base>_sketches`` (HLL), ``_cms``, ``_hist`` — each tagged
-    with the source column (and, for hist, its [lo,hi,bins] geometry,
-    which is part of the sketch identity). Returns an exit code on
-    failure, None on success."""
-    from pyspark.sql import functions as F
-
+    drift from the library's; the *_multi builders compute every column
+    of a family in ONE scan of the export (per-column builds would
+    re-read the just-written table once per column — at 100 TB the scan
+    count is the cost; pinned by the builders' single-scan plan tests).
+    One sidecar file per family — ``<out_base>_sketches`` (HLL),
+    ``_cms``, ``_hist``, ``_kmv``, ``_bloom`` — each tagged with the
+    source column (and, for hist, its [lo,hi,bins] geometry, which is
+    part of the sketch identity). Returns an exit code on failure,
+    None on success."""
     from mysql2parquet_spark.operators.sketches import (
-        HIST_BINS,
-        cms_sketch,
-        bloom_sketch,
-        distinct_sketches,
-        histogram_sketch,
-        kmv_sketch,
+        bloom_sketch_multi,
+        cms_sketch_multi,
+        distinct_sketches_multi,
+        histogram_sketch_multi,
+        kmv_sketch_multi,
     )
-
-    def _union(parts):
-        out = parts[0]
-        for p_ in parts[1:]:
-            out = out.unionByName(p_)
-        return out
 
     try:
         back = spark.read.parquet(read_path)
         if plan["hll"]:
-            _union(
-                [
-                    distinct_sketches(back, c, []).select(
-                        F.lit(c).alias("column"), "sketch", "n_rows"
-                    )
-                    for c in plan["hll"]
-                ]
-            ).write.mode("overwrite").parquet(out_base + "_sketches")
+            distinct_sketches_multi(back, plan["hll"]).write.mode(
+                "overwrite"
+            ).parquet(out_base + "_sketches")
         if plan["cms"]:
-            _union(
-                [
-                    cms_sketch(back, c, []).select(
-                        F.lit(c).alias("column"), "d", "pos", "cnt"
-                    )
-                    for c in plan["cms"]
-                ]
-            ).write.mode("overwrite").parquet(out_base + "_cms")
+            cms_sketch_multi(back, plan["cms"]).write.mode(
+                "overwrite"
+            ).parquet(out_base + "_cms")
         if plan["hist"]:
-            _union(
-                [
-                    histogram_sketch(back, c, [], lo=lo, hi=hi).select(
-                        F.lit(c).alias("column"),
-                        F.lit(lo).alias("lo"),
-                        F.lit(hi).alias("hi"),
-                        F.lit(HIST_BINS).alias("bins"),
-                        "bin",
-                        "cnt",
-                    )
-                    for c, lo, hi in plan["hist"]
-                ]
-            ).write.mode("overwrite").parquet(out_base + "_hist")
+            histogram_sketch_multi(back, plan["hist"]).write.mode(
+                "overwrite"
+            ).parquet(out_base + "_hist")
         if plan["kmv"]:
-            _union(
-                [
-                    kmv_sketch(back, c, []).select(
-                        F.lit(c).alias("column"), "hv"
-                    )
-                    for c in plan["kmv"]
-                ]
-            ).write.mode("overwrite").parquet(out_base + "_kmv")
+            kmv_sketch_multi(back, plan["kmv"]).write.mode(
+                "overwrite"
+            ).parquet(out_base + "_kmv")
         if plan["bloom"]:
-            _union(
-                [
-                    bloom_sketch(back, c, []).select(
-                        F.lit(c).alias("column"), "pos"
-                    )
-                    for c in plan["bloom"]
-                ]
-            ).write.mode("overwrite").parquet(out_base + "_bloom")
+            bloom_sketch_multi(back, plan["bloom"]).write.mode(
+                "overwrite"
+            ).parquet(out_base + "_bloom")
     except Exception as e:
         msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
         print(f"sketch error: {msg}", file=sys.stderr)
@@ -459,12 +411,21 @@ def _vacuum_sidecars(spark, root: str, dropped: list[int]) -> None:
     jvm = spark._jvm
     for n in dropped:
         for suffix in ("_sketches", "_cms", "_hist", "_kmv", "_bloom"):
-            p = jvm.org.apache.hadoop.fs.Path(
-                f"{root}/sidecars/{_VERSION_PREFIX}{n}{suffix}"
-            )
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(p):
-                fs.delete(p, True)
+            # per-path try: one transient FS error must not fail a run
+            # whose versions are all committed (the leftover is derived
+            # metadata, rebuildable and kilobyte-scale)
+            try:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{root}/sidecars/{_VERSION_PREFIX}{n}{suffix}"
+                )
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(p):
+                    fs.delete(p, True)
+            except Exception as e:
+                print(
+                    f"note: could not vacuum sidecar v={n}{suffix}: {e}",
+                    file=sys.stderr,
+                )
 
 
 def _run_stream_fold(spark, args, part_cols: list[str] | None = None) -> int:

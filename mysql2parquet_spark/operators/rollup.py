@@ -53,6 +53,11 @@ def _agg_exprs(
 ) -> list:
     exprs = [F.count(F.lit(1)).alias("cnt")]
     exprs += [F.sum(src).alias(out) for out, src in sum_cols.items()]
+    # companion NON-NULL contributor count per SUM: the fold needs it to
+    # distinguish "sum is 0" from "sum is NULL" (see incremental_agg_update
+    # — subtracting a group's last non-null value must leave NULL when
+    # only NULL-valued rows remain, exactly like a recompute)
+    exprs += [F.count(src).alias(f"nn_{out}") for out, src in sum_cols.items()]
     for out, (op, src) in (minmax_cols or {}).items():
         if op not in _MINMAX_OPS:
             raise ValueError(f"minmax_cols op must be min/max, got {op!r}")
@@ -67,10 +72,14 @@ def aggregate_snapshot(
     minmax_cols: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The batch face: the rollup shape ``incremental_agg_update``
-    maintains — ``group_cols…, cnt, <out>…`` with one SUM per
-    ``sum_cols`` entry {out_name: source_col} and (optionally) one
-    MIN/MAX per ``minmax_cols`` entry {out_name: (op, source_col)}.
-    Run once to bootstrap; afterwards maintain incrementally."""
+    maintains — ``group_cols…, cnt, <out>…, nn_<out>…`` with one SUM
+    plus its non-null contributor count per ``sum_cols`` entry
+    {out_name: source_col} and (optionally) one MIN/MAX per
+    ``minmax_cols`` entry {out_name: (op, source_col)}. The ``nn_``
+    companions are part of the persisted shape on purpose: without
+    them a fold cannot distinguish a zero SUM from a NULL one when a
+    group's last non-null value is deleted. Run once to bootstrap;
+    afterwards maintain incrementally."""
     return snapshot.groupBy(*group_cols).agg(
         *_agg_exprs(sum_cols, minmax_cols)
     )
@@ -110,7 +119,12 @@ def incremental_agg_update(
     """
     if not group_cols:
         raise ValueError("incremental_agg_update requires group columns")
-    reserved = {"cnt", *sum_cols, *(minmax_cols or {})}
+    reserved = {
+        "cnt",
+        *sum_cols,
+        *(f"nn_{out}" for out in sum_cols),
+        *(minmax_cols or {}),
+    }
     clash = reserved & set(group_cols)
     if clash:
         raise ValueError(f"group/aggregate name clash: {sorted(clash)}")
@@ -119,6 +133,14 @@ def incremental_agg_update(
             raise ValueError(
                 f"diff lacks old_{c} — produce it with "
                 "snapshot_diff(..., include_old=True)"
+            )
+    for out in sum_cols:
+        if f"nn_{out}" not in agg_old.columns:
+            raise ValueError(
+                f"agg_old lacks nn_{out} (the non-null contributor count "
+                "aggregate_snapshot maintains alongside each SUM — without "
+                "it a fold cannot tell a zero sum from a NULL one); "
+                "re-bootstrap the rollup with aggregate_snapshot"
             )
 
     if minmax_cols:
@@ -157,11 +179,17 @@ def incremental_agg_update(
         )
         return untouched.unionByName(recomputed)
 
-    # new-side contributions of I and U rows
+    # new-side contributions of I and U rows (the _nn indicator tracks
+    # NON-NULL contributions so the fold can restore a NULL sum when a
+    # group's last non-null value leaves)
     adds = diff.filter(F.col("change").isin("I", "U")).select(
         *[F.col(c) for c in group_cols],
         F.lit(1).alias("_w"),
         *[F.col(src).alias(out) for out, src in sum_cols.items()],
+        *[
+            F.col(src).isNotNull().cast("long").alias(f"_nn_{out}")
+            for out, src in sum_cols.items()
+        ],
     )
     # old-side contributions of D and U rows, negated (old_* columns —
     # a U row that moved groups leaves its OLD group here)
@@ -169,6 +197,10 @@ def incremental_agg_update(
         *[F.col(f"old_{c}").alias(c) for c in group_cols],
         F.lit(-1).alias("_w"),
         *[(-F.col(f"old_{src}")).alias(out) for out, src in sum_cols.items()],
+        *[
+            (-F.col(f"old_{src}").isNotNull().cast("long")).alias(f"_nn_{out}")
+            for out, src in sum_cols.items()
+        ],
     )
     delta = (
         adds.unionByName(subs)
@@ -176,6 +208,7 @@ def incremental_agg_update(
         .agg(
             F.sum("_w").alias("_dcnt"),
             *[F.sum(out).alias(f"_d_{out}") for out in sum_cols],
+            *[F.sum(f"_nn_{out}").alias(f"_dnn_{out}") for out in sum_cols],
         )
     )
     # Name-based USING join: plain equi-keys keep a bucketed rollup's
@@ -187,6 +220,17 @@ def incremental_agg_update(
     # split with a post-join aggregate that rides the join's existing
     # hash partitioning (no extra Exchange).
     merged = agg_old.join(delta, on=group_cols, how="full_outer")
+    nn_new = {
+        out: (
+            F.coalesce(F.col(f"nn_{out}"), F.lit(0))
+            + F.coalesce(F.col(f"_dnn_{out}"), F.lit(0))
+        )
+        for out in sum_cols
+    }
+    # RAW per-row fold first — the NULL-vs-0 decision must wait until
+    # the group's state is final (after the nullable-key re-merge): a
+    # split delta-side row can carry a real value delta (-25) with a
+    # net-zero nn delta, and gating per-row would erase it
     out_cols = [
         *group_cols,
         (
@@ -194,20 +238,13 @@ def incremental_agg_update(
             + F.coalesce(F.col("_dcnt"), F.lit(0))
         ).alias("cnt"),
         *[
-            # both sides NULL => the group's SUM is genuinely NULL
-            # (all contributing values NULL) — a recompute would say
-            # NULL, so the fold must too, not 0
-            F.when(
-                F.col(out).isNull() & F.col(f"_d_{out}").isNull(),
-                F.lit(None),
-            )
-            .otherwise(
+            (
                 F.coalesce(F.col(out), F.lit(0))
                 + F.coalesce(F.col(f"_d_{out}"), F.lit(0))
-            )
-            .alias(out)
+            ).alias(out)
             for out in sum_cols
         ],
+        *[nn_new[out].alias(f"nn_{out}") for out in sum_cols],
     ]
     sel = merged.select(*out_cols)
     keys_nullable = any(
@@ -218,16 +255,32 @@ def incremental_agg_update(
     )
     if keys_nullable:
         # SUM re-merge of the split NULL-key rows (identity for every
-        # non-NULL group: exactly one row). sum() ignores NULLs except
-        # the all-NULL case, which stays NULL — the same contract as
-        # the per-row fold above. Cast back to the rollup's own types
-        # so decimal sums don't silently widen across nightly folds.
+        # non-NULL group: exactly one row). Cast back to the rollup's
+        # own types so decimal sums don't silently widen across nightly
+        # folds.
         types = dict(sel.dtypes)
         sel = sel.groupBy(*group_cols).agg(
             F.sum("cnt").cast(types["cnt"]).alias("cnt"),
+            *[F.sum(out).cast(types[out]).alias(out) for out in sum_cols],
             *[
-                F.sum(out).cast(types[out]).alias(out)
+                F.sum(f"nn_{out}").cast(types[f"nn_{out}"]).alias(f"nn_{out}")
                 for out in sum_cols
             ],
         )
+    # final state: zero NON-NULL contributors => the group's SUM is
+    # genuinely NULL (a recompute over its all-NULL survivors says
+    # NULL). This covers both the never-had-values case and the
+    # last-non-null-value-deleted transition, which a plain
+    # both-sides-NULL test misses (the subtract side is non-NULL there).
+    sel = sel.select(
+        *group_cols,
+        "cnt",
+        *[
+            F.when(F.col(f"nn_{out}") == 0, F.lit(None))
+            .otherwise(F.col(out))
+            .alias(out)
+            for out in sum_cols
+        ],
+        *[F.col(f"nn_{out}") for out in sum_cols],
+    )
     return sel.filter(F.col("cnt") > 0)

@@ -82,12 +82,20 @@ CMS_WIDTH = 2048
 CMS_SEED = 0x5EED
 
 
-def _cms_pos(key_col: str, depth_idx, width: int, seed: int):
-    """Bucket index for one hash row: xxhash64 seeded per depth, folded
-    to [0, width). pmod, not %, so negative hashes land in range."""
+def _hash_pos(key_col: str, idx, n: int, seed: int):
+    """Shared hash-folding geometry for the row-form families: bucket /
+    bit index for one hash row — xxhash64 seeded per index, folded to
+    [0, n). pmod, not %, so negative hashes land in range. ONE
+    implementation on purpose: CMS cells and Bloom bits must fold
+    identically forever or independently produced shard sketches stop
+    merging; a divergent copy is a silent cross-version break."""
     return F.pmod(
-        F.xxhash64(F.col(key_col), depth_idx + F.lit(seed)), F.lit(width)
+        F.xxhash64(F.col(key_col), idx + F.lit(seed)), F.lit(n)
     ).cast("int")
+
+
+def _cms_pos(key_col: str, depth_idx, width: int, seed: int):
+    return _hash_pos(key_col, depth_idx, width, seed)
 
 
 def cms_sketch(
@@ -495,11 +503,7 @@ BLOOM_SEED = 0xB100
 
 
 def _bloom_pos(key_col: str, probe_idx, m: int, seed: int):
-    """Bit position for one probe: xxhash64 seeded per probe index,
-    folded to [0, m). pmod, not %, so negative hashes land in range."""
-    return F.pmod(
-        F.xxhash64(F.col(key_col), probe_idx + F.lit(seed)), F.lit(m)
-    ).cast("int")
+    return _hash_pos(key_col, probe_idx, m, seed)
 
 
 def bloom_sketch(
@@ -585,11 +589,211 @@ def bloom_contains(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
     ).withColumn("pos", _bloom_pos(key_col, F.col("_i"), m, seed))
+    # Dedupe the (kilobyte-scale) sketch before probing: a raw union of
+    # shard sidecars (read of sidecars/v=*_bloom without bloom_merge)
+    # passes the columns guard but carries duplicate positions, and a
+    # duplicated match would push a present key's hit SUM past k —
+    # a false negative the membership contract forbids.
     hit = probes.join(
-        F.broadcast(sketch.withColumn("_set", F.lit(1))), "pos", "left"
+        F.broadcast(
+            sketch.dropDuplicates(["pos"]).withColumn("_set", F.lit(1))
+        ),
+        "pos",
+        "left",
     )
     return hit.groupBy(key_col).agg(
         (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k).alias(
             "maybe_present"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-column builders: ONE scan per family for sidecar exports
+# ---------------------------------------------------------------------------
+# The sidecar writer tags each sketch row with its source column and
+# unions families across columns. Built per column, that costs
+# N_columns scans of an export that was just written — at the 100 TB
+# posture the scan count IS the cost. These variants compute every
+# column's sketch rows in one pass: per-column expressions (native-type
+# hashing — fusing raw values into one array would force a cast and
+# silently change the hash geometry) are evaluated into an array of
+# structs and exploded once. Each is pinned equal to the union of the
+# per-column builds.
+
+
+def distinct_sketches_multi(
+    df: DataFrame, key_cols: list[str], *, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
+    """One-scan HLL sidecar table: ``(column, sketch, n_rows)`` for
+    every named column — a single global aggregate evaluating all
+    columns' ``hll_sketch_agg`` side by side."""
+    if not key_cols:
+        raise ValueError("distinct_sketches_multi requires columns")
+    row = df.agg(
+        *[
+            F.hll_sketch_agg(c, F.lit(lg_k)).alias(f"_s{i}")
+            for i, c in enumerate(key_cols)
+        ],
+        F.count("*").alias("_n"),
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"_s{i}").alias("sketch"),
+                        F.col("_n").alias("n_rows"),
+                    )
+                    for i, c in enumerate(key_cols)
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.column", "_r.sketch", "_r.n_rows")
+
+
+def cms_sketch_multi(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """One-scan CMS sidecar table: ``(column, d, pos, cnt)`` for every
+    named column — positions are computed per column BEFORE the explode
+    (ints fuse type-safely; raw values would not), so each column's
+    cells are bit-identical to its single-column ``cms_sketch``."""
+    if not key_cols:
+        raise ValueError("cms_sketch_multi requires columns")
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad count-min geometry: depth={depth} width={width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(d).alias("d"),
+                _cms_pos(c, F.lit(d), width, seed).alias("pos"),
+            )
+            for c in key_cols
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_r"))
+        .select("_r.column", "_r.d", "_r.pos")
+        .groupBy("column", "d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_sketch_multi(
+    df: DataFrame,
+    specs: list[tuple[str, float, float]],
+    *,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """One-scan histogram sidecar table: ``(column, lo, hi, bins, bin,
+    cnt)`` for every ``(column, lo, hi)`` spec — per-column bin indexes
+    (each with its own [lo,hi) geometry, carried in the output like the
+    sidecar contract requires) computed before a single explode. NULL
+    values drop per column, exactly like ``histogram_sketch``."""
+    if not specs:
+        raise ValueError("histogram_sketch_multi requires specs")
+    entries = []
+    for c, lo, hi in specs:
+        if bins < 2 or not (hi > lo):
+            raise ValueError(
+                f"bad histogram geometry: bins={bins} lo={lo} hi={hi}"
+            )
+        width = (hi - lo) / bins
+        b = F.floor((F.col(c) - F.lit(lo)) / F.lit(width))
+        b = F.least(
+            F.lit(bins - 1).cast("long"), F.greatest(F.lit(0).cast("long"), b)
+        ).cast("int")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(float(lo)).alias("lo"),
+                F.lit(float(hi)).alias("hi"),
+                F.lit(bins).alias("bins"),
+                F.when(F.col(c).isNotNull(), b).alias("bin"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("_r"))
+        .select("_r.column", "_r.lo", "_r.hi", "_r.bins", "_r.bin")
+        .filter(F.col("bin").isNotNull())
+        .groupBy("column", "lo", "hi", "bins", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def kmv_sketch_multi(
+    df: DataFrame, key_cols: list[str], *, k: int = KMV_K
+) -> DataFrame:
+    """One-scan KMV sidecar table: ``(column, hv)`` — per-column
+    normalized hashes computed before the explode (NULL keys drop per
+    column like ``kmv_sketch``), then one WindowGroupLimit-pruned
+    dense_rank per column partition."""
+    if not key_cols:
+        raise ValueError("kmv_sketch_multi requires columns")
+    if k < 8:
+        raise ValueError(f"kmv needs k >= 8, got {k}")
+    from pyspark.sql import Window
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(F.col(c).isNotNull(), _kmv_u(c)).alias("hv"),
+            )
+            for c in key_cols
+        ]
+    )
+    w = Window.partitionBy("column").orderBy("hv")
+    return (
+        df.select(F.explode(entries).alias("_r"))
+        .select("_r.column", "_r.hv")
+        .filter(F.col("hv").isNotNull())
+        .withColumn("_rk", F.dense_rank().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .dropDuplicates(["column", "hv"])
+    )
+
+
+def bloom_sketch_multi(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """One-scan Bloom sidecar table: ``(column, pos)`` — per-column bit
+    positions for all k probes computed before the explode (NULL keys
+    drop per column like ``bloom_sketch``)."""
+    if not key_cols:
+        raise ValueError("bloom_sketch_multi requires columns")
+    if m < 64 or k < 1:
+        raise ValueError(f"bad bloom geometry: m={m} k={k}")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(
+                    F.col(c).isNotNull(), _bloom_pos(c, F.lit(i), m, seed)
+                ).alias("pos"),
+            )
+            for c in key_cols
+            for i in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(entries).alias("_r"))
+        .select("_r.column", "_r.pos")
+        .filter(F.col("pos").isNotNull())
+        .dropDuplicates(["column", "pos"])
     )

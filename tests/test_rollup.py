@@ -267,3 +267,45 @@ def test_bucketed_rollup_saves_the_rollup_side_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS rollup_bucketed")
+
+
+def test_delete_of_last_non_null_value_leaves_null_sum(spark, tmp_path):
+    """The review-found transition: a group keeps NULL-valued rows but
+    loses its last NON-NULL contributor — the folded SUM must come out
+    NULL exactly like a recompute, not 0 (the nn_<out> companion count
+    exists for precisely this case). Also the reverse: an insert giving
+    an all-NULL group its first value flips NULL -> value."""
+    ddl = "k bigint, grp string, qty bigint"
+    v0 = [(1, "g", 5), (2, "g", None), (3, "h", None)]
+    v1 = [(2, "g", None), (3, "h", None), (4, "h", 7)]  # g loses its value
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(v0, ddl), root)
+    publish_snapshot(spark.createDataFrame(v1, ddl), root)
+    sums = {"total_qty": "qty"}
+    old = aggregate_snapshot(spark.createDataFrame(v0, ddl), ["grp"], sums)
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    got = incremental_agg_update(old, diff, ["grp"], sums)
+    want = aggregate_snapshot(spark.createDataFrame(v1, ddl), ["grp"], sums)
+    _rollup_eq(got, want)
+    by_grp = {r.grp: (r.cnt, r.total_qty) for r in got.collect()}
+    assert by_grp["g"] == (1, None)  # not (1, 0)
+    assert by_grp["h"] == (2, 7)
+
+
+def test_old_rollup_without_nn_columns_is_refused(spark, tmp_path):
+    """A pre-upgrade rollup (no nn_<out> companion) must fail loudly
+    with re-bootstrap guidance, not fold into silent 0-vs-NULL drift."""
+    ddl = "k bigint, grp string, qty bigint"
+    v0 = [(1, "g", 5)]
+    v1 = [(1, "g", 6)]
+    root = str(tmp_path / "snap")
+    publish_snapshot(spark.createDataFrame(v0, ddl), root)
+    publish_snapshot(spark.createDataFrame(v1, ddl), root)
+    diff = snapshot_diff(spark, root, 0, 1, ["k"], include_old=True)
+    legacy = (
+        spark.createDataFrame(v0, ddl)
+        .groupBy("grp")
+        .agg(F.count("*").alias("cnt"), F.sum("qty").alias("total_qty"))
+    )
+    with pytest.raises(ValueError, match="nn_total_qty"):
+        incremental_agg_update(legacy, diff, ["grp"], {"total_qty": "qty"})

@@ -640,3 +640,112 @@ def test_bloom_no_false_negative_property(spark, present, split):
     probe = spark.createDataFrame([(k,) for k in keys], "key string")
     out = bloom_contains(merged, probe, "key", m=512, k=3)
     assert out.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_contains_tolerates_duplicated_sketch_rows(spark):
+    """A raw union of shard sidecars (no bloom_merge) carries duplicate
+    positions; the probe must still honor the no-false-negative
+    contract instead of overcounting hits past k."""
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    sk = bloom_sketch(keys, "key", [], m=4096, k=3)
+    doubled = sk.unionByName(sk)  # every position twice
+    out = bloom_contains(doubled, keys, "key", m=4096, k=3)
+    assert out.filter(~F.col("maybe_present")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-column (one-scan) sidecar builders ≡ per-column unions
+# ---------------------------------------------------------------------------
+
+from mysql2parquet_spark.operators.sketches import (  # noqa: E402
+    bloom_sketch_multi,
+    cms_sketch_multi,
+    distinct_sketches_multi,
+    histogram_sketch_multi,
+    kmv_sketch_multi,
+)
+
+
+def _tagged_union(spark, builders):
+    out = None
+    for col_name, df in builders:
+        d = df.select(F.lit(col_name).alias("column"), "*")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def test_multi_builders_equal_per_column_unions(spark, sf_dir):
+    """The writer's one-scan contract: every multi-column family builder
+    produces EXACTLY the per-column union (native-type hashing preserved
+    through the fused explode), so sidecars built either way merge and
+    probe identically."""
+    ev = load_table(spark, sf_dir, "events").limit(4000)
+    cols = ["user_id", "event_type"]
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    multi = cms_sketch_multi(ev, cols, depth=3, width=64)
+    single = _tagged_union(
+        spark,
+        [(c, cms_sketch(ev, c, [], depth=3, width=64)) for c in cols],
+    )
+    assert rows(multi) == rows(single)
+
+    multi = kmv_sketch_multi(ev, cols, k=64)
+    single = _tagged_union(
+        spark, [(c, kmv_sketch(ev, c, [], k=64)) for c in cols]
+    )
+    assert rows(multi) == rows(single)
+
+    multi = bloom_sketch_multi(ev, cols, m=2048, k=3)
+    single = _tagged_union(
+        spark, [(c, bloom_sketch(ev, c, [], m=2048, k=3)) for c in cols]
+    )
+    assert rows(multi) == rows(single)
+
+    specs = [("user_id", 0.0, 2000.0), ("value", -10.0, 1000.0)]
+    multi = histogram_sketch_multi(ev, specs, bins=32)
+    single = None
+    for c, lo, hi in specs:
+        d = histogram_sketch(ev, c, [], lo=lo, hi=hi, bins=32).select(
+            F.lit(c).alias("column"),
+            F.lit(lo).alias("lo"),
+            F.lit(hi).alias("hi"),
+            F.lit(32).alias("bins"),
+            "bin",
+            "cnt",
+        )
+        single = d if single is None else single.unionByName(d)
+    assert rows(multi) == rows(single)
+
+    # HLL: estimates (sketch blobs may differ byte-wise only if update
+    # order mattered — it does not for HLL state, but compare through
+    # the estimate to stay implementation-honest) + exact n_rows
+    multi = distinct_sketches_multi(ev, cols)
+    est_m = {
+        r["column"]: (r["approx_distinct"], r["n_rows"])
+        for r in merge_sketch_estimates(multi, ["column"]).collect()
+    }
+    for c in cols:
+        est_s = merge_sketch_estimates(
+            distinct_sketches(ev, c, []).select(
+                F.lit(c).alias("column"), "sketch", "n_rows"
+            ),
+            ["column"],
+        ).collect()[0]
+        assert est_m[c] == (est_s["approx_distinct"], est_s["n_rows"])
+
+
+def test_multi_builders_single_scan_plan(spark, sf_dir):
+    """The point of the multi variants: one parquet scan regardless of
+    column count (the per-column union scans once per column)."""
+    ev = load_table(spark, sf_dir, "events")
+    for df in (
+        cms_sketch_multi(ev, ["user_id", "event_type"], depth=3, width=64),
+        kmv_sketch_multi(ev, ["user_id", "event_type"], k=64),
+        bloom_sketch_multi(ev, ["user_id", "event_type"], m=2048, k=3),
+        distinct_sketches_multi(ev, ["user_id", "event_type"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, plan[:1200]
