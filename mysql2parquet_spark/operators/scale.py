@@ -266,3 +266,49 @@ def assign_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], *, top_k: int = 20
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/group key — the
+    measurement that DECIDES between a plain shuffle, ``salted_join``,
+    and a broadcast, instead of guessing.
+
+    One partially-aggregated ``groupBy(key).count()`` scan (the
+    exchange carries |keys| rows per map task), then:
+
+    - the ``top_k`` hottest keys via ``orderBy(cnt desc).limit(k)`` —
+      TakeOrderedAndProject (per-task heaps + a k-row driver merge),
+      never a global sort;
+    - totals (row count, key count) as a one-row aggregate broadcast
+      back over the k rows.
+
+    Output, one row per hot key: ``rank, key…, cnt, share`` (of all
+    rows), ``skew_x_avg`` (this key's count over the mean count per
+    key — 1.0 means perfectly uniform), and ``salt_hint`` =
+    ``ceil(skew_x_avg)``, the ``salt_buckets`` that flattens this key
+    to roughly average reducer load. Deterministic: ties rank by key
+    value. Doubles round to 6 so reports compare exactly across runs
+    and engines.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(
+        F.desc("cnt"), *[F.asc(c) for c in key_cols]
+    ).limit(top_k)
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    w = Window.orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols])
+    avg = F.col("_total") / F.col("_nkeys")
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("cnt") / avg, 6).alias("skew_x_avg"),
+            F.ceil(F.col("cnt") / avg).cast("int").alias("salt_hint"),
+        )
+    )

@@ -1,0 +1,422 @@
+"""Queries STAGED for r7 registration (r6 froze the registry at 119 so
+the 16-query adjudication backlog could drain — ``test_no_new_queries_
+while_backlog``). Each entry here is a full (spark_fn, oracle_sql) pair
+in the registry's own ``Query`` shape, parity-checked locally by
+``tests/test_staged_queries.py`` with the SAME strict canonicalizer as
+the registered set — so r7 registration is a mechanical move of these
+entries into the registry plus head slots, with zero new code.
+
+Staged set (ROTATION.md r7 plan + this round's operator additions):
+- ``drift_psi``          — drift_report over two event slices
+- ``skew_profile``       — key_skew_profile heavy-hitter report
+- ``sketch_kmv_overlap`` — KMV Jaccard vs exact set algebra (k exceeds
+  the slice cardinality at test SF, so the estimator is EXACT there)
+- ``sketch_bloom_probe`` — Bloom membership vs an exact anti-join
+- ``sample_split_group`` — group-disjoint split vs the same md5 bands
+- ``tpch_q4_shape``      — EXISTS semi-join count (fixture-adapted)
+- ``tpch_q14_shape``     — promo revenue share (conditional agg ratio)
+- ``tpch_q19_shape``     — disjunctive multi-column join predicates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.io import load_table
+from mysql2parquet_spark.queries import Query
+from mysql2parquet_spark.queries.tierb import dec
+
+STAGED: dict[str, Query] = {}
+
+
+def _stage(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query: {name}")
+        STAGED[name] = Query(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev():
+    return dec("l_extendedprice") * (1 - dec("l_discount"))
+
+
+# --- drift -----------------------------------------------------------------
+
+_DRIFT_TERMS = """
+        SELECT GREATEST(cnt_a / ta, 1e-6) AS sa,
+               GREATEST(cnt_b / tb, 1e-6) AS sb,
+               ta, tb
+        FROM cells, tots
+"""
+
+_DRIFT_AGG = """
+        SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+               CAST(MAX(tb) AS BIGINT) AS n_b,
+               ROUND(SUM((sa - sb) * (LN(sa) - LN(sb))), 6) AS psi,
+               ROUND(SUM((sa * (LN(sa) - LN((sa+sb)/2.0))
+                          + sb * (LN(sb) - LN((sa+sb)/2.0))) / 2.0), 6) AS js_div,
+               ROUND(SUM(ABS(sa - sb) / 2.0), 6) AS tv_dist
+        FROM terms
+"""
+
+
+@_stage(
+    "drift_psi",
+    f"""
+    WITH a AS (
+      SELECT LEAST(31, GREATEST(0, CAST(FLOOR(value / 12.5) AS INT))) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+    ), b AS (
+      SELECT LEAST(31, GREATEST(0, CAST(FLOOR(value / 12.5) AS INT))) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+    ), cells AS (
+      SELECT COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+      FROM a FULL JOIN b USING (bin)
+    ), tots AS (
+      SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM cells
+    ), terms AS ({_DRIFT_TERMS}
+    ), num AS ({_DRIFT_AGG}
+    ), ca AS (
+      SELECT COALESCE(event_type, '__null__') AS cat,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ), cb AS (
+      SELECT COALESCE(event_type, '__null__') AS cat,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    ), cells2 AS (
+      SELECT COALESCE(ca.cnt, 0) AS cnt_a, COALESCE(cb.cnt, 0) AS cnt_b
+      FROM ca FULL JOIN cb USING (cat)
+    ), tots2 AS (
+      SELECT SUM(cnt_a) AS ta, SUM(cnt_b) AS tb FROM cells2
+    ), terms2 AS (
+        SELECT GREATEST(cnt_a / ta, 1e-6) AS sa,
+               GREATEST(cnt_b / tb, 1e-6) AS sb,
+               ta, tb
+        FROM cells2, tots2
+    ), cat AS (
+        SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+               CAST(MAX(tb) AS BIGINT) AS n_b,
+               ROUND(SUM((sa - sb) * (LN(sa) - LN(sb))), 6) AS psi,
+               ROUND(SUM((sa * (LN(sa) - LN((sa+sb)/2.0))
+                          + sb * (LN(sb) - LN((sa+sb)/2.0))) / 2.0), 6) AS js_div,
+               ROUND(SUM(ABS(sa - sb) / 2.0), 6) AS tv_dist
+        FROM terms2
+    )
+    SELECT 'value' AS "column", 'numeric' AS kind, n_a, n_b, psi, js_div, tv_dist,
+           CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'drifted' END AS verdict
+    FROM num
+    UNION ALL
+    SELECT 'event_type', 'categorical', n_a, n_b, psi, js_div, tv_dist,
+           CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'drifted' END AS verdict
+    FROM cat
+    """,
+)
+def drift_psi(spark, sf_dir):
+    """Nightly drift report between two event slices (even vs odd
+    users): PSI / Jensen-Shannon / total-variation for the numeric
+    ``value`` column (32-bin histogram sketches over [0, 400)) and the
+    categorical ``event_type`` column. At 100 TB the numeric path reads
+    two KB-scale sidecars, not the corpora (operators/drift.py)."""
+    from mysql2parquet_spark.operators.drift import drift_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_report(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        numeric_cols={"value": (0.0, 400.0)},
+        cat_cols=["event_type"],
+        bins=32,
+    )
+
+
+# --- skew profile ----------------------------------------------------------
+
+
+@_stage(
+    "skew_profile",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS nkeys
+      FROM c
+    ), top AS (
+      SELECT * FROM c ORDER BY cnt DESC, l_partkey LIMIT 10
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS INT) AS rank,
+           l_partkey,
+           CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt / total, 6) AS share,
+           ROUND(cnt / (total / nkeys), 6) AS skew_x_avg,
+           CAST(CEIL(cnt / (total / nkeys)) AS INT) AS salt_hint
+    FROM top, t
+    """,
+)
+def skew_profile(spark, sf_dir):
+    """Heavy-hitter profile of lineitem's join key (l_partkey): the
+    measurement that chooses between plain shuffle, salted_join, and
+    broadcast before a 100 TB join is launched (operators/scale.py
+    key_skew_profile — TakeOrderedAndProject top-k, one agg scan)."""
+    from mysql2parquet_spark.operators.scale import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "lineitem"), ["l_partkey"], top_k=10
+    )
+
+
+# --- sketches: KMV overlap / bloom probe -----------------------------------
+
+
+@_stage(
+    "sketch_kmv_overlap",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type IN ('click','view')),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type IN ('purchase','view')),
+         m AS (
+           SELECT CAST(SUM(CASE WHEN a.user_id IS NOT NULL
+                                 AND b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS inter,
+                  CAST(COUNT(*) AS DOUBLE) AS uni
+           FROM a FULL JOIN b ON a.user_id = b.user_id
+         )
+    SELECT ROUND(inter / uni, 4) AS jaccard,
+           ROUND((inter / uni) * uni, 4) AS approx_intersection,
+           ROUND(uni, 4) AS approx_union
+    FROM m
+    """,
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """Corpus-overlap estimate from two KMV sketches alone (no raw
+    join): Jaccard / intersection / union of the clicker-or-viewer vs
+    purchaser-or-viewer user sets. k = 2^17 exceeds the slice
+    cardinality at test SF, so the KMV estimator sits on its EXACT path
+    (every distinct hash retained, estimate = true count) and an exact
+    DuckDB set-algebra oracle hash-matches; at corpus scale the same
+    code degrades to the (k-1)/u_k estimate over 8 KB artifacts."""
+    from mysql2parquet_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 1 << 17
+    a = kmv_sketch(
+        ev.filter(F.col("event_type").isin("click", "view")), "user_id", [], k=k
+    )
+    b = kmv_sketch(
+        ev.filter(F.col("event_type").isin("purchase", "view")), "user_id", [], k=k
+    )
+    return kmv_overlap(a, b, k=k)
+
+
+@_stage(
+    "sketch_bloom_probe",
+    """
+    WITH probes AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderkey % 7 = 0
+    ), members AS (
+      SELECT DISTINCT c_custkey FROM customer
+    )
+    SELECT p.custkey,
+           (m.c_custkey IS NOT NULL) AS maybe_present
+    FROM probes p LEFT JOIN members m ON p.custkey = m.c_custkey
+    ORDER BY p.custkey
+    """,
+)
+def sketch_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership probe: build the sketch over customer
+    keys, probe it with a deterministic slice of order custkeys. Bloom
+    never yields false negatives; at the fixed 2^20-bit / 7-probe
+    geometry and test-SF cardinalities the false-positive set is empty,
+    so the probe hash-matches an exact anti-join oracle — while at
+    100 TB the same row-form sketch is a KB-scale mergeable artifact
+    (operators/sketches.py bloom_sketch/bloom_contains)."""
+    from mysql2parquet_spark.operators.sketches import bloom_contains, bloom_sketch
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = bloom_sketch(cust, "c_custkey", [])
+    probes = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return bloom_contains(sketch, probes, "custkey").orderBy("custkey")
+
+
+# --- leakage-safe split ----------------------------------------------------
+
+
+@_stage(
+    "sample_split_group",
+    """
+    WITH u AS (
+      SELECT source,
+             CAST(('0x' || SUBSTRING(MD5(source || CHR(31) || 'split'), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS uv
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN uv < 0.5 THEN 'train'
+                WHEN uv < 0.75 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS cnt
+    FROM u
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sample_split_group(spark, sf_dir):
+    """Leakage-safe train/val/test split keyed by document SOURCE: all
+    rows of a source share one md5-banded label (group-disjoint by
+    construction, zero shuffle to assign — operators/scale.assign_split),
+    aggregated here to per-(source, split) counts so the oracle checks
+    both the banding math and the disjointness."""
+    from mysql2parquet_spark.operators.scale import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        # .5/.25/.25: every cumulative edge (0.5, 0.75) is exact in
+        # binary, so the SQL oracle's band constants are bit-identical
+        # to the float edges assign_split accumulates.
+        assign_split(
+            docs, ["source"], {"train": 0.5, "val": 0.25, "test": 0.25}
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("source", "split")
+    )
+
+
+# --- TPC-H shapes ----------------------------------------------------------
+
+
+@_stage(
+    "tpch_q4_shape",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (fixture-adapted: commit/receipt dates are not in
+    the fixture, so the EXISTS tests late-shipping lines): priority
+    count of orders with at least one line shipped after the order
+    date. The EXISTS compiles to a LEFT SEMI join — lineitem is
+    scanned once, never materialized per order (reference delegates
+    this to MySQL wholesale, main.go:106)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    filt = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    late = filt.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_stage(
+    "tpch_q14_shape",
+    f"""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM({_REV}) AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-03-01'
+    """,
+)
+def tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share over a shipping window.
+    Conditional decimal aggregation (exact, order-independent sums on
+    both engines; only the final ratio is a double). No broadcast hint
+    on part — it grows linearly with SF, so the join strategy is AQE's
+    call (VERDICT r5 'What's wrong' #1 contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-03-01")
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@_stage(
+    "tpch_q19_shape",
+    f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 1 AND 25)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicates over an
+    equi-join. Catalyst extracts the common p_partkey = l_partkey
+    conjunct as the join key and leaves the OR-of-ANDs as a post-join
+    filter — an equi-join plan, not a nested loop; the brand-filtered
+    part side is a small fraction and broadcast is AQE's call."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (F.col("p_partkey") == F.col("l_partkey")) & (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return li.join(p, cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue")
+    )

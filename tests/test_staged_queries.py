@@ -1,0 +1,67 @@
+"""Local parity gate for the r7-STAGED queries (queries/staged.py).
+
+The r6 registry freeze (test_no_new_queries_while_backlog) keeps these
+out of REGISTRY until the adjudication backlog drains, but they must
+meet the full driver bar BEFORE registration: same strict comparison as
+tests/test_oracle_parity.py — row count, column names, per-column value
+TYPE classes, order-insensitive canonical values — via the shared
+``mysql2parquet_spark.canon`` code path. r7 registration is then a
+mechanical move (STAGED entries into REGISTRY + head slots)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql2parquet_spark.canon import canon as _canon
+from mysql2parquet_spark.canon import column_type_classes as _column_type_classes
+from mysql2parquet_spark.queries import REGISTRY, _load
+from mysql2parquet_spark.queries.staged import STAGED
+
+_load()
+
+ORACLE_CASES = sorted(n for n, q in STAGED.items() if q.oracle is not None)
+
+
+def test_staged_names_do_not_collide():
+    dup = set(STAGED) & set(REGISTRY)
+    assert not dup, f"staged queries already registered: {sorted(dup)}"
+
+
+def test_all_staged_queries_have_oracles():
+    # Staging exists to PROVE the oracle before registration; a staged
+    # rows-only query would be registered rows-only directly instead.
+    missing = [n for n, q in STAGED.items() if q.oracle is None]
+    assert not missing, f"staged queries without oracles: {missing}"
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_staged_oracle_parity(spark, duck, sf_dir, name):
+    q = STAGED[name]
+    sdf = q.fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    rel = duck.execute(q.oracle)
+    dcols = [c[0] for c in rel.description]
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} != {len(drows)}"
+    )
+    assert len(drows) > 0, f"{name}: oracle returned 0 rows — vacuous parity"
+    stypes = _column_type_classes([tuple(r) for r in srows], scols)
+    dtypes = _column_type_classes(drows, dcols)
+    type_mismatch = {
+        c: (sorted(stypes[c]), sorted(dtypes[c]))
+        for c in scols
+        if stypes[c] != dtypes[c]
+    }
+    assert not type_mismatch, (
+        f"{name}: per-column value-type classes differ "
+        f"(spark, duckdb): {type_mismatch}"
+    )
+    sc = _canon([tuple(r) for r in srows], scols)
+    dc = _canon(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
