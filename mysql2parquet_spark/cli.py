@@ -63,6 +63,13 @@ Engine extensions (not in the reference):
   write; violations abort with exit code 3 and a per-rule report — the
   audit half of write-audit-publish, so a nightly job cannot publish a
   corrupt snapshot.
+- drift report (--drift-versions OLD NEW): PSI / Jensen-Shannon /
+  total-variation divergence per column between two committed versions'
+  histogram sidecars (operators/drift.py) — "did tonight's data stop
+  looking like last night's" answered from two KB-scale artifacts,
+  never re-reading either export; --drift-gate turns a drifted verdict
+  into exit code 3 (the audit-gate contract) so a training pipeline can
+  refuse a distribution-shifted export.
 - streaming folds (--stream-events + --checkpoint): fold every delta
   parquet file landed in a directory into --snapshot-root, one
   committed version per file, exactly-once across restarts via the
@@ -198,6 +205,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diff-include-old", action="store_true",
                    help="with --diff-versions: emit old_<col> beside "
                         "each value column (NULL on inserts)")
+    p.add_argument("--drift-versions", nargs=2, type=int, default=None,
+                   metavar=("OLD", "NEW"),
+                   help="with --snapshot-root: compare the HISTOGRAM "
+                        "sidecars of two committed versions (published "
+                        "with --sidecars hist:col:lo:hi) and print one "
+                        "line per column — PSI / Jensen-Shannon / "
+                        "total-variation divergence + verdict (psi<0.1 "
+                        "stable, <0.25 moderate, else drifted). Reads "
+                        "two KB-scale sidecar artifacts, never the "
+                        "exports themselves. Replaces --query and "
+                        "--parquet (the report prints to stdout)")
+    p.add_argument("--drift-gate", action="store_true",
+                   help="with --drift-versions: any drifted column "
+                        "aborts with exit code 3 (same contract as the "
+                        "--audit-rules gate) so a pipeline can refuse "
+                        "to train on a distribution-shifted export")
     p.add_argument("--with-sketches", default=None, metavar="COLS",
                    help="comma-separated columns: after the export, "
                         "also write mergeable HLL distinct-count "
@@ -390,6 +413,90 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
         print(f"sketch error: {msg}", file=sys.stderr)
         return 2
     return None
+
+
+def _run_drift(spark, args) -> int:
+    """--drift-versions OLD NEW: drift report between two committed
+    versions' HISTOGRAM sidecars. The whole computation touches two
+    KB-scale artifacts (columns × bins rows each) — comparing two
+    100 TB nightly exports never re-reads either export. Per-column
+    geometry must match exactly (lo/hi/bins are part of the sketch
+    identity); columns present on only one side are reported as notes,
+    not silently dropped and not an error — adding a histogram spec to
+    tonight's publish shouldn't break comparisons against last night.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mysql2parquet_spark.operators.drift import histogram_drift
+
+    v_old, v_new = args.drift_versions
+    sides = {}
+    for tag, v in (("old", v_old), ("new", v_new)):
+        pth = _os.path.join(args.snapshot_root, "sidecars", f"v={v}_hist")
+        if not _os.path.exists(pth):
+            print(
+                f"drift error: no histogram sidecar for version {v} "
+                f"({pth}) — publish it with --sidecars hist:col:lo:hi",
+                file=sys.stderr,
+            )
+            return 2
+        sides[tag] = spark.read.parquet(pth)
+
+    def geometry(df):
+        rows = df.select("column", "lo", "hi", "bins").distinct().collect()  # bounded-metadata: one row per (column, geometry)
+        return {r["column"]: (r["lo"], r["hi"], r["bins"]) for r in rows}
+
+    ga, gb = geometry(sides["old"]), geometry(sides["new"])
+    for c in sorted(set(ga) ^ set(gb)):
+        side = "old" if c in ga else "new"
+        print(
+            f"drift note: column {c!r} has a histogram only in the "
+            f"{side} version — skipped",
+            file=sys.stderr,
+        )
+    common = sorted(set(ga) & set(gb))
+    if not common:
+        print(
+            "drift error: the two versions share no histogram columns",
+            file=sys.stderr,
+        )
+        return 2
+    bad = {c: (ga[c], gb[c]) for c in common if ga[c] != gb[c]}
+    if bad:
+        print(
+            f"drift error: incomparable histogram geometry (lo, hi, bins) "
+            f"between versions: {bad} — sketches only compare at "
+            "identical geometry",
+            file=sys.stderr,
+        )
+        return 2
+    cells = {
+        tag: df.filter(F.col("column").isin(common)).select(
+            "column", "bin", "cnt"
+        )
+        for tag, df in sides.items()
+    }
+    rep = histogram_drift(cells["old"], cells["new"], ["column"]).orderBy(
+        "column"
+    )
+    rows = rep.collect()  # bounded-metadata: one row per drifted column
+    for r in rows:
+        print(
+            f"{r['column']}\tpsi={r['psi']}\tjs={r['js_div']}\t"
+            f"tv={r['tv_dist']}\tn_old={r['n_a']}\tn_new={r['n_b']}\t"
+            f"{r['verdict']}"
+        )
+    if args.drift_gate:
+        drifted = [r["column"] for r in rows if r["verdict"] == "drifted"]
+        if drifted:
+            print(
+                f"drift gate: drifted columns: {', '.join(drifted)}",
+                file=sys.stderr,
+            )
+            return 3
+    return 0
 
 
 def _snapshot_sidecar_base(root: str, version_path: str) -> str:
@@ -827,10 +934,26 @@ def main(argv: list[str] | None = None) -> int:
     elif args.diff_include_old:
         print("--diff-include-old requires --diff-versions", file=sys.stderr)
         return 1
+    if args.drift_versions is not None:
+        if not args.snapshot_root:
+            print("--drift-versions requires --snapshot-root", file=sys.stderr)
+            return 1
+        if args.query:
+            print(
+                "--drift-versions replaces --query (the two versions' "
+                "sidecars are the source)",
+                file=sys.stderr,
+            )
+            return 1
+        missing = [m for m in missing if m not in ("--query", "--parquet")]
+    elif args.drift_gate:
+        print("--drift-gate requires --drift-versions", file=sys.stderr)
+        return 1
     if (
         args.tables_dir is None
         and args.stream_events is None
         and args.diff_versions is None
+        and args.drift_versions is None
     ):
         missing += [
             name
@@ -940,6 +1063,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.stream_events:
             return _run_stream_fold(spark, args, part_cols)
+        if args.drift_versions is not None:
+            return _run_drift(spark, args)
         if args.diff_versions is not None:
             from mysql2parquet_spark.io import snapshot_diff
 

@@ -1677,3 +1677,115 @@ def test_stream_fold_ships_sidecars_per_version(tmp_path, spark):
         .count()
     )
     assert abs(merged["approx_distinct"] - exact) / exact < 0.05
+
+
+def test_drift_versions_reports_and_gates(tmp_path, sf_dir):
+    """--drift-versions end-to-end: publish three versions with
+    histogram sidecars (two from the same distribution, one planted
+    shift), then compare — similar halves read stable (exit 0), the
+    shifted slice trips --drift-gate (exit 3, audit-gate contract).
+    The comparison touches only the sidecar artifacts."""
+    import os
+
+    root = str(tmp_path / "snaps")
+    # successive publishes MERGE on the key, so version contents are
+    # controlled exactly: v1 re-publishes identical rows (snapshot
+    # unchanged — drift exactly 0), v2 upserts every key with a +200
+    # value shift (hard planted drift)
+    queries = [
+        "SELECT event_id AS k, value FROM events",          # v0
+        "SELECT event_id AS k, value FROM events",          # v1: identical
+        "SELECT event_id AS k, value + 200 AS value FROM events",  # v2
+    ]
+    for q in queries:
+        r = _cli(
+            [
+                "--tables-dir", sf_dir,
+                "--query", q,
+                "--snapshot-root", root,
+                "--merge-keys", "k",
+                "--sidecars", "hist:value:0:400",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("value\t")]
+    assert len(line) == 1 and "stable" in line[0], r.stdout
+    assert "psi=0.0\t" in line[0] and "n_old=" in line[0]
+
+    # drifted pair without the gate: still exit 0, verdict printed
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "2"])
+    assert r.returncode == 0
+    assert "drifted" in r.stdout
+
+    # with the gate: exit 3 + stderr names the column
+    r = _cli(
+        ["--snapshot-root", root, "--drift-versions", "0", "2", "--drift-gate"]
+    )
+    assert r.returncode == 3
+    assert "drift gate" in r.stderr and "value" in r.stderr
+
+    # gate passes on the stable pair
+    r = _cli(
+        ["--snapshot-root", root, "--drift-versions", "0", "1", "--drift-gate"]
+    )
+    assert r.returncode == 0
+
+    # missing sidecar: version 9 was never published
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "9"])
+    assert r.returncode == 2
+    assert "no histogram sidecar" in r.stderr
+
+    # the artifacts really are the only input: delete a version's DATA,
+    # drift still works from its sidecar
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "v=0"))
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_drift_versions_geometry_and_column_mismatches(tmp_path, sf_dir):
+    import os
+
+    root = str(tmp_path / "snaps")
+    specs = [
+        "hist:value:0:400",                      # v0
+        "hist:value:0:500",                      # v1: different geometry
+        "hist:value:0:400,hist:user_id:0:10000", # v2: extra column
+    ]
+    for spec in specs:
+        r = _cli(
+            [
+                "--tables-dir", sf_dir,
+                "--query", "SELECT event_id AS k, value, user_id FROM events",
+                "--snapshot-root", root,
+                "--merge-keys", "k",
+                "--sidecars", spec,
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "1"])
+    assert r.returncode == 2
+    assert "incomparable histogram geometry" in r.stderr
+
+    # asymmetric column: skipped with a note, common column still compares
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "only in the new version" in r.stderr and "user_id" in r.stderr
+    assert r.stdout.startswith("value\t")
+    assert os.path.isdir(os.path.join(root, "sidecars", "v=2_hist"))
+
+
+def test_drift_versions_flag_validation():
+    rc = main(["--drift-versions", "0", "1"])
+    assert rc == 1
+    rc = main(["--query", "SELECT 1", "--parquet", "/tmp/x",
+               "--drift-gate", "--tables-dir", "/tmp"])
+    assert rc == 1
+    rc = main(["--snapshot-root", "/tmp/nowhere", "--drift-versions", "0", "1",
+               "--query", "SELECT 1"])
+    assert rc == 1

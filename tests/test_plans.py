@@ -322,6 +322,8 @@ BROADCAST_ALLOWLIST = {
         "per-batch delta keys — bounded by the CDC batch, not the target",
     ("operators/merge.py", "scd2_apply_batch"):
         "per-batch delta keys — bounded by the CDC batch, not history",
+    ("operators/drift.py", "categorical_drift"):
+        "top-k surviving categories — ≤ top_k rows by construction",
     ("operators/pipeline.py", "contamination_report"):
         "eval-set n-grams — benchmark suites are bounded metadata",
     ("operators/pipeline.py", "mix_corpus"):
@@ -336,6 +338,8 @@ BROADCAST_ALLOWLIST = {
         "bloom bit positions — ≤ m rows by geometry at any data volume",
     ("operators/text.py", "bm25_scores"):
         "df over the QUERY terms (isin-filtered) + one-row corpus stats",
+    ("operators/scale.py", "key_skew_profile"):
+        "one-row totals aggregate over the count table",
     ("queries/advanced.py", "events_funnel"):
         "one-row entry-population aggregate",
     ("queries/relext.py", "subquery_scalar"):
