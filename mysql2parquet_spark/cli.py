@@ -47,12 +47,14 @@ Engine extensions (not in the reference):
   --parquet (--diff-include-old adds old_<col> for incremental-rollup
   consumers, operators/rollup.py).
 - sketch sidecars (--with-sketches col,col / --sidecars
-  hll:col,cms:col,hist:col:lo:hi,kmv:col,bloom:col): every export — plain or
-  versioned snapshot — also ships mergeable sketches of the named
-  columns: HLL distinct counts (<base>_sketches), count-min key
-  frequencies (<base>_cms), fixed-geometry histograms (<base>_hist),
-  KMV k-minima for cross-corpus overlap/Jaccard (<base>_kmv),
-  Bloom membership filters (<base>_bloom).
+  hll:col,cms:col,hist:col:lo:hi,kmv:col,bloom:col,cat:col[:k]): every
+  export — plain or versioned snapshot — also ships mergeable sketches
+  of the named columns: HLL distinct counts (<base>_sketches),
+  count-min key frequencies (<base>_cms), fixed-geometry histograms
+  (<base>_hist), KMV k-minima for cross-corpus overlap/Jaccard
+  (<base>_kmv), Bloom membership filters (<base>_bloom), top-k category
+  counts (<base>_cat — the categorical drift input; per-version
+  artifact, not a rollup family).
   Successive nightly sidecars roll up (merge_sketch_estimates /
   cms_merge / histogram_merge / kmv_merge / bloom_merge) to any period's statistics
   without re-scanning a single export; with --snapshot-root each
@@ -65,11 +67,12 @@ Engine extensions (not in the reference):
   corrupt snapshot.
 - drift report (--drift-versions OLD NEW): PSI / Jensen-Shannon /
   total-variation divergence per column between two committed versions'
-  histogram sidecars (operators/drift.py) — "did tonight's data stop
-  looking like last night's" answered from two KB-scale artifacts,
-  never re-reading either export; --drift-gate turns a drifted verdict
-  into exit code 3 (the audit-gate contract) so a training pipeline can
-  refuse a distribution-shifted export.
+  sidecars — histogram sidecars for numeric columns, top-k category
+  sidecars for categorical ones (operators/drift.py) — "did tonight's
+  data stop looking like last night's" answered from KB-scale
+  artifacts, never re-reading either export; --drift-gate turns a
+  drifted verdict into exit code 3 (the audit-gate contract) so a
+  training pipeline can refuse a distribution-shifted export.
 - streaming folds (--stream-events + --checkpoint): fold every delta
   parquet file landed in a directory into --snapshot-root, one
   committed version per file, exactly-once across restarts via the
@@ -207,15 +210,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "each value column (NULL on inserts)")
     p.add_argument("--drift-versions", nargs=2, type=int, default=None,
                    metavar=("OLD", "NEW"),
-                   help="with --snapshot-root: compare the HISTOGRAM "
-                        "sidecars of two committed versions (published "
-                        "with --sidecars hist:col:lo:hi) and print one "
-                        "line per column — PSI / Jensen-Shannon / "
-                        "total-variation divergence + verdict (psi<0.1 "
-                        "stable, <0.25 moderate, else drifted). Reads "
-                        "two KB-scale sidecar artifacts, never the "
-                        "exports themselves. Replaces --query and "
-                        "--parquet (the report prints to stdout)")
+                   help="with --snapshot-root: compare two committed "
+                        "versions' sidecars — histogram (numeric, "
+                        "published with --sidecars hist:col:lo:hi) and "
+                        "top-k category (categorical, cat:col) — and "
+                        "print one line per column and family: PSI / "
+                        "Jensen-Shannon / total-variation divergence + "
+                        "verdict (psi<0.1 stable, <0.25 moderate, else "
+                        "drifted). Reads KB-scale sidecar artifacts, "
+                        "never the exports themselves. Replaces --query "
+                        "and --parquet (the report prints to stdout)")
     p.add_argument("--drift-gate", action="store_true",
                    help="with --drift-versions: any drifted column "
                         "aborts with exit code 3 (same contract as the "
@@ -249,8 +253,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "overlap/Jaccard estimates, <base>_kmv), "
                         "bloom:col (membership filters — probe a key "
                         "against an export without reading it, "
-                        "<base>_bloom). "
-                        "Families merge across nightly exports by "
+                        "<base>_bloom), cat:col or cat:col:k (top-k "
+                        "exact category counts + __other__/__null__ "
+                        "buckets, <base>_cat — the categorical input "
+                        "for --drift-versions; per-version artifact, "
+                        "not an exact-merge rollup family). "
+                        "The other families merge across nightly exports by "
                         "hll_union_agg / plain SUM respectively "
                         "(operators/sketches.py) — no export is ever "
                         "re-scanned. Combines with --with-sketches, "
@@ -334,6 +342,7 @@ def _sidecar_precheck(df, plan) -> str | None:
             + plan["kmv"]
             + plan["bloom"]
             + [h[0] for h in plan["hist"]]
+            + [c0 for c0, _k in plan["cat"]]
         )
         if c not in dt
     ]
@@ -345,10 +354,13 @@ def _sidecar_precheck(df, plan) -> str | None:
             "hll_sketch_agg supports integral/string/binary columns "
             f"only, got {bad}"
         )
-    for fam in ("cms", "kmv", "bloom"):
+    for fam in ("cms", "kmv", "bloom", "cat"):
+        cols = (
+            [c for c, _k in plan[fam]] if fam == "cat" else plan[fam]
+        )
         bad = [
             f"{c}:{dt[c]}"
-            for c in plan[fam]
+            for c in cols
             if dt[c].startswith(("array", "map", "struct"))
         ]
         if bad:
@@ -380,6 +392,7 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
     None on success."""
     from mysql2parquet_spark.operators.sketches import (
         bloom_sketch_multi,
+        category_sketch_multi,
         cms_sketch_multi,
         distinct_sketches_multi,
         histogram_sketch_multi,
@@ -408,6 +421,10 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
             bloom_sketch_multi(back, plan["bloom"]).write.mode(
                 "overwrite"
             ).parquet(out_base + "_bloom")
+        if plan["cat"]:
+            category_sketch_multi(back, plan["cat"]).write.mode(
+                "overwrite"
+            ).parquet(out_base + "_cat")
     except Exception as e:
         msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
         print(f"sketch error: {msg}", file=sys.stderr)
@@ -417,79 +434,152 @@ def _write_sidecars(spark, plan, read_path: str, out_base: str) -> int | None:
 
 def _run_drift(spark, args) -> int:
     """--drift-versions OLD NEW: drift report between two committed
-    versions' HISTOGRAM sidecars. The whole computation touches two
-    KB-scale artifacts (columns × bins rows each) — comparing two
-    100 TB nightly exports never re-reads either export. Per-column
-    geometry must match exactly (lo/hi/bins are part of the sketch
-    identity); columns present on only one side are reported as notes,
-    not silently dropped and not an error — adding a histogram spec to
-    tonight's publish shouldn't break comparisons against last night.
-    """
+    versions' sidecars — HISTOGRAM sidecars for numeric columns and
+    CATEGORY (top-k count) sidecars for categorical ones. The whole
+    computation touches KB-scale artifacts; comparing two 100 TB
+    nightly exports never re-reads either export. Histogram geometry
+    must match exactly (lo/hi/bins are part of the sketch identity);
+    columns or whole families present on only one side are reported as
+    notes, not silently dropped and not an error — adding a sidecar
+    spec to tonight's publish shouldn't break comparisons against last
+    night."""
     import os as _os
 
     from pyspark.sql import functions as F
 
-    from mysql2parquet_spark.operators.drift import histogram_drift
+    from mysql2parquet_spark.operators.drift import (
+        count_drift,
+        histogram_drift,
+    )
 
     v_old, v_new = args.drift_versions
-    sides = {}
-    for tag, v in (("old", v_old), ("new", v_new)):
-        pth = _os.path.join(args.snapshot_root, "sidecars", f"v={v}_hist")
-        if not _os.path.exists(pth):
+    fam_names = {"hist": "histogram", "cat": "category"}
+    comparable: dict[str, tuple] = {}
+    missing: list[str] = []
+    for fam, label in fam_names.items():
+        paths = {
+            v: _os.path.join(args.snapshot_root, "sidecars", f"v={v}_{fam}")
+            for v in (v_old, v_new)
+        }
+        exists = {v: _os.path.exists(p) for v, p in paths.items()}
+        if all(exists.values()):
+            comparable[fam] = (
+                spark.read.parquet(paths[v_old]),
+                spark.read.parquet(paths[v_new]),
+            )
+        else:
+            for v in (v_old, v_new):
+                if not exists[v]:
+                    missing.append(
+                        f"no {label} sidecar for version {v} ({paths[v]})"
+                    )
+            if any(exists.values()):
+                have = v_old if exists[v_old] else v_new
+                lack = v_new if exists[v_old] else v_old
+                print(
+                    f"drift note: {label} sidecar exists for version "
+                    f"{have} but not {lack} — family skipped",
+                    file=sys.stderr,
+                )
+    if not comparable:
+        print(
+            "drift error: "
+            + "; ".join(missing)
+            + " — publish with --sidecars hist:col:lo:hi (numeric) "
+            "and/or cat:col (categorical)",
+            file=sys.stderr,
+        )
+        return 2
+
+    def common_columns(fam, a, b, tagged):
+        """Intersect the per-column tags; note asymmetric columns."""
+        ca = {r["column"] for r in tagged(a)}
+        cb = {r["column"] for r in tagged(b)}
+        for c in sorted(ca ^ cb):
+            side = "old" if c in ca else "new"
             print(
-                f"drift error: no histogram sidecar for version {v} "
-                f"({pth}) — publish it with --sidecars hist:col:lo:hi",
+                f"drift note: column {c!r} has a {fam_names[fam]} only "
+                f"in the {side} version — skipped",
+                file=sys.stderr,
+            )
+        return sorted(ca & cb)
+
+    reports = []
+    if "hist" in comparable:
+        a, b = comparable["hist"]
+
+        def geom(df):
+            rows = df.select("column", "lo", "hi", "bins").distinct().collect()  # bounded-metadata: one row per (column, geometry)
+            return {r["column"]: (r["lo"], r["hi"], r["bins"]) for r in rows}
+
+        ga, gb = geom(a), geom(b)
+        for c in sorted(set(ga) ^ set(gb)):
+            side = "old" if c in ga else "new"
+            print(
+                f"drift note: column {c!r} has a histogram only in the "
+                f"{side} version — skipped",
+                file=sys.stderr,
+            )
+        common = sorted(set(ga) & set(gb))
+        bad = {c: (ga[c], gb[c]) for c in common if ga[c] != gb[c]}
+        if bad:
+            print(
+                f"drift error: incomparable histogram geometry "
+                f"(lo, hi, bins) between versions: {bad} — sketches "
+                "only compare at identical geometry",
                 file=sys.stderr,
             )
             return 2
-        sides[tag] = spark.read.parquet(pth)
-
-    def geometry(df):
-        rows = df.select("column", "lo", "hi", "bins").distinct().collect()  # bounded-metadata: one row per (column, geometry)
-        return {r["column"]: (r["lo"], r["hi"], r["bins"]) for r in rows}
-
-    ga, gb = geometry(sides["old"]), geometry(sides["new"])
-    for c in sorted(set(ga) ^ set(gb)):
-        side = "old" if c in ga else "new"
-        print(
-            f"drift note: column {c!r} has a histogram only in the "
-            f"{side} version — skipped",
-            file=sys.stderr,
+        if common:
+            reports.append((
+                "hist",
+                histogram_drift(
+                    a.filter(F.col("column").isin(common)).select(
+                        "column", "bin", "cnt"
+                    ),
+                    b.filter(F.col("column").isin(common)).select(
+                        "column", "bin", "cnt"
+                    ),
+                    ["column"],
+                ),
+            ))
+    if "cat" in comparable:
+        a, b = comparable["cat"]
+        common = common_columns(
+            "cat", a, b,
+            lambda df: df.select("column").distinct().collect(),  # bounded-metadata: one row per sketched column
         )
-    common = sorted(set(ga) & set(gb))
-    if not common:
+        if common:
+            reports.append((
+                "cat",
+                count_drift(
+                    a.filter(F.col("column").isin(common)),
+                    b.filter(F.col("column").isin(common)),
+                    ["column"],
+                ),
+            ))
+    if not reports:
         print(
-            "drift error: the two versions share no histogram columns",
+            "drift error: the two versions share no sidecar columns",
             file=sys.stderr,
         )
         return 2
-    bad = {c: (ga[c], gb[c]) for c in common if ga[c] != gb[c]}
-    if bad:
+    out_rows = []
+    for kind, rep in reports:
+        rows = rep.orderBy("column").collect()  # bounded-metadata: one row per drifted column
+        out_rows += [(kind, r) for r in rows]
+    for kind, r in out_rows:
         print(
-            f"drift error: incomparable histogram geometry (lo, hi, bins) "
-            f"between versions: {bad} — sketches only compare at "
-            "identical geometry",
-            file=sys.stderr,
-        )
-        return 2
-    cells = {
-        tag: df.filter(F.col("column").isin(common)).select(
-            "column", "bin", "cnt"
-        )
-        for tag, df in sides.items()
-    }
-    rep = histogram_drift(cells["old"], cells["new"], ["column"]).orderBy(
-        "column"
-    )
-    rows = rep.collect()  # bounded-metadata: one row per drifted column
-    for r in rows:
-        print(
-            f"{r['column']}\tpsi={r['psi']}\tjs={r['js_div']}\t"
+            f"{r['column']}\t{kind}\tpsi={r['psi']}\tjs={r['js_div']}\t"
             f"tv={r['tv_dist']}\tn_old={r['n_a']}\tn_new={r['n_b']}\t"
             f"{r['verdict']}"
         )
     if args.drift_gate:
-        drifted = [r["column"] for r in rows if r["verdict"] == "drifted"]
+        drifted = [
+            f"{r['column']} ({kind})"
+            for kind, r in out_rows
+            if r["verdict"] == "drifted"
+        ]
         if drifted:
             print(
                 f"drift gate: drifted columns: {', '.join(drifted)}",
@@ -517,7 +607,7 @@ def _vacuum_sidecars(spark, root: str, dropped: list[int]) -> None:
 
     jvm = spark._jvm
     for n in dropped:
-        for suffix in ("_sketches", "_cms", "_hist", "_kmv", "_bloom"):
+        for suffix in ("_sketches", "_cms", "_hist", "_kmv", "_bloom", "_cat"):
             # per-path try: one transient FS error must not fail a run
             # whose versions are all committed (the leftover is derived
             # metadata, rebuildable and kilobyte-scale)
@@ -831,7 +921,10 @@ def main(argv: list[str] | None = None) -> int:
         # "hist": [(col, lo, hi)...]}, deduped preserving order — a
         # repeated entry would write duplicate sidecar rows whose
         # n_rows/cnt double-count on merge
-        plan: dict[str, list] = {"hll": [], "cms": [], "hist": [], "kmv": [], "bloom": []}
+        plan: dict[str, list] = {
+            "hll": [], "cms": [], "hist": [], "kmv": [], "bloom": [],
+            "cat": [],
+        }
         entries: list[str] = []
         if args.with_sketches is not None:
             entries += [
@@ -898,10 +991,34 @@ def main(argv: list[str] | None = None) -> int:
                 ent = (parts[1], lo, hi)
                 if ent not in plan["hist"]:
                     plan["hist"].append(ent)
+            elif fam == "cat":
+                if len(parts) not in (2, 3) or not parts[1]:
+                    print(
+                        f"bad --sidecars entry {e!r}: expected "
+                        "cat:column or cat:column:k",
+                        file=sys.stderr,
+                    )
+                    return 1
+                k = 100
+                if len(parts) == 3:
+                    try:
+                        k = int(parts[2])
+                    except ValueError:
+                        k = 0
+                    if k < 1:
+                        print(
+                            f"bad --sidecars entry {e!r}: k must be a "
+                            "positive integer",
+                            file=sys.stderr,
+                        )
+                        return 1
+                ent = (parts[1], k)
+                if ent not in plan["cat"]:
+                    plan["cat"].append(ent)
             else:
                 print(
                     f"bad --sidecars entry {e!r}: family must be "
-                    "hll, cms, kmv, bloom, or hist",
+                    "hll, cms, kmv, bloom, hist, or cat",
                     file=sys.stderr,
                 )
                 return 1

@@ -120,8 +120,29 @@ def histogram_drift(
     a KB-scale job. Returns one row per group:
     ``group…, n_a, n_b, psi, js_div, tv_dist, verdict``.
     """
+    return count_drift(hist_a, hist_b, group_cols, key_col="bin")
+
+
+def count_drift(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    group_cols: list[str] | None = None,
+    *,
+    key_col: str = "cat",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Drift metrics between two pre-aggregated COUNT tables keyed by
+    ``key_col`` — the consumer for ``sketches.category_sketch_multi``
+    sidecars ``(column, cat, cnt)`` (pass ``group_cols=["column"]``),
+    and the shared core the histogram path specializes with
+    ``key_col="bin"``. A key present on one side only gets count 0 on
+    the other (its eps-clamped term is the drift signal). For category
+    sidecars that asymmetry includes the top-k sets themselves: a
+    category inside A's top-k but folded into B's ``__other__``
+    compares against 0 — biasing drift UPWARD, which is the honest
+    direction (diverging top-k sets are themselves drift)."""
     group_cols = group_cols or []
-    cells = _align(hist_a, hist_b, [*group_cols, "bin"], "cnt")
+    cells = _align(counts_a, counts_b, [*group_cols, key_col], cnt_col)
     return _divergences(cells, group_cols)
 
 

@@ -797,3 +797,72 @@ def bloom_sketch_multi(
         .filter(F.col("pos").isNotNull())
         .dropDuplicates(["column", "pos"])
     )
+
+
+def category_sketch_multi(
+    df: DataFrame, specs: list[tuple[str, int]]
+) -> DataFrame:
+    """One-scan top-k CATEGORY sidecar: ``(column, cat, cnt)`` for
+    every ``(column, k)`` spec — the named top-k categories (EXACT
+    counts), the tail folded into ``__other__``, NULLs counted as
+    ``__null__``. The artifact that makes categorical drift
+    (``operators/drift.py``) a sidecar-vs-sidecar comparison like the
+    histogram path, instead of two raw-table scans.
+
+    Plan: one explode over the (column, value) pairs → one partial-
+    aggregated count (the exchange carries Σ|categories| rows per map
+    task) → per-column top-k through WindowGroupLimit (rank pushdown
+    keeps a bounded heap per task, same pattern as ``kmv_sketch``) →
+    tail re-aggregated into one ``__other__`` row per column.
+    Deterministic: count ties rank by category value.
+
+    Unlike the other five families this artifact does NOT merge
+    exactly across shards (a category inside one shard's top-k but
+    outside another's has part of its count folded into ``__other__``)
+    — it is a PER-VERSION drift/report input, not a rollup family;
+    cross-period category rollups belong to ``cms_sketch`` (point
+    frequencies, any key) which merges by SUM.
+    """
+    if not specs:
+        raise ValueError("category_sketch_multi requires specs")
+    for c, k in specs:
+        if k < 1:
+            raise ValueError(f"category sketch needs k >= 1, got {k} for {c!r}")
+    from pyspark.sql import Window
+
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(c).cast("string"), F.lit("__null__")).alias(
+                "cat"
+            ),
+        )
+        for c, _k in specs
+    ]
+    counts = (
+        df.select(F.explode(F.array(*entries)).alias("_r"))
+        .select("_r.column", "_r.cat")
+        .groupBy("column", "cat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    k_for = F.element_at(
+        F.create_map(
+            *[F.lit(v) for c, k in specs for v in (c, k)]
+        ),
+        F.col("column"),
+    )
+    w = Window.partitionBy("column").orderBy(F.desc("cnt"), F.asc("cat"))
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    top = ranked.filter(F.col("_rn") <= k_for).drop("_rn")
+    other = (
+        ranked.filter(F.col("_rn") > k_for)
+        .groupBy("column")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("column", F.lit("__other__").alias("cat"), "cnt")
+    )
+    return top.unionByName(other)
+
+
+def category_sketch(df: DataFrame, col: str, *, top_k: int = 100) -> DataFrame:
+    """Single-column face of ``category_sketch_multi``."""
+    return category_sketch_multi(df, [(col, top_k)])

@@ -1789,3 +1789,87 @@ def test_drift_versions_flag_validation():
     rc = main(["--snapshot-root", "/tmp/nowhere", "--drift-versions", "0", "1",
                "--query", "SELECT 1"])
     assert rc == 1
+
+
+def test_drift_versions_categorical_sidecars(tmp_path, sf_dir):
+    """cat:col sidecars feed the categorical half of --drift-versions:
+    identical republish reads stable (psi exactly 0), an upsert that
+    rewrites every event_type trips the gate; hist+cat publish yields
+    one report line per family."""
+    root = str(tmp_path / "snaps")
+    queries = [
+        "SELECT event_id AS k, event_type, value FROM events",   # v0
+        "SELECT event_id AS k, event_type, value FROM events",   # v1
+        # v2: collapse every category to one label — hard cat drift,
+        # value untouched (numeric stays stable)
+        "SELECT event_id AS k, 'ONLY' AS event_type, value FROM events",
+    ]
+    for q in queries:
+        r = _cli(
+            [
+                "--tables-dir", sf_dir,
+                "--query", q,
+                "--snapshot-root", root,
+                "--merge-keys", "k",
+                "--sidecars", "cat:event_type,hist:value:0:400",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.splitlines()
+    hist_lines = [ln for ln in lines if "\thist\t" in ln]
+    cat_lines = [ln for ln in lines if "\tcat\t" in ln]
+    assert len(hist_lines) == 1 and hist_lines[0].startswith("value\t")
+    assert len(cat_lines) == 1 and cat_lines[0].startswith("event_type\t")
+    assert all("psi=0.0\t" in ln and "stable" in ln for ln in lines)
+
+    # v0 vs v2: category drifted, numeric stable; gate trips and names
+    # the categorical column
+    r = _cli(
+        ["--snapshot-root", root, "--drift-versions", "0", "2", "--drift-gate"]
+    )
+    assert r.returncode == 3, r.stdout + r.stderr
+    assert "event_type (cat)" in r.stderr
+    out = {ln.split("\t")[0]: ln for ln in r.stdout.splitlines()}
+    assert "drifted" in out["event_type"] and "stable" in out["value"]
+
+
+def test_drift_versions_cat_only_and_family_notes(tmp_path, sf_dir):
+    """A root published with only cat sidecars still drifts (hist
+    family skipped silently when absent on both sides); a one-sided
+    family is skipped with a note."""
+    root = str(tmp_path / "snaps")
+    for spec in ("cat:event_type", "cat:event_type,hist:value:0:400"):
+        r = _cli(
+            [
+                "--tables-dir", sf_dir,
+                "--query", "SELECT event_id AS k, event_type, value FROM events",
+                "--snapshot-root", root,
+                "--merge-keys", "k",
+                "--sidecars", spec,
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    # v0 has cat only, v1 has cat+hist: hist is one-sided -> note+skip,
+    # cat compares
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "histogram sidecar exists for version 1 but not 0" in r.stderr
+    assert r.stdout.startswith("event_type\tcat\t")
+    assert "\thist\t" not in r.stdout
+
+
+def test_sidecars_cat_spec_validation(capsys):
+    rc = main(
+        ["--tables-dir", "/tmp", "--query", "q", "--parquet", "/tmp/o",
+         "--sidecars", "cat:event_type:0"]
+    )
+    assert rc == 1
+    assert "k must be a positive integer" in capsys.readouterr().err
+    rc = main(
+        ["--tables-dir", "/tmp", "--query", "q", "--parquet", "/tmp/o",
+         "--sidecars", "cat:"]
+    )
+    assert rc == 1

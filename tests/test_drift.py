@@ -202,3 +202,77 @@ def test_skew_profile_topk_plan_uses_heap_not_global_sort(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in counts_plan
+
+
+# --- category sketch (sidecar) + count_drift ------------------------------
+
+
+def test_category_sketch_topk_other_null(spark):
+    from mysql2parquet_spark.operators.sketches import category_sketch
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 10 + [("d",)] * 5
+        + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "c string")
+    out = {r.cat: r.cnt for r in category_sketch(df, "c", top_k=2).collect()}
+    # exact counts for the named top-k, the tail folded, nulls counted
+    assert out == {"a": 50, "b": 30, "__other__": 20}
+    df2 = spark.createDataFrame(rows[:95], "c string")  # drop the nulls
+    out2 = {r.cat: r.cnt for r in
+            category_sketch(df2, "c", top_k=4).collect()}
+    assert out2 == {"a": 50, "b": 30, "c": 10, "d": 5}
+    # __null__ appears when nulls exist and k covers it
+    out3 = {r.cat: r.cnt for r in
+            category_sketch(df, "c", top_k=10).collect()}
+    assert out3["__null__"] == 5
+
+
+def test_category_sketch_multi_one_scan_and_determinism(spark):
+    from mysql2parquet_spark.operators.sketches import category_sketch_multi
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2)], "a string, b int"
+    )
+    out = category_sketch_multi(df, [("a", 5), ("b", 1)])
+    rows = {(r["column"], r.cat): r.cnt for r in out.collect()}
+    assert rows == {
+        ("a", "x"): 2, ("a", "y"): 1,
+        ("b", "1"): 2, ("b", "2"): 1,
+    } or rows == {
+        ("a", "x"): 2, ("a", "y"): 1,
+        ("b", "1"): 2, ("b", "__other__"): 1,
+    }
+    # per-column k applies: b with k=1 keeps only its hottest category
+    assert ("b", "1") in rows and rows.get(("b", "2"), None) in (None, 1)
+    # one scan: the top and __other__ branches both hang off the SAME
+    # count aggregation — its exchange is reused, not recomputed (so the
+    # source is read once; at 100 TB the scan count is the cost)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_category_sketch_drift_consumption(spark):
+    from mysql2parquet_spark.operators.drift import count_drift
+    from mysql2parquet_spark.operators.sketches import category_sketch_multi
+
+    a = spark.createDataFrame([("x",)] * 80 + [("y",)] * 20, "c string")
+    b = spark.createDataFrame([("x",)] * 20 + [("y",)] * 80, "c string")
+    sa = category_sketch_multi(a, [("c", 10)])
+    sb = category_sketch_multi(b, [("c", 10)])
+    row = count_drift(sa, sb, ["column"]).collect()[0]
+    assert row["column"] == "c" and row.verdict == "drifted"
+    same = count_drift(sa, sa, ["column"]).collect()[0]
+    assert same.psi == 0.0 and same.verdict == "stable"
+
+
+def test_category_sketch_validates(spark):
+    import pytest as _pytest
+
+    from mysql2parquet_spark.operators.sketches import category_sketch_multi
+
+    df = spark.createDataFrame([("x",)], "c string")
+    with _pytest.raises(ValueError, match="k >= 1"):
+        category_sketch_multi(df, [("c", 0)])
+    with _pytest.raises(ValueError, match="requires specs"):
+        category_sketch_multi(df, [])
