@@ -16,6 +16,7 @@ Staged set (ROTATION.md r7 plan + this round's operator additions):
 - ``tpch_q4_shape``      — EXISTS semi-join count (fixture-adapted)
 - ``tpch_q14_shape``     — promo revenue share (conditional agg ratio)
 - ``tpch_q19_shape``     — disjunctive multi-column join predicates
+- ``events_anomaly``     — rolling z-score outliers (exclude-own-row)
 """
 
 from __future__ import annotations
@@ -419,4 +420,50 @@ def tpch_q19_shape(spark, sf_dir):
     )
     return li.join(p, cond).agg(
         F.sum(_rev()).cast("double").alias("revenue")
+    )
+
+
+# --- anomaly detection -----------------------------------------------------
+
+
+@_stage(
+    "events_anomaly",
+    """
+    WITH base AS (
+      SELECT event_type, event_id, value,
+             COUNT(value) OVER w AS n_hist,
+             AVG(value)  OVER w AS mean,
+             COALESCE(STDDEV_POP(value) OVER w, 0.0) AS std
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id,
+           ROUND((value - mean) / std, 4) AS zscore
+    FROM base
+    WHERE n_hist >= 10 AND std > 0 AND value IS NOT NULL
+      AND ABS((value - mean) / std) >= 1.5
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Rolling z-score outliers on event values, per event type: each
+    row judged against the trailing-50 baseline of its own key (the
+    row excluded from its own baseline). Single-shuffle window plan
+    (operators/anomaly.py rolling_zscore); threshold 1.5 keeps the
+    flagged set non-empty on the uniform-ish fixture values (a bounded
+    uniform never reaches 3 sigma — real telemetry tails do). The
+    oracle compares the flagged set + zscore only: the baseline MEAN
+    of 2-decimal fixture values lands exactly on .xxxx5 half-way
+    points, where cross-engine ulp noise flips a 4-decimal round (the
+    agg_salted lesson, SURVEY §2.2) — the zscore's irrational
+    stddev denominator has no such boundary mass."""
+    from mysql2parquet_spark.operators.anomaly import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = rolling_zscore(
+        ev, "value", ["event_type"], "event_id",
+        lookback=50, min_history=10, threshold=1.5,
+    )
+    return flagged.filter(F.col("is_anomaly")).select(
+        "event_type", "event_id", "zscore"
     )
