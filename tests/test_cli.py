@@ -1873,3 +1873,70 @@ def test_sidecars_cat_spec_validation(capsys):
          "--sidecars", "cat:"]
     )
     assert rc == 1
+
+
+def test_stream_fold_sidecar_drift_nightly_story(tmp_path, spark):
+    """The full nightly composition: an initial publish, then a
+    streamed delta fold — every version shipping hist+cat sidecars —
+    then --drift-versions across the folded versions, gated. The delta
+    rewrites every row's category and shifts every value, so v0 vs v1
+    must trip the gate on BOTH families; v1 vs v1-recomputed... (one
+    fold = one version here, so the stable pair is v0 vs v0)."""
+    import glob as _glob
+    import os
+    import time
+
+    tables = tmp_path / "tables"
+    tables.mkdir()
+    rows0 = [(i, "low", float(i % 50), 0) for i in range(200)]
+    spark.createDataFrame(
+        rows0, "k bigint, cat string, v double, seq bigint"
+    ).write.parquet(str(tables / "t.parquet"))
+
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    # v0: batch publish with sidecars
+    r = _cli(
+        ["--tables-dir", str(tables),
+         "--query", "SELECT k, cat, v, seq FROM t",
+         "--snapshot-root", root, "--merge-keys", "k",
+         "--sidecars", "hist:v:0:400,cat:cat"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # land one delta rewriting every key: category flips, values shift
+    staging = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(i, "HIGH", 300.0 + (i % 50), 1) for i in range(200)],
+        "k bigint, cat string, v double, seq bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    (part,) = _glob.glob(staging + "/part-*.parquet")
+    dst = os.path.join(landing, "delta_000.parquet")
+    os.replace(part, dst)
+    t = int(time.time()) - 3600
+    os.utime(dst, (t, t))
+
+    r = _cli(
+        ["--stream-events", landing, "--checkpoint", ckpt,
+         "--snapshot-root", root, "--merge-keys", "k",
+         "--order-column", "seq",
+         "--sidecars", "hist:v:0:400,cat:cat"],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(os.path.join(root, "sidecars", "v=1_hist"))
+    assert os.path.isdir(os.path.join(root, "sidecars", "v=1_cat"))
+
+    # stable pair: identical version compared to itself
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "0",
+              "--drift-gate"])
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    # drifted pair: both families trip
+    r = _cli(["--snapshot-root", root, "--drift-versions", "0", "1",
+              "--drift-gate"])
+    assert r.returncode == 3, r.stdout + r.stderr
+    assert "v (hist)" in r.stderr and "cat (cat)" in r.stderr
