@@ -144,6 +144,21 @@ def main() -> None:
         timings["export_parquet"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Staged (r7-bound) queries: timed for the record but NOT in the
+    # headline total — "value" stays comparable round-over-round while
+    # the staged set's perf is visible before registration. Emitted
+    # LAST so a truncated artifact tail loses these first.
+    from mysql2parquet_spark.queries.staged import STAGED
+
+    staged_timings: dict[str, float] = {}
+    staged_qs = {n: q.fn for n, q in STAGED.items()}
+    qs.update(staged_qs)
+    for name in sorted(staged_qs):
+        wall1, _ = run(name)
+        wall2, _ = run(name)
+        staged_timings[name] = round(min(wall1, wall2), 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
     print(
         json.dumps(
@@ -156,6 +171,7 @@ def main() -> None:
                 "runs": 2,
                 "agg": "min",
                 "sf": float(sf),
+                "staged": staged_timings,
             }
         )
     )

@@ -56,6 +56,16 @@ def rolling_zscore(
     ``is_anomaly`` is true when |z| >= threshold, or when the baseline
     is constant (std = 0, full min_history) and the value differs from
     it. One shuffle on the key; state per key is O(lookback).
+
+    SCALE NOTE — key cardinality is the parallelism: each key's series
+    sorts and scans inside one task (per-key ordered processing is
+    inherently sequential), and Spark recomputes bounded-frame
+    aggregates per row (O(lookback) per row — stddev has no retractable
+    form). Right-sized uses are high-cardinality keys (per-user,
+    per-device) or PRE-AGGREGATED series; for raw low-cardinality
+    telemetry, reduce first — ``window_count_anomaly`` turns a 100 TB
+    event firehose into a |keys| × |windows| series before any frame
+    runs.
     """
     if lookback < 2 or min_history < 2 or min_history > lookback:
         raise ValueError(
