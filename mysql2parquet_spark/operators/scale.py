@@ -312,3 +312,68 @@ def key_skew_profile(
             F.ceil(F.col("cnt") / avg).cast("int").alias("salt_hint"),
         )
     )
+
+
+def join_explosion_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE launching it — the
+    companion measurement to ``key_skew_profile``: that one flags a
+    skewed shuffle, this one flags a many-to-many blowup (the join that
+    "works" and then writes 100× its inputs).
+
+    EXACT arithmetic, cheap inputs: one partially-aggregated count per
+    side (the exchanges carry |keys| rows), joined on the key —
+    ``output_rows = Σ_k cnt_a(k) · cnt_b(k)`` is the true inner-join
+    cardinality, not an estimate. Output is ONE row:
+
+    - ``rows_a, rows_b, matched_keys``
+    - ``output_rows`` — exact inner-join row count
+    - ``explosion_x`` — output_rows / max(rows_a, rows_b), rounded 4;
+      > 1 means the join AMPLIFIES its larger input (many-to-many)
+    - ``top_key_rows`` — output rows contributed by the heaviest
+      ``top_k`` keys (TakeOrderedAndProject, ties by key), the part a
+      skew-split has to absorb
+
+    Reading the row: explosion_x ≈ 1 with low top-key share → plain
+    shuffle join; explosion_x ≈ 1 with one dominant key →
+    ``salted_join``; explosion_x >> 1 → the join itself is mis-keyed
+    (or needs pre-aggregation) and no physical strategy will save it.
+    """
+    ca = df_a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = df_b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cb"))
+    per_key = ca.join(cb, key_cols).select(
+        *key_cols, (F.col("_ca") * F.col("_cb")).alias("_prod")
+    )
+    tot_a = df_a.agg(F.count(F.lit(1)).alias("rows_a"))
+    tot_b = df_b.agg(F.count(F.lit(1)).alias("rows_b"))
+    top_sum = (
+        per_key.orderBy(F.desc("_prod"), *[F.asc(c) for c in key_cols])
+        .limit(top_k)
+        .agg(F.sum("_prod").alias("top_key_rows"))
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.sum("_prod").alias("output_rows"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(top_sum))
+        .select(
+            "rows_a",
+            "rows_b",
+            "matched_keys",
+            "output_rows",
+            F.round(
+                F.col("output_rows")
+                / F.greatest(F.col("rows_a"), F.col("rows_b")),
+                4,
+            ).alias("explosion_x"),
+            "top_key_rows",
+        )
+    )

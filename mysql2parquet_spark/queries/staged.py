@@ -17,6 +17,7 @@ Staged set (ROTATION.md r7 plan + this round's operator additions):
 - ``tpch_q14_shape``     — promo revenue share (conditional agg ratio)
 - ``tpch_q19_shape``     — disjunctive multi-column join predicates
 - ``events_anomaly``     — rolling z-score outliers (exclude-own-row)
+- ``join_explosion``     — exact pre-join cardinality / blowup check
 """
 
 from __future__ import annotations
@@ -467,3 +468,47 @@ def events_anomaly(spark, sf_dir):
     return flagged.filter(F.col("is_anomaly")).select(
         "event_type", "event_id", "zscore"
     )
+
+
+# --- join explosion estimate -----------------------------------------------
+
+
+@_stage(
+    "join_explosion",
+    """
+    WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+         cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+         pk AS (SELECT ca.k, ca.ca * cb.cb AS prod FROM ca JOIN cb ON ca.k = cb.k),
+         t AS (
+           SELECT (SELECT COUNT(*) FROM orders)   AS rows_a,
+                  (SELECT COUNT(*) FROM lineitem) AS rows_b,
+                  COUNT(*) AS matched_keys,
+                  CAST(SUM(prod) AS BIGINT) AS output_rows
+           FROM pk
+         ),
+         tops AS (
+           SELECT CAST(SUM(prod) AS BIGINT) AS top_key_rows
+           FROM (SELECT prod FROM pk ORDER BY prod DESC, k LIMIT 5)
+         )
+    SELECT rows_a, rows_b, matched_keys, output_rows,
+           ROUND(CAST(output_rows AS DOUBLE)
+                 / CAST(GREATEST(rows_a, rows_b) AS DOUBLE), 4) AS explosion_x,
+           top_key_rows
+    FROM t, tops
+    """,
+)
+def join_explosion(spark, sf_dir):
+    """Pre-flight cardinality check for the orders⋈lineitem join: exact
+    output row count, explosion factor, and heavy-key contribution from
+    the two count tables alone (operators/scale.join_explosion_estimate
+    — the measurement that predicts a many-to-many blowup BEFORE a
+    100 TB join runs)."""
+    from mysql2parquet_spark.operators.scale import join_explosion_estimate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return join_explosion_estimate(o, li, ["k"], top_k=5)

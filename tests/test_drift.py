@@ -276,3 +276,38 @@ def test_category_sketch_validates(spark):
         category_sketch_multi(df, [("c", 0)])
     with _pytest.raises(ValueError, match="requires specs"):
         category_sketch_multi(df, [])
+
+
+# --- join_explosion_estimate ----------------------------------------------
+
+
+def test_join_explosion_exact_cardinality(spark):
+    from mysql2parquet_spark.operators.scale import join_explosion_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(1,), (1,), (1,), (2,), (9,)], "k int")
+    r = join_explosion_estimate(a, b, ["k"]).collect()[0]
+    # key 1: 2x3=6, key 2: 1x1=1, key 3/9 unmatched
+    assert r.output_rows == 7 == a.join(b, "k").count()
+    assert r.matched_keys == 2 and r.rows_a == 4 and r.rows_b == 5
+    assert r.explosion_x == pytest.approx(7 / 5, abs=1e-6)
+    assert r.top_key_rows == 7
+
+
+def test_join_explosion_flags_many_to_many(spark):
+    from mysql2parquet_spark.operators.scale import join_explosion_estimate
+
+    hot = spark.createDataFrame([("h",)] * 100, "k string")
+    r = join_explosion_estimate(hot, hot, ["k"]).collect()[0]
+    assert r.output_rows == 10000 and r.explosion_x == 100.0
+    assert r.top_key_rows == 10000
+
+
+def test_join_explosion_top_k_partial(spark):
+    from mysql2parquet_spark.operators.scale import join_explosion_estimate
+
+    a = spark.createDataFrame([(i,) for i in range(10) for _ in range(i + 1)], "k int")
+    r = join_explosion_estimate(a, a, ["k"], top_k=2).collect()[0]
+    # products are (i+1)^2; top 2 keys contribute 100 + 81
+    assert r.top_key_rows == 181
+    assert r.output_rows == sum((i + 1) ** 2 for i in range(10))

@@ -340,6 +340,8 @@ BROADCAST_ALLOWLIST = {
         "df over the QUERY terms (isin-filtered) + one-row corpus stats",
     ("operators/scale.py", "key_skew_profile"):
         "one-row totals aggregate over the count table",
+    ("operators/scale.py", "join_explosion_estimate"):
+        "one-row totals + top_k-row product sum — bounded aggregates",
     ("queries/advanced.py", "events_funnel"):
         "one-row entry-population aggregate",
     ("queries/relext.py", "subquery_scalar"):
