@@ -512,3 +512,192 @@ def join_explosion(spark, sf_dir):
         F.col("l_orderkey").alias("k")
     )
     return join_explosion_estimate(o, li, ["k"], top_k=5)
+
+
+# --- TPC-H shapes: q13 / q16 / q21 / q22 -----------------------------------
+
+
+@_stage(
+    "tpch_q13_shape",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape: the customer-order-count DISTRIBUTION —
+    aggregate of an aggregate over a LEFT join (zero-order customers
+    must appear in the c_count = 0 bucket, which an inner join would
+    silently drop). Two keyed exchanges, both with partial combine;
+    the second aggregates |customers| rows down to |distinct counts|."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_stage(
+    "tpch_q16_shape",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (fixture-adapted: supplier relationships come
+    from lineitem, there is no partsupp table): distinct-supplier
+    counts per part attribute with NOT IN / IN filters. The NOT IN is
+    over literals (a pushed-down scan filter, Not(In(...)) in the
+    parquet reader); COUNT(DISTINCT) expands to the two-phase
+    distinct-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    filt = p.filter(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        li.join(filt, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_stage(
+    "tpch_q21_shape",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+      JOIN orders   ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (fixture-adapted: "late" = shipped > 60 days
+    after the order date, since commit/receipt dates are not in the
+    fixture): suppliers who were the SOLE late shipper on a
+    multi-supplier finalized order. The hardest correlated shape in
+    the suite — one EXISTS and one NOT EXISTS, both correlated on the
+    order key with a supplier inequality: a left-semi then a left-anti
+    join, each equi-keyed on l_orderkey with the <> as residual
+    condition (never a cartesian)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late1 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late1.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    cand = late1.join(
+        other,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("o3_orderkey") == F.col("l_orderkey"))
+        & (F.col("o3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@_stage(
+    "tpch_q22_shape",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+          )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (fixture-adapted: nation key stands in for the
+    phone country code, pending-order absence for order absence):
+    above-average-balance customers with no pending orders, grouped by
+    nation. Composes a scalar aggregate subquery (a one-row side — AQE
+    broadcasts it from its real size, no hint needed), an anti join
+    against the filtered order keys, and an exact decimal money sum."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    rich = (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            pending, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
