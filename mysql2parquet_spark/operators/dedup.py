@@ -583,3 +583,80 @@ def accepted_fingerprints(accepted: DataFrame, fp_col: str = "fp") -> DataFrame:
     """The rows to append to the fingerprint store after a batch: just
     the constant-width fingerprints of the accepted docs."""
     return accepted.select(F.col(fp_col)).distinct()
+
+
+def duplicated_window_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication profile: for every document, how many
+    of its k-token windows also appear verbatim in at least
+    ``min_docs - 1`` OTHER documents. This is the sixth dedup family —
+    exact repeated-span detection (the "dedup training data at the
+    substring level" regime) — distinct from whole-doc fingerprints
+    (misses partial overlap) and MinHash (approximate, document-level).
+    A doc with ``dup_ratio`` near 1.0 is boilerplate; spans flagged here
+    are what a span-removal pass would cut.
+
+    Exact and deterministic: window key = md5 of the space-joined
+    k-token gram, computed identically by any engine, so the whole
+    report is oracle-checkable. Docs with fewer than k tokens have zero
+    windows (whole-doc dedup already covers them) but still appear with
+    ``n_windows = 0``.
+
+    Scale shape: the only wide shuffle is groupBy on the 32-char window
+    key — constant width regardless of document size, with partial
+    combine upstream. Candidate marking never compares documents
+    pairwise: a gram shared by m docs costs m rows, not m². The
+    per-doc fold shuffles 12-byte (doc_id, pos) pairs. At 100 TB swap
+    md5 for xxhash64 (8-byte keys; both sides of the pipeline use the
+    same hash so collisions only ever over-flag a window, never corrupt
+    a join). Hot boilerplate grams are bounded by the distinct-(doc,
+    gram) projection before the doc-count aggregate — the heavy-hitter
+    gram contributes one row per doc, pre-combined map-side.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    wins = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - k + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.greatest(n_tok - k + 1, F.lit(0)).cast("long").alias("n_windows"),
+        wins.alias("_wins"),
+    )
+    grams = base.select(id_col, F.explode("_wins").alias("_g"))
+    dup_keys = (
+        grams.distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_g")
+    )
+    per_doc = (
+        grams.join(dup_keys, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_dup"))
+    )
+    return (
+        base.drop("_wins")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("dup_windows"),
+            F.round(
+                F.coalesce(F.col("_dup"), F.lit(0))
+                / F.nullif(F.col("n_windows"), F.lit(0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -403,3 +403,77 @@ def fuzzy_pairs(
             "distance",
         )
     )
+
+
+def term_cooccurrence_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 40,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information between the corpus's top terms, from
+    document-level co-occurrence — the collocation / topic-signal
+    primitive (which term pairs appear together far more than chance)
+    that corpus-curation uses to spot templated text and to build
+    keyword-expansion lists.
+
+    ``pmi(a, b) = ln(N * c_ab / (c_a * c_b))`` over document frequencies
+    (N = total docs, c_x = docs containing x, c_ab = docs containing
+    both). Only pairs of the ``top_n`` highest-document-frequency terms
+    are scored, with ``t1 < t2`` canonical ordering and a ``min_pairs``
+    co-occurrence floor.
+
+    Scale shape: the vocabulary is reduced to a bounded top-N BEFORE any
+    pairing — the top-N fold is a partial-agg term count plus a
+    TakeOrderedAndProject heap (never a full sort), and the resulting
+    <=top_n rows broadcast into the filter join. The pair generator is a
+    self-join of the FILTERED (doc, term) relation on the doc key: each
+    doc contributes at most C(top_n, 2) pairs, so the blowup is a
+    constant bound per doc, not O(vocab²) — the same never-quadratic
+    contract as fuzzy_pairs. Final PMI math is pure projection over a
+    one-row broadcast N.
+    """
+    dt = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    doc_freq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = doc_freq.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
+    filtered = dt.join(F.broadcast(top), "term")
+    a = filtered.select(
+        F.col(id_col), F.col("term").alias("t1"), F.col("df").alias("c_a")
+    )
+    b = filtered.select(
+        F.col(id_col).alias("_rid"),
+        F.col("term").alias("t2"),
+        F.col("df").alias("c_b"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    pairs = (
+        a.join(b, (a[id_col] == b["_rid"]) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.max("c_a").alias("_ca"),
+            F.max("c_b").alias("_cb"),
+        )
+        .filter(F.col("c_ab") >= min_pairs)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "t1",
+        "t2",
+        "c_ab",
+        F.round(
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n_docs")
+                / (F.col("_ca") * F.col("_cb"))
+            ),
+            6,
+        ).alias("pmi"),
+    )

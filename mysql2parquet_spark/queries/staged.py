@@ -18,6 +18,15 @@ Staged set (ROTATION.md r7 plan + this round's operator additions):
 - ``tpch_q19_shape``     — disjunctive multi-column join predicates
 - ``events_anomaly``     — rolling z-score outliers (exclude-own-row)
 - ``join_explosion``     — exact pre-join cardinality / blowup check
+- ``tpch_q13_shape`` / ``q16`` / ``q21`` / ``q22`` — the remaining
+  distinct TPC-H optimizer shapes (agg-of-agg over outer join, NOT IN +
+  count-distinct, double-correlated EXISTS, scalar-subquery + anti)
+- ``dedup_substring``    — exact repeated k-token-window profile (the
+  sixth dedup family: sub-document span duplication)
+- ``text_pmi``           — top-term co-occurrence PMI collocations
+- ``events_transitions`` — per-user Markov transition matrix
+- ``knn_classify``       — k-NN majority-label prediction over
+  embeddings (similarity-search consumer shape)
 """
 
 from __future__ import annotations
@@ -512,6 +521,238 @@ def join_explosion(spark, sf_dir):
         F.col("l_orderkey").alias("k")
     )
     return join_explosion_estimate(o, li, ["k"], top_k=5)
+
+
+# --- k-NN majority-label classification ------------------------------------
+
+
+@_stage(
+    "knn_classify",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.vec_id, c.label,
+             list_sum(list_transform(list_zip(c.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / ( sqrt(list_sum(list_transform(c.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+               AS score
+      FROM c, q
+    ),
+    top AS (
+      SELECT query_id, true_label, label FROM (
+        SELECT query_id, true_label, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, label AS pred_label, COUNT(*) AS votes
+      FROM top GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, pred_label, votes FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, pred_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction for a bounded query set
+    against the rest of the embedding corpus (k=5, cosine) — the
+    similarity-search CONSUMER shape: retrieval feeding a downstream
+    decision, here label transfer for weak annotation. Ties break on
+    (votes desc, smaller label); neighbor ranking ties on (score desc,
+    vec_id) — fully deterministic, so the whole prediction table is
+    oracle-checkable (scores fold to bit-identical doubles in both
+    engines, the similarity_pairs contract).
+
+    Scale shape: the query side broadcasts (score_against), the corpus
+    is scored in place with zero shuffle, and per-query top-5 prunes
+    through WindowGroupLimit before any label join; the vote fold runs
+    over a |queries| x 5 relation."""
+    from mysql2parquet_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    c = e.filter(F.col("vec_id") >= 20)
+    top = brute_force_topk(c, q, k=5)
+    # top is |queries|*5 rows — AQE broadcasts it from its real size,
+    # so the corpus-sized label relation never shuffles (no hint needed;
+    # the staged-set sweep bans literal hints).
+    labels = c.select("vec_id", "label")
+    top_l = labels.join(top.select("query_id", "vec_id"), "vec_id")
+    votes = top_l.groupBy("query_id", F.col("label").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    vr = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("pred_label")
+    )
+    best = (
+        votes.withColumn("_vr", F.row_number().over(vr))
+        .filter(F.col("_vr") == 1)
+        .drop("_vr")
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "votes"
+    )
+
+
+# --- event-type transition matrix ------------------------------------------
+
+
+@_stage(
+    "events_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, cnt,
+           ROUND(cnt / SUM(cnt) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM c
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type -> next_type) step, the count and
+    the row-normalized transition probability — the journey-analysis
+    primitive behind funnel discovery and bot detection (a user whose
+    transition row concentrates on one self-loop is a script).
+
+    Scale shape: ONE shuffle on user_id for the lag window (the same
+    single-exchange contract as the B16-B18 window family), then the
+    aggregate collapses the corpus to |types|² rows — the normalizing
+    window runs over that bounded matrix, not the events table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    norm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(norm), 6).alias("prob"),
+    )
+
+
+# --- exact-substring dedup -------------------------------------------------
+
+
+@_stage(
+    "dedup_substring",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d FROM wins GROUP BY g)
+      WHERE d >= 2
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dup_w
+      FROM wins WHERE g IN (SELECT g FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(GREATEST(len(t) - 8 + 1, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(dup_w, 0) AS BIGINT) AS dup_windows,
+           ROUND(COALESCE(dup_w, 0) / NULLIF(GREATEST(len(t) - 8 + 1, 0), 0), 6)
+             AS dup_ratio
+    FROM toks LEFT JOIN per_doc ON toks.doc_id = per_doc.doc_id
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Exact-substring duplication profile over the corpus: per-doc
+    counts of 8-token windows that appear verbatim in >= 2 distinct
+    documents (operators/dedup.py::duplicated_window_counts — the
+    sixth dedup family, repeated-span detection below the whole-doc
+    granularity that fingerprint/MinHash dedup works at). Fully exact:
+    window keys are md5 of the space-joined gram, so DuckDB computes
+    the identical report."""
+    from mysql2parquet_spark.operators.dedup import duplicated_window_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_window_counts(docs, text_col="text", id_col="doc_id", k=8)
+
+
+# --- term co-occurrence / PMI ----------------------------------------------
+
+
+@_stage(
+    "text_pmi",
+    """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, u.term
+      FROM documents,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(term)
+      WHERE u.term <> ''
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+    top AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 40),
+    filt AS (SELECT dt.doc_id, dt.term, top.df FROM dt JOIN top USING (term)),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.term AS t1, b.term AS t2, COUNT(*) AS c_ab,
+             MAX(a.df) AS ca, MAX(b.df) AS cb
+      FROM filt a JOIN filt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+      HAVING COUNT(*) >= 5
+    )
+    SELECT t1, t2, c_ab,
+           ROUND(LN(CAST(c_ab AS DOUBLE) * n_docs / (ca * cb)), 6) AS pmi
+    FROM pairs, n
+    """,
+)
+def text_pmi(spark, sf_dir):
+    """Document-level PMI between the corpus's 40 highest-document-
+    frequency terms (operators/text.py::term_cooccurrence_pmi): which
+    term pairs co-occur far beyond chance — the collocation signal
+    corpus curation uses to spot templated text. Top-N fold is a
+    TakeOrderedAndProject heap broadcast into the filter; the pair
+    self-join meets only on the doc key with a bounded per-doc blowup."""
+    from mysql2parquet_spark.operators.text import term_cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_cooccurrence_pmi(
+        docs, text_col="text", id_col="doc_id", top_n=40, min_pairs=5
+    )
 
 
 # --- TPC-H shapes: q13 / q16 / q21 / q22 -----------------------------------

@@ -113,3 +113,55 @@ def test_no_forced_broadcast_of_linear_sides_in_staged(spark, sf_dir):
         "staged queries must leave join strategies to AQE unless the "
         "side is provably bounded"
     )
+
+
+def test_tpch_q21_correlated_exists_as_semi_and_anti(spark, sf_dir):
+    # both correlated subqueries must land as equi-keyed semi/anti joins
+    # on l_orderkey with the supplier inequality as residual — never a
+    # nested loop over lineitem x lineitem
+    p = _splan(spark, sf_dir, "tpch_q21_shape")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q13_left_join_survives(spark, sf_dir):
+    # zero-order customers must reach the c_count=0 bucket: the LEFT
+    # join must not be rewritten to inner by the count aggregate
+    p = _splan(spark, sf_dir, "tpch_q13_shape")
+    assert "LeftOuter" in p, p
+
+
+def test_dedup_substring_never_pairs_documents(spark, sf_dir):
+    # the candidate marker is a groupBy on the gram key plus a semi
+    # join — documents never meet pairwise, no join over text columns
+    p = _splan(spark, sf_dir, "dedup_substring")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p, p
+
+
+def test_text_pmi_pair_join_is_doc_keyed(spark, sf_dir):
+    # the pair generator joins on the doc key (bounded per-doc blowup),
+    # never a term-cross-term nested loop
+    p = _splan(spark, sf_dir, "text_pmi")
+    assert "CartesianProduct" not in p
+    # the only nested-loop allowed is the one-row n_docs broadcast
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_events_transitions_single_events_shuffle(spark, sf_dir):
+    # one lag-window exchange on user_id; the probability window runs
+    # over the |types|^2 matrix, post-aggregation
+    p = _splan(spark, sf_dir, "events_transitions")
+    assert p.count("Exchange hashpartitioning(user_id") <= 1, p
+
+
+def test_knn_classify_corpus_never_shuffles_before_scoring(spark, sf_dir):
+    # score_against broadcasts the bounded query side: the corpus scan
+    # feeds the scorer with no exchange; top-k prunes via the window
+    # group limit before any label join
+    p = _splan(spark, sf_dir, "knn_classify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p, p  # broadcast query cross-score

@@ -297,3 +297,108 @@ def test_fuzzy_pairs_equals_brute_force_within_blocks(spark):
         assert got == want
 
     check()
+
+
+# --- term_cooccurrence_pmi --------------------------------------------------
+
+
+def test_pmi_planted_collocation(spark):
+    from math import log
+
+    from mysql2parquet_spark.operators.text import term_cooccurrence_pmi
+
+    # alpha+beta always co-occur (4 docs); gamma appears alone in 4 more;
+    # filler pads N so pmi(alpha,beta) = ln(N * 4 / (4 * 4)) exactly.
+    rows = [(i, "alpha beta filler") for i in range(4)]
+    rows += [(i + 4, "gamma filler") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = term_cooccurrence_pmi(
+        df, text_col="text", id_col="doc_id", top_n=10, min_pairs=2
+    ).collect()
+    got = {(r.t1, r.t2): r for r in out}
+    ab = got[("alpha", "beta")]
+    assert ab.c_ab == 4
+    assert abs(ab.pmi - round(log(8 * 4 / (4 * 4)), 6)) < 1e-9
+    # filler co-occurs with everything — pmi below the planted pair
+    assert got[("alpha", "filler")].pmi < ab.pmi
+    # gamma never meets alpha/beta: no pair row at all
+    assert ("alpha", "gamma") not in got and ("beta", "gamma") not in got
+
+
+def test_pmi_canonical_order_and_top_n_bound(spark):
+    from mysql2parquet_spark.operators.text import term_cooccurrence_pmi
+
+    rows = [(i, "zz aa mm") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = term_cooccurrence_pmi(
+        df, text_col="text", id_col="doc_id", top_n=2, min_pairs=1
+    ).collect()
+    # only 2 terms admitted (tie on df=5 breaks by term asc: aa, mm) and
+    # every pair is emitted once with t1 < t2
+    assert [(r.t1, r.t2) for r in out] == [("aa", "mm")]
+
+
+# --- duplicated_window_counts (exact-substring dedup) ----------------------
+
+
+def test_duplicated_windows_planted_span(spark):
+    from mysql2parquet_spark.operators.dedup import duplicated_window_counts
+
+    shared = "one two three four"  # 4 tokens -> one 4-token window
+    rows = [
+        (1, shared + " uniq1a uniq1b"),
+        (2, shared + " uniq2a uniq2b"),
+        (3, "totally different words here now"),
+        (4, "short doc"),  # < k tokens: zero windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in duplicated_window_counts(
+            df, text_col="text", id_col="doc_id", k=4
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # 6 tokens, k=4 -> 3 windows each; only the leading shared window dups
+    assert out[1].n_windows == 3 and out[1].dup_windows == 1
+    assert out[2].n_windows == 3 and out[2].dup_windows == 1
+    assert out[3].dup_windows == 0
+    assert out[4].n_windows == 0 and out[4].dup_windows == 0
+    assert out[4].dup_ratio is None  # 0/0 stays NULL, never fabricated
+    assert abs(out[1].dup_ratio - round(1 / 3, 6)) < 1e-9
+
+
+def test_duplicated_windows_within_doc_repeat_not_cross_doc(spark):
+    from mysql2parquet_spark.operators.dedup import duplicated_window_counts
+
+    # the same gram twice in ONE doc is intra-doc repetition
+    # (with_repetition_score territory), not cross-doc duplication
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e f")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_window_counts(
+            df, text_col="text", id_col="doc_id", k=2
+        ).collect()
+    }
+    assert out[1].dup_windows == 0 and out[2].dup_windows == 0
+
+
+def test_duplicated_windows_counts_every_position(spark):
+    from mysql2parquet_spark.operators.dedup import duplicated_window_counts
+
+    # doc 1 contains the shared bigram at TWO positions; once the gram is
+    # cross-doc duplicated, both positions count toward the span cut
+    df = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "x y tail words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_window_counts(
+            df, text_col="text", id_col="doc_id", k=2
+        ).collect()
+    }
+    assert out[1].dup_windows == 2  # positions 1 and 4
+    assert out[2].dup_windows == 1
