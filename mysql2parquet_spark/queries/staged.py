@@ -27,6 +27,8 @@ Staged set (ROTATION.md r7 plan + this round's operator additions):
 - ``events_transitions`` — per-user Markov transition matrix
 - ``knn_classify``       — k-NN majority-label prediction over
   embeddings (similarity-search consumer shape)
+- ``events_resample``    — hypertable-style gap-filled LOCF resample
+- ``events_ohlc``        — open/high/low/close downsample per bucket
 """
 
 from __future__ import annotations
@@ -521,6 +523,102 @@ def join_explosion(spark, sf_dir):
         F.col("l_orderkey").alias("k")
     )
     return join_explosion_estimate(o, li, ["k"], top_k=5)
+
+
+# --- time-series resample / gap fill ----------------------------------------
+
+
+@_stage(
+    "events_resample",
+    """
+    WITH ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS slot, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type, slot, COUNT(*) AS n_obs,
+             MAX(CASE WHEN rn = 1 THEN value END) AS close
+      FROM ranked GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(slot) AS lo, MAX(slot) AS hi FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT bounds.event_type, g.slot
+      FROM bounds,
+           unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS g(slot)
+    ),
+    joined AS (
+      SELECT grid.event_type, grid.slot,
+             COALESCE(obs.n_obs, 0) AS n_obs, obs.close
+      FROM grid LEFT JOIN obs
+        ON grid.event_type = obs.event_type AND grid.slot = obs.slot
+    )
+    SELECT event_type,
+           strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot_start,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           last_value(close IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           n_obs = 0 AS gap_filled
+    FROM joined
+    """,
+)
+def events_resample(spark, sf_dir):
+    """Hypertable-style gap-filled resample: per event type, one row per
+    hour from first to last observation, forward-filling empty hours
+    with the last closing value (operators/timeseries.py::resample_locf
+    — LOCF). Exact: values pass through with zero float arithmetic and
+    intra-hour order ties break on event_id, so the full grid is
+    oracle-checkable. The fill window runs over the hour grid (~720
+    slots x 5 types here), never the event stream."""
+    from mysql2parquet_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        ev, key_cols=["event_type"], ts_col="ts", value_col="value",
+        id_col="event_id", unit="hour",
+    )
+
+
+@_stage(
+    "events_ohlc",
+    """
+    WITH ranked AS (
+      SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS slot, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type,
+           strftime(slot, '%Y-%m-%d %H:%M:%S') AS slot_start,
+           COUNT(*) AS n_obs,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """Daily open/high/low/close downsample per event type
+    (operators/timeseries.py::ohlc): the extreme-preserving rollup;
+    open/close are (ts, event_id)-deterministic endpoints, high/low
+    plain extremes, all raw double pass-through."""
+    from mysql2parquet_spark.operators.timeseries import ohlc
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc(
+        ev, key_cols=["event_type"], ts_col="ts", value_col="value",
+        id_col="event_id", unit="day",
+    )
 
 
 # --- k-NN majority-label classification ------------------------------------

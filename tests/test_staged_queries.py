@@ -165,3 +165,21 @@ def test_knn_classify_corpus_never_shuffles_before_scoring(spark, sf_dir):
     p = _splan(spark, sf_dir, "knn_classify")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p, p  # broadcast query cross-score
+
+
+def test_events_ohlc_single_exchange(spark, sf_dir):
+    # both endpoint rank windows AND the final aggregate share one
+    # hashpartitioning(event_type, _slot) exchange
+    p = _splan(spark, sf_dir, "events_ohlc")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_events_resample_grid_never_shuffles_events_twice(spark, sf_dir):
+    # the event stream is exchanged once on (key, slot) — the rank
+    # window and the per-slot aggregate share it; every later exchange
+    # runs over the slot-grid-sized relations (bounds/fill), and the
+    # grid->obs join must not be a cartesian
+    p = _splan(spark, sf_dir, "events_resample")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning(event_type#") <= 2, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
