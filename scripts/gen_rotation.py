@@ -67,6 +67,23 @@ into the registry and give them head slots:
   (operators/anomaly.py; exclude-own-row baseline, min-history gate).
 - `join_explosion` — exact pre-join cardinality / explosion check from
   the two count tables (operators/scale.join_explosion_estimate).
+- `tpch_q13_shape` / `tpch_q16_shape` / `tpch_q21_shape` /
+  `tpch_q22_shape` — the remaining distinct TPC-H optimizer shapes:
+  agg-of-agg over a LEFT join, NOT IN + count-distinct,
+  double-correlated EXISTS/NOT EXISTS (semi+anti with residual
+  inequality), scalar-subquery filter + anti join.
+- `dedup_substring` — exact repeated 8-token-window profile per doc
+  (operators/dedup.duplicated_window_counts; sixth dedup family).
+- `text_pmi` — top-40-term document co-occurrence PMI
+  (operators/text.term_cooccurrence_pmi).
+- `events_transitions` — per-user first-order Markov transition matrix
+  with row-normalized probabilities.
+- `knn_classify` — k=5 cosine k-NN majority-label prediction for a
+  bounded query set (full deterministic oracle).
+- `events_resample` — gap-filled hourly LOCF resample per event type
+  (operators/timeseries.resample_locf).
+- `events_ohlc` — daily open/high/low/close downsample per event type
+  (operators/timeseries.ohlc).
 
 Adjudication-readiness evidence beyond the parity gate: all staged
 queries produced bit-identical canonical outputs at sf0.01 across

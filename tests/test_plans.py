@@ -338,6 +338,9 @@ BROADCAST_ALLOWLIST = {
         "bloom bit positions — ≤ m rows by geometry at any data volume",
     ("operators/text.py", "bm25_scores"):
         "df over the QUERY terms (isin-filtered) + one-row corpus stats",
+    ("operators/text.py", "term_cooccurrence_pmi"):
+        "top-N term list (TakeOrderedAndProject heap, ≤ top_n rows) + "
+        "one-row n_docs aggregate — both bounded by construction",
     ("operators/scale.py", "key_skew_profile"):
         "one-row totals aggregate over the count table",
     ("operators/scale.py", "join_explosion_estimate"):
