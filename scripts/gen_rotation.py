@@ -84,6 +84,15 @@ into the registry and give them head slots:
   (operators/timeseries.resample_locf).
 - `events_ohlc` — daily open/high/low/close downsample per event type
   (operators/timeseries.ohlc).
+- `tpch_q2_shape` / `q7` / `q8` / `q9` / `q11` / `q12` / `q15` /
+  `q17` / `q20` — the rest of the 22-query TPC-H suite,
+  fixture-adapted where partsupp/shipmode don't exist (correlated
+  MIN decorrelated to group-and-join-back, dual-role nation joins
+  with a cross-pair OR residual, the 7-relation q8 tree, per-part
+  value vs own-global-total HAVING, conditional pivot counts,
+  view+MAX scalar equality on exact decimals, correlated AVG,
+  nested IN chain as stacked semi-joins). With these staged, every
+  distinct optimizer shape in TPC-H has a fully-oracled entry.
 
 Adjudication-readiness evidence beyond the parity gate: all staged
 queries produced bit-identical canonical outputs at sf0.01 across

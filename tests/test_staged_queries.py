@@ -183,3 +183,66 @@ def test_events_resample_grid_never_shuffles_events_twice(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("Exchange hashpartitioning(event_type#") <= 2, p
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_tpch_q20_nested_in_chain_as_semi_joins(spark, sf_dir):
+    # both IN levels must land as LEFT SEMI joins (part keys into the
+    # lineitem scan, HAVING-filtered supplier keys into supplier) —
+    # never an IN-list materialization or a nested loop
+    p = _splan(spark, sf_dir, "tpch_q20_shape")
+    assert p.count("LeftSemi") >= 2, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q17_correlated_avg_is_decorrelated(spark, sf_dir):
+    # the per-part AVG threshold is ONE grouped aggregate joined back
+    # on the part key — equi-joins only, zero per-row subqueries
+    p = _splan(spark, sf_dir, "tpch_q17_shape")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q7_nation_pair_disjunction_stays_equi(spark, sf_dir):
+    # the cross-pair OR on the two nation roles is a residual filter
+    # over equi-joins, never a nested loop over the fact chain
+    p = _splan(spark, sf_dir, "tpch_q7_shape")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q8_seven_relation_tree_stays_equi(spark, sf_dir):
+    p = _splan(spark, sf_dir, "tpch_q8_shape")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q9_no_nested_loop(spark, sf_dir):
+    p = _splan(spark, sf_dir, "tpch_q9_shape")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q12_cross_join_lateness_stays_residual(spark, sf_dir):
+    # l_shipdate >= o_orderdate + 30d references both sides, so it must
+    # ride the o_orderkey equi-join as a residual, not force a loop
+    p = _splan(spark, sf_dir, "tpch_q12_shape")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q2_min_equality_join_is_equi(spark, sf_dir):
+    # the (partkey, min_price) join back is hash/sort-merge on the
+    # composite equi keys; DISTINCT is an aggregate, not a loop
+    p = _splan(spark, sf_dir, "tpch_q2_shape")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q11_and_q15_one_row_scalar_sides_only(spark, sf_dir):
+    # the ONLY nested-loop allowed is the one-row scalar side (the
+    # global threshold / MAX) — a single BroadcastNestedLoopJoin each
+    for name in ("tpch_q11_shape", "tpch_q15_shape"):
+        p = _splan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p
+        assert p.count("BroadcastNestedLoopJoin") <= 1, (name, p)
