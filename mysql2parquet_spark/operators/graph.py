@@ -1,0 +1,143 @@
+"""Distributed connected components over an edge DataFrame.
+
+The iterative-graph family (reference parity: none — the reference
+delegates everything to MySQL, main.go:106; this is a north-star
+operator for duplicate-cluster resolution at corpus scale).
+
+Algorithm: minimum-label propagation with pointer doubling. Each
+round does (1) one edge-keyed shuffle propagating the current minimum
+label across every edge, then (2) one label-keyed self-join replacing
+each node's label with its label's label (path halving). Step (2) is
+what turns the O(diameter) naive propagation into O(log diameter)
+rounds — on a path of n nodes, labels reach the minimum endpoint in
+~log2(n) iterations instead of n. Termination is a FIXPOINT, not an
+iteration guess: the loop stops when a full propagation round changes
+zero labels, at which point every edge connects equal labels and each
+label is its component's minimum node id (labels only ever decrease
+and only ever hold existing node ids).
+
+Scale posture:
+- per-round cost is two keyed exchanges over |E| + |V| rows of two
+  longs each — constant width, partial-combined min aggregates;
+- ``localCheckpoint`` truncates the lineage every round, so the plan
+  does not grow with iterations (the classic iterative-DataFrame trap);
+- the convergence probe is ``isEmpty()`` on the changed-label set — a
+  bounded-metadata driver action (a boolean), never a collect of rows;
+- duplicate-cluster graphs built from shared-gram STAR edges (see
+  ``gram_star_edges``) keep |E| linear in the number of (doc, gram)
+  hits: a gram shared by m documents contributes m-1 edges, never
+  m^2/2 pairs, and such graphs have diameter <= 2x gram chains, so
+  the doubling loop converges in a handful of rounds at any corpus
+  size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.functions.hashing import tokens
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node of the undirected graph ``edges`` with the
+    minimum node id of its connected component. Returns (v, component).
+
+    ``max_iter`` is a safety rail, not the expected round count —
+    pointer doubling converges in O(log diameter); hitting the rail
+    raises rather than returning a partially-converged labeling.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        e.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (1) propagate the minimum label across every edge
+        nb = e.join(lab, e["s"] == lab["v"]).select(
+            F.col("d").alias("v"), F.col("label")
+        )
+        new = (
+            lab.unionByName(nb)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer doubling: follow the label chain one hop
+        hop = new.select(
+            F.col("v").alias("_pv"), F.col("label").alias("_plabel")
+        )
+        new = (
+            new.join(hop, new["label"] == hop["_pv"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(lab, "v")
+            .filter(F.col("_new") != F.col("label"))
+        )
+        done = changed.isEmpty()
+        lab = new
+        if done:
+            return lab.select("v", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (expected rounds ~ log2(graph diameter))"
+    )
+
+
+def gram_star_edges(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Star edges between documents sharing any verbatim k-token
+    window: for each gram, every holder connects to the MINIMUM doc id
+    holding it. Same components as the full pairwise shared-gram graph
+    (any two holders are joined through the minimum), at linear edge
+    cost — a boilerplate gram shared by a million docs emits a million
+    edges, never a half-trillion pairs. Window keys are md5 of the
+    space-joined gram (the ``duplicated_window_counts`` contract — at
+    100 TB swap for xxhash64) so any engine derives identical edges.
+    Returns distinct (src, dst) rows with src <> dst, dst being the
+    gram's minimum holder."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    wins = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - k + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        df.select(F.col(id_col), F.explode(wins).alias("_g"))
+        .distinct()
+    )
+    w = Window.partitionBy("_g")
+    return (
+        grams.withColumn("_min", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_min"))
+        .select(F.col(id_col).alias("src"), F.col("_min").alias("dst"))
+        .distinct()
+    )

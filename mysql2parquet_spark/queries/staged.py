@@ -35,6 +35,10 @@ Staged set (ROTATION.md r7 plan + this round's operator additions):
   trees, agg-vs-own-total HAVING, conditional pivot counts, view+MAX
   scalar, correlated AVG, nested IN chain); with these, every distinct
   optimizer shape in TPC-H is staged.
+- ``dedup_cluster_cc``   — duplicate-cluster connected components over
+  the shared-gram graph (iterative label-prop + pointer doubling vs a
+  recursive-CTE transitive-closure oracle — the exact-oracle face of
+  the iterative-graph family).
 """
 
 from __future__ import annotations
@@ -1567,4 +1571,78 @@ def tpch_q20_shape(spark, sf_dir):
         .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+# --- graph: duplicate-cluster connected components ---------------------------
+
+
+@_stage(
+    "dedup_cluster_cc",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    star AS (
+      SELECT doc_id AS s, MIN(doc_id) OVER (PARTITION BY g) AS d FROM wins
+    ),
+    edges0 AS (
+      SELECT DISTINCT s, d FROM star WHERE s <> d
+    ),
+    edges AS (
+      SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0
+    ),
+    nodes AS (
+      SELECT DISTINCT s AS v FROM edges
+    ),
+    comp AS (
+      WITH RECURSIVE reach(v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT e.d, c.r FROM reach c JOIN edges e ON e.s = c.v
+      )
+      SELECT v, MIN(r) AS component FROM reach GROUP BY v
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT comp.v AS doc_id, comp.component, sizes.cluster_size
+    FROM comp JOIN sizes USING (component)
+    ORDER BY comp.component, comp.v
+    """,
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    shared-8-token-window graph — every document that shares a
+    verbatim window with another, labeled with its cluster (the
+    cluster's minimum doc id) and the cluster size. This is the
+    EXACT-oracle face of the iterative-graph family: unlike the
+    MinHash CC variant (approximate by construction, rows-only), the
+    gram edges are deterministic, so the full fixpoint labeling is
+    hash-checked against a recursive-CTE transitive closure. Star
+    edges keep |E| linear in (doc, gram) hits; the label-prop +
+    pointer-doubling loop converges in O(log diameter) keyed-shuffle
+    rounds (operators/graph.py)."""
+    from mysql2parquet_spark.operators.graph import (
+        connected_components,
+        gram_star_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = gram_star_edges(docs, text_col="text", id_col="doc_id", k=8)
+    comp = connected_components(edges, src="src", dst="dst")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("v").alias("doc_id"), "component", "cluster_size")
+        .orderBy("component", "doc_id")
     )

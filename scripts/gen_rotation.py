@@ -93,6 +93,12 @@ into the registry and give them head slots:
   view+MAX scalar equality on exact decimals, correlated AVG,
   nested IN chain as stacked semi-joins). With these staged, every
   distinct optimizer shape in TPC-H has a fully-oracled entry.
+- `dedup_cluster_cc` — duplicate-cluster connected components over the
+  shared-8-token-window graph (operators/graph.py: min-label
+  propagation + pointer doubling, O(log diameter) rounds, fixpoint
+  termination) vs a recursive-CTE transitive-closure oracle — the
+  iterative-graph family's first hash-checked entry (the MinHash CC
+  variant is approximate by construction, rows-only).
 
 Adjudication-readiness evidence beyond the parity gate: all staged
 queries produced bit-identical canonical outputs at sf0.01 across
