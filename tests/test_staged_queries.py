@@ -246,3 +246,28 @@ def test_tpch_q11_and_q15_one_row_scalar_sides_only(spark, sf_dir):
         p = _splan(spark, sf_dir, name)
         assert "CartesianProduct" not in p
         assert p.count("BroadcastNestedLoopJoin") <= 1, (name, p)
+
+
+def test_staged_queries_output_scalar_columns(spark, sf_dir):
+    # the head-shape lint (test_registry.py) applied BEFORE registration:
+    # staged queries are r7 head candidates, so no top-level
+    # Array/Map/Struct (unhashable in the driver's pandas sort) or
+    # Decimal (asymmetric canonicalization — the agg_salted hash-FAIL
+    # class) may reach their output schemas. Only schema is inspected.
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    bad = {}
+    for name, q in STAGED.items():
+        df = q.fn(spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType, (ArrayType, MapType, StructType, DecimalType)
+            )
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        f"staged queries with shape-unsafe top-level columns: {bad}"
+    )
