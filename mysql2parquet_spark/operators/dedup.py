@@ -619,16 +619,26 @@ def duplicated_window_counts(
     gram) projection before the doc-count aggregate — the heavy-hitter
     gram contributes one row per doc, pre-combined map-side.
     """
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    from mysql2parquet_spark.operators.scale import fan_out, materialize_column
+
+    # Fan a small-file scan out across the cluster (gated: no-op when
+    # the scan is already wide), then pin the token array to ONE
+    # evaluation per row — inlined, the regex split re-runs inside
+    # every k-gram slice lambda and pushed filter (5x wall at sf0.1).
+    toked = materialize_column(
+        fan_out(df, key=id_col).select(id_col, text_col),
+        "_t",
+        tokens(F.col(text_col)),
+    ).drop(text_col)
+    n_tok = F.size("_t")
     wins = F.when(
         n_tok >= k,
         F.transform(
             F.sequence(F.lit(1), n_tok - k + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    base = toked.select(
         F.col(id_col),
         F.greatest(n_tok - k + 1, F.lit(0)).cast("long").alias("n_windows"),
         wins.alias("_wins"),

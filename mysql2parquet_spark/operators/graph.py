@@ -121,17 +121,26 @@ def gram_star_edges(
     100 TB swap for xxhash64) so any engine derives identical edges.
     Returns distinct (src, dst) rows with src <> dst, dst being the
     gram's minimum holder."""
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    from mysql2parquet_spark.operators.scale import fan_out, materialize_column
+
+    # fan a small-file scan out, then pin the token array to one
+    # evaluation per row (see duplicated_window_counts / scale.py:
+    # inlined, the split re-runs per window slice at 5x the cost)
+    toked = materialize_column(
+        fan_out(df, key=id_col).select(id_col, text_col),
+        "_t",
+        tokens(F.col(text_col)),
+    ).drop(text_col)
+    n_tok = F.size("_t")
     wins = F.when(
         n_tok >= k,
         F.transform(
             F.sequence(F.lit(1), n_tok - k + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = (
-        df.select(F.col(id_col), F.explode(wins).alias("_g"))
+        toked.select(F.col(id_col), F.explode(wins).alias("_g"))
         .distinct()
     )
     w = Window.partitionBy("_g")

@@ -377,3 +377,50 @@ def join_explosion_estimate(
             "top_key_rows",
         )
     )
+
+
+def fan_out(df, key=None):
+    """Spread an expression-heavy derivation across the cluster when the
+    upstream scan under-partitions it.
+
+    A small parquet file arrives as ONE input split, so a per-row-costly
+    chain hung directly off the scan (k-gram explode + md5, codec UDFs)
+    runs single-threaded no matter how many cores exist — at sf0.1 the
+    substring-dedup gram build was 32x under-parallelized for exactly
+    this reason. At 100 TB the same scan has thousands of natural splits
+    and an unconditional repartition would add a pure-cost shuffle of
+    raw text, so the exchange is GATED: only when the scan's partition
+    count is below the session's default parallelism. The probe is
+    driver-side plan metadata (no job runs); ``key`` keeps the exchange
+    hash-partitioned on a column when downstream wants that
+    co-location, otherwise round-robin spreads rows evenly.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    if key is not None:
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
+def materialize_column(df, name, col):
+    """Pin an expensive expression to ONE evaluation per row by routing
+    it through a one-element explode (a Generate node).
+
+    Catalyst's CollapseProject + ColumnPruning will re-inline a plain
+    ``select`` alias into every downstream consumer — for the substring
+    -dedup token array that meant the regex split re-ran inside every
+    k-gram slice lambda and every pushed filter, a measured 5x wall
+    cost at sf0.1 (15 split() evaluations in the optimized plan vs 3
+    after the barrier). Projections do not collapse across Generate,
+    so the expression is computed exactly once per row and downstream
+    operators consume the materialized attribute. The 1-element
+    explode itself is a no-op row-wise (1 row in, 1 row out) and stays
+    inside whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select("*", F.explode(F.array(col)).alias(name))
