@@ -18,7 +18,14 @@ import datetime
 import math
 from decimal import Decimal
 
-__all__ = ["type_class", "norm_cell", "canon", "column_type_classes"]
+__all__ = [
+    "type_class",
+    "norm_cell",
+    "canon",
+    "column_type_classes",
+    "fetch_oracle_arrow",
+    "lint_oracle_types",
+]
 
 
 def type_class(v) -> str:
@@ -82,6 +89,49 @@ def canon(rows, colnames) -> list[str]:
     out = ["|".join(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+def fetch_oracle_arrow(con, sql: str):
+    """Fetch a DuckDB oracle result THROUGH ARROW — the driver's path.
+
+    ``fetchall()`` coerces DuckDB relation types before our type-tagged
+    canonicalizer ever sees them: HUGEINT becomes a plain Python int and
+    the drift is invisible locally, while the external driver exports the
+    same relation via Arrow (HUGEINT → decimal128(38,0) → Decimal) and
+    hash-FAILs against Spark's int64 — exactly the ``quality_report`` red
+    row in CORRECTNESS_r06, the second round in a row a gate was cured
+    one layer short of the driver. Fetching through ``.arrow()`` makes the
+    mirror and the sim see the SAME value shapes the driver hashes, so
+    the whole coercion-blindness class is closed rather than one symptom.
+
+    Returns ``(colnames, rows)`` with rows as tuples of Python values in
+    Arrow's (driver-faithful) coercion: decimal128 → Decimal, int64 →
+    int, timestamp → datetime, list → list.
+    """
+    tbl = con.execute(sql).arrow()
+    cols = list(tbl.column_names)
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*pycols)) if pycols else []
+    return cols, rows
+
+
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle_types(con, sql: str) -> list[str]:
+    """Bind (not execute) an oracle and return its offending result
+    types: any HUGEINT/UHUGEINT column. DuckDB promotes ``SUM(BIGINT)``
+    to HUGEINT, which Arrow-exports as decimal128(38,0) — a shape no
+    Spark query produces, so such an oracle can only ever hash-FAIL at
+    the driver. The fix at the query site is
+    ``CAST(... AS BIGINT)`` (join_explosion / quality_report pattern)."""
+    rel = con.sql(sql)
+    bad = []
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if any(b in ts for b in _BANNED_ORACLE_TYPES):
+            bad.append(f"{name}: {ts}")
+    return bad
 
 
 def column_type_classes(rows, colnames) -> dict[str, set]:

@@ -1440,7 +1440,13 @@ def sketch_cms_freq(spark, sf_dir):
            (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS violations
     UNION ALL
     SELECT 'unique(o_orderkey)',
-           (SELECT COALESCE(SUM(n), 0) FROM (
+           -- CAST: DuckDB's SUM(BIGINT) yields HUGEINT, which promotes the
+           -- whole UNION ALL column and Arrow-exports as decimal128(38,0) —
+           -- the driver's type-tagged hash then sees Decimal vs Spark's
+           -- int64 (the one red row in CORRECTNESS_r06). Same pattern as
+           -- join_explosion's oracle; tests/test_oracle_types.py now lints
+           -- every oracle for this class.
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
               HAVING COUNT(*) > 1))
     UNION ALL

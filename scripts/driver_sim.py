@@ -22,7 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mysql2parquet_spark.canon import canon, column_type_classes  # noqa: E402
+from mysql2parquet_spark.canon import (  # noqa: E402
+    canon,
+    column_type_classes,
+    fetch_oracle_arrow,
+)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -86,9 +90,9 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({dt:.1f}s)")
             rows_only += 1
             continue
-        rel = con.execute(oracles[name])
-        dcols = [c[0] for c in rel.description]
-        drows = rel.fetchall()
+        # Arrow fetch — the driver's coercion path (HUGEINT→Decimal visible,
+        # not silently int-coerced as fetchall() does; quality_report r6).
+        dcols, drows = fetch_oracle_arrow(con, oracles[name])
         ok_cols = sorted(scols) == sorted(dcols)
         ok_cnt = len(srows) == len(drows)
         ok_vals = canon(srows, scols) == canon(drows, dcols) if ok_cols and ok_cnt else False

@@ -30,6 +30,7 @@ import pytest
 from mysql2parquet_spark.canon import (
     canon as _canon,
     column_type_classes as _column_type_classes,
+    fetch_oracle_arrow as _fetch_oracle_arrow,
     norm_cell as _norm_cell,
 )
 from mysql2parquet_spark.queries import REGISTRY, _load
@@ -48,9 +49,9 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     srows = sdf.collect()
     scols = sdf.columns
 
-    rel = duck.execute(q.oracle)
-    dcols = [c[0] for c in rel.description]
-    drows = rel.fetchall()
+    # Arrow fetch, not fetchall(): fetchall coerces HUGEINT→int and hides
+    # the oracle-type drift the driver hash-FAILs (quality_report, r6).
+    dcols, drows = _fetch_oracle_arrow(duck, q.oracle)
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
