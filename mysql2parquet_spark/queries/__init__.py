@@ -48,80 +48,84 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (B1-B35, asof) AND every Tier C / LLM-pipeline component (C1-C6, tpch
 # composites).  Variant queries beyond the head stay registered — the local
 # gate (tests/test_oracle_parity.py) still checks all of them.
-# ROTATION (r6, VERDICT r5 ask #1): drain the adjudication backlog — ALL
-# 16 never-driver-checked r5 registrations take head slots this round, so
-# every one of the 119 registered queries has ≥1 driver adjudication
-# across r1–r6. Rotated IN: cdc_scd2, cdc_scd2_asof, dedup_incremental,
-# events_funnel, events_retention, fuzzy_name_pairs, pipeline_mix,
-# quality_report, rollup_incremental, sample_topn_group,
-# sample_weighted_rows, sketch_cms_freq, sketch_histogram_q,
-# sketch_hll_rollup, tpch_q1, tpch_q18. Displaced (EVERY one of the 16 is
-# itself thrice-proven — 4–5 hash-green driver rows — so each component
-# stays guarded by the proven-component rule in tests/test_registry.py):
-# scan_project, expr_arith, join_left, join_semi, join_range,
-# join_multiway, join_asof, agg_cube, agg_having, window_percent,
-# window_analytic, window_range_frame, sort_nulls, sort_limit_offset,
-# set_ops, math_funcs. New query registration is FROZEN this round
-# (VERDICT r5: second consecutive round the window lost ground) — the
-# registry gate test_no_new_queries_while_backlog pins the count.
+# ROTATION (r7, VERDICT r6 asks #1/#3): the registration thaw. r6's
+# freeze drained the backlog (every one of the 119 r6-registered queries
+# now has >=1 driver row), so the 30 staged (query, oracle) pairs in
+# queries/staged.py move into the registry (149 total) and ALL 30 take
+# head slots — they are the never-driver-checked set. Also in the head:
+# quality_report (re-land after the oracle-side HUGEINT fix — the one
+# red r6 row), second-green slots for the 13 r6 first-timers, a third
+# green for the once-failed agg_salted, and second greens for five r5
+# first-greens. Displaced (each thrice-proven with 3-6 hash rows, so
+# their components stay guarded by the proven-component rule in
+# tests/test_registry.py): filter_like, date_parts, cond_funcs,
+# json_struct, array_funcs, subquery_cte, udf_grouped,
+# stream_session_batch, stream_dedup_batch, stream_enrich_batch,
+# dedup_exact, dedup_ngram_jaccard, embedding_quantize, text_termfreq,
+# text_tokens, text_tokens_regex, text_normalize, text_pii,
+# pipeline_pack, pipeline_decontaminate, pipeline_chunk,
+# pipeline_shuffle, merge_upsert, tpch_q5_shape, plus the rows-only
+# re-adjudications (dedup_minhash_cc/ml, text_fingerprint_winnow,
+# multimodal_frames, sketch_hll_rollup, sketch_cms_freq — each has 1-2
+# driver rows-only rows already and no oracle to upgrade them).
 # Per-round history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # B-tier survivors (fewer than 3 green rows, or re-adjudication)
-    "filter_like",        # B5 (r3+r4+r5 green; filter_pred r1+r2 green)
-    "agg_salted",         # B12 skew-salted (r5 hash-green after the r4
-                          # decimal-shape fix; keep for a 2nd green row)
-    "date_parts",         # B23 (r4+r5 green; date_funcs 3x green)
-    "cond_funcs",         # B25
-    "json_struct",        # B27 (r4+r5 green; json_funcs 3x green)
-    "array_funcs",        # B28
-    "subquery_cte",       # B29
-    "udf_grouped",        # B30 (r3-r5 green; udf_pandas r1+r2 green)
-    "stream_rollup_batch",    # B32 chained windowed rollup (r5 green)
-    "stream_session_batch",   # B33
-    "stream_dedup_batch",     # B35
-    "stream_enrich_batch",    # B31 stream-static enrichment
-    # Tier C / LLM-pipeline components
-    "dedup_exact",          # C1
-    "dedup_ngram_jaccard",  # C2 exact-jaccard (r4+r5 green)
-    "dedup_embedding",      # C2 semantic cosine dedup (r5 green)
-    "dedup_incremental",    # C1 fingerprint-store dedup (FIRST check)
-    "dedup_minhash_cc",     # C2 connected-components (rows-only)
-    "dedup_minhash_ml",     # C2 Spark-ML LSH (rows-only)
-    "similarity_pairs",     # C3 exact cosine pairs (r5 green)
-    "similarity_pairs_blocked",  # C3 blocked pair join (r5 green)
-    "embedding_quantize",   # C3 int8 quantization (r4+r5 green)
-    "text_stats",           # C4 per-lang doc stats (r5 green)
-    "text_termfreq",        # C4 term frequency (r5 green)
-    "text_tokens",          # C4 token counting (r5 green)
-    "text_tokens_regex",    # C4 BPE-ish tokenizer (r5 green)
-    "text_fingerprint_winnow",  # C4 winnowing (rows-only)
-    "text_normalize",       # C4 + B22 string canonicalization
-    "text_pii",             # PII redaction
-    "fuzzy_name_pairs",     # fuzzy record linkage (FIRST driver check)
-    "multimodal_frames",    # C5 frame-sampling fan-out (rows-only;
-                            # multimodal_binary hash-green r4)
-    "pipeline_pack",        # C6 (sequence packing)
-    "pipeline_decontaminate",  # C6 (eval decontamination)
-    "pipeline_chunk",       # C6 (context-window chunking)
-    "pipeline_shuffle",     # C6 corpus shuffle+shard
-    "pipeline_mix",         # C6 budget-weighted mixing (FIRST check)
-    "sample_topn_group",    # fixed-quota per-group sample (FIRST check)
-    "sample_weighted_rows", # weighted Bernoulli keep (FIRST check)
-    "merge_upsert",         # MERGE/CDC incremental export
-    "cdc_scd2",             # SCD Type 2 history fold (FIRST check)
-    "cdc_scd2_asof",        # SCD2 point-in-time lookup (FIRST check)
-    "events_funnel",        # ordered-sequence funnel (FIRST check)
-    "events_retention",     # weekly retention cohorts (FIRST check;
-                            # r6 drops the forced per-user broadcast)
-    "quality_report",       # constraint-validation report (FIRST check)
-    "rollup_incremental",   # incremental agg maintenance (FIRST check)
-    "sketch_hll_rollup",    # mergeable HLL rollup (FIRST, rows-only)
-    "sketch_cms_freq",      # count-min frequencies (FIRST, rows-only)
-    "sketch_histogram_q",   # mergeable histogram quantiles (FIRST check)
-    # TPC-H composites
-    "tpch_q1",              # pricing summary (FIRST driver check)
-    "tpch_q18",             # large-volume customer (FIRST driver check)
-    "tpch_q5_shape",        # r4+r5 green (q6/q3 3x green, q10 r4 green)
+    # re-land after the oracle HUGEINT->BIGINT cast (red row in r6)
+    "quality_report",
+    # --- r7 debuts: the formerly-staged set (never driver-checked) ---
+    "drift_psi",            # D18 PSI/JS/TV drift report
+    "skew_profile",         # D19 heavy-hitter / salt-factor profile
+    "join_explosion",       # D19 pre-join cardinality blowup check
+    "sketch_kmv_overlap",   # D9 KMV Jaccard vs exact set algebra
+    "sketch_bloom_probe",   # D9 Bloom membership vs exact anti-join
+    "sample_split_group",   # D14 group-disjoint train/val/test split
+    "events_anomaly",       # D20 volume z-score (reduce-first shape,
+                            # VERDICT r6 ask #4)
+    "events_resample",      # D23 gap-filled LOCF resample
+    "events_ohlc",          # D23 OHLC downsample
+    "events_transitions",   # D22 Markov transition matrix
+    "text_pmi",             # D22 co-occurrence PMI collocations
+    "knn_classify",         # D22 k-NN majority-label classify
+    "dedup_substring",      # D21 k-token-window substring dedup
+    "dedup_cluster_cc",     # D24 connected components vs recursive CTE
+    "tpch_q2_shape",        # D13 correlated-MIN decorrelation
+    "tpch_q4_shape",        # D13 EXISTS semi-join count
+    "tpch_q7_shape",        # D13 dual-role nation pair disjunction
+    "tpch_q8_shape",        # D13 seven-relation join tree
+    "tpch_q9_shape",        # D13 profit rollup over part filter
+    "tpch_q11_shape",       # D13 agg vs own-global-total HAVING
+    "tpch_q12_shape",       # D13 cross-side date residual + pivot
+    "tpch_q13_shape",       # D13 agg-of-agg over LEFT join
+    "tpch_q14_shape",       # D13 conditional-aggregate ratio
+    "tpch_q15_shape",       # D13 view + MAX scalar equality
+    "tpch_q16_shape",       # D13 NOT IN + count-distinct
+    "tpch_q17_shape",       # D13 correlated AVG decorrelated
+    "tpch_q19_shape",       # D13 disjunctive multi-column predicates
+    "tpch_q20_shape",       # D13 nested IN chain as semi-joins
+    "tpch_q21_shape",       # D13 double-correlated EXISTS/NOT EXISTS
+    "tpch_q22_shape",       # D13 scalar-subquery filter + anti join
+    # --- second green rows for the r6 first-timers ---
+    "cdc_scd2",             # D6 SCD2 history fold
+    "cdc_scd2_asof",        # D6 point-in-time lookup
+    "dedup_incremental",    # C1 fingerprint-store dedup
+    "events_funnel",        # D11 ordered-sequence funnel
+    "events_retention",     # D11 weekly retention cohorts
+    "fuzzy_name_pairs",     # D17 fuzzy record linkage
+    "pipeline_mix",         # D14 budget-weighted mixing
+    "rollup_incremental",   # D16 incremental agg maintenance
+    "sample_topn_group",    # D14 fixed-quota per-group sample
+    "sample_weighted_rows", # D14 weighted Bernoulli keep
+    "sketch_histogram_q",   # D9 mergeable histogram quantiles
+    "tpch_q1",              # D13 pricing summary
+    "tpch_q18",             # D13 large-volume customer
+    # --- third green for the once-FAILed salted agg ---
+    "agg_salted",           # B12 skew-salted (r4 FAIL, r5+r6 green)
+    # --- second greens for r5 first-greens ---
+    "dedup_embedding",      # C2 semantic cosine dedup
+    "similarity_pairs",     # C3 exact cosine pairs
+    "similarity_pairs_blocked",  # C3 blocked pair join
+    "stream_rollup_batch",  # B32 chained windowed rollup
+    "text_stats",           # C4 per-lang doc stats
 )
 
 
@@ -160,5 +164,15 @@ def _load() -> None:
         tierc,
         tpch,
     )
+
+    # r7 registration thaw (VERDICT r6 ask #3): the staged cohort —
+    # locally parity-proven during the r6 freeze — joins the registry.
+    # STAGED keeps identifying the cohort for its plan-pin tests.
+    from mysql2parquet_spark.queries import staged
+
+    for _name, _q in staged.STAGED.items():
+        if _name in REGISTRY:
+            raise ValueError(f"staged query collides with registry: {_name}")
+        REGISTRY[_name] = _q
 
     _loaded = True

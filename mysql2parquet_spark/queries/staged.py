@@ -451,44 +451,63 @@ def tpch_q19_shape(spark, sf_dir):
 @_stage(
     "events_anomaly",
     """
-    WITH base AS (
-      SELECT event_type, event_id, value,
-             COUNT(value) OVER w AS n_hist,
-             AVG(value)  OVER w AS mean,
-             COALESCE(STDDEV_POP(value) OVER w, 0.0) AS std
+    WITH counts AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
-                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, window_start, n_events,
+             COUNT(n_events) OVER w AS n_hist,
+             AVG(n_events) OVER w AS mean,
+             COALESCE(STDDEV_POP(n_events) OVER w, 0.0) AS std
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, event_id,
-           ROUND((value - mean) / std, 4) AS zscore
+    SELECT event_type, window_start, n_events,
+           ROUND((n_events - mean) / std, 4) AS zscore
     FROM base
-    WHERE n_hist >= 10 AND std > 0 AND value IS NOT NULL
-      AND ABS((value - mean) / std) >= 1.5
+    WHERE n_hist >= 6 AND std > 0
+      AND ABS((n_events - mean) / std) >= 2.0
     """,
 )
 def events_anomaly(spark, sf_dir):
-    """Rolling z-score outliers on event values, per event type: each
-    row judged against the trailing-50 baseline of its own key (the
-    row excluded from its own baseline). Single-shuffle window plan
-    (operators/anomaly.py rolling_zscore); threshold 1.5 keeps the
-    flagged set non-empty on the uniform-ish fixture values (a bounded
-    uniform never reaches 3 sigma — real telemetry tails do). The
-    oracle compares the flagged set + zscore only: the baseline MEAN
-    of 2-decimal fixture values lands exactly on .xxxx5 half-way
-    points, where cross-engine ulp noise flips a 4-decimal round (the
-    agg_salted lesson, SURVEY §2.2) — the zscore's irrational
-    stddev denominator has no such boundary mass."""
-    from mysql2parquet_spark.operators.anomaly import rolling_zscore
+    """Volume anomalies: 6-hour tumbling event counts per type, each
+    window z-scored against the key's trailing 24 present windows
+    (exclude-own-window baseline).
+
+    SHAPE CHOICE (VERDICT r6 ask #4): the raw per-row z-score keyed by
+    event_type alone concentrates the whole event table into
+    |event_type| tasks — 5 in the fixture, still 5 at 100 TB, so the
+    per-key series is unsplittable and parallelism never scales. This
+    registered shape REDUCES FIRST (operators/anomaly.py
+    window_count_anomaly): the count aggregation collapses the firehose
+    to a |keys| x |windows| series with map-side partial aggregation,
+    and only that bounded series ever enters a sorted window frame —
+    two bounded exchanges, both skew-tolerant. The raw-series
+    ``rolling_zscore`` remains the operator for genuinely
+    high-cardinality keys (per-user, per-device), with its scale note
+    in the docstring.
+
+    Bucket alignment: Spark's ``F.window`` tumbles from the 1970-01-01
+    epoch, DuckDB's ``time_bucket`` from its midnight-aligned origin —
+    6 divides 24, so any midnight origin yields identical buckets.
+    Constant-baseline breaks (std = 0) carry NULL zscore and are
+    excluded on BOTH sides, so the flagged sets agree exactly; the
+    zscore's sqrt-of-variance denominator keeps 4-decimal rounding off
+    half-way boundaries."""
+    from mysql2parquet_spark.operators.anomaly import window_count_anomaly
 
     ev = load_table(spark, sf_dir, "events")
-    flagged = rolling_zscore(
-        ev, "value", ["event_type"], "event_id",
-        lookback=50, min_history=10, threshold=1.5,
+    flagged = window_count_anomaly(
+        ev, ["event_type"], "ts",
+        window="6 hours", lookback=24, min_history=6, threshold=2.0,
     )
-    return flagged.filter(F.col("is_anomaly")).select(
-        "event_type", "event_id", "zscore"
-    )
+    return flagged.filter(
+        F.col("is_anomaly") & F.col("zscore").isNotNull()
+    ).select("event_type", "window_start", "n_events", "zscore")
 
 
 # --- join explosion estimate -----------------------------------------------

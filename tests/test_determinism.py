@@ -27,6 +27,7 @@ CASES = [
     "text_bm25",        # decimal-summed per-term double contributions
     "pipeline_pack",    # running-sum window binning
     "embedding_quantize",  # double closed-form rounding
+    "events_anomaly",   # windowed-count z-scores (r7 reduce-first shape)
 ]
 
 

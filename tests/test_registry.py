@@ -108,6 +108,24 @@ COMPONENT_EVIDENCE = {
         "tpch_q10_shape",
         "tpch_q18",
     ],
+    # r7-registered surfaces (the thawed staged cohort, VERDICT r6 ask #3)
+    "drift_detection": ["drift_psi"],
+    "skew_profiling": ["skew_profile", "join_explosion"],
+    "kmv_bloom_sketches": ["sketch_kmv_overlap", "sketch_bloom_probe"],
+    "group_disjoint_splits": ["sample_split_group"],
+    "anomaly_flagging": ["events_anomaly"],
+    "timeseries_resample": ["events_resample", "events_ohlc"],
+    "corpus_analytics": ["text_pmi", "events_transitions"],
+    "knn_classify": ["knn_classify"],
+    "substring_dedup": ["dedup_substring"],
+    "graph_cc": ["dedup_cluster_cc"],
+    "tpch_full_suite": [
+        "tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
+        "tpch_q9_shape", "tpch_q11_shape", "tpch_q12_shape",
+        "tpch_q13_shape", "tpch_q14_shape", "tpch_q15_shape",
+        "tpch_q16_shape", "tpch_q17_shape", "tpch_q19_shape",
+        "tpch_q20_shape", "tpch_q21_shape", "tpch_q22_shape",
+    ],
     # r5-added surfaces (VERDICT r5 ask #1: every one adjudicated in r6)
     "scd2_history": ["cdc_scd2", "cdc_scd2_asof"],
     "incremental_dedup": ["dedup_incremental"],
@@ -203,16 +221,17 @@ ROWS_ONLY_OK = {
 }
 
 
-def test_no_new_queries_while_backlog():
-    """Registration freeze (VERDICT r5 ask #1): the registry stayed at 119
-    for r6 so the 50-slot driver window can drain the 16-query
-    adjudication backlog. Bumping this count requires a matching rotation
-    plan in scripts/gen_rotation.py (head slot in the debut round or an
-    explicit NEXT_ROUND_BACKLOG entry) — see test_rotation_ledger_current.
+def test_registry_count_is_planned():
+    """Registration ledger pin: r6 froze the registry at 119 to drain the
+    adjudication backlog; the r7 thaw moved the 30 staged, parity-proven
+    (query, oracle) pairs in (VERDICT r6 ask #3) — 149 total, all 30
+    debuts holding head slots. Bumping this count again requires a
+    matching rotation plan (head slot in the debut round or an explicit
+    NEXT_ROUND_BACKLOG entry) — see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 119, (
-        f"registry count changed ({len(REGISTRY)} != 119); r6 froze new "
-        "query registration until the adjudication backlog is empty"
+    assert len(REGISTRY) == 149, (
+        f"registry count changed ({len(REGISTRY)} != 149); new queries "
+        "need a rotation plan before registration"
     )
 
 
