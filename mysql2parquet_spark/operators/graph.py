@@ -19,8 +19,11 @@ and only ever hold existing node ids).
 Scale posture:
 - per-round cost is two keyed exchanges over |E| + |V| rows of two
   longs each — constant width, partial-combined min aggregates;
-- ``localCheckpoint`` truncates the lineage every round, so the plan
-  does not grow with iterations (the classic iterative-DataFrame trap);
+- per-round lineage truncation keeps the plan from growing with
+  iterations (the classic iterative-DataFrame trap): executor-memory
+  ``localCheckpoint`` by default (local mode / interactive), reliable
+  ``checkpoint(checkpoint_dir=...)`` for cluster jobs where an
+  executor loss must cost a re-read instead of the whole loop;
 - the convergence probe is ``isEmpty()`` on the changed-label set — a
   bounded-metadata driver action (a boolean), never a collect of rows;
 - duplicate-cluster graphs built from shared-gram STAR edges (see
@@ -44,6 +47,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id of its connected component. Returns (v, component).
@@ -51,19 +55,37 @@ def connected_components(
     ``max_iter`` is a safety rail, not the expected round count —
     pointer doubling converges in O(log diameter); hitting the rail
     raises rather than returning a partially-converged labeling.
+
+    Checkpoint trade-off (VERDICT r6 ask #5): the default
+    ``localCheckpoint`` stores lineage-truncated round state in
+    EXECUTOR memory/disk — fastest, right for local mode and short
+    interactive runs, but one lost executor mid-loop loses blocks that
+    have no lineage to recompute from, killing the job. Passing
+    ``checkpoint_dir`` (an HDFS/S3/DBFS path on a real cluster) switches
+    every round to reliable ``checkpoint()``: state is written to the
+    fault-tolerant store, so executor loss costs a re-read, not the job.
+    Pay the write per round; at 100 TB the loop state is |V| rows of two
+    longs — small next to the input — and a thousand-executor hour is
+    worth more than the round-trip.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    e = (
+    e = _pin(
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .filter(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    lab = (
+    lab = _pin(
         e.select(F.col("s").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # (1) propagate the minimum label across every edge
@@ -79,7 +101,7 @@ def connected_components(
         hop = new.select(
             F.col("v").alias("_pv"), F.col("label").alias("_plabel")
         )
-        new = (
+        new = _pin(
             new.join(hop, new["label"] == hop["_pv"], "left")
             .select(
                 "v",
@@ -87,7 +109,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.withColumnRenamed("label", "_new")
