@@ -145,21 +145,40 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Staged (r7-bound) queries: timed for the record but NOT in the
-    # headline total — "value" stays comparable round-over-round while
-    # the staged set's perf is visible before registration. Emitted
-    # LAST so a truncated artifact tail loses these first.
+    # The r7-registered debut cohort (queries/staged.py): timed for the
+    # record but NOT in the headline total — "value" stays comparable
+    # round-over-round against the pinned 48-entry set. The key stays
+    # "staged" for artifact continuity with BENCH_r06. Emitted LAST so a
+    # truncated artifact loses these first.
     from mysql2parquet_spark.queries.staged import STAGED
 
     staged_timings: dict[str, float] = {}
-    staged_qs = {n: q.fn for n, q in STAGED.items()}
-    qs.update(staged_qs)
-    for name in sorted(staged_qs):
+    for name in sorted(STAGED):
         wall1, _ = run(name)
         wall2, _ = run(name)
         staged_timings[name] = round(min(wall1, wall2), 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
+    # Truncation armor (VERDICT r6 ask #8): every BENCH_r0N.json so far
+    # has "parsed": null because the driver keeps only ~2000 chars of a
+    # >2000-char JSON line. A compact line with the headline total and
+    # the top-5 outliers goes out FIRST so the numbers that matter
+    # survive whichever end the capture keeps; the full dict follows as
+    # the final line (the driver's parse target), itself value-first.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "slowest": slowest,
+            }
+        )
+    )
     print(
         json.dumps(
             {
