@@ -14,6 +14,10 @@ Five strategies, all shuffle-disciplined for 100 TB:
 - simhash_dedup: 64-bit SimHash + banded Hamming blocking (4×16-bit
   chunks; Hamming ≤ 3 pairs must share ≥1 exact chunk by pigeonhole).
 - embedding near-dup lives in operators/similarity.py (shared LSH).
+- incremental: a NEW batch vs accepted history without rescanning it —
+  exact-hash (incremental_dedup vs the fingerprint store), exact-jaccard
+  (incremental_jaccard_dedup vs the gram index), and approximate
+  (incremental_minhash_dedup vs the persisted LSH band store).
 
 All per-row math uses JVM built-ins (functions/hashing.py) — no Python in
 the row path.
@@ -60,6 +64,60 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return exact_dedup(fingerprint(df, text_col), ["fp"], id_col).drop("fp")
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """``(doc, sig, band_idx, band_key)`` rows — the banded-LSH
+    projection shared by the one-shot collision join and the persisted
+    band store. Plan notes (the r2/r6-tuned shape, kept verbatim):
+
+    - Spread raw docs across cores BEFORE the signature fold: the
+      fold's cost is per-token, not per-byte, so tying it to scan
+      partitioning (128 MB parquet slabs) serializes hours of hashing
+      onto few tasks. REPARTITION_BY_NUM (explicit count), because a
+      bare ``repartition(col)`` is happily coalesced back to one task
+      by AQE when the text shuffle is small.
+    - The second ``repartition("doc")`` is a materialization barrier:
+      without it Catalyst collapses the signature projection into the
+      band-hash projection and re-evaluates the expensive fold once
+      per band. The exchange moves only (id, 32 ints) per doc — far
+      cheaper than bands× recompute — and pre-distributes docs for
+      the band join.
+    """
+    n_spread = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
+    ).repartition(n_spread, "doc")
+    sig = src.select(
+        "doc",
+        minhash_signature(shingles("_txt", shingle_n), num_hashes).alias("sig"),
+    ).repartition("doc")
+    return sig.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            band_hashes("sig", bands, num_hashes // bands)
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def _sig_agreement(a_sig, b_sig, num_hashes: int):
+    """Estimated Jaccard: fraction of equal MinHash signature
+    components, computed inside the join projection so downstream
+    operators shuffle an 8-byte estimate, never two signatures."""
+    return F.aggregate(
+        F.zip_with(a_sig, b_sig, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+
+
 def _minhash_collisions(
     df: DataFrame,
     id_col: str,
@@ -95,39 +153,9 @@ def _minhash_collisions(
     threshold even when the deeper-ranked pair is above it). Default is
     None (exact); pass a cap for boilerplate-heavy corpora at scale.
     """
-    rows_per_band = num_hashes // bands
-    # Spread raw docs across cores BEFORE the signature fold: the fold's
-    # cost is per-token, not per-byte, so tying it to scan partitioning
-    # (128 MB parquet slabs) serializes hours of hashing onto few tasks —
-    # a small text shuffle buys full parallelism for the expensive step.
-    # Explicit partition COUNT: a bare repartition("doc") is
-    # REPARTITION_BY_COL, which AQE happily coalesces back to one task
-    # when the text shuffle is small — exactly the serialization we are
-    # breaking. REPARTITION_BY_NUM is never coalesced.
-    n_spread = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
-    ).repartition(n_spread, "doc")
-    sig = (
-        src.select(
-            "doc",
-            minhash_signature(
-                shingles("_txt", shingle_n), num_hashes
-            ).alias("sig"),
-        )
-        # Materialization barrier: without it Catalyst collapses this
-        # projection into the band-hash projection and re-evaluates the
-        # (expensive) signature fold once per band. The exchange moves
-        # only (id, 32 ints) per doc — far cheaper than 8× recompute,
-        # and it pre-distributes docs for the band join.
-        .repartition("doc")
-    )
-    banded = sig.select(
-        "doc",
-        "sig",
-        F.posexplode(band_hashes("sig", bands, rows_per_band)).alias(
-            "band_idx", "band_key"
-        ),
+    banded = _banded_signatures(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
     )
     if max_band_width is not None:
         bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
@@ -140,15 +168,7 @@ def _minhash_collisions(
         reps = banded
     a = reps.alias("a")
     b = banded.alias("b")
-    est = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"),
-            F.col("b.sig"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
+    est = _sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
     return a.join(
         b,
         (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -670,3 +690,239 @@ def duplicated_window_counts(
             ).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup: dedup a new batch against accepted history
+# without rescanning it — the continuous-ingestion shape of the near-dup
+# family (incremental_dedup above is its exact-hash sibling).
+# --------------------------------------------------------------------------
+
+
+def _gram_index(df: DataFrame, id_col: str, text_col: str, shingle_n: int,
+                doc_alias: str) -> DataFrame:
+    """Inverted-index rows ``(gram, <doc_alias>, <doc_alias>_n)`` over a
+    document relation: one row per (doc, distinct gram), each carrying
+    the doc's distinct-gram count (constant-width, duplicated per row —
+    the price of avoiding a second join against a size table)."""
+    return (
+        df.select(
+            F.col(id_col).alias(doc_alias),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+        )
+        .select(
+            doc_alias,
+            F.size("_sh").alias(f"{doc_alias}_n"),
+            F.explode("_sh").alias("gram"),
+        )
+    )
+
+
+def gram_jaccard_pairs_indexed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    self_pairs: bool = False,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs between two document relations via an
+    inverted gram index — the at-scale alternative to
+    ``ngram_jaccard_pairs``'s array-intersect join: instead of pairing
+    documents first and intersecting arrays, documents meet ONLY through
+    grams they actually share (equi-join on the gram), the intersection
+    size falls out of a count aggregate, and the union comes from the
+    per-doc distinct-gram counts carried on the index rows
+    (|A∪B| = |A| + |B| − |A∩B|). A pair sharing zero grams never
+    exists — which is every pair that could not pass a positive
+    threshold anyway — so the result is EXACT for threshold > 0.
+
+    ``self_pairs=True`` treats ``left`` as both sides and emits each
+    unordered pair once (id_a < id_b). Otherwise pairs are
+    (left doc, right doc) with no ordering constraint.
+
+    Scale shape: two gram-keyed exchanges (index build) + one count
+    aggregate keyed on the pair — all constant-width rows. The hazard is
+    a BOILERPLATE gram held by many docs on both sides (its bucket's
+    pair fan-out is |left holders| × |right holders|);
+    ``max_gram_docs=k`` drops grams with more than ``k`` RIGHT-side
+    holders before the join. That cap is a RECALL-REDUCING
+    approximation: dropped grams still count in the union sizes but not
+    the intersection, so affected pairs' jaccard is UNDERestimated —
+    under-removal, never a false pair. Default None (exact); set it for
+    boilerplate-heavy corpora, or strip boilerplate upstream.
+
+    Returns ``(id_a, id_b, jaccard)`` with jaccard >= threshold, the
+    ratio exact-in-double (no rounding before the filter, so an oracle
+    computing the same integer ratio agrees bit-for-bit).
+    """
+    if threshold <= 0.0:
+        raise ValueError(
+            "gram_jaccard_pairs_indexed is exact only for threshold > 0 "
+            "(zero-overlap pairs never meet the gram join); use "
+            "ngram_jaccard_pairs for threshold 0 on bounded sets"
+        )
+    lg = _gram_index(left, id_col, text_col, shingle_n, "id_a")
+    rg = _gram_index(
+        left if self_pairs else right, id_col, text_col, shingle_n, "id_b"
+    )
+    if max_gram_docs is not None:
+        heavy = (
+            rg.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_docs)
+            .select("gram")
+        )
+        rg = rg.join(heavy, "gram", "left_anti")
+    pairs = lg.join(rg, "gram")
+    if self_pairs:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    inter = (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min("id_a_n").alias("_na"),
+            F.min("id_b_n").alias("_nb"),
+        )
+    )
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def incremental_jaccard_dedup(
+    batch: DataFrame,
+    accepted: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup dedup of a NEW batch against accepted history, by EXACT
+    n-gram Jaccard — the incremental shape of the near-dup family:
+    tonight's crawl drops paraphrase-level copies of anything already
+    accepted on ANY previous night, plus its own in-batch near-dups,
+    without the history ever being rescanned as documents (only its
+    gram index participates; persist that index and append to it like
+    the fingerprint store of ``incremental_dedup``).
+
+    Keeper contract (one-pass, matching the family): a batch doc drops
+    if (a) its jaccard vs ANY accepted doc >= threshold — history
+    always wins — or (b) it has a >=-threshold in-batch partner with a
+    smaller id. Over-removal on in-batch chains, never under-removal.
+
+    Scale shape: both stages are gram-keyed equi-joins + one pair-keyed
+    count aggregate (``gram_jaccard_pairs_indexed``); losers are
+    distinct 8-byte ids; survivors leave via one left-anti join. The
+    batch (small) is the only side ever carried as full documents.
+    """
+    cross = gram_jaccard_pairs_indexed(
+        batch, accepted,
+        id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold, max_gram_docs=max_gram_docs,
+    ).select(F.col("id_a").alias(id_col))
+    within = gram_jaccard_pairs_indexed(
+        batch, None,
+        id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold, self_pairs=True, max_gram_docs=max_gram_docs,
+    ).select(F.col("id_b").alias(id_col))
+    losers = cross.unionByName(within).distinct()
+    return batch.join(losers, id_col, "left_anti")
+
+
+def minhash_band_store(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persisted LSH index of an accepted corpus: one row per
+    (band_idx, band_key, doc) with the doc's full signature — what
+    ``incremental_minhash_dedup`` probes instead of re-mining history.
+    At scale, write it partitioned/bucketed by (band_idx, band_key) so
+    a nightly batch's probe join prunes to colliding buckets; storage
+    is bands × (16 B keys + num_hashes × 4 B sig) per doc — KBs per
+    thousand docs, orders of magnitude under the corpus itself. Append
+    the accepted batch's rows after each run (same builder)."""
+    return _banded_signatures(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    ).select("band_idx", "band_key", "doc", "sig")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup dedup of a NEW batch against a persisted
+    band store (``minhash_band_store``) — the approximate,
+    sub-linear-probe sibling of ``incremental_jaccard_dedup`` for
+    corpora where even the gram index is too hot: the probe touches
+    only store buckets whose band key the batch actually produces.
+
+    Keeper contract (one-pass, family-standard): a batch doc drops if
+    any store doc shares a band AND signature agreement >= threshold
+    (history wins), or if a smaller-id batch doc collides likewise.
+    The store's own docs are never re-deduped.
+
+    Scale shape: the batch's banded projection is bands rows per doc;
+    the probe is an equi-join on (band_idx, band_key) against a store
+    bucketed on exactly those keys (bucket-pruned, shuffle-free on the
+    store side when bucketing matches); agreement is computed in the
+    join projection so only 8-byte ids flow on. Signature params MUST
+    match the store's — pin them next to the store, not the caller.
+    """
+    banded = _banded_signatures(
+        batch, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    )
+    s = store.select(
+        F.col("band_idx").alias("s_idx"),
+        F.col("band_key").alias("s_key"),
+        F.col("sig").alias("s_sig"),
+    )
+    cross_est = _sig_agreement(F.col("sig"), F.col("s_sig"), num_hashes)
+    cross = (
+        banded.join(
+            s,
+            (F.col("band_idx") == F.col("s_idx"))
+            & (F.col("band_key") == F.col("s_key")),
+        )
+        .filter(cross_est >= F.lit(threshold))
+        .select(F.col("doc").alias(id_col))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    within_est = _sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(within_est >= F.lit(threshold))
+        .select(F.col("b.doc").alias(id_col))
+    )
+    losers = cross.unionByName(within).distinct()
+    return batch.join(losers, id_col, "left_anti")

@@ -92,6 +92,78 @@ def dedup_incremental(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "fp")
 
 
+_GRAMS2 = """list_distinct(list_transform(
+      range(1, greatest(len(string_split(trim(text), ' ')) - 1, 1) + 1),
+      i -> array_to_string(string_split(trim(text), ' ')[i:i+1], ' ')))"""
+
+
+@register(
+    "dedup_jaccard_incremental",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, {_GRAMS2} AS g
+      FROM documents WHERE doc_id % 4 = 0
+    ), a AS (
+      SELECT doc_id, {_GRAMS2} AS g
+      FROM documents WHERE doc_id % 4 = 2
+    ), cross_losers AS (
+      SELECT DISTINCT b.doc_id FROM b, a
+      WHERE CAST(len(list_intersect(b.g, a.g)) AS DOUBLE)
+            / CAST(len(b.g) + len(a.g)
+                   - len(list_intersect(b.g, a.g)) AS DOUBLE) >= 0.5
+    ), within_losers AS (
+      SELECT DISTINCT y.doc_id FROM b x, b y
+      WHERE x.doc_id < y.doc_id
+        AND CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+            / CAST(len(x.g) + len(y.g)
+                   - len(list_intersect(x.g, y.g)) AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM b
+    WHERE doc_id NOT IN (SELECT doc_id FROM cross_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM within_losers)
+    """,
+    "C2/C1: incremental NEAR-dup — tonight's batch (doc_id%4=0) drops "
+    "exact-jaccard >=0.5 copies of accepted history (doc_id%4=2) plus "
+    "its own in-batch near-dups, via the inverted gram index "
+    "(operators/dedup.gram_jaccard_pairs_indexed): documents meet only "
+    "through shared grams, intersections fall out of a count "
+    "aggregate, and the history corpus is never rescanned as "
+    "documents. The oracle recomputes the same integer ratios "
+    "cross-engine (no rounding before the threshold). r8 debut "
+    "(NEXT_ROUND_BACKLOG).",
+)
+def dedup_jaccard_incremental(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    accepted = d.filter(F.col("doc_id") % 4 == 2)
+    out = dedup.incremental_jaccard_dedup(
+        batch, accepted, shingle_n=2, threshold=0.5
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_minhash_incremental",
+    None,  # approximate (LSH band-store probe) — rows-only; pytest-gated
+    "C2: incremental MinHash near-dup — the batch probes a persisted "
+    "LSH band store of accepted history (operators/dedup."
+    "minhash_band_store + incremental_minhash_dedup): only colliding "
+    "band buckets are touched, history is never re-mined. Approximate "
+    "by construction (signature agreement vs true jaccard); recall "
+    "and replay-idempotence pinned in tests/test_tierc.py. r8 debut "
+    "(NEXT_ROUND_BACKLOG).",
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    accepted = d.filter(F.col("doc_id") % 4 == 2)
+    store = dedup.minhash_band_store(accepted, shingle_n=2)
+    out = dedup.incremental_minhash_dedup(
+        batch, store, shingle_n=2, threshold=0.5
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 @register(
     "dedup_minhash",
     None,  # approximate (LSH banding) — rows-only; recall tested in pytest

@@ -224,13 +224,15 @@ ROWS_ONLY_OK = {
 def test_registry_count_is_planned():
     """Registration ledger pin: r6 froze the registry at 119 to drain the
     adjudication backlog; the r7 thaw moved the 30 staged, parity-proven
-    (query, oracle) pairs in (VERDICT r6 ask #3) — 149 total, all 30
-    debuts holding head slots. Bumping this count again requires a
+    (query, oracle) pairs in (VERDICT r6 ask #3) — 149, all 30 debuts
+    holding head slots — then r7 added the incremental near-dup pair
+    (dedup_jaccard_incremental, dedup_minhash_incremental; r8 debuts
+    via NEXT_ROUND_BACKLOG) = 151. Bumping this count again requires a
     matching rotation plan (head slot in the debut round or an explicit
     NEXT_ROUND_BACKLOG entry) — see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 149, (
-        f"registry count changed ({len(REGISTRY)} != 149); new queries "
+    assert len(REGISTRY) == 151, (
+        f"registry count changed ({len(REGISTRY)} != 151); new queries "
         "need a rotation plan before registration"
     )
 

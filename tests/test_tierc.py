@@ -626,3 +626,131 @@ def test_mix_corpus_budget_monotone_nesting(spark):
         assert prev <= sel, f"budget {budget} dropped earlier selections"
         assert len(sel) > len(prev)
         prev = sel
+
+
+# --------------------------------------------------------------------------
+# incremental NEAR-dup (batch vs gram index / persisted LSH band store)
+# --------------------------------------------------------------------------
+
+def test_gram_jaccard_indexed_matches_array_intersect_path(docs):
+    """The inverted-index exact jaccard must agree pair-for-pair with
+    the array-intersect implementation above threshold (they are two
+    plans for the same math)."""
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.3,
+            allow_quadratic=True,
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.gram_jaccard_pairs_indexed(
+            docs, None, shingle_n=2, threshold=0.3, self_pairs=True,
+        ).collect()
+    }
+    assert got == ref and len(got) >= 100  # the planted (i, i+100) pairs
+
+
+def test_incremental_jaccard_dedup_history_wins(spark):
+    batch = spark.createDataFrame(
+        [
+            (30, "the quick brown fox jumps over the lazy dog today"),
+            (31, "completely unrelated text about spark shuffles and joins"),
+            (32, "completely unrelated text about spark shuffles and planning"),
+        ],
+        "doc_id long, text string",
+    )
+    accepted = spark.createDataFrame(
+        # near-dup of batch doc 30 (one token differs)
+        [(5, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_jaccard_dedup(
+        batch, accepted, shingle_n=2, threshold=0.5
+    )
+    got = {r.doc_id for r in out.collect()}
+    # 30 drops (history wins); 32 drops (in-batch near-dup of 31, larger id)
+    assert got == {31}
+
+
+def test_incremental_jaccard_empty_history_is_in_batch_only(spark):
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (9, "nothing in common with the others at all"),
+        ],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup.incremental_jaccard_dedup(batch, empty, shingle_n=2, threshold=0.5)
+    assert {r.doc_id for r in out.collect()} == {1, 9}
+
+
+def test_gram_jaccard_indexed_requires_positive_threshold(spark):
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.gram_jaccard_pairs_indexed(d, None, threshold=0.0, self_pairs=True)
+
+
+def test_gram_jaccard_heavy_gram_cap_underestimates_only(spark):
+    """max_gram_docs drops boilerplate grams from the index: capped
+    jaccard can only be <= the exact value (under-removal bias), and
+    pairs sharing ONLY boilerplate disappear."""
+    rows = [(i, "BOILER PLATE HEADER unique%d tail%d" % (i, i)) for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.gram_jaccard_pairs_indexed(
+            d, None, shingle_n=2, threshold=0.05, self_pairs=True
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.gram_jaccard_pairs_indexed(
+            d, None, shingle_n=2, threshold=0.05, self_pairs=True,
+            max_gram_docs=3,
+        ).collect()
+    }
+    assert exact  # boilerplate makes every pair overlap
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
+
+
+def test_incremental_minhash_dedup_probe_flow(docs, spark, tmp_path):
+    """Persisted band-store flow: history = the base docs (ids < 100),
+    batch = their planted near-dups (ids >= 100) plus one fresh doc.
+    The probe must drop nearly every planted near-dup (history wins;
+    LSH is probabilistic — at 8 bands x 4 rows a ~0.76-jaccard pair
+    misses all bands with p~4%, so a couple of deterministic misses are
+    the operator working as specified, not a bug) and accept the fresh
+    doc; replaying the batch after appending accepted rows accepts
+    nothing (every accepted doc now self-collides at agreement 1.0)."""
+    store_path = str(tmp_path / "band_store")
+    history = docs.filter(F.col("doc_id") < 100)
+    dedup.minhash_band_store(history, shingle_n=2).write.parquet(store_path)
+
+    fresh = spark.createDataFrame(
+        [(999, " ".join(f"FRESH{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    batch = docs.filter(F.col("doc_id") >= 100).unionByName(fresh)
+    store = spark.read.parquet(store_path)
+    out = dedup.incremental_minhash_dedup(
+        batch, store, shingle_n=2, threshold=0.5
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert 999 in got, "fresh doc must survive the probe"
+    missed = got - {999}
+    assert len(missed) <= 5, f"LSH recall too low; survivors: {sorted(got)}"
+    # append the accepted doc's bands; replay accepts nothing
+    dedup.minhash_band_store(
+        batch.join(out.select("doc_id"), "doc_id", "left_semi"),
+        shingle_n=2,
+    ).write.mode("append").parquet(store_path)
+    again = dedup.incremental_minhash_dedup(
+        batch, spark.read.parquet(store_path), shingle_n=2, threshold=0.5
+    )
+    assert again.count() == 0
