@@ -452,3 +452,16 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert pruned == _rows_sorted(q)
+
+
+def test_incremental_neardup_plans_never_pair_documents(spark, sf_dir):
+    """r7 incremental near-dup pair: documents must only meet through
+    shared gram / band KEYS (equi-joins) — a nested loop or cartesian
+    here is the O(batch x history) blowup the operators exist to avoid.
+    The jaccard path's count aggregate must keep map-side partials."""
+    for name in ("dedup_jaccard_incremental", "dedup_minhash_incremental"):
+        p = plan(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    p = plan(spark, sf_dir, "dedup_jaccard_incremental", mode="simple")
+    assert "partial_count" in p, "gram-pair intersection lost map-side combine"
