@@ -699,20 +699,35 @@ def duplicated_window_counts(
 # --------------------------------------------------------------------------
 
 
-def _gram_index(df: DataFrame, id_col: str, text_col: str, shingle_n: int,
-                doc_alias: str) -> DataFrame:
-    """Inverted-index rows ``(gram, <doc_alias>, <doc_alias>_n)`` over a
-    document relation: one row per (doc, distinct gram), each carrying
-    the doc's distinct-gram count (constant-width, duplicated per row —
-    the price of avoiding a second join against a size table)."""
+def _gram_index(df: DataFrame, id_col: str, text_col: str,
+                shingle_n: int) -> DataFrame:
+    """Inverted-index rows ``(doc, n, gram)`` over a document relation:
+    one row per (doc, distinct gram), each carrying the doc's
+    distinct-gram count (constant-width, duplicated per row — the price
+    of avoiding a second join against a size table).
+
+    NEUTRAL column names on purpose: consumers alias the whole relation
+    at the JOIN (``lg.alias("x")``) instead of renaming columns inside
+    it — a per-side rename would land BELOW the gram exchange and make
+    the self-join sides structurally different subtrees. Measured
+    caveat (r7): even with identical subtrees, Spark does NOT emit a
+    ReusedExchange here — the shingle expression is a higher-order
+    function, and lambda-variable exprIds defeat plan canonicalization
+    equality — so each appearance of the index is built independently.
+    The duplication is bounded and on the right side of the asymmetry:
+    ``incremental_jaccard_dedup`` evaluates the HISTORY index exactly
+    once (the side that is corpus-sized), and the small nightly batch's
+    index up to three times — linear passes over the batch, never over
+    history. Persist the history index like the fingerprint store and
+    even that single evaluation becomes a scan."""
     return (
         df.select(
-            F.col(id_col).alias(doc_alias),
+            F.col(id_col).alias("doc"),
             F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
         )
         .select(
-            doc_alias,
-            F.size("_sh").alias(f"{doc_alias}_n"),
+            "doc",
+            F.size("_sh").alias("n"),
             F.explode("_sh").alias("gram"),
         )
     )
@@ -765,10 +780,8 @@ def gram_jaccard_pairs_indexed(
             "(zero-overlap pairs never meet the gram join); use "
             "ngram_jaccard_pairs for threshold 0 on bounded sets"
         )
-    lg = _gram_index(left, id_col, text_col, shingle_n, "id_a")
-    rg = _gram_index(
-        left if self_pairs else right, id_col, text_col, shingle_n, "id_b"
-    )
+    lg = _gram_index(left, id_col, text_col, shingle_n)
+    rg = lg if self_pairs else _gram_index(right, id_col, text_col, shingle_n)
     if max_gram_docs is not None:
         heavy = (
             rg.groupBy("gram")
@@ -777,15 +790,23 @@ def gram_jaccard_pairs_indexed(
             .select("gram")
         )
         rg = rg.join(heavy, "gram", "left_anti")
-    pairs = lg.join(rg, "gram")
+    x, y = lg.alias("x"), rg.alias("y")
+    cond = F.col("x.gram") == F.col("y.gram")
     if self_pairs:
-        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+        cond = cond & (F.col("x.doc") < F.col("y.doc"))
     inter = (
-        pairs.groupBy("id_a", "id_b")
+        x.join(y, cond)
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.n").alias("_xn"),
+            F.col("y.n").alias("_yn"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("_inter"),
-            F.min("id_a_n").alias("_na"),
-            F.min("id_b_n").alias("_nb"),
+            F.min("_xn").alias("_na"),
+            F.min("_yn").alias("_nb"),
         )
     )
     jac = F.col("_inter").cast("double") / (
