@@ -379,6 +379,120 @@ def join_explosion_estimate(
     )
 
 
+def join_strategy_advice(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_cols: list[str],
+    *,
+    broadcast_max_rows: int = 1_000_000,
+    skew_x_threshold: float = 4.0,
+    explosion_x_threshold: float = 4.0,
+) -> DataFrame:
+    """Turn the D19 pre-join measurements into a DECISION: one row
+    naming the physical strategy the measured distributions call for,
+    instead of leaving the operator choice to intuition.
+
+    Inputs are the same exact, cheap aggregates ``key_skew_profile``
+    and ``join_explosion_estimate`` compute — one partially-aggregated
+    count scan per side (each exchange carries |keys| rows, never data
+    rows), joined on the key for the exact inner-join cardinality.
+    Nothing here is an estimate, so the recommendation is
+    reproducible and oracle-checkable.
+
+    Decision ladder (first match wins, applied to the ROUNDED metrics
+    so two engines computing the row agree exactly at the thresholds):
+
+    1. ``least(rows_a, rows_b) <= broadcast_max_rows`` →
+       ``broadcast_a``/``broadcast_b`` (the smaller side ships; skew
+       and explosion are irrelevant when one side fits in memory —
+       a broadcast join never shuffles the big side at all).
+    2. ``explosion_x > explosion_x_threshold`` → ``pre_aggregate``:
+       the join AMPLIFIES its larger input many-to-many; no physical
+       strategy absorbs that — the fix is re-keying or aggregating a
+       side first, so that is what the advisor says.
+    3. ``greatest(max_skew_a, max_skew_b) > skew_x_threshold`` →
+       ``salted`` with ``salt_buckets = ceil(max skew)``, the bucket
+       count that flattens the hottest key to ~average reducer load
+       (feed it to ``salted_join``).
+    4. otherwise ``shuffle`` — a plain sort-merge/hash shuffle join is
+       already the right plan; don't "optimize" it.
+
+    ``max_skew_*`` is each side's heaviest key count over its mean
+    per-key count (1.0 = perfectly uniform) — the same statistic
+    ``key_skew_profile`` reports per key, collapsed to the max.
+    Output (one row): ``rows_a, rows_b, matched_keys, output_rows,
+    explosion_x, max_skew_a, max_skew_b, strategy, salt_buckets``
+    (0 unless salted). Doubles round (4/6) before comparison so
+    reports compare exactly across runs and engines.
+    """
+    ca = df_a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_ca"))
+    cb = df_b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_cb"))
+    sa = ca.agg(
+        F.sum("_ca").alias("rows_a"),
+        F.count(F.lit(1)).alias("_nkeys_a"),
+        F.max("_ca").alias("_max_a"),
+    )
+    sb = cb.agg(
+        F.sum("_cb").alias("rows_b"),
+        F.count(F.lit(1)).alias("_nkeys_b"),
+        F.max("_cb").alias("_max_b"),
+    )
+    pk = ca.join(cb, key_cols).agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.sum(F.col("_ca") * F.col("_cb")).alias("output_rows"),
+    )
+    m = (
+        pk.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "rows_a",
+            "rows_b",
+            "matched_keys",
+            "output_rows",
+            F.round(
+                F.col("output_rows")
+                / F.greatest(F.col("rows_a"), F.col("rows_b")),
+                4,
+            ).alias("explosion_x"),
+            F.round(
+                F.col("_max_a") * F.col("_nkeys_a") / F.col("rows_a"), 6
+            ).alias("max_skew_a"),
+            F.round(
+                F.col("_max_b") * F.col("_nkeys_b") / F.col("rows_b"), 6
+            ).alias("max_skew_b"),
+        )
+    )
+    is_broadcast = F.least(F.col("rows_a"), F.col("rows_b")) <= F.lit(
+        broadcast_max_rows
+    )
+    is_explosion = F.col("explosion_x") > F.lit(float(explosion_x_threshold))
+    is_skewed = F.greatest(F.col("max_skew_a"), F.col("max_skew_b")) > F.lit(
+        float(skew_x_threshold)
+    )
+    strategy = (
+        F.when(
+            is_broadcast,
+            F.when(
+                F.col("rows_a") <= F.col("rows_b"), F.lit("broadcast_a")
+            ).otherwise(F.lit("broadcast_b")),
+        )
+        .when(is_explosion, F.lit("pre_aggregate"))
+        .when(is_skewed, F.lit("salted"))
+        .otherwise(F.lit("shuffle"))
+    )
+    salt = (
+        F.when(
+            ~is_broadcast & ~is_explosion & is_skewed,
+            F.ceil(F.greatest(F.col("max_skew_a"), F.col("max_skew_b"))),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return m.select(
+        "*", strategy.alias("strategy"), salt.alias("salt_buckets")
+    )
+
+
 def fan_out(df, key=None):
     """Spread an expression-heavy derivation across the cluster when the
     upstream scan under-partitions it.

@@ -1768,3 +1768,104 @@ def sample_weighted_rows(spark, sf_dir):
         "o_orderkey", ((F.col("o_orderkey") % 256) / 256.0).alias("w")
     )
     return sample_weighted(o, "w", key_col="o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# D26: join-strategy advisor + Bloom-pruned join (operators/scale.py,
+# operators/bloomjoin.py) — the reference delegates every join to MySQL
+# (/root/reference/main.go:106); here the engine both MEASURES the join
+# it is about to run and PRUNES the one it runs. r8 debuts per
+# ROTATION.md.
+# --------------------------------------------------------------------------
+
+@register(
+    "join_strategy",
+    """
+    WITH ca AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY 1),
+         cb AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY 1),
+         sa AS (SELECT CAST(SUM(cnt) AS BIGINT) AS rows_a,
+                       CAST(COUNT(*) AS BIGINT) AS nkeys_a,
+                       CAST(MAX(cnt) AS BIGINT) AS max_a FROM ca),
+         sb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS rows_b,
+                       CAST(COUNT(*) AS BIGINT) AS nkeys_b,
+                       CAST(MAX(cnt) AS BIGINT) AS max_b FROM cb),
+         pk AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
+                       CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS output_rows
+                FROM ca JOIN cb USING (k)),
+         m AS (SELECT rows_a, rows_b, matched_keys, output_rows,
+                      ROUND(CAST(output_rows AS DOUBLE)
+                            / CAST(GREATEST(rows_a, rows_b) AS DOUBLE), 4)
+                          AS explosion_x,
+                      ROUND(CAST(max_a * nkeys_a AS DOUBLE) / rows_a, 6)
+                          AS max_skew_a,
+                      ROUND(CAST(max_b * nkeys_b AS DOUBLE) / rows_b, 6)
+                          AS max_skew_b
+               FROM pk, sa, sb)
+    SELECT rows_a, rows_b, matched_keys, output_rows, explosion_x,
+           max_skew_a, max_skew_b,
+           CASE WHEN LEAST(rows_a, rows_b) <= 10000
+                THEN (CASE WHEN rows_a <= rows_b
+                           THEN 'broadcast_a' ELSE 'broadcast_b' END)
+                WHEN explosion_x > 4.0 THEN 'pre_aggregate'
+                WHEN GREATEST(max_skew_a, max_skew_b) > 4.0 THEN 'salted'
+                ELSE 'shuffle' END AS strategy,
+           CAST(CASE WHEN LEAST(rows_a, rows_b) > 10000
+                      AND explosion_x <= 4.0
+                      AND GREATEST(max_skew_a, max_skew_b) > 4.0
+                     THEN CEIL(GREATEST(max_skew_a, max_skew_b))
+                     ELSE 0 END AS INT) AS salt_buckets
+    FROM m
+    """,
+    "D26: the join-strategy ADVISOR — the same exact count-scan "
+    "measurements as skew_profile/join_explosion, collapsed into the "
+    "decision they exist to inform: broadcast the side that fits, "
+    "pre-aggregate a many-to-many blowup, salt a hot key (with the "
+    "bucket count), or leave the plain shuffle alone. Thresholds "
+    "compare on ROUNDED metrics so both engines agree exactly at the "
+    "boundaries. On the fixture (broadcast_max_rows=10000 so neither "
+    "side fits) the lineitem⋈orders key is uniform and 1:N bounded → "
+    "'shuffle', salt_buckets 0.",
+)
+def join_strategy(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import join_strategy_advice
+
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = T(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return join_strategy_advice(li, o, ["k"], broadcast_max_rows=10_000)
+
+
+@register(
+    "join_bloom_prune",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+           o.o_custkey, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    """,
+    "D26: Bloom-pruned equi-join — the dim side (high-value orders, "
+    "~20% of keys) folds into a 128 KiB bit array (one mapInPandas "
+    "scan, JVM-side xxhash64, driver OR-merge of bounded partials); "
+    "the fact side is Arrow-batch probed and filtered BEFORE its join "
+    "exchange, then the survivors run the ordinary equi-join. Bloom "
+    "filters have no false negatives and the verify join kills false "
+    "positives, so the result is bit-identical to the plain join — "
+    "which is exactly what the oracle runs.",
+)
+def join_bloom_prune(spark, sf_dir):
+    from mysql2parquet_spark.operators.bloomjoin import bloom_prune_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    dim = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_custkey",
+            "o_orderpriority",
+        )
+    )
+    return bloom_prune_join(li, dim, ["l_orderkey"], num_bits=1 << 20)

@@ -37,6 +37,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "dedup_jaccard_incremental",
     "dedup_minhash_incremental",
+    "join_strategy",
+    "join_bloom_prune",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -71,7 +73,7 @@ high-cardinality keys, scale note in its docstring.
 
 ## r8 plan
 
-All 151 registered queries except the two r8 debuts will have >=1
+All 153 registered queries except the four r8 debuts will have >=1
 driver row once CORRECTNESS_r07 lands green. r8 head priorities, in
 order:
 1. Any r7 red rows (fix + re-land).
@@ -79,9 +81,12 @@ order:
 3. Second green rows for the r7 debuts (the 30 never-checked-before
    queries should not rest on a single adjudication), rotating ~20 per
    round so every debut reaches 2 rows by r9.
-4. Debut head slots for the r7-added incremental near-dup pair:
+4. Debut head slots for the r7-added incremental near-dup pair —
    `dedup_jaccard_incremental` (exact gram-index oracle) and
-   `dedup_minhash_incremental` (band-store probe, rows-only).
+   `dedup_minhash_incremental` (band-store probe, rows-only) — and the
+   r7-added D26 advisor/prune pair: `join_strategy` (exact decision
+   oracle) and `join_bloom_prune` (exact: output is bit-identical to
+   the plain join the oracle runs).
 5. Backfill third greens for r5/r6 first-timers as slots allow.
 """
 
