@@ -11,13 +11,15 @@ container-feasible formats: ``decode_image`` is a pure-stdlib PNG decoder
 (zlib inflate + scanline unfilter), ``decode_bmp`` an uncompressed-BMP
 decoder (both normalize to the same top-down RGB(A) row contract, so
 every downstream stage is codec-agnostic), and ``decode_audio`` a stdlib
-``wave`` PCM decoder. ``extract_features`` routes by media_type —
-PNG/BMP/WAV rows get real decoded features; JPEG (whose pixel decode
-needs libjpeg-class DCT/Huffman machinery) gets honest header metadata
-via ``jpeg_dimensions`` (a pure-stdlib SOF-marker walk) plus a byte
-histogram; anything else falls back to the deterministic byte histogram
-so the distributed path still runs for formats whose codec libraries
-(PIL/ffmpeg) aren't installed.
+``wave`` PCM decoder, and baseline JPEG decodes for real through
+``operators/jpeg.py`` (pure numpy DCT + Huffman). ``extract_features``
+routes by media_type — PNG/BMP/JPEG/WAV rows get real decoded
+features; a JPEG the baseline decoder refuses (progressive,
+arithmetic) degrades to honest header metadata via ``jpeg_dimensions``
+(a pure-stdlib SOF-marker walk) plus a byte histogram; anything else
+falls back to the deterministic byte histogram so the distributed path
+still runs for formats whose codec libraries (ffmpeg-class video)
+aren't installed.
 """
 
 from __future__ import annotations
@@ -196,10 +198,22 @@ def decode_bmp(content: bytes) -> tuple[int, int, int, list[bytes]]:
     return width, height, channels, rows
 
 
+def _decode_jpeg(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Baseline JPEG pixel decode (operators/jpeg.py: pure numpy DCT +
+    Huffman — same (w, h, c, rows) contract as the PNG/BMP decoders).
+    Progressive/arithmetic streams raise ValueError and degrade per-row
+    to the dimension-probe + byte-histogram path in extract_features."""
+    from mysql2parquet_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(content)
+
+
 _IMAGE_DECODERS = {
     "image/png": decode_image,
     "image/bmp": decode_bmp,
     "image/x-ms-bmp": decode_bmp,
+    "image/jpeg": _decode_jpeg,
+    "image/jpg": _decode_jpeg,
 }
 
 #: SOF (start-of-frame) marker codes: 0xC0-0xCF minus DHT (C4),
@@ -251,9 +265,10 @@ def jpeg_dimensions(content: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG SOF marker not found")
 
 
-#: formats with a metadata probe but no pure-stdlib pixel decoder:
-#: feature extraction emits [width, height, channels] + byte histogram
-#: instead of pixel means, and resize/pixel paths still refuse them.
+#: formats whose pixel decoder can REFUSE a valid file (progressive
+#: JPEG, arithmetic coding): feature extraction falls back to
+#: [width, height, channels] from this header probe + byte histogram
+#: for that row instead of losing the dimensions entirely.
 _IMAGE_DIMENSION_PROBES = {
     "image/jpeg": jpeg_dimensions,
     "image/jpg": jpeg_dimensions,
@@ -373,13 +388,18 @@ def extract_features(
         # back to the typed-bytes histogram for that ROW only.
         try:
             if media_type in _IMAGE_DECODERS:
-                return _pixel_features(*decode_any_image(media_type, b))
-            if media_type in _IMAGE_DIMENSION_PROBES:
-                # metadata-only formats (JPEG): honest dimensions from
-                # the header probe, byte histogram in place of pixel
-                # means until a real pixel decoder is swapped in
-                w, h, c = _IMAGE_DIMENSION_PROBES[media_type](b)
-                return [float(w), float(h), float(c)] + byte_histogram(b, bins)
+                try:
+                    return _pixel_features(*decode_any_image(media_type, b))
+                except Exception:
+                    if media_type not in _IMAGE_DIMENSION_PROBES:
+                        raise
+                    # pixel decode refused (progressive JPEG, truncated
+                    # scan): the SOF dimension probe still reads the
+                    # header, so the row keeps honest w/h/c + histogram
+                    w, h, c = _IMAGE_DIMENSION_PROBES[media_type](b)
+                    return [float(w), float(h), float(c)] + byte_histogram(
+                        b, bins
+                    )
             if media_type in ("audio/wav", "audio/x-wav"):
                 return wav_features(b)
         except Exception:

@@ -284,9 +284,11 @@ def test_jpeg_dimensions_rejects_garbage():
 
 
 def test_extract_features_routes_jpeg(spark):
-    """JPEG rows get honest header dimensions + a byte histogram (no
-    pixel means — there is no stdlib pixel decode); corrupt JPEG rows
-    degrade per-row to the plain histogram."""
+    """A header-valid JPEG whose scan the baseline decoder refuses
+    (junk entropy data here; progressive in the wild) degrades to
+    honest SOF dimensions + byte histogram; fully corrupt rows degrade
+    to the plain histogram. Decodable JPEGs take the real pixel path —
+    tests/test_jpeg.py::test_extract_features_real_jpeg_pixels."""
     good = make_jpeg(320, 200, channels=3)
     rows = [
         (1, bytearray(good), "image/jpeg"),
