@@ -154,7 +154,13 @@ def main() -> None:
 
     # The r8 debuts (NEXT_ROUND_BACKLOG) ride along so every
     # registered-but-unadjudicated query has per-round timings on record.
-    debut_r8 = {"dedup_jaccard_incremental", "dedup_minhash_incremental"}
+    debut_r8 = {
+        "dedup_jaccard_incremental",
+        "dedup_minhash_incremental",
+        "join_strategy",
+        "join_bloom_prune",
+        "join_interval",
+    }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):
         wall1, _ = run(name)

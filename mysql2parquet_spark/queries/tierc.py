@@ -1869,3 +1869,55 @@ def join_bloom_prune(spark, sf_dir):
         )
     )
     return bloom_prune_join(li, dim, ["l_orderkey"], num_bits=1 << 20)
+
+
+@register(
+    "join_interval",
+    """
+    WITH a AS (
+      SELECT event_id AS l_id, event_type, ts AS l_start,
+             ts + to_milliseconds(CAST(FLOOR(value * 1000) AS BIGINT)) AS l_end
+      FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL
+    ), b AS (
+      SELECT event_id AS r_id, event_type, ts AS r_start,
+             ts + to_milliseconds(CAST(FLOOR(value * 1000) AS BIGINT)) AS r_end
+      FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL
+    )
+    SELECT a.event_type, a.l_id, b.r_id
+    FROM a JOIN b ON a.event_type = b.event_type
+     AND a.l_start <= b.r_end AND b.r_start <= a.l_end
+    """,
+    "D27: interval OVERLAP join — concurrent activity windows of two "
+    "user cohorts per event type. The oracle is the declarative "
+    "non-equi join (which MySQL/DuckDB nested-loop); the Spark side is "
+    "the bucketized rewrite (operators/asof.py::interval_join): "
+    "explode each interval over the hour buckets it touches, equi-join "
+    "on (event_type, bucket), emit each pair only in its first common "
+    "bucket — exact, dedup-free, and shuffle-partitionable where the "
+    "naive theta join is a BroadcastNestedLoopJoin.",
+)
+def join_interval(spark, sf_dir):
+    from mysql2parquet_spark.operators.asof import interval_join
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dur = F.floor(F.col("value") * 1000).cast("long")
+    end = F.expr("timestampadd(MILLISECOND, _dur, ts)")
+    base = ev.withColumn("_dur", dur)
+    a = base.filter(F.col("user_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"),
+        "event_type",
+        F.col("ts").alias("l_start"),
+        end.alias("l_end"),
+    )
+    b = base.filter(F.col("user_id") % 2 == 1).select(
+        F.col("event_id").alias("r_id"),
+        "event_type",
+        F.col("ts").alias("r_start"),
+        end.alias("r_end"),
+    )
+    return interval_join(
+        a, b,
+        left_start="l_start", left_end="l_end",
+        right_start="r_start", right_end="r_end",
+        on=["event_type"], bucket_width=3600,
+    ).select("event_type", "l_id", "r_id")

@@ -39,6 +39,7 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "join_strategy",
     "join_bloom_prune",
+    "join_interval",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -73,7 +74,7 @@ high-cardinality keys, scale note in its docstring.
 
 ## r8 plan
 
-All 153 registered queries except the four r8 debuts will have >=1
+All 154 registered queries except the five r8 debuts will have >=1
 driver row once CORRECTNESS_r07 lands green. r8 head priorities, in
 order:
 1. Any r7 red rows (fix + re-land).
@@ -86,7 +87,8 @@ order:
    `dedup_minhash_incremental` (band-store probe, rows-only) — and the
    r7-added D26 advisor/prune pair: `join_strategy` (exact decision
    oracle) and `join_bloom_prune` (exact: output is bit-identical to
-   the plain join the oracle runs).
+   the plain join the oracle runs); plus the D27 `join_interval`
+   debut (bucketized interval-overlap join, exact non-equi oracle).
 5. Backfill third greens for r5/r6 first-timers as slots allow.
 """
 
