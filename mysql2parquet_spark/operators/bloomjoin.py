@@ -105,7 +105,7 @@ def build_bloom(
         if seen:
             yield pd.DataFrame({"bloom": [bits.tobytes()]})
 
-    partials = hashed.mapInPandas(fold, schema="bloom binary").collect()
+    partials = hashed.mapInPandas(fold, schema="bloom binary").collect()  # bounded-metadata
     merged = np.zeros(nb // 8, dtype=np.uint8)
     for row in partials:
         merged |= np.frombuffer(row.bloom, dtype=np.uint8)

@@ -345,6 +345,12 @@ BROADCAST_ALLOWLIST = {
         "one-row totals aggregate over the count table",
     ("operators/scale.py", "join_explosion_estimate"):
         "one-row totals + top_k-row product sum — bounded aggregates",
+    ("operators/scale.py", "join_strategy_advice"):
+        "three one-row aggregates (side totals + matched/output counts)",
+    ("operators/bloomjoin.py", "bloom_prune_join"):
+        "sparkContext.broadcast of the OR-merged bloom BYTES — "
+        "num_bits/8 regardless of key cardinality (the operator's "
+        "whole point); not an F.broadcast join hint at all",
     ("queries/advanced.py", "events_funnel"):
         "one-row entry-population aggregate",
     ("queries/relext.py", "subquery_scalar"):
