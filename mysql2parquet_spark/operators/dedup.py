@@ -719,9 +719,19 @@ def _gram_index(df: DataFrame, id_col: str, text_col: str,
     once (the side that is corpus-sized), and the small nightly batch's
     index up to three times — linear passes over the batch, never over
     history. Persist the history index like the fingerprint store and
-    even that single evaluation becomes a scan."""
+    even that single evaluation becomes a scan.
+
+    ``fan_out`` (gated, no-op on an already-wide scan) spreads the
+    tokenize+explode chain across the cluster: a small parquet input
+    arrives as ONE split, which serialized the whole gram build onto a
+    single core — the r6 ``dedup_substring`` defect class, re-found
+    here in the r7 tail sweep (incremental jaccard read 4.9 s at sf0.1
+    with every gram stage showing 1 task; 1.9 s after)."""
+    from mysql2parquet_spark.operators.scale import fan_out
+
     return (
-        df.select(
+        fan_out(df, key=id_col)
+        .select(
             F.col(id_col).alias("doc"),
             F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
         )
@@ -894,6 +904,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_band_width: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup dedup of a NEW batch against a persisted
     band store (``minhash_band_store``) — the approximate,
@@ -912,6 +923,18 @@ def incremental_minhash_dedup(
     store side when bucketing matches); agreement is computed in the
     join projection so only 8-byte ids flow on. Signature params MUST
     match the store's — pin them next to the store, not the caller.
+
+    ``max_band_width`` is the hot-band cap of ``_minhash_collisions``,
+    applied to the PROBED side of each join (the store bucket's k
+    smallest-id reps for the cross probe, the batch bucket's k reps as
+    the smaller-id side within the batch): a boilerplate band key
+    otherwise fans out |batch holders| × |store holders| — quadratic in
+    exactly the corpora this operator targets (the r7 tail sweep read
+    10-21 s at sf0.1 uncapped vs ~2 s with cap 16, one WindowGroupLimit
+    each). Same contract as everywhere in the family: recall-reducing
+    on hot bands only (a doc whose every ≥-threshold partner ranks
+    beyond the cap keeps its row — under-removal, never a false drop);
+    default None (exact collision set).
     """
     banded = _banded_signatures(
         batch, id_col, text_col,
@@ -920,8 +943,17 @@ def incremental_minhash_dedup(
     s = store.select(
         F.col("band_idx").alias("s_idx"),
         F.col("band_key").alias("s_key"),
+        F.col("doc").alias("s_doc"),
         F.col("sig").alias("s_sig"),
     )
+    if max_band_width is not None:
+        store_w = Window.partitionBy("s_idx", "s_key").orderBy("s_doc")
+        s = (
+            s.withColumn("_rn", F.row_number().over(store_w))
+            .filter(F.col("_rn") <= max_band_width)
+            .drop("_rn")
+        )
+    s = s.drop("s_doc")
     cross_est = _sig_agreement(F.col("sig"), F.col("s_sig"), num_hashes)
     cross = (
         banded.join(
@@ -932,7 +964,16 @@ def incremental_minhash_dedup(
         .filter(cross_est >= F.lit(threshold))
         .select(F.col("doc").alias(id_col))
     )
-    a = banded.alias("a")
+    if max_band_width is not None:
+        bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
+        reps = (
+            banded.withColumn("_rn", F.row_number().over(bucket_w))
+            .filter(F.col("_rn") <= max_band_width)
+            .drop("_rn")
+        )
+    else:
+        reps = banded
+    a = reps.alias("a")
     b = banded.alias("b")
     within_est = _sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
     within = (

@@ -158,8 +158,11 @@ def dedup_minhash_incremental(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 4 == 0)
     accepted = d.filter(F.col("doc_id") % 4 == 2)
     store = dedup.minhash_band_store(accepted, shingle_n=2)
+    # max_band_width=16: same explicit hot-band cap as dedup_minhash on
+    # this fixture — bigram signatures make boilerplate band buckets
+    # quadratic without it (r7 tail sweep: 10-21 s -> ~2 s at sf0.1)
     out = dedup.incremental_minhash_dedup(
-        batch, store, shingle_n=2, threshold=0.5
+        batch, store, shingle_n=2, threshold=0.5, max_band_width=16
     )
     return out.select("doc_id", "lang", "source")
 

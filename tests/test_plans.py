@@ -471,3 +471,33 @@ def test_incremental_neardup_plans_never_pair_documents(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p, name
     p = plan(spark, sf_dir, "dedup_jaccard_incremental", mode="simple")
     assert "partial_count" in p, "gram-pair intersection lost map-side combine"
+
+
+def test_gram_index_fans_out_narrow_scans(spark, sf_dir):
+    """r7 regression pin (the dedup_substring one-split class,
+    re-found in dedup_jaccard_incremental): the inverted gram index
+    must not hang its tokenize+explode chain off a single-split scan —
+    a small parquet file arrives as ONE split and serializes the whole
+    build onto one core at any cluster size."""
+    from mysql2parquet_spark.io import load_table
+    from mysql2parquet_spark.operators.dedup import _gram_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    gi = _gram_index(docs, "doc_id", "text", 2)
+    assert (
+        gi.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+
+def test_incremental_minhash_cap_is_a_window_group_limit(spark, sf_dir):
+    """The hot-band cap in dedup_minhash_incremental must compile to
+    WindowGroupLimit (map-side per-bucket top-k) on BOTH capped sides —
+    a full per-bucket sort, or a silently dropped cap, re-opens the
+    quadratic boilerplate bucket this query ships the cap for
+    (r7: 21 s -> 3 s at sf0.1)."""
+    from mysql2parquet_spark.queries import REGISTRY
+
+    df = REGISTRY["dedup_minhash_incremental"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("WindowGroupLimit") >= 2, p
