@@ -160,6 +160,7 @@ def main() -> None:
         "join_strategy",
         "join_bloom_prune",
         "join_interval",
+        "privacy_kanon",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):

@@ -1,0 +1,107 @@
+"""Privacy gates for dataset release (D28): k-anonymity suppression
+and l-diversity reporting over quasi-identifier columns.
+
+A training-data pipeline that exports per-user or per-entity rows
+needs a release gate of the same shape as the D15 quality audit: "no
+row may leave whose quasi-identifier combination (the columns an
+adversary can link externally — region, segment, coarse value bands)
+identifies fewer than k entities", and "no quasi-group may be
+homogeneous in a sensitive attribute" (l-diversity — a group of 50
+rows all sharing one sensitive value leaks it even at k=50).
+
+Everything here is exact and one-or-two-exchange:
+
+- ``suppress_small_groups`` — ONE shuffle: a count window over the
+  quasi partition, filter ``>= k``. No join back, no second scan; the
+  quasi-keyed exchange is the whole cost and AQE handles skewed
+  quasi-groups like any other window.
+- ``k_anonymity_report`` / ``l_diversity_report`` — partially
+  aggregated groupBy scans (the exchange carries |groups| rows), the
+  same shape as the D19 profiling measurements; feed them to the D15
+  audit gate to abort a publish (rc 3) exactly like a failed
+  constraint.
+
+The reference exports rows unexamined (/root/reference/main.go:106-203
+streams every column it is given); this surface exists for the
+pipeline the engine targets, not Tier A parity. NULL quasi-values form
+their own group in GROUP BY, window PARTITION BY, and ANSI SQL alike,
+so the oracle semantics match by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _check_cols(df: DataFrame, cols: list[str], what: str) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"{what} columns not in frame: {missing}")
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], *, k: int
+) -> DataFrame:
+    """One row per VIOLATING quasi-group: the quasi values plus
+    ``group_size`` (< k). Empty result = the release is k-anonymous.
+    One partially-aggregated count scan; rank-stable ordering is the
+    caller's concern (reports are sets)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _check_cols(df, quasi_cols, "quasi-identifier")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame, quasi_cols: list[str], *, k: int
+) -> DataFrame:
+    """Drop every row whose quasi-identifier group holds fewer than
+    ``k`` rows — the suppression step that makes the remainder
+    k-anonymous by construction. ONE exchange (the count window over
+    the quasi partition); schema passes through unchanged."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _check_cols(df, quasi_cols, "quasi-identifier")
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("_gn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_gn") >= k)
+        .drop("_gn")
+    )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, *, l: int
+) -> DataFrame:
+    """One row per quasi-group whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values: quasi values + ``group_size`` +
+    ``distinct_sensitive``. k-anonymity alone permits a homogeneous
+    group (everyone in it shares the sensitive value, so membership
+    reveals it); this is the standard follow-up check. Exact distinct
+    via the two-level aggregate — (quasi, sensitive) partials then a
+    quasi-keyed count — never a per-group set materialization. NULL
+    sensitive values count as one value, matching COUNT(DISTINCT)'s
+    null-dropping plus an explicit null-presence flag would be a
+    different policy; here NULL is excluded exactly as ANSI
+    COUNT(DISTINCT) excludes it, so the oracle agrees."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    _check_cols(df, quasi_cols + [sensitive_col], "report")
+    per_val = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_val.groupBy(*quasi_cols)
+        .agg(
+            F.sum("_n").alias("group_size"),
+            F.count(F.when(F.col(sensitive_col).isNotNull(), 1)).alias(
+                "distinct_sensitive"
+            ),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+    )

@@ -51,7 +51,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # ROTATION (r7, VERDICT r6 asks #1/#3): the registration thaw. r6's
 # freeze drained the backlog (every one of the 119 r6-registered queries
 # now has >=1 driver row), so the 30 staged (query, oracle) pairs in
-# queries/staged.py move into the registry (149 total) and ALL 30 take
+# queries/staged.py move into the registry (149 at thaw; 154 with the
+# five mid-r7 additions, all r8 debuts per ROTATION.md) and ALL 30 take
 # head slots — they are the never-driver-checked set. Also in the head:
 # quality_report (re-land after the oracle-side HUGEINT fix — the one
 # red r6 row), second-green slots for the 13 r6 first-timers, a third

@@ -1924,3 +1924,40 @@ def join_interval(spark, sf_dir):
         right_start="r_start", right_end="r_end",
         on=["event_type"], bucket_width=3600,
     ).select("event_type", "l_id", "r_id")
+
+
+@register(
+    "privacy_kanon",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band
+      FROM customer
+    ), g AS (
+      SELECT *, COUNT(*) OVER (
+               PARTITION BY c_nationkey, c_mktsegment, bal_band) AS gn
+      FROM t
+    )
+    SELECT c_custkey, c_nationkey, c_mktsegment, bal_band
+    FROM g WHERE gn >= 3
+    """,
+    "D28: k-anonymity suppression as a release gate — customers whose "
+    "quasi-identifier combination (nation, market segment, coarse "
+    "account-balance band) identifies fewer than k=3 entities are "
+    "suppressed before export (operators/privacy.py::"
+    "suppress_small_groups — ONE quasi-keyed exchange: a count window, "
+    "no join-back, no second scan). The oracle is the identical "
+    "window-count predicate. r8 debut (NEXT_ROUND_BACKLOG).",
+)
+def privacy_kanon(spark, sf_dir):
+    from mysql2parquet_spark.operators.privacy import suppress_small_groups
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    return suppress_small_groups(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=3
+    )

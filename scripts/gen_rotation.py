@@ -40,6 +40,7 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "join_strategy",
     "join_bloom_prune",
     "join_interval",
+    "privacy_kanon",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -74,7 +75,7 @@ high-cardinality keys, scale note in its docstring.
 
 ## r8 plan
 
-All 154 registered queries except the five r8 debuts will have >=1
+All 155 registered queries except the six r8 debuts will have >=1
 driver row once CORRECTNESS_r07 lands green. r8 head priorities, in
 order:
 1. Any r7 red rows (fix + re-land).
@@ -88,7 +89,9 @@ order:
    r7-added D26 advisor/prune pair: `join_strategy` (exact decision
    oracle) and `join_bloom_prune` (exact: output is bit-identical to
    the plain join the oracle runs); plus the D27 `join_interval`
-   debut (bucketized interval-overlap join, exact non-equi oracle).
+   debut (bucketized interval-overlap join, exact non-equi oracle)
+   and the D28 `privacy_kanon` debut (k-anonymity suppression gate,
+   exact window-count oracle).
 5. Backfill third greens for r5/r6 first-timers as slots allow.
 """
 

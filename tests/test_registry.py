@@ -231,8 +231,8 @@ def test_registry_count_is_planned():
     matching rotation plan (head slot in the debut round or an explicit
     NEXT_ROUND_BACKLOG entry) — see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 154, (
-        f"registry count changed ({len(REGISTRY)} != 154); new queries "
+    assert len(REGISTRY) == 155, (
+        f"registry count changed ({len(REGISTRY)} != 155); new queries "
         "need a rotation plan before registration"
     )
 
