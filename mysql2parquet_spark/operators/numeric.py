@@ -1,0 +1,155 @@
+"""Robust numeric cleaning (D29): winsorization and robust scaling.
+
+Numeric feature/label columns feeding a training pipeline need outlier
+treatment BEFORE they reach a loss function: a handful of fat-finger or
+sentinel values (1e9 in a price column) dominate a mean, a gradient,
+or a normalization constant. The two standard treatments:
+
+- **winsorize** — clamp values into the per-group [p_lo, p_hi]
+  percentile band (clipping, not dropping, preserves row count and
+  joins downstream);
+- **robust scale** — ``(value - median) / IQR`` (median/IQR shrug off
+  the outliers that wreck mean/stddev z-scores).
+
+Shape at scale: both need per-group EXACT percentiles, which cost one
+group-keyed exchange with a per-group sort buffer (the same cost the
+registered ``agg_percentile`` already carries — Spark's ``percentile``
+aggregate buffers a value-count map per group). The bounds relation is
+|groups| rows — broadcast it back onto the UN-shuffled input, so the
+row-level clamp/scale adds ZERO exchanges beyond the bounds
+aggregation. At 100 TB with high-cardinality groups, swap
+``F.percentile`` for ``F.percentile_approx`` (t-digest sketch, partial
+aggregation, bounded state) via ``approx=True`` — the clamp logic is
+unchanged; only the bounds estimator loosens.
+
+Determinism contract for the oracle (probed, not assumed): Spark
+``percentile`` and DuckDB ``quantile_cont`` both compute
+``lo + frac * (hi - lo)`` over the same sorted doubles and were
+verified BIT-EQUAL per group on the fixture, so clip-count comparisons
+(``value < p_lo``) agree exactly; fixture values are 2-dp and ``q`` is
+2-dp, so ``frac`` has <= 2 decimals and interpolated bounds are
+<= 4-dp exact — ``ROUND(p, 4)`` is never at a rounding boundary.
+
+The reference exports numeric columns untouched
+(/root/reference/main.go:106-203); this surface exists for the
+training pipeline the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bounds(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    approx: bool,
+) -> DataFrame:
+    """Per-group quantile relation (|groups| rows) — one keyed exchange."""
+    if approx:
+        aggs = [
+            F.percentile_approx(value_col, q, 10000).alias(name)
+            for name, q in quantiles.items()
+        ]
+    else:
+        aggs = [
+            F.percentile(value_col, F.lit(q)).alias(name)
+            for name, q in quantiles.items()
+        ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Clamp ``value_col`` into the per-group [lo, hi] percentile band.
+
+    One group-keyed exchange computes the bounds; the |groups|-row
+    bounds relation broadcasts back onto the unshuffled input, so rows
+    never move. Schema passes through plus ``out_col`` (default
+    ``<value_col>_w``). NULL values stay NULL (no clamp is defined for
+    them), matching SQL ``LEAST``/``GREATEST`` null propagation.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    out_col = out_col or f"{value_col}_w"
+    b = _bounds(df, value_col, group_cols, {"_p_lo": lo, "_p_hi": hi}, approx)
+    # Hint-free join-back: |groups| is the caller's key choice and can
+    # scale with the data, so AQE picks broadcast at runtime when the
+    # bounds relation is small (the events_retention contract).
+    joined = df.join(b, on=group_cols, how="left")
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_p_lo")), F.col("_p_hi"))
+    return joined.withColumn(out_col, clamped).drop("_p_lo", "_p_hi")
+
+
+def winsorize_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group clipping audit: bounds + how many rows each side clips.
+
+    Columns: group cols, ``n_rows``, ``n_clip_lo``, ``n_clip_hi``,
+    ``p_lo`` / ``p_hi`` (rounded 4 — exact for <=2-dp data, see module
+    doc). Two |groups|-keyed partial-agg exchanges total (bounds, then
+    counts); the row stream itself is scanned twice but never joined
+    row-to-row — the bounds side stays broadcast.
+    """
+    b = _bounds(df, value_col, group_cols, {"_p_lo": lo, "_p_hi": hi}, False)
+    j = df.join(b, on=group_cols, how="inner")  # hint-free: AQE decides
+    v = F.col(value_col)
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.count(v).alias("n_rows"),
+            F.count(F.when(v < F.col("_p_lo"), 1)).alias("n_clip_lo"),
+            F.count(F.when(v > F.col("_p_hi"), 1)).alias("n_clip_hi"),
+            F.round(F.first("_p_lo"), 4).alias("p_lo"),
+            F.round(F.first("_p_hi"), 4).alias("p_hi"),
+        )
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    out_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group robust z-score: ``(value - median) / IQR``.
+
+    Median and quartiles resist the very outliers a mean/stddev score
+    would absorb, which is why this is the pre-training normalizer for
+    heavy-tailed columns. Same plan shape as :func:`winsorize` — one
+    bounds exchange, broadcast join back, zero row movement. Groups
+    whose IQR is 0 (constant-valued) yield NULL rather than +/-inf —
+    a degenerate group is a data problem to surface, not a division to
+    hide.
+    """
+    out_col = out_col or f"{value_col}_rs"
+    b = _bounds(
+        df,
+        value_col,
+        group_cols,
+        {"_q1": 0.25, "_med": 0.5, "_q3": 0.75},
+        approx,
+    )
+    j = df.join(b, on=group_cols, how="left")  # hint-free: AQE decides
+    iqr = F.col("_q3") - F.col("_q1")
+    scaled = F.when(iqr > 0, (F.col(value_col) - F.col("_med")) / iqr)
+    return j.withColumn(out_col, scaled).drop("_q1", "_med", "_q3")

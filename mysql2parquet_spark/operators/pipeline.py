@@ -288,3 +288,76 @@ def mix_corpus(
         .filter(F.col("_cum_before") < F.col("_share"))
         .drop("_hx", "_cum_before", "_share")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    band_col,
+    *,
+    seed: str = "curriculum",
+    salt_chars: int = 2,
+) -> DataFrame:
+    """Deterministic curriculum position: easy bands first, shuffled
+    WITHIN each band — the epoch ordering a curriculum-training run
+    consumes (order by difficulty band, random-but-reproducible inside
+    the band so no source/length clumping survives).
+
+    Returns ``(id_col, band, position)`` where ``position`` is the
+    1-based rank under the total order ``(band ASC, md5(id||seed) ASC,
+    id ASC)`` — exactly ``ROW_NUMBER() OVER (ORDER BY band, md5, id)``,
+    WITHOUT the single-task global sort that window would plan. The
+    distributed construction exploits md5-prefix consistency:
+
+    - salt = the first ``salt_chars`` hex chars of the row's md5. The
+      salt is a PREFIX of the sort key, so ordering by
+      ``(band, salt, md5)`` IS ordering by ``(band, md5)`` — splitting
+      each band into 16^salt_chars sub-partitions changes the physical
+      grouping, never the total order.
+    - within-(band, salt) rank: one row_number window whose partition
+      count is |bands| x 256 (salt_chars=2) — parallelism no longer
+      capped by the handful of bands (the events_anomaly 5-key lesson,
+      structurally applied).
+    - global offsets: per-(band, salt) counts (a partial-agg exchange
+      carrying |bands|x256 rows) cumulated by one tiny ordered window
+      over that metadata relation, broadcast back.
+
+    ``position = offset + within_rank`` reproduces the global row
+    number with ZERO global sorts: the big table takes exactly ONE
+    (band, salt)-keyed exchange. ``band_col`` may be a column name or a
+    Column expression (e.g. a width_bucket over length or a quality
+    score); NULL ids are rejected upstream by the md5 (NULL hash) like
+    the md5 samplers — drop them before calling if they exist.
+    """
+    from pyspark.sql import Window
+
+    band = F.col(band_col) if isinstance(band_col, str) else band_col
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    )
+    base = df.select(
+        F.col(id_col), band.alias("band"), h.alias("_h")
+    ).withColumn("_salt", F.substring("_h", 1, salt_chars))
+
+    w_in = Window.partitionBy("band", "_salt").orderBy("_h", id_col)
+    ranked = base.withColumn("_rk", F.row_number().over(w_in))
+
+    counts = base.groupBy("band", "_salt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_off = (
+        Window.orderBy("band", "_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("band", "_salt", "_off")
+
+    return (
+        ranked.join(F.broadcast(offsets), ["band", "_salt"], "inner")
+        .select(
+            id_col,
+            "band",
+            (F.col("_off") + F.col("_rk")).alias("position"),
+        )
+    )

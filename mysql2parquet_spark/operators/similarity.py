@@ -578,3 +578,109 @@ def random_projection(
     return emb.select(
         F.col(id_col), *keep_cols, project(vec_col).alias("projected")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: list[tuple[int, list[float]]] | DataFrame | None = None,
+    num_seeds: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup removal: cluster by nearest
+    centroid, then verify pairs ONLY within a cluster.
+
+    Returns the LOSER set — one row ``(id_col, centroid_id)`` per
+    vector that has a smaller-id neighbor with cosine >= ``threshold``
+    inside its own cluster (keep-lowest-id, the same survivor rule as
+    the other dedup families). Anti-join the ids to keep survivors.
+
+    This is the composition the quadratic guard in ``cosine_pairs``
+    points at: the cluster assignment is a ZERO-shuffle per-row
+    projection (k seed vectors are bounded metadata, same contract as
+    ``collect_centroids``), so the only O(pairs) work happens inside a
+    cluster — with k scaled ~sqrt(n) (or a kmeans_lite/ivf_build
+    codebook at 100 TB), per-cluster candidate sets stay bounded and
+    the pair join is an equi-join on ``centroid_id``, never a global
+    cross. Published precedent: SemDeDup (Abbas et al., 2023) prunes
+    semantic duplicates exactly this way — k-means cells, then
+    within-cell cosine.
+
+    Determinism contract (oracle-exact): assignment compares cosines
+    ROUNDED to 4 decimals with ties to the smallest seed id, and the
+    pair stage thresholds on the rounded cosine — the same
+    boundary-free compare the green ``similarity_pairs`` family uses.
+    When ``seeds`` is None the codebook is the ``num_seeds`` lowest-id
+    vectors (deterministic and SQL-reproducible — the demo quantizer);
+    pass kmeans_lite output for a learned codebook.
+    """
+    from mysql2parquet_spark.functions.vector import (
+        cosine_similarity,
+        dot,
+        l2_norm,
+    )
+
+    if seeds is None:
+        seed_df = (
+            emb.select(id_col, vec_col).orderBy(id_col).limit(num_seeds)
+        )
+        cents = [
+            (int(r[id_col]), [float(x) for x in r[vec_col]])
+            for r in seed_df.collect()  # bounded-metadata: k x dim seeds
+        ]
+    elif isinstance(seeds, DataFrame):
+        cents = collect_centroids(seeds, vec_col=vec_col)
+    else:
+        cents = sorted((int(i), [float(x) for x in v]) for i, v in seeds)
+    if not cents:
+        raise ValueError("semantic_dedup: empty seed set")
+
+    candidates = []
+    for cid, vec in cents:
+        lit_vec = F.array(*[F.lit(x) for x in vec])
+        sim = F.round(cosine_similarity(F.col(vec_col), lit_vec), 4)
+        sim = F.coalesce(sim, F.lit(float("-inf")))  # zero-norm rows
+        candidates.append(
+            F.struct(sim.alias("sim"), F.lit(-cid).alias("ncid"))
+        )
+    best = F.array_max(F.array(*candidates))
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["ncid"]).cast("int").alias("centroid_id"),
+    ).withColumn("_nrm", l2_norm(vec_col))
+
+    # Within-cluster verify: equi-join on centroid_id (the cluster IS
+    # the block), norms hoisted pre-join, one dot fold per pair -- the
+    # cosine_pairs contract with the block value carried through.
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_nrm_a"),
+        F.col("centroid_id").alias("_cid"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nrm_b"),
+        F.col("centroid_id").alias("_cid"),
+    )
+    pairs = a.join(
+        b, ["_cid"], "inner"
+    ).filter(F.col("_id_a") < F.col("_id_b"))
+    sim = dot("_va", "_vb") / F.nullif(
+        F.col("_nrm_a") * F.col("_nrm_b"), F.lit(0.0)
+    )
+    losers = (
+        pairs.select(
+            F.col("_id_b").alias(id_col),
+            F.col("_cid").alias("centroid_id"),
+            F.round(sim, 4).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(id_col, "centroid_id")
+        .distinct()
+    )
+    return losers

@@ -1961,3 +1961,185 @@ def privacy_kanon(spark, sf_dir):
     return suppress_small_groups(
         c, ["c_nationkey", "c_mktsegment", "bal_band"], k=3
     )
+
+
+# --------------------------------------------------------------------------
+# D29-D32: robust numeric cleaning, k-step path mining, SemDeDup-style
+# semantic dedup, curriculum ordering (operators/numeric.py,
+# operators/sequences.py, operators/similarity.py::semantic_dedup,
+# operators/pipeline.py::curriculum_order). The reference exports
+# columns untouched (/root/reference/main.go:106-203); these are
+# training-pipeline north-star surfaces. r8 debuts per ROTATION.md.
+# --------------------------------------------------------------------------
+
+@register(
+    "events_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p_lo,
+             quantile_cont(value, 0.99) AS p_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(e.value) AS n_rows,
+           COUNT(CASE WHEN e.value < b.p_lo THEN 1 END) AS n_clip_lo,
+           COUNT(CASE WHEN e.value > b.p_hi THEN 1 END) AS n_clip_hi,
+           ROUND(MIN(b.p_lo), 4) AS p_lo,
+           ROUND(MIN(b.p_hi), 4) AS p_hi
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    "D29: winsorization audit — per-group exact [p01, p99] bounds and "
+    "the rows each side would clip, the outlier-treatment report that "
+    "precedes training on a numeric column. One group-keyed bounds "
+    "exchange, |groups|-row broadcast back onto the unshuffled rows, "
+    "one partial-agg count scan. Spark percentile and DuckDB "
+    "quantile_cont were probed BIT-EQUAL per group (2-dp data, 2-dp q "
+    "=> <=4-dp exact bounds, so ROUND(.,4) is never at a boundary and "
+    "the < / > clip compares agree exactly). COUNT(CASE ...) keeps the "
+    "oracle in BIGINT (the quality_report HUGEINT lesson).",
+)
+def events_winsorize(spark, sf_dir):
+    from mysql2parquet_spark.operators.numeric import winsorize_report
+
+    ev = T(spark, sf_dir, "events")
+    return winsorize_report(ev, "value", ["event_type"], lo=0.01, hi=0.99)
+
+
+@register(
+    "events_paths",
+    """
+    WITH g AS (
+      SELECT user_id,
+             event_type
+               || '>' || LEAD(event_type, 1) OVER w
+               || '>' || LEAD(event_type, 2) OVER w AS path,
+             LEAD(event_type, 2) OVER w AS last_step
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pe AS (
+      SELECT path, user_id, COUNT(*) AS n
+      FROM g WHERE last_step IS NOT NULL
+      GROUP BY path, user_id
+    )
+    SELECT path,
+           CAST(SUM(n) AS BIGINT) AS n_walks,
+           COUNT(*) AS n_entities
+    FROM pe GROUP BY path
+    ORDER BY n_walks DESC, path
+    LIMIT 20
+    """,
+    "D30: k-step path mining — the 20 most-walked 3-step event-type "
+    "paths with walk and distinct-walker counts; funnel DISCOVERY "
+    "upstream of the D11 funnel measurement, the k-gram generalization "
+    "of events_transitions. ONE user-keyed window exchange (both leads "
+    "share the window spec -> a single sort), (path, user) partial "
+    "pre-agg, exact distinct from the two-level aggregate, top-20 via "
+    "a TakeOrderedAndProject heap under the total (n_walks DESC, path) "
+    "tiebreak.",
+)
+def events_paths(spark, sf_dir):
+    from mysql2parquet_spark.operators.sequences import top_paths
+
+    ev = T(spark, sf_dir, "events")
+    return top_paths(
+        ev, "user_id", ["ts", "event_id"], "event_type", k=3, top=20
+    )
+
+
+@register(
+    "dedup_semantic",
+    """
+    WITH s AS (
+      SELECT vec_id AS seed_id, embedding AS sv
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, s.seed_id,
+             COALESCE(ROUND(
+               list_sum(list_transform(list_zip(e.embedding, s.sv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / NULLIF(
+                   sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(s.sv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0),
+             4), -1e9) AS sim
+      FROM embeddings e CROSS JOIN s
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, seed_id AS centroid_id
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, seed_id) = 1
+    )
+    SELECT DISTINCT b.vec_id, b.centroid_id
+    FROM assigned a JOIN assigned b ON a.centroid_id = b.centroid_id
+     AND a.vec_id < b.vec_id
+    WHERE ROUND(
+            list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / NULLIF(
+                sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0),
+          4) >= 0.4
+    """,
+    "D31: SemDeDup-style semantic dedup (Abbas et al. 2023): assign "
+    "every vector to its nearest of 8 deterministic seed centroids "
+    "(lowest-id demo codebook; kmeans_lite at scale), then verify "
+    "cosine >= 0.4 ONLY within a cluster — losers are vectors with a "
+    "smaller-id same-cluster neighbor. Assignment is a ZERO-shuffle "
+    "literal-fold projection (seeds are k x dim bounded metadata); the "
+    "pair stage is an equi-join on centroid_id with norms hoisted, "
+    "never a global cross. Rounded-cosine compares on both sides keep "
+    "every threshold and argmax off FP boundaries (the similarity_pairs "
+    "contract).",
+)
+def dedup_semantic(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, num_seeds=8, threshold=0.4
+    )
+
+
+@register(
+    "pipeline_curriculum",
+    """
+    SELECT doc_id, band,
+           ROW_NUMBER() OVER (
+             ORDER BY band,
+                      md5(CAST(doc_id AS VARCHAR) || ':curriculum'),
+                      doc_id
+           ) AS position
+    FROM (
+      SELECT doc_id,
+             CASE WHEN n_chars < 150 THEN 0
+                  WHEN n_chars < 300 THEN 1
+                  ELSE 2 END AS band
+      FROM documents
+    )
+    """,
+    "D32: curriculum epoch ordering — easy (short) docs first, "
+    "seed-reproducible shuffle WITHIN each difficulty band. The oracle "
+    "is the global ROW_NUMBER; the Spark plan REFUSES that single-task "
+    "sort: the md5 PREFIX (first 2 hex chars) sub-partitions each band "
+    "256-ways without changing the total order (the salt is a prefix "
+    "of the sort key), ranks within (band, salt) in parallel, and adds "
+    "broadcast cumulative offsets from a |bands|x256-row metadata "
+    "relation — the events_anomaly low-cardinality-window lesson "
+    "applied structurally. One big-table exchange total.",
+)
+def pipeline_curriculum(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import curriculum_order
+
+    d = T(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 300, 1)
+        .otherwise(2)
+    )
+    return curriculum_order(d, "doc_id", band, seed="curriculum")
