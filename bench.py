@@ -94,10 +94,16 @@ def main() -> None:
     tracker = sc.statusTracker()
 
     def run(name: str) -> tuple[float, int]:
-        """Wall seconds + number of stages the query scheduled — stage
+        """Wall seconds + number of stages THIS run scheduled — stage
         counts make constant-factor regressions (an extra exchange, a
         lost WindowGroupLimit) visible in BENCH_r{N} diffs without a
-        profiler."""
+        profiler. getJobIdsForGroup is CUMULATIVE across every run that
+        shared the group name (warmups included), so the ids present
+        before the run are excluded — the r7 artifact recorded
+        ann_ivf_persisted at 30 stages purely because the warmup's
+        one-time index build (16 stages, fired on a fresh-fixture cache
+        key) leaked into run 1's count (BENCH_NOTES r8)."""
+        before = set(tracker.getJobIdsForGroup(name))
         sc.setJobGroup(name, name)
         try:
             t0 = time.time()
@@ -107,6 +113,8 @@ def main() -> None:
             sc.setJobGroup(None, None)
         n_stages = 0
         for jid in tracker.getJobIdsForGroup(name):
+            if jid in before:
+                continue
             info = tracker.getJobInfo(jid)
             if info is not None:
                 n_stages += len(info.stageIds)
@@ -152,8 +160,8 @@ def main() -> None:
     # truncated artifact loses these first.
     from mysql2parquet_spark.queries.staged import STAGED
 
-    # The r8 debuts (NEXT_ROUND_BACKLOG) ride along so every
-    # registered-but-unadjudicated query has per-round timings on record.
+    # The r8 debuts ride along so every registered-but-unadjudicated
+    # query has per-round timings on record.
     debut_r8 = {
         "dedup_jaccard_incremental",
         "dedup_minhash_incremental",
@@ -161,6 +169,10 @@ def main() -> None:
         "join_bloom_prune",
         "join_interval",
         "privacy_kanon",
+        "events_winsorize",
+        "events_paths",
+        "dedup_semantic",
+        "pipeline_curriculum",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):
@@ -169,26 +181,15 @@ def main() -> None:
         staged_timings[name] = round(min(wall1, wall2), 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
-    # Truncation armor (VERDICT r6 ask #8): every BENCH_r0N.json so far
-    # has "parsed": null because the driver keeps only ~2000 chars of a
-    # >2000-char JSON line. A compact line with the headline total and
-    # the top-5 outliers goes out FIRST so the numbers that matter
-    # survive whichever end the capture keeps; the full dict follows as
-    # the final line (the driver's parse target), itself value-first.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "slowest": slowest,
-            }
-        )
-    )
+    # Truncation armor (VERDICT r7 ask #5, fixing the half-delivered r6
+    # ask #8): the driver keeps only the LAST ~2000 chars of stdout, so
+    # the giant full dict goes out FIRST (a truncated artifact loses its
+    # head) and the compact headline line goes out LAST — small enough
+    # to always survive the tail capture whole AND to be the driver's
+    # parse target (so "parsed" is finally non-null). The compact line
+    # carries the total, the top-5 outliers, and the protocol keys;
+    # "queries_in_full_line_above" flags where the complete per-query
+    # dict lives.
     print(
         json.dumps(
             {
@@ -201,6 +202,23 @@ def main() -> None:
                 "agg": "min",
                 "sf": float(sf),
                 "staged": staged_timings,
+            }
+        )
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "runs": 2,
+                "agg": "min",
+                "slowest": slowest,
+                "queries_in_full_line_above": True,
             }
         )
     )

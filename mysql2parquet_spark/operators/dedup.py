@@ -856,6 +856,14 @@ def incremental_jaccard_dedup(
     count aggregate (``gram_jaccard_pairs_indexed``); losers are
     distinct 8-byte ids; survivors leave via one left-anti join. The
     batch (small) is the only side ever carried as full documents.
+
+    Cost profile: the hot-gram join dominates (Zipfian gram frequency
+    makes every co-occurring pair cross the exchange — the documented
+    exact-by-default price; docs/BENCH_NOTES.md r8 records the warm
+    floor and decomposition). Engage ``max_gram_docs`` (~100× the
+    expected dup-cluster size) when a corpus's gram tail goes
+    quadratic — boilerplate grams carry near-zero Jaccard signal, so
+    the cap is under-removal-only.
     """
     cross = gram_jaccard_pairs_indexed(
         batch, accepted,

@@ -88,7 +88,14 @@ def winsorize(
     # scale with the data, so AQE picks broadcast at runtime when the
     # bounds relation is small (the events_retention contract).
     joined = df.join(b, on=group_cols, how="left")
-    clamped = F.least(F.greatest(F.col(value_col), F.col("_p_lo")), F.col("_p_hi"))
+    # Spark F.least/F.greatest SKIP nulls (unlike SQL LEAST/GREATEST,
+    # which propagate), so an unguarded clamp would silently turn a
+    # NULL value into p_lo — fabricated data in a cleaning operator.
+    # Guard: NULL in, NULL out (ADVICE r7 #1).
+    clamped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("_p_lo")), F.col("_p_hi")),
+    )
     return joined.withColumn(out_col, clamped).drop("_p_lo", "_p_hi")
 
 

@@ -326,15 +326,33 @@ def curriculum_order(
     number with ZERO global sorts: the big table takes exactly ONE
     (band, salt)-keyed exchange. ``band_col`` may be a column name or a
     Column expression (e.g. a width_bucket over length or a quality
-    score); NULL ids are rejected upstream by the md5 (NULL hash) like
-    the md5 samplers — drop them before calling if they exist.
+    score). NULL ids or bands RAISE (in-plan ``raise_error`` guard) —
+    an epoch-ordering operator must never silently drop rows; drop or
+    impute NULLs upstream.
     """
     from pyspark.sql import Window
 
     band = F.col(band_col) if isinstance(band_col, str) else band_col
-    h = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))
+    # NULL id or band would otherwise vanish SILENTLY (NULL md5 salt
+    # fails the inner offset join; NULL band sorts differently across
+    # engines) — silent row loss in an epoch-ordering operator is
+    # corruption, so the contract is enforced with an in-plan guard.
+    # The raise_error must FEED the hash expression (the join_interval
+    # lesson: a free-standing assert column is pruned, and identical
+    # when-branches collapse under SimplifyConditionals), so it rides
+    # the otherwise() of the id the hash consumes (ADVICE r7 #3).
+    id_checked = F.when(
+        F.col(id_col).isNotNull() & band.isNotNull(),
+        F.col(id_col).cast("string"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "curriculum_order: NULL id or band — every row must "
+                "carry both (drop or impute upstream)"
+            )
+        ).cast("string")
     )
+    h = F.md5(F.concat(id_checked, F.lit(":" + seed)))
     base = df.select(
         F.col(id_col), band.alias("band"), h.alias("_h")
     ).withColumn("_salt", F.substring("_h", 1, salt_chars))

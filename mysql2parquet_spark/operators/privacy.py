@@ -41,35 +41,93 @@ def _check_cols(df: DataFrame, cols: list[str], what: str) -> None:
 
 
 def k_anonymity_report(
-    df: DataFrame, quasi_cols: list[str], *, k: int
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int,
+    entity_col: str | None = None,
 ) -> DataFrame:
     """One row per VIOLATING quasi-group: the quasi values plus
     ``group_size`` (< k). Empty result = the release is k-anonymous.
     One partially-aggregated count scan; rank-stable ordering is the
-    caller's concern (reports are sets)."""
+    caller's concern (reports are sets).
+
+    The default counts ROWS, which equals the published k-anonymity
+    definition only under the row=entity assumption (one row per
+    person, the classic microdata table). Event/export tables where
+    one entity contributes many rows MUST pass ``entity_col``:
+    ``group_size`` then counts DISTINCT entities per quasi-group (the
+    two-level aggregate, same shape as :func:`l_diversity_report`) —
+    a single user posting k rows into a quasi-group does NOT make it
+    k-anonymous. NULL entities are excluded exactly as ANSI
+    COUNT(DISTINCT) excludes them (VERDICT r7 #3)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    _check_cols(df, quasi_cols, "quasi-identifier")
-    return (
-        df.groupBy(*quasi_cols)
-        .agg(F.count(F.lit(1)).alias("group_size"))
-        .filter(F.col("group_size") < k)
-    )
+    _check_cols(df, quasi_cols + ([entity_col] if entity_col else []),
+                "quasi-identifier")
+    if entity_col is None:
+        counted = df.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).alias("group_size")
+        )
+    else:
+        per_ent = df.groupBy(*quasi_cols, entity_col).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        counted = per_ent.groupBy(*quasi_cols).agg(
+            F.count(F.when(F.col(entity_col).isNotNull(), 1)).alias(
+                "group_size"
+            )
+        )
+    return counted.filter(F.col("group_size") < k)
 
 
 def suppress_small_groups(
-    df: DataFrame, quasi_cols: list[str], *, k: int
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int,
+    entity_col: str | None = None,
 ) -> DataFrame:
-    """Drop every row whose quasi-identifier group holds fewer than
-    ``k`` rows — the suppression step that makes the remainder
-    k-anonymous by construction. ONE exchange (the count window over
-    the quasi partition); schema passes through unchanged."""
+    """Drop every row whose quasi-identifier group identifies fewer
+    than ``k`` entities — the suppression step that makes the
+    remainder k-anonymous by construction.
+
+    Default (``entity_col=None``): group size counts ROWS — the
+    classic row=entity microdata assumption. That assumption is
+    UNSAFE on event/export tables: one entity contributing k rows to
+    a quasi-group passes the row-count gate while identifying a
+    single person. Pass ``entity_col`` there: the gate counts
+    DISTINCT entities per quasi-group and a one-entity group is
+    suppressed regardless of its row count (VERDICT r7 #3). Still one
+    quasi-keyed exchange (both windows share the partition key; the
+    ordered one reuses the same sort). Schema passes through
+    unchanged either way."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    _check_cols(df, quasi_cols, "quasi-identifier")
+    _check_cols(df, quasi_cols + ([entity_col] if entity_col else []),
+                "quasi-identifier")
     w = Window.partitionBy(*quasi_cols)
+    if entity_col is None:
+        gn = F.count(F.lit(1)).over(w)
+    else:
+        # Spark rejects COUNT(DISTINCT) OVER, and collect_set state
+        # grows with the group's entity cardinality. The join-free
+        # exact form: dense_rank over the entity order, max'd over the
+        # whole partition = the distinct entity count. Both windows
+        # share the quasi partition key, so one exchange + one sort.
+        w_ord = Window.partitionBy(*quasi_cols).orderBy(
+            F.col(entity_col).asc_nulls_last()
+        )
+        ranks = F.dense_rank().over(w_ord)
+        # dense_rank counts NULL as a value; subtract its band when any
+        # NULL entity exists in the partition (ANSI COUNT(DISTINCT)
+        # excludes NULL).
+        has_null = F.max(
+            F.col(entity_col).isNull().cast("int")
+        ).over(w)
+        gn = F.max(ranks).over(w) - has_null
     return (
-        df.withColumn("_gn", F.count(F.lit(1)).over(w))
+        df.withColumn("_gn", gn)
         .filter(F.col("_gn") >= k)
         .drop("_gn")
     )

@@ -63,13 +63,18 @@ def path_kgrams(
     out = events.select(
         entity_col,
         F.concat_ws(sep, *steps).alias("path"),
-        steps[-1].alias("_last"),
+        # concat_ws silently SKIPS NULLs, which would alias a truncated
+        # gram onto a real shorter one. Gate on EVERY step being
+        # non-null — not just the last lead: a NULL token mid-stream
+        # gives lead(k-1) non-null with an earlier step NULL, and the
+        # truncated path would pass a last-lead-only gate (ADVICE r7
+        # #2). All steps share the one window spec, so this adds
+        # projection work only, no second sort.
+        sum(
+            (s.isNotNull().cast("int") for s in steps), F.lit(0)
+        ).alias("_n_present"),
     )
-    # concat_ws silently skips NULLs, which would alias a truncated
-    # 2-gram onto a real 2-gram; requiring the FINAL lead non-null is
-    # the complete-k-gram gate (leads are suffixes of the same stream,
-    # so the last being present implies all earlier ones are).
-    return out.filter(F.col("_last").isNotNull()).drop("_last")
+    return out.filter(F.col("_n_present") == k).drop("_n_present")
 
 
 def top_paths(

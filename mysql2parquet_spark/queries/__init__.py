@@ -70,18 +70,38 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # multimodal_frames, sketch_hll_rollup, sketch_cms_freq — each has 1-2
 # driver rows-only rows already and no oracle to upgrade them).
 # Per-round history: ROTATION.md.
+# ROTATION (r8): 10 debut slots for the never-driver-checked queries
+# (the D25-D28 r8 debuts declared in r7's NEXT_ROUND_BACKLOG plus the
+# four D29-D32 surfaces from the r7 snapshot commit), 30 second-green
+# slots for every r7 debut (none of the 30 should rest on a single
+# adjudication — this clears the whole cohort to 2 rows in one round),
+# 9 third-green slots for the r5/r6-added components still short of
+# thrice-proven (the proven-component rule requires one evidence query
+# per component in the head until some evidence query reaches 3 hash
+# rows — this round graduates all nine), and 1 slot for an
+# r1-singleton. Displaced: the re-proven r5 first-greens and the rest
+# of the r1-singletons (r9 plan) — all component-guarded.
+# Per-round history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # re-land after the oracle HUGEINT->BIGINT cast (red row in r6)
-    "quality_report",
-    # --- r7 debuts: the formerly-staged set (never driver-checked) ---
+    # --- r8 debuts (never driver-checked; all parity-proven locally) ---
+    "dedup_jaccard_incremental",  # D25 inverted gram-index exact Jaccard
+    "dedup_minhash_incremental",  # D25 persisted LSH band-store probe
+    "join_strategy",        # D26 join-strategy advisor (decision oracle)
+    "join_bloom_prune",     # D26 bloom-pruned join (oracle = plain join)
+    "join_interval",        # D27 bucketized interval-overlap join
+    "privacy_kanon",        # D28 k-anonymity suppression gate
+    "events_winsorize",     # D29 winsorize / robust-scale report
+    "events_paths",         # D30 k-step path mining
+    "dedup_semantic",       # D31 SemDeDup centroid-blocked dedup
+    "pipeline_curriculum",  # D32 curriculum ordering
+    # --- second green rows for the 30 r7 debuts ---
     "drift_psi",            # D18 PSI/JS/TV drift report
     "skew_profile",         # D19 heavy-hitter / salt-factor profile
     "join_explosion",       # D19 pre-join cardinality blowup check
     "sketch_kmv_overlap",   # D9 KMV Jaccard vs exact set algebra
     "sketch_bloom_probe",   # D9 Bloom membership vs exact anti-join
     "sample_split_group",   # D14 group-disjoint train/val/test split
-    "events_anomaly",       # D20 volume z-score (reduce-first shape,
-                            # VERDICT r6 ask #4)
+    "events_anomaly",       # D20 volume z-score (reduce-first shape)
     "events_resample",      # D23 gap-filled LOCF resample
     "events_ohlc",          # D23 OHLC downsample
     "events_transitions",   # D22 Markov transition matrix
@@ -105,28 +125,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q20_shape",       # D13 nested IN chain as semi-joins
     "tpch_q21_shape",       # D13 double-correlated EXISTS/NOT EXISTS
     "tpch_q22_shape",       # D13 scalar-subquery filter + anti join
-    # --- second green rows for the r6 first-timers ---
+    # --- third greens for the r5/r6 components not yet thrice-proven
+    #     (proven-component rule: one evidence query per component must
+    #     hold a head slot until thrice-proven; this graduates all 9) ---
     "cdc_scd2",             # D6 SCD2 history fold
-    "cdc_scd2_asof",        # D6 point-in-time lookup
     "dedup_incremental",    # C1 fingerprint-store dedup
     "events_funnel",        # D11 ordered-sequence funnel
-    "events_retention",     # D11 weekly retention cohorts
     "fuzzy_name_pairs",     # D17 fuzzy record linkage
     "pipeline_mix",         # D14 budget-weighted mixing
+    "quality_report",       # D15 constraint validation
     "rollup_incremental",   # D16 incremental agg maintenance
     "sample_topn_group",    # D14 fixed-quota per-group sample
-    "sample_weighted_rows", # D14 weighted Bernoulli keep
     "sketch_histogram_q",   # D9 mergeable histogram quantiles
-    "tpch_q1",              # D13 pricing summary
-    "tpch_q18",             # D13 large-volume customer
-    # --- third green for the once-FAILed salted agg ---
-    "agg_salted",           # B12 skew-salted (r4 FAIL, r5+r6 green)
-    # --- second greens for r5 first-greens ---
-    "dedup_embedding",      # C2 semantic cosine dedup
-    "similarity_pairs",     # C3 exact cosine pairs
-    "similarity_pairs_blocked",  # C3 blocked pair join
-    "stream_rollup_batch",  # B32 chained windowed rollup
-    "text_stats",           # C4 per-lang doc stats
+    # --- second row for an r1-singleton (one r1 row, never since) ---
+    "agg_stats",            # B12 stddev/variance family
 )
 
 

@@ -25,23 +25,14 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never held a head slot and are deliberately deferred
-# to the NEXT round's rotation (head capacity is 50). EMPTY as of r7:
-# the registration thaw put ALL 30 debuts (the former staged cohort)
-# into the r7 head, so every registered query is either already
-# driver-checked or scheduled this round. The ledger test fails if a
+# to the NEXT round's rotation (head capacity is 50). EMPTY as of r8:
+# all ten never-driver-checked queries (the six D25-D28 r8 debuts this
+# tuple declared in r7 plus the four D29-D32 strays from the r7
+# snapshot commit) hold r8 head slots. The ledger test fails if a
 # query is neither checked, in the head, nor here; keep it empty by
 # giving any NEW query a head slot in its debut round or listing it
-# here explicitly. Current entries: the r7-added incremental near-dup
-# pair (head capacity went to the 30 thawed debuts this round; these
-# two take r8 head slots per the r8 plan below).
-NEXT_ROUND_BACKLOG: tuple[str, ...] = (
-    "dedup_jaccard_incremental",
-    "dedup_minhash_incremental",
-    "join_strategy",
-    "join_bloom_prune",
-    "join_interval",
-    "privacy_kanon",
-)
+# here explicitly.
+NEXT_ROUND_BACKLOG: tuple[str, ...] = ()
 
 # Emitted verbatim at the end of ROTATION.md.
 R7_PLAN = """\
@@ -93,6 +84,58 @@ order:
    and the D28 `privacy_kanon` debut (k-anonymity suppression gate,
    exact window-count oracle).
 5. Backfill third greens for r5/r6 first-timers as slots allow.
+
+## r8 rotation (executed)
+
+CORRECTNESS_r07 landed the project's first perfect window (50/50 hash,
+0 rows-only, 0 FAIL), so r8's head clears the two remaining debts at
+once:
+
+1. **10 debut slots** — every never-driver-checked query: the six
+   D25-D28 r8 debuts declared in r7's NEXT_ROUND_BACKLOG
+   (`dedup_jaccard_incremental`, `dedup_minhash_incremental`,
+   `join_strategy`, `join_bloom_prune`, `join_interval`,
+   `privacy_kanon`) plus the four D29-D32 surfaces from the r7
+   snapshot commit (`events_winsorize`, `events_paths`,
+   `dedup_semantic`, `pipeline_curriculum`), now first-class (unit
+   tests, plan pins, SURVEY rows, reviewed broadcast) per VERDICT r7
+   asks #1/#2.
+2. **30 second-green slots** — ALL r7 debuts at once (the whole cohort
+   reaches 2 driver rows this round instead of splitting 20/10 across
+   r8/r9): drift_psi, skew_profile, join_explosion,
+   sketch_kmv_overlap, sketch_bloom_probe, sample_split_group,
+   events_anomaly, events_resample, events_ohlc, events_transitions,
+   text_pmi, knn_classify, dedup_substring, dedup_cluster_cc, and the
+   16 TPC-H shapes (q2/q4/q7/q8/q9/q11-q17/q19-q22).
+3. **9 third-green slots** — the r5/r6-added components still short of
+   thrice-proven keep one evidence query each in the head per the
+   proven-component rule; this round graduates all nine (`cdc_scd2`,
+   `dedup_incremental`, `events_funnel`, `fuzzy_name_pairs`,
+   `pipeline_mix`, `quality_report`, `rollup_incremental`,
+   `sample_topn_group`, `sketch_histogram_q`).
+4. **1 r1-singleton slot** — `agg_stats` (single driver row, from r1).
+
+Head arithmetic: 10 + 30 + 9 + 1 = 50. Displaced: the re-proven r5
+first-greens (agg_salted, dedup_embedding, similarity_pairs,
+similarity_pairs_blocked, stream_rollup_batch, text_stats — 3+ rows
+each after r7) and the two-row r6 first-timers whose components the
+nine third-green slots cover (cdc_scd2_asof, events_retention,
+sample_weighted_rows, tpch_q1, tpch_q18) — every displaced component
+stays guarded by the proven-component rule in tests/test_registry.py.
+
+## r9 plan
+
+After CORRECTNESS_r08 lands green, every registered query has >=1
+driver row, every r7 debut has 2, and all nine r5/r6 components are
+thrice-proven (freeing their standing slots). r9 priorities, in order:
+
+1. Any r8 red rows (fix + re-land).
+2. Second greens for the 10 r8 debuts.
+3. Second rows for the remaining r1-singletons (`agg_approx_distinct`,
+   `agg_approx_percentile`, `agg_corr`, `agg_groupconcat`,
+   `set_except`, `set_intersect`, `set_union`) and the thinnest
+   two-row queries (`dedup_fingerprint`, `text_langid`, r2 rows).
+4. Third greens for r6/r7 first-timers as slots allow.
 """
 
 def _round_files() -> dict[int, dict]:

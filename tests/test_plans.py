@@ -347,6 +347,11 @@ BROADCAST_ALLOWLIST = {
         "one-row totals + top_k-row product sum — bounded aggregates",
     ("operators/scale.py", "join_strategy_advice"):
         "three one-row aggregates (side totals + matched/output counts)",
+    ("operators/pipeline.py", "curriculum_order"):
+        "per-(band, salt) offset relation — |bands| x 16^salt_chars "
+        "rows (256 per band at the default salt_chars=2) regardless of "
+        "data volume; the broadcast is what keeps the big table at "
+        "exactly ONE keyed exchange",
     ("operators/bloomjoin.py", "bloom_prune_join"):
         "sparkContext.broadcast of the OR-merged bloom BYTES — "
         "num_bits/8 regardless of key cardinality (the operator's "
@@ -543,3 +548,68 @@ def test_bucketed_band_store_probe_needs_no_store_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_band_store_probe")
+
+
+# ---------------------------------------------------------------- D29-D32
+# Plan pins for the r8-debut surfaces (VERDICT r7 ask #2): each pin
+# names the scale property its docstring claims, so a refactor can't
+# silently regress it.
+
+
+def test_curriculum_refuses_global_sort(spark, sf_dir):
+    """pipeline_curriculum's whole point is reproducing the oracle's
+    global ROW_NUMBER *without* the single-task global sort: the big
+    table must take exactly ONE (band, salt)-keyed exchange, the
+    offsets side must come back as a broadcast, and no
+    rangepartitioning exchange may appear anywhere. The second
+    hashpartitioning exchange is the |bands|x256-row partial-agg
+    metadata relation, and the SinglePartition exchange is the tiny
+    cumulative-offset window over it — both bounded by construction.
+    The NULL-id/band raise_error guard must survive optimization
+    (ADVICE r7 #3)."""
+    p = plan(spark, sf_dir, "pipeline_curriculum", mode="simple")
+    assert "Exchange rangepartitioning" not in p, p[:3000]
+    assert p.count("Exchange hashpartitioning") == 2, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "raise_error" in p, p[:3000]  # NULL guard not optimized away
+
+
+def test_winsorize_report_bounds_are_partial_agg(spark, sf_dir):
+    """events_winsorize: the percentile bounds must partial-aggregate
+    (map-side combine) before their one group-keyed exchange, the clip
+    counts must partial-aggregate too, and nothing may global-sort.
+    <= 2 hashpartitioning exchanges total: bounds + (statically
+    planned) count agg — the row stream itself is never shuffled
+    row-to-row."""
+    p = plan(spark, sf_dir, "events_winsorize", mode="simple")
+    assert "partial_percentile" in p, p[:3000]
+    assert "partial_count" in p, p[:3000]
+    assert "Exchange rangepartitioning" not in p, p[:3000]
+    assert p.count("Exchange hashpartitioning") <= 2, p[:3000]
+
+
+def test_events_paths_single_window_single_sort(spark, sf_dir):
+    """events_paths: all k-1 lead() calls share one window spec, so the
+    plan must carry exactly ONE Window operator and ONE Sort (a second
+    sort would mean the leads split across specs); top-20 must be a
+    TakeOrderedAndProject heap, never a global sort exchange. Two
+    hashpartitioning exchanges: the entity window + the path agg."""
+    p = plan(spark, sf_dir, "events_paths", mode="simple")
+    assert p.count("+- Window") + p.count(":- Window") == 1, p[:3000]
+    assert p.count("+- Sort") + p.count(":- Sort") == 1, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:3000]
+    assert "Exchange rangepartitioning" not in p, p[:3000]
+    assert p.count("Exchange hashpartitioning") == 2, p[:3000]
+
+
+def test_semantic_dedup_pairs_are_equi_join(spark, sf_dir):
+    """dedup_semantic: assignment is a zero-shuffle literal-fold
+    projection and the within-cluster verify is an EQUI-join on
+    centroid_id — never a cartesian/nested-loop pair blowup. The only
+    row-stream exchange is the final distinct (at sf the pair join
+    broadcasts; at scale AQE shuffles it on _cid — both equi)."""
+    p = plan(spark, sf_dir, "dedup_semantic", mode="simple")
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+    assert p.count("Exchange hashpartitioning") == 1, p[:3000]
+    assert "Exchange rangepartitioning" not in p, p[:3000]

@@ -98,3 +98,68 @@ def test_suppression_is_one_exchange(spark, sf_dir):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1, p
     assert "Join" not in p, p
+
+
+def test_entity_aware_suppression_catches_repeated_entity(spark):
+    """VERDICT r7 #3: one entity contributing k rows to a quasi-group
+    passes the ROW-count gate while identifying a single person. The
+    entity variant must suppress that group; the row variant (the
+    documented row=entity default) keeps it — demonstrating why
+    event-shaped tables must pass entity_col."""
+    rows = [
+        # group A: 3 rows, ONE entity -> row-k-anon at k=3, 1 entity
+        Row(pid=1, zip="a", dx="flu"),
+        Row(pid=1, zip="a", dx="flu"),
+        Row(pid=1, zip="a", dx="cold"),
+        # group B: 3 rows, 3 entities -> anonymous under both gates
+        Row(pid=2, zip="b", dx="flu"),
+        Row(pid=3, zip="b", dx="cold"),
+        Row(pid=4, zip="b", dx="flu"),
+    ]
+    df = spark.createDataFrame(rows)
+    by_rows = suppress_small_groups(df, ["zip"], k=3)
+    assert by_rows.count() == 6  # over-permissive: group A passes
+    by_entity = suppress_small_groups(df, ["zip"], k=3, entity_col="pid")
+    assert {r.zip for r in by_entity.collect()} == {"b"}
+
+
+def test_entity_aware_suppression_excludes_null_entities(spark):
+    # NULL entities are not identifiable people; ANSI COUNT(DISTINCT)
+    # drops them and so must the gate: 2 real entities + 1 NULL < k=3.
+    rows = [
+        Row(pid=1, zip="a", dx="x"),
+        Row(pid=2, zip="a", dx="y"),
+        Row(pid=None, zip="a", dx="z"),
+        Row(pid=5, zip="b", dx="x"),
+        Row(pid=6, zip="b", dx="y"),
+        Row(pid=7, zip="b", dx="z"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = suppress_small_groups(df, ["zip"], k=3, entity_col="pid")
+    assert {r.zip for r in out.collect()} == {"b"}
+
+
+def test_entity_aware_report_counts_entities(spark):
+    rows = [
+        Row(pid=1, zip="a"), Row(pid=1, zip="a"), Row(pid=1, zip="a"),
+        Row(pid=2, zip="b"), Row(pid=3, zip="b"), Row(pid=4, zip="b"),
+    ]
+    df = spark.createDataFrame(rows)
+    rep = k_anonymity_report(df, ["zip"], k=3, entity_col="pid").collect()
+    assert len(rep) == 1
+    assert rep[0].zip == "a" and rep[0].group_size == 1
+    # row-count report sees nothing wrong — the documented default gap
+    assert k_anonymity_report(df, ["zip"], k=3).count() == 0
+
+
+def test_entity_aware_suppression_is_one_exchange(spark, sf_dir):
+    """The entity variant must keep the single quasi-keyed exchange:
+    both windows (ordered dense_rank + unordered max) share the
+    partition key, so Spark reuses one shuffle + one sort."""
+    c = load_table(spark, sf_dir, "customer")
+    out = suppress_small_groups(
+        c, ["c_nationkey", "c_mktsegment"], k=3, entity_col="c_custkey"
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p, p

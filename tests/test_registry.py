@@ -218,6 +218,12 @@ ROWS_ONLY_OK = {
     "text_fingerprint_winnow",
     "sketch_hll_rollup",
     "sketch_cms_freq",
+    # approximate by construction: band-collision candidates (no exact
+    # SQL equivalent; quality gated by tests/test_dedup.py)
+    "dedup_minhash_incremental",
+    # approx_percentile is approximate by contract (driver adjudicates
+    # rows-only; exact-percentile parity lives in the local pytest gate)
+    "agg_approx_percentile",
 }
 
 
@@ -227,12 +233,16 @@ def test_registry_count_is_planned():
     (query, oracle) pairs in (VERDICT r6 ask #3) — 149, all 30 debuts
     holding head slots — then r7 added the incremental near-dup pair
     (dedup_jaccard_incremental, dedup_minhash_incremental; r8 debuts
-    via NEXT_ROUND_BACKLOG) = 151. Bumping this count again requires a
-    matching rotation plan (head slot in the debut round or an explicit
-    NEXT_ROUND_BACKLOG entry) — see test_rotation_ledger_current.
+    via NEXT_ROUND_BACKLOG) = 151, the D26-D28 debuts (join_strategy,
+    join_bloom_prune, join_interval, privacy_kanon) = 155, and the
+    D29-D32 surfaces (events_winsorize, events_paths, dedup_semantic,
+    pipeline_curriculum — r8 head debuts) = 159. Bumping this count
+    again requires a matching rotation plan (head slot in the debut
+    round or an explicit NEXT_ROUND_BACKLOG entry) — see
+    test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 155, (
-        f"registry count changed ({len(REGISTRY)} != 155); new queries "
+    assert len(REGISTRY) == 159, (
+        f"registry count changed ({len(REGISTRY)} != 159); new queries "
         "need a rotation plan before registration"
     )
 
