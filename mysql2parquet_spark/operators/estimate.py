@@ -1,0 +1,134 @@
+"""Sampled profiling estimates with closed-form error bars (D33).
+
+The D19 profilers (key skew, join explosion) are EXACT — they scan
+everything. At 100 TB you usually want the answer before you pay for
+the scan: "roughly how many rows per segment, what does value sum to,
+± what?". This module profiles on a deterministic content-addressed
+sample and reports each estimate WITH its confidence interval, so the
+caller knows whether ±2% or ±40% came back.
+
+Design:
+
+- **Deterministic sample, not rand().** Keep a row iff the first 6 hex
+  chars of ``md5(key || ':' || salt)`` sort below a threshold — the
+  same contract as the md5 samplers in ``operators/scale.py``:
+  membership is a pure function of row content (stable across engines,
+  reruns, partitionings, cluster sizes), the sample at fraction f is a
+  superset of any f' < f, and a SQL engine reproduces it exactly
+  (DuckDB md5() emits identical lowercase hex), which is what makes
+  the ORACLE exact instead of statistical. Resolution 1/16^6 (~6e-8).
+- **Closed-form estimators.** Under per-row Bernoulli(p) inclusion:
+  ``count_est = n/p``, ``sum_est = s/p`` (Horvitz-Thompson), with
+  ``Var(count_est) = N(1-p)/p`` estimated by ``n(1-p)/p^2`` and
+  ``Var(sum_est)`` estimated by ``ss(1-p)/p^2`` (ss = sample sum of
+  squares). CI half-widths are ``z * sqrt(var)``. All arithmetic is
+  derivable from three JVM aggregates (count, sum, sum of squares), so
+  the whole operator is one codegen filter + one partial-agg exchange
+  carrying |groups| rows — the sample never moves as rows.
+- **p is exact by construction**: the threshold is an integer number
+  of 16^6 buckets, so ``p = round(fraction * 16^6) / 16^6`` and both
+  engines scale by the same rational. At p = 1/16, 1/p = 16 exactly.
+
+At 100 TB: the scan reads p of the data (the md5 filter runs inside
+the scan stage), the exchange carries |groups| rows, and the error
+bars tell you when p was too small — re-run with 4x the fraction and
+the old sample is a subset of the new (nested samples), so nothing
+about the estimate jumps discontinuously.
+
+The reference exports rows without profiling them
+(/root/reference/main.go:106-203); this is a pipeline north-star
+surface like D19, which it complements (estimate first, exact scan if
+the decision is close).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 16 ** 6  # 6 hex chars of md5 — resolution ~6e-8
+
+
+def _sample_pred(key_col: str, salt: str, n_buckets: int):
+    """Keep-predicate + exact inclusion probability for the nested
+    deterministic sample (fixed-width lowercase hex compares
+    lexicographically = numerically in every engine)."""
+    bucket = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        1,
+        6,
+    )
+    thr = "zzzzzz" if n_buckets >= _BUCKETS else f"{n_buckets:06x}"
+    return bucket < F.lit(thr), n_buckets / _BUCKETS
+
+
+def estimate_group_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    key_col: str,
+    value_col: str | None = None,
+    fraction: float = 1.0 / 16,
+    salt: str = "est",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group count (and optionally sum/mean of ``value_col``)
+    estimated from a deterministic ``fraction`` sample, each with its
+    ±CI half-width.
+
+    Columns: group cols, ``n_sample``, ``count_est``, ``count_ci``;
+    with ``value_col`` also ``sum_est``, ``sum_ci``, ``mean_est``
+    (the self-normalizing sample mean; its CI is ``sum_ci/count_est``
+    to first order — report the pieces, not a pretend-exact ratio CI).
+    Estimates/CIs are ROUND(x, 4) doubles so two engines agree at the
+    hash level; ``count_est`` is exact-rational (n * 1/p).
+
+    Groups with no sampled row are ABSENT (an estimator cannot
+    distinguish a small group from an empty one — the CI of nothing is
+    not zero; callers needing every group run the exact D19 profile).
+    NULL sampling keys are dropped like every md5 sampler (no content
+    address). ``fraction`` must give at least one bucket.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction outside (0,1]: {fraction}")
+    n_buckets = int(round(fraction * _BUCKETS))
+    if n_buckets < 1:
+        raise ValueError(
+            f"fraction {fraction} is below the 1/{_BUCKETS} resolution"
+        )
+    if z <= 0:
+        raise ValueError(f"z must be > 0: {z}")
+    pred, p = _sample_pred(key_col, salt, n_buckets)
+    inv_p = 1.0 / p
+    var_scale = (1.0 - p) * inv_p * inv_p  # (1-p)/p^2
+
+    sampled = df.filter(F.col(key_col).isNotNull()).filter(pred)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if value_col is not None:
+        v = F.col(value_col).cast("double")
+        aggs += [
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_ss"),
+        ]
+    g = sampled.groupBy(*group_cols).agg(*aggs)
+
+    out = g.select(
+        *group_cols,
+        F.col("_n").alias("n_sample"),
+        F.round(F.col("_n") * F.lit(inv_p), 4).alias("count_est"),
+        F.round(
+            F.lit(z) * F.sqrt(F.col("_n") * F.lit(var_scale)), 4
+        ).alias("count_ci"),
+        *(
+            [
+                F.round(F.col("_s") * F.lit(inv_p), 4).alias("sum_est"),
+                F.round(
+                    F.lit(z) * F.sqrt(F.col("_ss") * F.lit(var_scale)), 4
+                ).alias("sum_ci"),
+                F.round(F.col("_s") / F.col("_n"), 4).alias("mean_est"),
+            ]
+            if value_col is not None
+            else []
+        ),
+    )
+    return out

@@ -2143,3 +2143,79 @@ def pipeline_curriculum(spark, sf_dir):
         .otherwise(2)
     )
     return curriculum_order(d, "doc_id", band, seed="curriculum")
+
+
+# --------------------------------------------------------------------------
+# D33-D34: sampled estimates with error bars, certified exact heavy
+# hitters (operators/estimate.py, operators/heavyhitters.py). r9 debuts
+# per ROTATION.md (NEXT_ROUND_BACKLOG).
+# --------------------------------------------------------------------------
+
+@register(
+    "events_estimate",
+    """
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_id IS NOT NULL
+        AND substring(md5(CAST(event_id AS VARCHAR) || ':est'), 1, 6)
+              < '100000'
+    )
+    SELECT event_type,
+           COUNT(*) AS n_sample,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * 16.0, 4) AS count_est,
+           ROUND(1.96 * sqrt(COUNT(*) * 240.0), 4) AS count_ci,
+           ROUND(SUM(value) * 16.0, 4) AS sum_est,
+           ROUND(1.96 * sqrt(SUM(value * value) * 240.0), 4) AS sum_ci,
+           ROUND(SUM(value) / COUNT(*), 4) AS mean_est
+    FROM s GROUP BY event_type
+    """,
+    "D33: sampled per-group profile with closed-form CIs — count/sum "
+    "estimates from the deterministic 1/16 md5 sample (6-hex-char "
+    "threshold '100000' = exactly 16^5 of 16^6 buckets, so p and 1/p "
+    "are exact rationals both engines share), Horvitz-Thompson scaling "
+    "and variance from the three JVM aggregates (n, sum, sum-of-"
+    "squares; var_scale = (1-p)/p^2 = 240 exactly). The sample NEVER "
+    "moves as rows: one codegen filter inside the scan, one "
+    "|groups|-row partial-agg exchange. The md5 membership makes the "
+    "oracle EXACT (same sample both engines), not statistical.",
+)
+def events_estimate(spark, sf_dir):
+    from mysql2parquet_spark.operators.estimate import estimate_group_stats
+
+    ev = T(spark, sf_dir, "events")
+    return estimate_group_stats(
+        ev,
+        ["event_type"],
+        key_col="event_id",
+        value_col="value",
+        fraction=1.0 / 16,
+        salt="est",
+    )
+
+
+@register(
+    "events_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_exact
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_exact, TRUE AS certified
+    FROM c ORDER BY n_exact DESC, user_id LIMIT 10
+    """,
+    "D34: certified exact top-10 users by event count via per-partition "
+    "Misra-Gries candidates (m=256 counters, batch-vectorized "
+    "mapInPandas) + an exact verify pass over ONLY the candidate keys "
+    "(broadcast semi-join feeds the aggregate, so no full-cardinality "
+    "exchange ever happens) + the N/(m+1) certificate riding every row. "
+    "The oracle is the plain GROUP BY top-k with the same total "
+    "(count DESC, key ASC) tiebreak and certified=TRUE — on this "
+    "fixture the 10th count is far above N/257, so the two-pass answer "
+    "is PROVABLY the full answer and the hash must match exactly.",
+)
+def events_heavy_hitters(spark, sf_dir):
+    from mysql2parquet_spark.operators.heavyhitters import heavy_hitters
+
+    ev = T(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=10, m=256)

@@ -25,14 +25,16 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never held a head slot and are deliberately deferred
-# to the NEXT round's rotation (head capacity is 50). EMPTY as of r8:
-# all ten never-driver-checked queries (the six D25-D28 r8 debuts this
-# tuple declared in r7 plus the four D29-D32 strays from the r7
-# snapshot commit) hold r8 head slots. The ledger test fails if a
-# query is neither checked, in the head, nor here; keep it empty by
-# giving any NEW query a head slot in its debut round or listing it
-# here explicitly.
-NEXT_ROUND_BACKLOG: tuple[str, ...] = ()
+# to the NEXT round's rotation (head capacity is 50). All ten r8 debuts
+# (the six D25-D28 pairs declared in r7 plus the four D29-D32 surfaces)
+# hold r8 head slots; the two entries below are the r8-ADDED D33/D34
+# surfaces — the r8 head was already full, so they debut in r9 (head
+# slots per the r9 plan below). The ledger test fails if a query is
+# neither checked, in the head, nor here.
+NEXT_ROUND_BACKLOG: tuple[str, ...] = (
+    "events_estimate",
+    "events_heavy_hitters",
+)
 
 # Emitted verbatim at the end of ROTATION.md.
 R7_PLAN = """\
@@ -130,12 +132,17 @@ driver row, every r7 debut has 2, and all nine r5/r6 components are
 thrice-proven (freeing their standing slots). r9 priorities, in order:
 
 1. Any r8 red rows (fix + re-land).
-2. Second greens for the 10 r8 debuts.
-3. Second rows for the remaining r1-singletons (`agg_approx_distinct`,
+2. Debut head slots for the r8-added D33/D34 pair —
+   `events_estimate` (exact oracle: the deterministic md5 sample plus
+   closed-form CI arithmetic is engine-reproducible) and
+   `events_heavy_hitters` (exact oracle: the certified two-pass
+   answer IS the plain GROUP BY top-k).
+3. Second greens for the 10 r8 debuts.
+4. Second rows for the remaining r1-singletons (`agg_approx_distinct`,
    `agg_approx_percentile`, `agg_corr`, `agg_groupconcat`,
    `set_except`, `set_intersect`, `set_union`) and the thinnest
    two-row queries (`dedup_fingerprint`, `text_langid`, r2 rows).
-4. Third greens for r6/r7 first-timers as slots allow.
+5. Third greens for r6/r7 first-timers as slots allow.
 """
 
 def _round_files() -> dict[int, dict]:

@@ -352,6 +352,10 @@ BROADCAST_ALLOWLIST = {
         "rows (256 per band at the default salt_chars=2) regardless of "
         "data volume; the broadcast is what keeps the big table at "
         "exactly ONE keyed exchange",
+    ("operators/heavyhitters.py", "heavy_hitters"):
+        "candidate key set (<= (m+1) x partitions rows of Misra-Gries "
+        "survivors — bounded by the counter budget, not the data) and "
+        "the 1-row certificate relation",
     ("operators/bloomjoin.py", "bloom_prune_join"):
         "sparkContext.broadcast of the OR-merged bloom BYTES — "
         "num_bits/8 regardless of key cardinality (the operator's "

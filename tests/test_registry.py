@@ -234,15 +234,17 @@ def test_registry_count_is_planned():
     holding head slots — then r7 added the incremental near-dup pair
     (dedup_jaccard_incremental, dedup_minhash_incremental; r8 debuts
     via NEXT_ROUND_BACKLOG) = 151, the D26-D28 debuts (join_strategy,
-    join_bloom_prune, join_interval, privacy_kanon) = 155, and the
+    join_bloom_prune, join_interval, privacy_kanon) = 155, the
     D29-D32 surfaces (events_winsorize, events_paths, dedup_semantic,
-    pipeline_curriculum — r8 head debuts) = 159. Bumping this count
-    again requires a matching rotation plan (head slot in the debut
-    round or an explicit NEXT_ROUND_BACKLOG entry) — see
+    pipeline_curriculum — r8 head debuts) = 159, and the r8-added
+    D33/D34 pair (events_estimate, events_heavy_hitters — r9 debuts
+    via NEXT_ROUND_BACKLOG) = 161. Bumping this count again requires a
+    matching rotation plan (head slot in the debut round or an
+    explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 159, (
-        f"registry count changed ({len(REGISTRY)} != 159); new queries "
+    assert len(REGISTRY) == 161, (
+        f"registry count changed ({len(REGISTRY)} != 161); new queries "
         "need a rotation plan before registration"
     )
 
