@@ -173,6 +173,10 @@ def main() -> None:
         "events_paths",
         "dedup_semantic",
         "pipeline_curriculum",
+        # r9 debuts (D33/D34/D35)
+        "events_estimate",
+        "events_heavy_hitters",
+        "text_bpe_tokens",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):

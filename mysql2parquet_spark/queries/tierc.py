@@ -2219,3 +2219,28 @@ def events_heavy_hitters(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", k=10, m=256)
+
+
+@register(
+    "text_bpe_tokens",
+    None,  # iterative argmax training is not SQL-expressible — rows-only;
+           # tests/test_bpe.py proves the trainer bit-equal to a pure-Python
+           # reference implementation (the kmeans/JPEG precedent)
+    "D35: BPE tokenizer — train 10 merges from the documents corpus "
+    "(word-frequency relation = one scan + one exchange; the merge loop "
+    "iterates on that Zipf-bounded relation only, pinned per generation "
+    "like the CC fixpoint), then tokenize via an Arrow UDF with the "
+    "broadcast rank table and report the top-40 token frequencies under "
+    "the total (n DESC, token ASC) order. Deterministic end-to-end "
+    "(lexicographic tie-breaks), so the rows-only check sees a stable "
+    "row count and the local gate pins exact frequencies.",
+)
+def text_bpe_tokens(spark, sf_dir):
+    from mysql2parquet_spark.operators.bpe import (
+        bpe_token_frequencies,
+        bpe_train,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=10, loop_partitions=4)
+    return bpe_token_frequencies(d, merges, top=40)

@@ -1,0 +1,117 @@
+"""Streaming near-dup curation (D36): a document stream deduplicated
+against everything ever accepted, via the persisted LSH band store.
+
+This is the streaming face of D25's ``incremental_minhash_dedup``: the
+nightly-crawl shape ("drop paraphrase-level copies of anything already
+accepted on ANY previous night") running continuously. Structured
+Streaming's built-in ``dropDuplicates`` state can't express near-dup
+(state would need the full signature index and a similarity probe), so
+the right composition is ``foreachBatch`` + the band store:
+
+- per micro-batch: probe the store (bucket-pruned equi-join on
+  (band_idx, band_key)), drop batch docs that collide with history or
+  with a smaller-id batch-mate (the family keeper contract), append
+  survivors to the accepted output AND their band rows to the store;
+- state is the on-disk store, not executor memory — restarts resume
+  from the checkpoint and the store is exactly as the last committed
+  batch left it;
+- exactly-once: each batch writes into ``batch=<id>`` partitions with
+  ``overwrite`` — a replayed batch id rewrites its own partitions
+  byte-identically instead of duplicating them.
+
+Scale posture inherited from D25: the store is written partitioned (at
+scale: bucketed) by the band keys, so a batch's probe prunes to the
+colliding buckets; ``max_band_width`` caps boilerplate-band fan-out
+(under-removal-only). The accepted corpus is never re-mined — only its
+KB-per-thousand-docs band rows participate.
+
+The reference has no streaming surface (/root/reference/main.go is a
+one-shot export); this is pipeline north-star coverage like B31-B35.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_band_store,
+)
+
+
+def read_band_store(spark, store_dir: str, like: DataFrame) -> DataFrame:
+    """The current store, or an empty one with the correct schema (from
+    the same builder that writes it — no hand-maintained schema to
+    drift) when no batch has committed yet."""
+    try:
+        return spark.read.parquet(store_dir).select(
+            "band_idx", "band_key", "doc", "sig"
+        )
+    except Exception:
+        return minhash_band_store(like.limit(0))
+
+
+def streaming_neardup_sink(
+    stream_docs: DataFrame,
+    *,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_band_width: int | None = 16,
+):
+    """Start the streaming near-dup curation query. Accepted docs land
+    under ``out_dir/batch=<id>/``, their band rows under
+    ``store_dir/batch=<id>/``. Returns the StreamingQuery.
+
+    Signature params are pinned here and MUST NOT change for the life
+    of the store (a store probed with different shingle/hash params is
+    silently meaningless — same contract as ``incremental_minhash_dedup``).
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = read_band_store(spark, store_dir, batch_df)
+        survivors = incremental_minhash_dedup(
+            batch_df,
+            store,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            max_band_width=max_band_width,
+        )
+        # the batch is re-used twice (survivor write + band build):
+        # pin it so the dedup joins don't recompute per action
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        minhash_band_store(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def accepted_docs(spark, out_dir: str) -> DataFrame:
+    """Everything accepted so far (the ``batch`` partition column is
+    dropped — it is commit bookkeeping, not data)."""
+    return spark.read.parquet(out_dir).drop("batch")

@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "events_estimate",
     "events_heavy_hitters",
+    "text_bpe_tokens",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -136,7 +137,9 @@ thrice-proven (freeing their standing slots). r9 priorities, in order:
    `events_estimate` (exact oracle: the deterministic md5 sample plus
    closed-form CI arithmetic is engine-reproducible) and
    `events_heavy_hitters` (exact oracle: the certified two-pass
-   answer IS the plain GROUP BY top-k).
+   answer IS the plain GROUP BY top-k), plus `text_bpe_tokens`
+   (D35 BPE tokenizer — rows-only by nature; trainer proven bit-equal
+   to a pure-Python reference in tests/test_bpe.py).
 3. Second greens for the 10 r8 debuts.
 4. Second rows for the remaining r1-singletons (`agg_approx_distinct`,
    `agg_approx_percentile`, `agg_corr`, `agg_groupconcat`,

@@ -238,13 +238,15 @@ def test_registry_count_is_planned():
     D29-D32 surfaces (events_winsorize, events_paths, dedup_semantic,
     pipeline_curriculum — r8 head debuts) = 159, and the r8-added
     D33/D34 pair (events_estimate, events_heavy_hitters — r9 debuts
-    via NEXT_ROUND_BACKLOG) = 161. Bumping this count again requires a
+    via NEXT_ROUND_BACKLOG) = 161, and the D35 BPE surface
+    (text_bpe_tokens, rows-only by nature — r9 debut via
+    NEXT_ROUND_BACKLOG) = 162. Bumping this count again requires a
     matching rotation plan (head slot in the debut round or an
     explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 161, (
-        f"registry count changed ({len(REGISTRY)} != 161); new queries "
+    assert len(REGISTRY) == 162, (
+        f"registry count changed ({len(REGISTRY)} != 162); new queries "
         "need a rotation plan before registration"
     )
 
