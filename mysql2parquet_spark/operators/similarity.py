@@ -651,6 +651,11 @@ def semantic_dedup(
         F.col(vec_col),
         (-best["ncid"]).cast("int").alias("centroid_id"),
     ).withColumn("_nrm", l2_norm(vec_col))
+    # the self-join below would otherwise evaluate the k-struct
+    # literal-fold assignment TWICE (once per side — the k=32 probe in
+    # BENCH_NOTES r8 showed assignment cost dominating for exactly this
+    # reason); pin one materialization and let both sides rescan it
+    assigned = assigned.localCheckpoint(eager=True)
 
     # Within-cluster verify: equi-join on centroid_id (the cluster IS
     # the block), norms hoisted pre-join, one dot fold per pair -- the
