@@ -177,6 +177,7 @@ def main() -> None:
         "events_estimate",
         "events_heavy_hitters",
         "text_bpe_tokens",
+        "ann_pq_topk",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):

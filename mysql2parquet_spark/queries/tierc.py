@@ -2244,3 +2244,32 @@ def text_bpe_tokens(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     merges = bpe_train(d, num_merges=10, loop_partitions=4)
     return bpe_token_frequencies(d, merges, top=40)
+
+
+@register(
+    "ann_pq_topk",
+    None,  # approximate by construction (quantization error) — rows-only;
+           # recall vs the exact answer is gated in tests/test_pq.py
+    "D37: product-quantized ANN (Jegou et al. 2011) — train m=16 "
+    "subspace codebooks (kmeans_lite per slice), encode the corpus to "
+    "16 code indices per vector (one Arrow projection, zero shuffles — "
+    "the 4-32x compressed representation that stays hot at 100 TB), "
+    "then serve top-10 for a probe vector via the asymmetric-distance "
+    "table (m x k partial distances built once driver-side; each row "
+    "costs m numpy lookups) and a TakeOrderedAndProject heap.",
+)
+def ann_pq_topk(spark, sf_dir):
+    from mysql2parquet_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, m=16, k=16, iters=2)
+    codes = pq_encode(emb, cbs)
+    qvec = [  # bounded-metadata: the 1xdim probe vector itself
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return pq_topk(codes, cbs, qvec, k=10, exclude_id=0)

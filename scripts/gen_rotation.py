@@ -35,6 +35,7 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "events_estimate",
     "events_heavy_hitters",
     "text_bpe_tokens",
+    "ann_pq_topk",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -139,7 +140,9 @@ thrice-proven (freeing their standing slots). r9 priorities, in order:
    `events_heavy_hitters` (exact oracle: the certified two-pass
    answer IS the plain GROUP BY top-k), plus `text_bpe_tokens`
    (D35 BPE tokenizer — rows-only by nature; trainer proven bit-equal
-   to a pure-Python reference in tests/test_bpe.py).
+   to a pure-Python reference in tests/test_bpe.py) and `ann_pq_topk`
+   (D37 product-quantized ANN — rows-only; recall gated in
+   tests/test_pq.py).
 3. Second greens for the 10 r8 debuts.
 4. Second rows for the remaining r1-singletons (`agg_approx_distinct`,
    `agg_approx_percentile`, `agg_corr`, `agg_groupconcat`,

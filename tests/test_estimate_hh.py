@@ -195,3 +195,27 @@ def test_heavy_hitters_no_full_cardinality_exchange(spark, sf_dir):
     semi_pos = p.index("LeftSemi")
     assert agg_pos < semi_pos, p[:3000]
     assert "TakeOrderedAndProject" in p, p[:3000]
+
+
+def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
+    """The per-partition MG candidate SET depends on partitioning, but
+    the certified answer must not: any key with global count > N/(m+1)
+    is a candidate under EVERY partitioning (weighted pigeonhole), and
+    certified=true proves the computed k-th count beats every possible
+    non-candidate — so two wildly different partitionings must emit
+    identical rows."""
+    from mysql2parquet_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(
+        (r["user_id"], r["n_exact"], r["certified"])
+        for r in heavy_hitters(ev.repartition(2), "user_id", k=10,
+                               m=256).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["n_exact"], r["certified"])
+        for r in heavy_hitters(ev.repartition(16), "user_id", k=10,
+                               m=256).collect()
+    )
+    assert a == b
+    assert all(cert for _, _, cert in a)

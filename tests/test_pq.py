@@ -1,0 +1,120 @@
+"""D37 product quantization: compression-side ANN. Approximate by
+construction → recall gated against the exact answer + determinism and
+plan pins (the ANN family's test pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.pq import pq_encode, pq_topk, pq_train
+from mysql2parquet_spark.operators.similarity import brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_unit(emb):
+    # L2-normalized copy: on unit vectors L2 ranking == cosine ranking,
+    # which is how cosine corpora are PQ'd in practice (normalize, then
+    # quantize) and what lets the recall gate compare against the
+    # cosine-ranked brute_force_topk.
+    from mysql2parquet_spark.functions.vector import l2_norm
+
+    n = l2_norm("embedding")
+    return emb.filter(n > 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / n).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq_train(emb, m=8, k=16, iters=2)
+
+
+def test_pq_train_shape(codebooks, emb):
+    dim = len(emb.select("embedding").first()[0])
+    assert len(codebooks) == 8
+    assert all(len(cb) == 16 for cb in codebooks)
+    assert all(len(c) == dim // 8 for cb in codebooks for c in cb)
+
+
+def test_pq_train_dim_must_divide(emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7, k=4, iters=1)
+
+
+def test_pq_encode_deterministic_across_partitionings(emb, codebooks):
+    a = {r["vec_id"]: list(r["codes"])
+         for r in pq_encode(emb.repartition(3), codebooks).collect()}
+    b = {r["vec_id"]: list(r["codes"])
+         for r in pq_encode(emb.repartition(17), codebooks).collect()}
+    assert a == b
+    assert all(len(c) == 8 for c in a.values())
+    assert all(0 <= x < 16 for c in a.values() for x in c)
+
+
+def test_pq_encode_plan_zero_shuffle_one_arrow(emb, codebooks):
+    out = pq_encode(emb, codebooks)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert p.count("ArrowEvalPython") == 1, p
+
+
+def test_pq_topk_recall_vs_exact(spark, emb_unit):
+    """ADC ranking must put a healthy fraction of the TRUE nearest
+    neighbors in its top-k. Run on the L2-NORMALIZED corpus (unit
+    vectors: L2 ranking == the cosine ranking brute_force_topk uses —
+    the standard normalize-then-quantize practice for cosine corpora).
+    Gaussian-ish synthetic embeddings are PQ's hardest case (no
+    subspace structure to exploit); at m=16/k=16 the observed recall is
+    ~0.64, so the gate is recall@10-in-top-30 >= 0.45 averaged over 5
+    probe vectors — loose enough to survive fixture regeneration, tight
+    enough that a broken table lookup (recall ~ k/n ~ 0.5%) fails
+    loudly."""
+    cbs = pq_train(emb_unit, m=16, k=16, iters=2)
+    codes = pq_encode(emb_unit, cbs).localCheckpoint(eager=True)
+    probes = [r for r in emb_unit.orderBy("vec_id").limit(5).collect()]
+    recalls = []
+    for r in probes:
+        qid, qvec = r["vec_id"], [float(x) for x in r["embedding"]]
+        true = {
+            x["vec_id"]
+            for x in brute_force_topk(
+                emb_unit.filter(F.col("vec_id") != qid),
+                emb_unit.filter(F.col("vec_id") == qid),
+                k=10,
+            ).collect()
+        }
+        got = {
+            x["vec_id"]
+            for x in pq_topk(
+                codes, cbs, qvec, k=30, exclude_id=qid
+            ).collect()
+        }
+        recalls.append(len(true & got) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.45, recalls
+
+
+def test_pq_topk_dot_metric_and_validation(emb, codebooks):
+    codes = pq_encode(emb, codebooks)
+    q = [float(x) for x in emb.select("embedding").first()[0]]
+    rows = pq_topk(codes, codebooks, q, k=5, metric="dot").collect()
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="metric"):
+        pq_topk(codes, codebooks, q, metric="cosine")
+    with pytest.raises(ValueError, match="dim"):
+        pq_topk(codes, codebooks, q[:-1])
+
+
+def test_pq_compression_ratio(emb, codebooks):
+    # the point of PQ: 64 float64 dims (512 B) -> 8 one-byte-capable
+    # codes. Assert the encoded relation really is m ints per row.
+    row = pq_encode(emb, codebooks).first()
+    assert len(row["codes"]) == 8

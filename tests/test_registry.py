@@ -240,13 +240,14 @@ def test_registry_count_is_planned():
     D33/D34 pair (events_estimate, events_heavy_hitters — r9 debuts
     via NEXT_ROUND_BACKLOG) = 161, and the D35 BPE surface
     (text_bpe_tokens, rows-only by nature — r9 debut via
-    NEXT_ROUND_BACKLOG) = 162. Bumping this count again requires a
+    NEXT_ROUND_BACKLOG) = 162, and the D37 PQ surface (ann_pq_topk,
+    rows-only by nature — r9 debut via NEXT_ROUND_BACKLOG) = 163. Bumping this count again requires a
     matching rotation plan (head slot in the debut round or an
     explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 162, (
-        f"registry count changed ({len(REGISTRY)} != 162); new queries "
+    assert len(REGISTRY) == 163, (
+        f"registry count changed ({len(REGISTRY)} != 163); new queries "
         "need a rotation plan before registration"
     )
 
