@@ -138,8 +138,19 @@ def test_single_shuffle_queries(spark, sf_dir, name):
 def test_tpch_q18_semi_join_broadcasts_big_orders(spark, sf_dir):
     """Q18's HAVING key-set is ~0.3% of orders; materializing it through
     a shuffled semi-join would re-exchange the orders table at 100 TB.
-    The plan must probe it as a broadcast LeftSemi instead."""
-    p = plan(spark, sf_dir, "tpch_q18", mode="simple")
+    The plan must probe it as a broadcast LeftSemi instead.
+
+    The broadcast decision rides on autoBroadcastJoinThreshold, which
+    several suite tests legitimately toggle inside try/finally; pin it
+    to the session default here so the assertion is order-independent
+    (flaked once in a full-suite run, passes standalone — the classic
+    shared-session footprint)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    try:
+        p = plan(spark, sf_dir, "tpch_q18", mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
     semi = p[p.index("LeftSemi") - 60 : p.index("LeftSemi") + 20]
     assert "BroadcastHashJoin" in semi, p
