@@ -17,7 +17,10 @@ the right composition is ``foreachBatch`` + the band store:
   batch left it;
 - exactly-once: each batch writes into ``batch=<id>`` partitions with
   ``overwrite`` — a replayed batch id rewrites its own partitions
-  byte-identically instead of duplicating them.
+  byte-identically instead of duplicating them. The probe reads only
+  ``batch < batch_id`` store partitions, so a crash between the store
+  write and the checkpoint commit cannot make the replay see (and be
+  deduplicated against) its own half-committed band rows.
 
 Scale posture inherited from D25: the store is written partitioned (at
 scale: bucketed) by the band keys, so a batch's probe prunes to the
@@ -40,16 +43,90 @@ from mysql2parquet_spark.operators.dedup import (
 )
 
 
-def read_band_store(spark, store_dir: str, like: DataFrame) -> DataFrame:
+def _path_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check (no exception-shape guessing)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def read_band_store(
+    spark, store_dir: str, like: DataFrame, *, before_batch: int | None = None
+) -> DataFrame:
     """The current store, or an empty one with the correct schema (from
     the same builder that writes it — no hand-maintained schema to
-    drift) when no batch has committed yet."""
-    try:
-        return spark.read.parquet(store_dir).select(
-            "band_idx", "band_key", "doc", "sig"
-        )
-    except Exception:
+    drift) when no batch has committed yet.
+
+    ``before_batch`` is the exactly-once guard: a micro-batch replayed
+    after a crash-between-store-write-and-checkpoint-commit must never
+    probe its OWN prior ``batch=<id>`` partition (it would observe
+    signature agreement 1.0 with itself, drop every doc, and overwrite
+    the partition with empty data). Passing the current batch id keeps
+    only strictly-earlier history via the ``batch`` partition column —
+    partition pruning, not a data scan. Only a genuinely missing store
+    path falls back to empty; any other read failure (corrupt footer,
+    permissions) raises rather than silently disabling dedup history.
+    """
+    if not _path_exists(spark, store_dir):
         return minhash_band_store(like.limit(0))
+    store = spark.read.parquet(store_dir)
+    if before_batch is not None:
+        store = store.filter(F.col("batch") < F.lit(int(before_batch)))
+    return store.select("band_idx", "band_key", "doc", "sig")
+
+
+def fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    out_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_band_width: int | None = 16,
+) -> None:
+    """One micro-batch of the curation fold (module-level so the
+    crash-replay contract is testable without a streaming harness).
+
+    Probes only ``batch < batch_id`` history (see ``read_band_store``),
+    then overwrites this batch's own ``batch=<id>`` partitions in the
+    accepted output and the band store — a replay after a crash at ANY
+    point in this function rewrites both partitions with the same data
+    it would have written the first time.
+    """
+    spark = batch_df.sparkSession
+    store = read_band_store(
+        spark, store_dir, batch_df, before_batch=batch_id
+    )
+    survivors = incremental_minhash_dedup(
+        batch_df,
+        store,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_band_width=max_band_width,
+    )
+    # the batch is re-used twice (survivor write + band build):
+    # pin it so the dedup joins don't recompute per action
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+    minhash_band_store(
+        survivors,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
 
 
 def streaming_neardup_sink(
@@ -76,11 +153,11 @@ def streaming_neardup_sink(
     """
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        store = read_band_store(spark, store_dir, batch_df)
-        survivors = incremental_minhash_dedup(
+        fold_batch(
             batch_df,
-            store,
+            batch_id,
+            out_dir=out_dir,
+            store_dir=store_dir,
             id_col=id_col,
             text_col=text_col,
             shingle_n=shingle_n,
@@ -89,20 +166,6 @@ def streaming_neardup_sink(
             threshold=threshold,
             max_band_width=max_band_width,
         )
-        # the batch is re-used twice (survivor write + band build):
-        # pin it so the dedup joins don't recompute per action
-        survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}"
-        )
-        minhash_band_store(
-            survivors,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_n=shingle_n,
-            num_hashes=num_hashes,
-            bands=bands,
-        ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
 
     return (
         stream_docs.writeStream.foreachBatch(fold)

@@ -132,6 +132,60 @@ def test_streaming_neardup_restart_is_idempotent(
     assert before == after
 
 
+def test_replay_after_store_write_crash_is_lossless(
+    spark, doc_stream_dir, tmp_path
+):
+    """Crash-window replay contract (ADVICE r8, high): a batch whose
+    store partition was written but whose checkpoint never committed is
+    REPLAYED on restart — the replay must not probe its own prior band
+    rows (it would see signature agreement 1.0 with itself and rewrite
+    both partitions empty, silently losing accepted docs)."""
+    from mysql2parquet_spark.streaming.neardup import fold_batch
+
+    out = str(tmp_path / "acc")
+    store = str(tmp_path / "st")
+    files = sorted(glob.glob(doc_stream_dir + "/part-*.parquet"))
+    params = dict(out_dir=out, store_dir=store, threshold=0.5,
+                  max_band_width=None, **_SIG)
+    for i, f in enumerate(files[:3]):
+        fold_batch(spark.read.parquet(f), i, **params)
+    accepted_before = {
+        r.doc_id for r in accepted_docs(spark, out).collect()
+    }
+    store_docs_before = read_band_store(
+        spark, store, spark.read.parquet(files[0])
+    ).select("doc").distinct().count()
+    assert accepted_before and store_docs_before
+
+    # simulate the crash: batch 2's partitions are on disk (the loop
+    # above wrote them) but "the checkpoint never committed" — the
+    # stream replays batch_id=2 with the same input
+    fold_batch(spark.read.parquet(files[2]), 2, **params)
+
+    accepted_after = {
+        r.doc_id for r in accepted_docs(spark, out).collect()
+    }
+    store_docs_after = read_band_store(
+        spark, store, spark.read.parquet(files[0])
+    ).select("doc").distinct().count()
+    assert accepted_after == accepted_before
+    assert store_docs_after == store_docs_before
+
+
+def test_read_band_store_raises_on_corrupt_store(spark, sf_dir, tmp_path):
+    """A store path that EXISTS but cannot be read must raise (ADVICE
+    r8, medium) — silently returning an empty store would disable the
+    entire dedup history for the batch and accept duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bad = tmp_path / "store" / "batch=0" / "part-00000.parquet"
+    bad.parent.mkdir(parents=True)
+    bad.write_bytes(b"PAR1 this is not a parquet footer")
+    with pytest.raises(Exception):
+        read_band_store(spark, str(tmp_path / "store"), docs).collect()
+
+
 def test_read_band_store_empty_schema_matches_builder(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
