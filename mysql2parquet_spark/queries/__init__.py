@@ -82,8 +82,34 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # r1-singleton. Displaced: the re-proven r5 first-greens and the rest
 # of the r1-singletons (r9 plan) — all component-guarded.
 # Per-round history: ROTATION.md.
+# ROTATION (r9, per ROTATION.md's r9 plan + VERDICT r8 asks #1/#6):
+# CORRECTNESS_r08 landed 49 hash + 1 rows-only, 0 FAIL, so the head
+# rotates to: 4 debut slots for the r8-built D33/D34/D35/D37 surfaces
+# (events_estimate / events_heavy_hitters with exact oracles;
+# text_bpe_tokens / ann_pq_topk rows-only by nature), 10 second-green
+# slots for every r8 debut (no D25-D32 surface rests on a single
+# adjudication after this round), 9 slots clearing the r1/r2-singleton
+# backlog (agg_approx_* and agg_corr/agg_groupconcat/set_* from r1,
+# dedup_fingerprint/text_langid from r2 -- after r9 no query's newest
+# driver row predates r6), and 27 third-green slots (the five r6
+# two-row first-timers, the 14 non-TPCH r7 debuts, a third green for
+# quality_report (its r6 row was the HUGEINT red), and 7 TPCH shapes
+# incl. the two bench-retime targets q9/q21). Displaced: the r8
+# thrice-proven graduates (cdc_scd2, dedup_incremental, events_funnel,
+# fuzzy_name_pairs, pipeline_mix, rollup_incremental,
+# sample_topn_group, sketch_histogram_q; agg_stats now has 2 rows) and
+# the 8 TPCH shapes already at 2 rows that didn't fit -- all
+# component-guarded via tests/test_registry.py.
+# Per-round history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r8 debuts (never driver-checked; all parity-proven locally) ---
+    # --- r9 debuts (r8-built, never driver-checked; parity/recall
+    #     proven locally -- tests/test_estimate.py,
+    #     test_heavyhitters.py, test_bpe.py, test_pq.py) ---
+    "events_estimate",      # D33 sampled estimates + closed-form CIs
+    "events_heavy_hitters",  # D34 certified exact heavy hitters
+    "text_bpe_tokens",      # D35 distributed BPE tokenizer (rows-only)
+    "ann_pq_topk",          # D37 product-quantized ANN (rows-only)
+    # --- second green rows for the 10 r8 debuts ---
     "dedup_jaccard_incremental",  # D25 inverted gram-index exact Jaccard
     "dedup_minhash_incremental",  # D25 persisted LSH band-store probe
     "join_strategy",        # D26 join-strategy advisor (decision oracle)
@@ -94,7 +120,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_paths",         # D30 k-step path mining
     "dedup_semantic",       # D31 SemDeDup centroid-blocked dedup
     "pipeline_curriculum",  # D32 curriculum ordering
-    # --- second green rows for the 30 r7 debuts ---
+    # --- singleton backfill: newest driver row is r1/r2 ---
+    "agg_approx_distinct",  # B13 approx_count_distinct (rows-only)
+    "agg_approx_percentile",  # B12 approx percentile (rows-only)
+    "agg_corr",             # B12 corr/covar family
+    "agg_groupconcat",      # B22 listagg/group_concat
+    "set_except",           # B21 EXCEPT
+    "set_intersect",        # B21 INTERSECT
+    "set_union",            # B21 UNION / UNION ALL
+    "dedup_fingerprint",    # C1 content-fingerprint dedup
+    "text_langid",          # C4 n-gram language id
+    # --- third greens: r6 first-timers still at two rows ---
+    "cdc_scd2_asof",        # D6 SCD2 as-of lookup
+    "events_retention",     # D11 retention cohorts
+    "sample_weighted_rows",  # D14 weighted row sampler
+    "tpch_q1",              # D13 full TPC-H Q1
+    "tpch_q18",             # D13 full TPC-H Q18 (broadcast-semi pin)
+    # --- third greens: the 14 non-TPCH r7 debuts ---
     "drift_psi",            # D18 PSI/JS/TV drift report
     "skew_profile",         # D19 heavy-hitter / salt-factor profile
     "join_explosion",       # D19 pre-join cardinality blowup check
@@ -109,36 +151,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_classify",         # D22 k-NN majority-label classify
     "dedup_substring",      # D21 k-token-window substring dedup
     "dedup_cluster_cc",     # D24 connected components vs recursive CTE
+    # --- third greens: TPCH shapes (q9/q21 are the bench-retime
+    #     targets from VERDICT r8 ask #7) ---
     "tpch_q2_shape",        # D13 correlated-MIN decorrelation
     "tpch_q4_shape",        # D13 EXISTS semi-join count
     "tpch_q7_shape",        # D13 dual-role nation pair disjunction
     "tpch_q8_shape",        # D13 seven-relation join tree
     "tpch_q9_shape",        # D13 profit rollup over part filter
-    "tpch_q11_shape",       # D13 agg vs own-global-total HAVING
-    "tpch_q12_shape",       # D13 cross-side date residual + pivot
-    "tpch_q13_shape",       # D13 agg-of-agg over LEFT join
-    "tpch_q14_shape",       # D13 conditional-aggregate ratio
-    "tpch_q15_shape",       # D13 view + MAX scalar equality
-    "tpch_q16_shape",       # D13 NOT IN + count-distinct
     "tpch_q17_shape",       # D13 correlated AVG decorrelated
-    "tpch_q19_shape",       # D13 disjunctive multi-column predicates
-    "tpch_q20_shape",       # D13 nested IN chain as semi-joins
-    "tpch_q21_shape",       # D13 double-correlated EXISTS/NOT EXISTS
-    "tpch_q22_shape",       # D13 scalar-subquery filter + anti join
-    # --- third greens for the r5/r6 components not yet thrice-proven
-    #     (proven-component rule: one evidence query per component must
-    #     hold a head slot until thrice-proven; this graduates all 9) ---
-    "cdc_scd2",             # D6 SCD2 history fold
-    "dedup_incremental",    # C1 fingerprint-store dedup
-    "events_funnel",        # D11 ordered-sequence funnel
-    "fuzzy_name_pairs",     # D17 fuzzy record linkage
-    "pipeline_mix",         # D14 budget-weighted mixing
+    # --- third green for D15 (quality_report has 2 hash rows — its r6
+    #     row was the HUGEINT red; component not yet thrice-proven) ---
     "quality_report",       # D15 constraint validation
-    "rollup_incremental",   # D16 incremental agg maintenance
-    "sample_topn_group",    # D14 fixed-quota per-group sample
-    "sketch_histogram_q",   # D9 mergeable histogram quantiles
-    # --- second row for an r1-singleton (one r1 row, never since) ---
-    "agg_stats",            # B12 stddev/variance family
+    "tpch_q21_shape",       # D13 double-correlated EXISTS/NOT EXISTS
 )
 
 

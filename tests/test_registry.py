@@ -224,6 +224,12 @@ ROWS_ONLY_OK = {
     # approx_percentile is approximate by contract (driver adjudicates
     # rows-only; exact-percentile parity lives in the local pytest gate)
     "agg_approx_percentile",
+    # r9 debuts that are rows-only by nature: BPE token ids depend on
+    # the learned merge order (trainer proven bit-equal to a pure-Python
+    # reference in tests/test_bpe.py); PQ top-k is approximate by
+    # construction (recall gated in tests/test_pq.py)
+    "text_bpe_tokens",
+    "ann_pq_topk",
 }
 
 
