@@ -14,11 +14,18 @@ each row's score is m table lookups.
 
 Spark shapes:
 
-- **train** — one ``kmeans_lite`` per subspace over the SLICED vectors
-  (the engine's audited Lloyd's loop: sampled train set, flat lineage
-  per iteration, k×dim_sub metadata between iterations). m small
-  driver-sequenced trainings; the corpus is scanned m× at train time
-  only (train once, amortize forever — the ivf_build contract).
+- **train** — ALL m subspace quantizers in one fused Lloyd's loop: per
+  iteration, ONE Arrow projection argmins every subspace slice per row
+  (the same numpy matmul pq_encode uses) and ONE
+  posexplode + (subspace, label, pos) hash agg re-estimates every
+  codebook simultaneously — the job count per iteration is independent
+  of m, vs the m sequential ``kmeans_lite`` runs of the first cut
+  (m×(iters+1) corpus scans; 19.1 s at sf0.1 — docs/BENCH_NOTES.md r9).
+  The training set is sampled once (``train_fraction``) and persisted
+  across iterations; only the k×dim codebook METADATA round-trips
+  through the driver, so every iteration re-plans from a flat lineage
+  (the kmeans_lite contract). Cells whose cluster empties keep their
+  previous centroid — codebooks are dense m×k by construction.
 - **encode** — ONE Arrow projection: the m×k×dim_sub codebook tensor
   closes over a pandas UDF; each batch argmins all subspaces with
   numpy matmuls (the ivf_assign arrow path, per subspace). Zero
@@ -41,10 +48,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mysql2parquet_spark.operators.similarity import (
-    collect_centroids,
-    kmeans_lite,
-)
+
+def _codebook_tensor(codebooks: list[list[list[float]]]):
+    """Validate + densify a codebook list into an m×k×sub numpy tensor.
+
+    Raises HERE (with the offending subspace sizes) when subspaces have
+    unequal centroid counts — a ragged codebook would otherwise encode
+    fine and only crash later inside ``pq_topk``'s np.stack (ADVICE r8).
+    ``pq_train`` can't produce one (empty cells keep their previous
+    centroid), but externally-built codebooks can.
+    """
+    import numpy as np
+
+    sizes = {len(cb) for cb in codebooks}
+    if len(sizes) != 1:
+        raise ValueError(
+            "pq: every subspace codebook must have the same number of "
+            f"centroids; got sizes {sorted(len(cb) for cb in codebooks)}"
+        )
+    return np.asarray(codebooks, dtype=np.float64)  # m×k×sub
+
+
+def _subspace_argmin_udf(cb):
+    """Arrow UDF assigning every row its m subspace labels: one batched
+    numpy matmul per subspace, argmin ||x-c||² = argmin |c|² - 2 x·c
+    (|x|² is constant per row). Ties break to the SMALLEST centroid
+    index (np.argmin contract) — deterministic under any partitioning.
+    Shared by pq_encode and pq_train's assign step."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, sub = cb.shape
+    sq = (cb * cb).sum(axis=2)  # m×k hoisted |c|²
+
+    @pandas_udf("array<int>")
+    def assign(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(list(vecs), dtype=np.float64)  # b×dim
+        out = np.empty((mat.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            x = mat[:, s * sub : (s + 1) * sub]  # b×sub
+            d = sq[s][None, :] - 2.0 * (x @ cb[s].T)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return assign
 
 
 def pq_train(
@@ -59,13 +110,32 @@ def pq_train(
     train_fraction: float = 1.0,
     seed: int = 42,
 ) -> list[list[list[float]]]:
-    """Train the PQ codebook: ``m`` independent k-means quantizers over
-    the vector's m equal slices. Returns ``codebooks[s][c] = centroid c
-    of subspace s`` — m×k×(dim/m) bounded METADATA (the persistable
-    artifact), not data.
+    """Train the PQ codebook: ``m`` k-means quantizers over the
+    vector's m equal slices, fused into ONE Lloyd's loop. Returns
+    ``codebooks[s][c] = centroid c of subspace s`` — m×k×(dim/m)
+    bounded METADATA (the persistable artifact), not data.
+
+    Scale shape (the r8 VERDICT fix): the training set is sampled once
+    and persisted; each iteration is exactly one Spark job — an Arrow
+    projection labels ALL m subspaces per row, a single
+    posexplode + (subspace, label, pos) hash agg re-estimates ALL
+    codebooks, and only k×dim metadata reaches the driver. Job rounds
+    are ``iters + 1`` (the +1 seeds), independent of m — the first cut
+    ran m sequential ``kmeans_lite`` trainings (m×(iters+1) corpus
+    scans; 19.1 s → see docs/BENCH_NOTES.md r9).
+
+    Seeding matches ``kmeans_lite``: the k rows with the smallest
+    md5(id) — hash-spread, deterministic. An iteration that empties a
+    cluster keeps that cell's previous centroid, so the returned
+    codebooks are always dense m×k.
 
     ``dim`` defaults to the first row's length; it must divide by m.
+    At 100 TB pass ``train_fraction`` well under 1.0 (k-means needs
+    thousands of points per centroid, not the corpus) and persist the
+    result via ``pq_build`` — train once, amortize forever.
     """
+    import numpy as np
+
     if dim is None:
         first = emb.select(vec_col).first()  # bounded-metadata: 1 vector
         if first is None:
@@ -74,23 +144,52 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    train = (
-        emb.sample(fraction=train_fraction, seed=seed)
-        if train_fraction < 1.0
-        else emb
-    )
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        sliced = train.select(
-            id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
-        )
-        cents_df = kmeans_lite(
-            sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-        )
-        cents = collect_centroids(cents_df, vec_col=vec_col)
-        # kmeans_lite ids are 0..k-1 already; keep positional order
-        codebooks.append([v for _, v in sorted(cents)])
-    return codebooks
+    train = emb.select(id_col, vec_col)
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    train = train.persist()
+    try:
+        seed_rows = (
+            train.orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(k)
+            .select(vec_col)
+            .collect()
+        )  # bounded-metadata: k vectors (TakeOrderedAndProject heap)
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"pq_train: need >= k={k} training vectors, got "
+                f"{len(seed_rows)} (raise train_fraction or lower k)"
+            )
+        seeds = np.asarray([list(r[0]) for r in seed_rows], dtype=np.float64)
+        cb = np.stack(
+            [seeds[:, s * sub : (s + 1) * sub] for s in range(m)]
+        )  # m×k×sub
+        spos = F.col("pos") % sub
+        sidx = ((F.col("pos") - spos) / sub).cast("int")
+        for _ in range(iters):
+            assign = _subspace_argmin_udf(cb)
+            stats = (
+                train.select(
+                    assign(F.col(vec_col)).alias("_l"),
+                    F.posexplode(vec_col).alias("pos", "val"),
+                )
+                .select(
+                    sidx.alias("s"),
+                    F.element_at("_l", sidx + 1).alias("label"),
+                    spos.alias("spos"),
+                    F.col("val").cast("double").alias("val"),
+                )
+                .groupBy("s", "label", "spos")
+                .agg(F.avg("val").alias("c"))
+            )
+            new_cb = cb.copy()  # empty clusters keep their centroid
+            # bounded-metadata: <= k*dim (m*k*sub) cell means
+            for r in stats.collect():
+                new_cb[r["s"], r["label"], r["spos"]] = r["c"]
+            cb = new_cb
+        return [cb[s].tolist() for s in range(m)]
+    finally:
+        train.unpersist()
 
 
 def pq_encode(
@@ -108,29 +207,7 @@ def pq_encode(
     (np.argmin contract), a pure function of (vector, codebook) — so
     codes are identical under any partitioning.
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    m = len(codebooks)
-    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]  # m×k×sub
-    sub = cb[0].shape[1]
-    sq = [(c * c).sum(axis=1) for c in cb]  # hoisted |c|^2 per subspace
-
-    @pandas_udf("array<int>")
-    def enc(vecs):
-        import pandas as pd
-
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.asarray(list(vecs), dtype=np.float64)  # b×dim
-        out = np.empty((mat.shape[0], m), dtype=np.int32)
-        for s in range(m):
-            x = mat[:, s * sub : (s + 1) * sub]  # b×sub
-            # argmin ||x-c||^2 = argmin |c|^2 - 2 x.c (|x|^2 constant/row)
-            d = sq[s][None, :] - 2.0 * (x @ cb[s].T)
-            out[:, s] = np.argmin(d, axis=1)
-        return pd.Series(list(out))
-
+    enc = _subspace_argmin_udf(_codebook_tensor(codebooks))
     return emb.select(id_col, enc(F.col(vec_col)).alias("codes"))
 
 
@@ -152,9 +229,8 @@ def pq_topk(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    m = len(codebooks)
-    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
-    sub = cb[0].shape[1]
+    cb = _codebook_tensor(codebooks)  # raises on ragged codebooks
+    m, _, sub = cb.shape
     q = np.asarray(query_vec, dtype=np.float64)
     if q.shape[0] != m * sub:
         raise ValueError(f"query dim {q.shape[0]} != {m * sub}")
@@ -188,3 +264,91 @@ def pq_topk(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col)
     ).limit(k).withColumn("score", F.round("score", 4))
+
+
+def pq_build(
+    emb: DataFrame,
+    path: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    train_fraction: float = 0.25,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Build a PERSISTED PQ artifact at ``path`` — the at-scale
+    contract (the ``ivf_build`` precedent): train ONCE at write time on
+    a sample, encode the corpus, and persist
+
+    - ``<path>/codes``   — the compressed relation (id, m code indices),
+      the representation that stays hot at 100 TB;
+    - ``<path>/codebooks`` — the m×k×(dim/m) centroid sidecar in long
+      form ``(s, c, centroid)`` (bounded metadata, one file).
+
+    Later probes (``pq_probe``) read codes + sidecar only — ZERO
+    training jobs at query time, pinned in tests/test_pq.py. Returns
+    the codebooks."""
+    codebooks = pq_train(
+        emb,
+        m=m,
+        k=k,
+        iters=iters,
+        train_fraction=train_fraction,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [
+            (s, c, codebooks[s][c])
+            for s in range(len(codebooks))
+            for c in range(len(codebooks[s]))
+        ],
+        schema="s int, c int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return codebooks
+
+
+def pq_load_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Read the codebook sidecar back into the m×k×sub list form every
+    pq_* entry point takes (m×k rows — bounded metadata)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    by = {(r["s"], r["c"]): list(r["centroid"]) for r in rows}
+    m = 1 + max(s for s, _ in by)
+    k = 1 + max(c for _, c in by)
+    return [[by[(s, c)] for c in range(k)] for s in range(m)]
+
+
+def pq_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    exclude_id=None,
+) -> DataFrame:
+    """Serve approximate top-k from a persisted PQ artifact
+    (``pq_build``): the sidecar is m×k metadata, the ADC table is built
+    driver-side, and the only distributed work is ONE Arrow projection
+    over the codes table + a TakeOrderedAndProject heap. The
+    full-precision embedding column never participates — at scale the
+    probe never touches the original corpus."""
+    codebooks = pq_load_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_topk(
+        codes,
+        codebooks,
+        query_vec,
+        k=k,
+        id_col=id_col,
+        metric=metric,
+        exclude_id=exclude_id,
+    )

@@ -588,6 +588,7 @@ def semantic_dedup(
     seeds: list[tuple[int, list[float]]] | DataFrame | None = None,
     num_seeds: int = 8,
     threshold: float = 0.4,
+    assign_method: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup removal: cluster by nearest
     centroid, then verify pairs ONLY within a cluster.
@@ -615,6 +616,24 @@ def semantic_dedup(
     When ``seeds`` is None the codebook is the ``num_seeds`` lowest-id
     vectors (deterministic and SQL-reproducible — the demo quantizer);
     pass kmeans_lite output for a learned codebook.
+
+    ``assign_method`` picks the assignment's physical path (the
+    ``ivf_assign`` split): ``"fold"`` (default) inlines the k seed
+    vectors as a JVM literal-fold with 4-decimal rounding — the
+    oracle-exact shape the registered ``dedup_semantic`` uses;
+    ``"arrow"`` is the 100 TB path — the k×dim codebook closes over a
+    pandas UDF and each Arrow batch argmaxes ALL similarities as one
+    numpy matmul, so assignment cost grows with BLAS, not with a
+    k-struct expression tree (registered as ``dedup_semantic_ivf``,
+    rows-only; survivor invariant gated in tests/test_semantic_ivf.py).
+
+    Fixture-scale cost trade of the k=8 demo: within-cell pairing is
+    quadratic at 500 fixture vectors (3.8-4.2 s at sf0.1), and raising
+    k made it SLOWER because the literal-fold assignment scales with k
+    — probed with three-run data in docs/BENCH_NOTES.md (r8, "
+    dedup_semantic k-probe"). The learned-codebook arrow path above is
+    the scale answer: k ~ sqrt(n) cells bound per-cell candidates while
+    assignment stays one matmul.
     """
     from mysql2parquet_spark.functions.vector import (
         cosine_similarity,
@@ -637,20 +656,31 @@ def semantic_dedup(
     if not cents:
         raise ValueError("semantic_dedup: empty seed set")
 
-    candidates = []
-    for cid, vec in cents:
-        lit_vec = F.array(*[F.lit(x) for x in vec])
-        sim = F.round(cosine_similarity(F.col(vec_col), lit_vec), 4)
-        sim = F.coalesce(sim, F.lit(float("-inf")))  # zero-norm rows
-        candidates.append(
-            F.struct(sim.alias("sim"), F.lit(-cid).alias("ncid"))
-        )
-    best = F.array_max(F.array(*candidates))
-    assigned = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        (-best["ncid"]).cast("int").alias("centroid_id"),
-    ).withColumn("_nrm", l2_norm(vec_col))
+    if assign_method == "arrow":
+        assigned = ivf_assign(
+            emb.select(id_col, vec_col),
+            cents,
+            id_col=id_col,
+            vec_col=vec_col,
+            method="arrow",
+        ).withColumn("_nrm", l2_norm(vec_col))
+    elif assign_method == "fold":
+        candidates = []
+        for cid, vec in cents:
+            lit_vec = F.array(*[F.lit(x) for x in vec])
+            sim = F.round(cosine_similarity(F.col(vec_col), lit_vec), 4)
+            sim = F.coalesce(sim, F.lit(float("-inf")))  # zero-norm rows
+            candidates.append(
+                F.struct(sim.alias("sim"), F.lit(-cid).alias("ncid"))
+            )
+        best = F.array_max(F.array(*candidates))
+        assigned = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["ncid"]).cast("int").alias("centroid_id"),
+        ).withColumn("_nrm", l2_norm(vec_col))
+    else:
+        raise ValueError(f"unknown assign_method: {assign_method}")
     # the self-join below would otherwise evaluate the k-struct
     # literal-fold assignment TWICE (once per side — the k=32 probe in
     # BENCH_NOTES r8 showed assignment cost dominating for exactly this

@@ -25,17 +25,19 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never held a head slot and are deliberately deferred
-# to the NEXT round's rotation (head capacity is 50). All ten r8 debuts
-# (the six D25-D28 pairs declared in r7 plus the four D29-D32 surfaces)
-# hold r8 head slots; the two entries below are the r8-ADDED D33/D34
-# surfaces — the r8 head was already full, so they debut in r9 (head
-# slots per the r9 plan below). The ledger test fails if a query is
-# neither checked, in the head, nor here.
+# to the NEXT round's rotation (head capacity is 50). The four r8-added
+# D33/D34/D35/D37 surfaces hold r9 head slots per the r9 plan below;
+# the two entries here are the r9-ADDED scale-path variants (VERDICT r8
+# asks #4/#5: the persisted-PQ probe and the learned-codebook SemDeDup)
+# — the r9 head was already full, so they debut in r10. Both are
+# rows-only by nature (approximate ANN / float-argmax assignment) and
+# locally gated (tests/test_pq.py round-trip + zero-training-job pin;
+# tests/test_semantic_ivf.py survivor invariant + plan pins). The
+# ledger test fails if a query is neither checked, in the head, nor
+# here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
-    "events_estimate",
-    "events_heavy_hitters",
-    "text_bpe_tokens",
-    "ann_pq_topk",
+    "ann_pq_persisted",
+    "dedup_semantic_ivf",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -149,6 +151,55 @@ thrice-proven (freeing their standing slots). r9 priorities, in order:
    `set_except`, `set_intersect`, `set_union`) and the thinnest
    two-row queries (`dedup_fingerprint`, `text_langid`, r2 rows).
 5. Third greens for r6/r7 first-timers as slots allow.
+
+## r9 rotation (executed)
+
+CORRECTNESS_r08 landed 49 hash + 1 rows-only-by-design, 0 FAIL, so the
+r9 head executes the plan above:
+
+1. **4 debut slots** — the r8-built D33/D34/D35/D37 surfaces:
+   `events_estimate`, `events_heavy_hitters` (exact oracles),
+   `text_bpe_tokens`, `ann_pq_topk` (rows-only by nature; locally
+   gated — and `ann_pq_topk` now trains via the FUSED Lloyd's loop,
+   19.1 s → ~2.9 s at sf0.1, VERDICT r8 ask #2).
+2. **10 second-green slots** — every r8 debut
+   (`dedup_jaccard_incremental`, `dedup_minhash_incremental`,
+   `join_strategy`, `join_bloom_prune`, `join_interval`,
+   `privacy_kanon`, `events_winsorize`, `events_paths`,
+   `dedup_semantic`, `pipeline_curriculum`).
+3. **9 singleton-backfill slots** — `agg_approx_distinct`,
+   `agg_approx_percentile`, `agg_corr`, `agg_groupconcat`,
+   `set_except`, `set_intersect`, `set_union` (r1 rows only) plus
+   `dedup_fingerprint`, `text_langid` (r2 rows only). After r9 no
+   registered query's newest driver row predates r6.
+4. **27 third-green slots** — the five r6 two-row first-timers
+   (`cdc_scd2_asof`, `events_retention`, `sample_weighted_rows`,
+   `tpch_q1`, `tpch_q18`), the 14 non-TPCH r7 debuts, a third green
+   for `quality_report` (its r6 row was the HUGEINT red, so the D15
+   component is not yet thrice-proven), and 7 TPCH shapes including
+   the q9/q21 bench-retime targets.
+
+Head arithmetic: 4 + 10 + 9 + 27 = 50. Displaced: the r8
+thrice-proven graduates (cdc_scd2, dedup_incremental, events_funnel,
+fuzzy_name_pairs, pipeline_mix, rollup_incremental, sample_topn_group,
+sketch_histogram_q) and the 8 TPCH shapes already at 2 rows that
+didn't fit — all component-guarded.
+
+## r10 plan
+
+After CORRECTNESS_r09 lands green, every registered query except the
+two r9-added scale variants has >=1 driver row. r10 priorities:
+
+1. Any r9 red rows (fix + re-land).
+2. Debut head slots for the r9-added pair — `ann_pq_persisted`
+   (D37 persisted codes+codebook probe; rows-only, round-trip parity
+   and the zero-training-job pin in tests/test_pq.py) and
+   `dedup_semantic_ivf` (D31 learned-codebook SemDeDup; rows-only,
+   survivor invariant in tests/test_semantic_ivf.py).
+3. Second greens for the four r9 debuts.
+4. Third greens for the r8-debut cohort so no D25-D32 surface rests
+   on two adjudications by r11; backfill the remaining two-row TPCH
+   shapes as slots allow.
 """
 
 def _round_files() -> dict[int, dict]:

@@ -247,13 +247,17 @@ def test_registry_count_is_planned():
     via NEXT_ROUND_BACKLOG) = 161, and the D35 BPE surface
     (text_bpe_tokens, rows-only by nature — r9 debut via
     NEXT_ROUND_BACKLOG) = 162, and the D37 PQ surface (ann_pq_topk,
-    rows-only by nature — r9 debut via NEXT_ROUND_BACKLOG) = 163. Bumping this count again requires a
-    matching rotation plan (head slot in the debut round or an
-    explicit NEXT_ROUND_BACKLOG entry) — see
+    rows-only by nature — r9 debut via NEXT_ROUND_BACKLOG) = 163, and
+    the r9-added scale-path pair (ann_pq_persisted — D37 persisted
+    codes+codebook probe, VERDICT r8 ask #5; dedup_semantic_ivf — D31
+    learned-codebook SemDeDup, ask #4; both rows-only by nature, r10
+    debuts via NEXT_ROUND_BACKLOG) = 165. Bumping this count again
+    requires a matching rotation plan (head slot in the debut round or
+    an explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 163, (
-        f"registry count changed ({len(REGISTRY)} != 163); new queries "
+    assert len(REGISTRY) == 165, (
+        f"registry count changed ({len(REGISTRY)} != 165); new queries "
         "need a rotation plan before registration"
     )
 

@@ -1,0 +1,152 @@
+"""D31 scale path: SemDeDup with a LEARNED codebook (kmeans_lite) and
+the Arrow assignment — the 100 TB shape the k=8 literal-fold demo
+(`dedup_semantic`) trades away at fixture scale. Rows-only by nature
+(float argmax assignment has no exact SQL twin), so the gates are the
+family's: survivor invariant, determinism across partitionings, and
+plan pins (zero-shuffle assign, centroid equi-join, no cross product).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.functions.vector import cosine_similarity
+from mysql2parquet_spark.operators.similarity import (
+    ivf_assign,
+    kmeans_lite,
+    semantic_dedup,
+)
+
+THRESHOLD = 0.4
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return kmeans_lite(
+        emb.sample(fraction=0.5, seed=7), k=16, iters=2
+    ).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def losers(emb, cents):
+    return semantic_dedup(
+        emb, seeds=cents, threshold=THRESHOLD, assign_method="arrow"
+    ).localCheckpoint(eager=True)
+
+
+def test_losers_are_subset_with_smaller_id_witness(emb, cents, losers):
+    """Every loser must actually have a smaller-id neighbor at
+    cosine >= threshold inside its own cell (no false removals)."""
+    n = emb.count()
+    loser_rows = losers.collect()
+    assert 0 < len(loser_rows) < n
+    assigned = ivf_assign(emb, cents, method="arrow")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "centroid_id",
+    )
+    witnessed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity("va", "vb"), 4) >= THRESHOLD
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    want = {r["vec_id"] for r in witnessed.collect()}
+    assert {r["vec_id"] for r in loser_rows} == want
+
+
+def test_survivor_invariant_within_cells(emb, cents, losers):
+    """The SemDeDup contract: after removing losers, NO two survivors
+    in the same cell are >= threshold apart — the cell is clean."""
+    assigned = ivf_assign(emb, cents, method="arrow")
+    survivors = assigned.join(
+        losers.select("vec_id"), "vec_id", "left_anti"
+    )
+    a = survivors.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "centroid_id",
+    )
+    b = survivors.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "centroid_id",
+    )
+    colliding = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity("va", "vb"), 4) >= THRESHOLD
+        )
+    )
+    assert colliding.count() == 0
+
+
+def test_deterministic_across_partitionings(emb, cents):
+    got3 = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb.repartition(3),
+            seeds=cents,
+            threshold=THRESHOLD,
+            assign_method="arrow",
+        ).collect()
+    }
+    got17 = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb.repartition(17),
+            seeds=cents,
+            threshold=THRESHOLD,
+            assign_method="arrow",
+        ).collect()
+    }
+    assert got3 == got17
+
+
+def test_assign_plan_zero_shuffle_one_arrow(emb, cents):
+    p = (
+        ivf_assign(emb, cents, method="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p, p
+    assert p.count("ArrowEvalPython") == 1, p
+
+
+def test_pair_stage_is_centroid_equijoin_no_cross(emb, cents):
+    """The only O(pairs) work happens inside a cell: the verify join
+    must be an equi-join on centroid_id — never a CartesianProduct or
+    BroadcastNestedLoopJoin (the cosine_pairs quadratic guard, kept)."""
+    p = (
+        semantic_dedup(
+            emb, seeds=cents, threshold=THRESHOLD, assign_method="arrow"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "_cid" in p, p  # the centroid equi-join key
+
+
+def test_unknown_assign_method_rejected(emb, cents):
+    with pytest.raises(ValueError, match="assign_method"):
+        semantic_dedup(emb, seeds=cents, assign_method="gpu")
