@@ -78,7 +78,12 @@ def heavy_hitters(
         counters: "pd.Series | None" = None
         total = 0
         for pdf in batches:
-            total += len(pdf)
+            # N counts KEYED rows only (ADVICE r8): len(pdf) would add
+            # NULL-key rows that value_counts drops, inflating the
+            # N/(m+1) certificate threshold — conservative-only, but it
+            # could report certified=false on a provably-exact run and
+            # it contradicts the "NULL keys are ignored" contract.
+            total += int(pdf[key_col].notna().sum())
             vc = pdf[key_col].value_counts()  # dropna=True: NULLs out
             counters = vc if counters is None else counters.add(
                 vc, fill_value=0
@@ -103,8 +108,11 @@ def heavy_hitters(
 
     summary = df.select(key_col).mapInPandas(mg_partition, mg_schema)
     # one tiny materialization feeds BOTH the candidate set and N; at
-    # most (m+1) x partitions rows by construction
-    summary = summary.persist()
+    # most (m+1) x partitions rows by construction. localCheckpoint
+    # (not persist) so the blocks are released with the plan instead of
+    # pinning a cache entry nobody unpersists (ADVICE r8) — and the
+    # candidate/N consumers start from a flat lineage.
+    summary = summary.localCheckpoint(eager=True)
     candidates = (
         summary.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
     )

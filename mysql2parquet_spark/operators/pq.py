@@ -153,8 +153,8 @@ def pq_train(
             train.orderBy(F.md5(F.col(id_col).cast("string")))
             .limit(k)
             .select(vec_col)
-            .collect()
-        )  # bounded-metadata: k vectors (TakeOrderedAndProject heap)
+            .collect()  # bounded-metadata: k seed vectors (TOAP heap)
+        )
         if len(seed_rows) < k:
             raise ValueError(
                 f"pq_train: need >= k={k} training vectors, got "
@@ -183,8 +183,8 @@ def pq_train(
                 .agg(F.avg("val").alias("c"))
             )
             new_cb = cb.copy()  # empty clusters keep their centroid
-            # bounded-metadata: <= k*dim (m*k*sub) cell means
-            for r in stats.collect():
+            # <= k*dim (m*k*sub) cell means cross the driver here
+            for r in stats.collect():  # bounded-metadata: k*dim cells
                 new_cb[r["s"], r["label"], r["spos"]] = r["c"]
             cb = new_cb
         return [cb[s].tolist() for s in range(m)]
@@ -318,7 +318,7 @@ def pq_build(
 def pq_load_codebooks(spark, path: str) -> list[list[list[float]]]:
     """Read the codebook sidecar back into the m×k×sub list form every
     pq_* entry point takes (m×k rows — bounded metadata)."""
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    rows = spark.read.parquet(f"{path}/codebooks").collect()  # bounded-metadata: m*k sidecar rows
     by = {(r["s"], r["c"]): list(r["centroid"]) for r in rows}
     m = 1 + max(s for s, _ in by)
     k = 1 + max(c for _, c in by)

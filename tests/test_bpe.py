@@ -110,6 +110,44 @@ def test_bpe_train_validation(spark):
         bpe_train(docs, num_merges=0)
 
 
+def test_bpe_train_hybrid_paths_identical(spark, sf_dir):
+    """The r8 VERDICT crossover: the driver-side incremental trainer
+    (default when |distinct words| fits) and the distributed merge loop
+    (forced with driver_threshold=0) must learn IDENTICAL merges on
+    the same corpus — and both must match the naive reference."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    local = bpe_train(docs, num_merges=20)  # default: driver-side
+    dist = bpe_train(
+        docs, num_merges=20, loop_partitions=4, driver_threshold=0
+    )
+    assert local == dist
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert local == _ref_train(wf, 20)
+
+
+def test_bpe_train_driver_side_zero_loop_jobs(spark):
+    """Below the threshold, training must cost ONE word-frequency
+    count + ONE collect — no per-merge Spark jobs (the whole point of
+    the hybrid: a 50k-merge vocab must not mean ~100k cluster jobs)."""
+    docs = _docs(spark, ["the cat sat on the mat the cat"] * 3)
+    sc = spark.sparkContext
+
+    def jobs(n_merges, tag):
+        group = f"bpe-hybrid-{tag}"
+        sc.setJobGroup(group, group)
+        try:
+            merges = bpe_train(docs, num_merges=n_merges)
+        finally:
+            sc.setJobGroup(None, None)
+        assert merges
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # the word-freq count + collect cost a fixed handful of jobs (AQE
+    # runs stage-wise); the merge loop must add ZERO more — 6x the
+    # merges, identical job count
+    assert jobs(5, "a") == jobs(30, "b")
+
+
 # ------------------------------------------------------------- tokenize
 
 def test_bpe_tokenize_lossless_and_merged(spark):
@@ -137,6 +175,22 @@ def test_bpe_tokenize_unseen_word_falls_back_to_chars(spark):
     new = _docs(spark, ["zq"])
     toks = bpe_tokenize(new, merges).collect()[0]["tokens"]
     assert toks == ["z", "q", _EOW] or toks == ["z", "q" + _EOW]
+
+
+def test_bpe_tokenize_memo_cap_reset_is_lossless(spark):
+    """ADVICE r8: the per-worker memo is bounded. memo_cap=1 forces a
+    reset on every new word — output must be identical to the
+    unbounded path (the cap changes cache behavior, never results)."""
+    texts = ["the cat sat on the mat", "the mat the cat", "a b c a b"]
+    docs = _docs(spark, texts)
+    merges = bpe_train(docs, num_merges=10)
+    capped = {r["doc_id"]: list(r["tokens"]) for r in
+              bpe_tokenize(docs, merges, memo_cap=1).collect()}
+    full = {r["doc_id"]: list(r["tokens"]) for r in
+            bpe_tokenize(docs, merges).collect()}
+    assert capped == full
+    with pytest.raises(ValueError, match="memo_cap"):
+        bpe_tokenize(docs, merges, memo_cap=0)
 
 
 def test_bpe_token_frequencies_shape(spark, sf_dir):

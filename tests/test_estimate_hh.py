@@ -163,6 +163,11 @@ def test_heavy_hitters_null_keys_ignored(spark):
     )
     got = heavy_hitters(df, "k", k=2, m=16).collect()
     assert [(r["k"], r["n_exact"]) for r in got] == [("a", 5), ("b", 3)]
+    # ADVICE r8: the certificate's N must count KEYED rows only. With
+    # the 50 NULLs wrongly included, N/(m+1) = 58/17 > 3 and the
+    # provably-exact answer would come back certified=false; the true
+    # threshold is 8/17.
+    assert all(r["certified"] for r in got)
 
 
 def test_heavy_hitters_validation(spark):
@@ -187,7 +192,10 @@ def test_heavy_hitters_no_full_cardinality_exchange(spark, sf_dir):
         out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("simple")
     )
-    assert "MapInPandas" in p, p[:3000]
+    # the MG pass ran eagerly at the summary localCheckpoint, so the
+    # serving plan consumes its materialized blocks (ExistingRDD) —
+    # the full stream appears only under the semi-join
+    assert "Scan ExistingRDD" in p, p[:3000]
     assert "LeftSemi" in p, p[:3000]
     # candidate filter feeds the aggregate: the partial agg appears
     # above the semi join in tree order (parents print first)
