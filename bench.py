@@ -183,6 +183,10 @@ def main() -> None:
         # fresh cache key (the at-write-time cost), run 2 reuses it.
         "ann_pq_persisted",
         "dedup_semantic_ivf",
+        # r9-added D38/D39/D40 (r10 debuts, exact oracles)
+        "dedup_keep_best",
+        "table_profile",
+        "privacy_dp_counts",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):

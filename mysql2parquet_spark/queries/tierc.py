@@ -2341,3 +2341,131 @@ def ann_pq_persisted(spark, sf_dir):
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
     return pq_probe(spark, idx, qvec, k=10, exclude_id=0)
+
+
+@register(
+    "dedup_keep_best",
+    """
+    SELECT doc_id, md5(lower(text)) AS ck, n_chars
+    FROM (
+      SELECT doc_id, text, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(text))
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    "D38: quality-aware dup-cluster resolution — cluster documents by "
+    "the normalized content key md5(lower(text)) and keep the BEST "
+    "copy per cluster (highest n_chars, ties to the smallest doc_id) "
+    "instead of the family's keep-lowest-id default. ONE cluster-keyed "
+    "exchange (a single ROW_NUMBER window), no join, no second pass; "
+    "the same resolve_clusters works on CC cluster ids (D24) or "
+    "SemDeDup cells (D31).",
+)
+def dedup_keep_best(spark, sf_dir):
+    from mysql2parquet_spark.operators.curation import resolve_clusters
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.col("text"))).alias("ck"),
+    )
+    return resolve_clusters(
+        d, cluster_col="ck", id_col="doc_id", score_col="n_chars"
+    ).select("doc_id", "ck", "n_chars")
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+def _profile_oracle() -> str:
+    num = """
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_num,
+           ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str,
+           CAST(NULL AS DOUBLE) AS avg_len
+    FROM orders"""
+    st = """
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           MIN(CAST({c} AS VARCHAR)) AS min_str,
+           MAX(CAST({c} AS VARCHAR)) AS max_str,
+           ROUND(AVG(CAST(LENGTH(CAST({c} AS VARCHAR)) AS DOUBLE)), 4)
+             AS avg_len
+    FROM orders"""
+    parts = [
+        (num if c in ("o_orderkey", "o_custkey", "o_totalprice") else st)
+        .format(c=c)
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_profile",
+    _profile_oracle(),
+    "D39: one-pass column profiler over a 4-column orders subset — "
+    "null counts, exact cardinality, numeric ranges, string min/max "
+    "and average length, every metric for every column in ONE "
+    "aggregation pass (single FileScan, plan-pinned) unpivoted to long "
+    "form by a stack projection. The registered query uses "
+    "exact_distinct=True so the oracle reproduces bit-for-bit; the "
+    "100 TB default is approx_count_distinct (HLL, no Expand replay).",
+)
+def table_profile(spark, sf_dir):
+    from mysql2parquet_spark.operators.profile import profile_table
+
+    o = T(spark, sf_dir, "orders")
+    return profile_table(o, list(_PROFILE_COLS), exact_distinct=True)
+
+
+def _dp_oracle() -> str:
+    import math
+
+    # the EXACT divisor literal the operator closes over (repr of the
+    # Python double) — oracle and engine must divide by the same bits
+    ln_alpha = repr(math.log(math.exp(-1.0)))
+    geo = (
+        "FLOOR(LN((CAST(CONCAT('0x', substr(md5(lang || ':{tag}:r9dp'), "
+        "1, 8)) AS BIGINT) + 0.5) / 4294967296.0) / ({d}))"
+    )
+    g1 = geo.format(tag="dp1", d=ln_alpha)
+    g2 = geo.format(tag="dp2", d=ln_alpha)
+    return f"""
+    SELECT lang,
+           CAST(GREATEST(n + {g1} - {g2}, 0) AS BIGINT) AS n_noisy,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM (
+      SELECT lang, COUNT(*) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    )
+    """
+
+
+@register(
+    "privacy_dp_counts",
+    _dp_oracle(),
+    "D40: eps-differentially-private count release (discrete Laplace / "
+    "two-sided geometric — Ghosh et al. 2009, the optimal mechanism "
+    "for integer counts): per-language document counts + "
+    "G1 - G2 geometric noise at eps=1, clamped at 0. ONE group-keyed "
+    "exchange; the noise is a content-addressed codegen projection "
+    "(md5-uniform -> inverse-CDF floor(ln(u)/ln(alpha))), zero UDFs -- "
+    "deterministic under the declared seed, so the oracle reproduces "
+    "the release exactly (a PUBLISHED release must use fresh physical "
+    "randomness and spend budget per release; see operators/dp.py).",
+)
+def privacy_dp_counts(spark, sf_dir):
+    from mysql2parquet_spark.operators.dp import dp_group_counts
+
+    d = T(spark, sf_dir, "documents")
+    return dp_group_counts(d, "lang", epsilon=1.0, seed="r9dp")

@@ -38,6 +38,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "ann_pq_persisted",
     "dedup_semantic_ivf",
+    # r9-added D38/D39/D40 (exact oracles; parity-proven locally in
+    # tests/test_curation_profile_dp.py + the oracle-parity mirror)
+    "dedup_keep_best",
+    "table_profile",
+    "privacy_dp_counts",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -191,11 +196,15 @@ After CORRECTNESS_r09 lands green, every registered query except the
 two r9-added scale variants has >=1 driver row. r10 priorities:
 
 1. Any r9 red rows (fix + re-land).
-2. Debut head slots for the r9-added pair — `ann_pq_persisted`
-   (D37 persisted codes+codebook probe; rows-only, round-trip parity
-   and the zero-training-job pin in tests/test_pq.py) and
-   `dedup_semantic_ivf` (D31 learned-codebook SemDeDup; rows-only,
-   survivor invariant in tests/test_semantic_ivf.py).
+2. Debut head slots for the five r9-added queries —
+   `ann_pq_persisted` (D37 persisted codes+codebook probe; rows-only,
+   round-trip parity and the zero-training-job pin in
+   tests/test_pq.py), `dedup_semantic_ivf` (D31 learned-codebook
+   SemDeDup; rows-only, survivor invariant in
+   tests/test_semantic_ivf.py), and the D38/D39/D40 trio with exact
+   oracles (`dedup_keep_best` quality-aware cluster resolution,
+   `table_profile` one-pass column profiler, `privacy_dp_counts`
+   discrete-Laplace DP release — parity-proven locally).
 3. Second greens for the four r9 debuts.
 4. Third greens for the r8-debut cohort so no D25-D32 surface rests
    on two adjudications by r11; backfill the remaining two-row TPCH

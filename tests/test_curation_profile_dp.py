@@ -1,0 +1,264 @@
+"""D38 cluster resolution, D39 column profiler, D40 DP count release."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.curation import (
+    cluster_losers,
+    resolve_clusters,
+)
+from mysql2parquet_spark.operators.dp import dp_group_counts
+from mysql2parquet_spark.operators.profile import profile_table
+
+
+# ------------------------------------------------------------ curation
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rows = [
+        # cluster a: scores 5, 9, 9 -> best is id 2 (score tie -> min id)
+        Row(id=1, cluster="a", score=5.0),
+        Row(id=2, cluster="a", score=9.0),
+        Row(id=3, cluster="a", score=9.0),
+        # cluster b: singleton
+        Row(id=4, cluster="b", score=1.0),
+        # cluster c: all-NULL scores -> still keeps exactly one (min id)
+        Row(id=5, cluster="c", score=None),
+        Row(id=6, cluster="c", score=None),
+        # cluster d: NULL loses to non-NULL
+        Row(id=7, cluster="d", score=None),
+        Row(id=8, cluster="d", score=0.5),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_resolve_best(clustered):
+    got = {
+        r["id"]
+        for r in resolve_clusters(
+            clustered, cluster_col="cluster", id_col="id",
+            score_col="score", strategy="best",
+        ).collect()
+    }
+    assert got == {2, 4, 5, 8}
+
+
+def test_resolve_first_and_last(clustered):
+    first = {
+        r["id"]
+        for r in resolve_clusters(
+            clustered, cluster_col="cluster", id_col="id",
+            strategy="first",
+        ).collect()
+    }
+    assert first == {1, 4, 5, 7}
+    last = {
+        r["id"]
+        for r in resolve_clusters(
+            clustered, cluster_col="cluster", id_col="id",
+            strategy="last",
+        ).collect()
+    }
+    assert last == {3, 4, 6, 8}
+
+
+def test_losers_complement_survivors(clustered):
+    surv = {
+        r["id"]
+        for r in resolve_clusters(
+            clustered, cluster_col="cluster", id_col="id",
+            score_col="score", strategy="best",
+        ).collect()
+    }
+    lose = {
+        r["id"]
+        for r in cluster_losers(
+            clustered, cluster_col="cluster", id_col="id",
+            score_col="score", strategy="best",
+        ).collect()
+    }
+    assert surv | lose == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert surv & lose == set()
+
+
+def test_resolve_validation(clustered):
+    with pytest.raises(ValueError, match="strategy"):
+        resolve_clusters(
+            clustered, cluster_col="cluster", id_col="id",
+            strategy="random",
+        )
+    with pytest.raises(ValueError, match="score_col"):
+        resolve_clusters(
+            clustered, cluster_col="cluster", id_col="id", strategy="best"
+        )
+
+
+def test_resolve_single_exchange(clustered):
+    out = resolve_clusters(
+        clustered, cluster_col="cluster", id_col="id",
+        score_col="score", strategy="best",
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    assert p.count("WindowGroupLimit") >= 1 or "Window" in p, p
+
+
+def test_resolve_deterministic_across_partitionings(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5(F.lower(F.col("text"))).alias("ck")
+    d = docs.select("doc_id", "n_chars", key)
+    a = sorted(
+        r["doc_id"]
+        for r in resolve_clusters(
+            d.repartition(3), cluster_col="ck", id_col="doc_id",
+            score_col="n_chars",
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in resolve_clusters(
+            d.repartition(17), cluster_col="ck", id_col="doc_id",
+            score_col="n_chars",
+        ).collect()
+    )
+    assert a == b
+
+
+# ------------------------------------------------------------- profile
+
+def test_profile_matches_handcount(spark):
+    df = spark.createDataFrame(
+        [
+            Row(x=1, s="aa"),
+            Row(x=3, s=None),
+            Row(x=None, s="bbbb"),
+            Row(x=3, s="aa"),
+        ]
+    )
+    out = {r["column"]: r for r in profile_table(
+        df, ["x", "s"], exact_distinct=True
+    ).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 2
+    assert out["x"]["min_num"] == 1.0 and out["x"]["max_num"] == 3.0
+    assert out["x"]["min_str"] is None and out["x"]["avg_len"] is None
+    assert out["s"]["n_nulls"] == 1
+    assert out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "aa" and out["s"]["max_str"] == "bbbb"
+    assert out["s"]["avg_len"] == pytest.approx((2 + 4 + 2) / 3, abs=1e-4)
+    assert out["s"]["min_num"] is None
+
+
+def test_profile_default_columns_and_validation(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = profile_table(orders)
+    assert set(r["column"] for r in out.collect()) == set(orders.columns)
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(orders, ["nope"])
+    with pytest.raises(ValueError, match="no profilable"):
+        profile_table(orders.select(F.array(F.lit(1)).alias("a")))
+
+
+def test_profile_is_single_pass(spark, sf_dir):
+    """One aggregate + one unpivot projection: the plan scans the
+    source ONCE (one FileScan) even with many columns profiled."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = profile_table(orders, ["o_orderkey", "o_totalprice"])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FileScan") == 1, p
+
+
+def test_profile_approx_default_close_to_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(
+            orders, ["o_custkey"], exact_distinct=True
+        ).collect()
+    }
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(orders, ["o_custkey"]).collect()
+    }
+    assert approx["o_custkey"] == pytest.approx(
+        exact["o_custkey"], rel=0.15
+    )
+
+
+# ------------------------------------------------------------------ dp
+
+def test_dp_counts_deterministic_and_integer(spark, sf_dir):
+    ev = spark.createDataFrame(
+        [Row(g=chr(97 + i % 5), e=i % 7) for i in range(200)]
+    )
+    a = sorted(map(tuple, dp_group_counts(
+        ev, "g", epsilon=1.0, seed="r9"
+    ).collect()))
+    b = sorted(map(tuple, dp_group_counts(
+        ev.repartition(13), "g", epsilon=1.0, seed="r9"
+    ).collect()))
+    assert a == b  # content-addressed noise: partitioning-invariant
+    assert all(isinstance(r[1], int) and r[1] >= 0 for r in a)
+
+
+def test_dp_noise_distribution_sane(spark):
+    """Across many groups the empirical noise must center near 0 and
+    have spread near the two-sided-geometric std for eps=1 — catches
+    sign errors, double-counting, and degenerate (all-zero) noise."""
+    n_groups = 2000
+    df = spark.createDataFrame([Row(g=str(i)) for i in range(n_groups)])
+    out = dp_group_counts(df, "g", epsilon=1.0, seed="dist")
+    # every true count is 1 -> noise = n_noisy - 1 (clamped at -1)
+    noises = [r["n_noisy"] - 1 for r in out.collect()]
+    mean = sum(noises) / len(noises)
+    # clamping at 0 truncates the left tail slightly; allow for it
+    assert -0.5 < mean < 0.7, mean
+    var = sum((x - mean) ** 2 for x in noises) / len(noises)
+    alpha = math.exp(-1.0)
+    true_var = 2 * alpha / (1 - alpha) ** 2  # two-sided geometric
+    assert 0.4 * true_var < var < 1.9 * true_var, (var, true_var)
+    assert any(x > 0 for x in noises) and any(x < 0 for x in noises)
+
+
+def test_dp_entity_bounding(spark):
+    # one loud entity contributes 50 rows to group 'a'; with
+    # entity_col the released count bounds it to 1 participation
+    rows = [Row(g="a", e=1)] * 50 + [Row(g="a", e=2), Row(g="b", e=3)]
+    df = spark.createDataFrame(rows)
+    bounded = {
+        r["g"]: r["n_noisy"]
+        for r in dp_group_counts(
+            df, "g", epsilon=8.0, seed="x", entity_col="e"
+        ).collect()
+    }
+    # eps=8 -> alpha=e^-8, noise is 0 with overwhelming probability
+    assert bounded["a"] in (1, 2, 3)  # ~2 distinct entities
+    raw = {
+        r["g"]: r["n_noisy"]
+        for r in dp_group_counts(df, "g", epsilon=8.0, seed="x").collect()
+    }
+    assert raw["a"] >= 49
+
+
+def test_dp_validation_and_null_groups(spark):
+    df = spark.createDataFrame([Row(g=None), Row(g="a")])
+    out = dp_group_counts(df, "g", epsilon=4.0, seed="s").collect()
+    assert [r["g"] for r in out] == ["a"]
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_group_counts(df, "g", epsilon=0.0, seed="s")
+    with pytest.raises(ValueError, match="sensitivity"):
+        dp_group_counts(df, "g", epsilon=1.0, seed="s", sensitivity=0)
+
+
+def test_dp_no_udf_single_exchange(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dp_group_counts(ev, "lang", epsilon=1.0, seed="s")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert p.count("Exchange") == 1, p

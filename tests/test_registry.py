@@ -251,13 +251,17 @@ def test_registry_count_is_planned():
     the r9-added scale-path pair (ann_pq_persisted — D37 persisted
     codes+codebook probe, VERDICT r8 ask #5; dedup_semantic_ivf — D31
     learned-codebook SemDeDup, ask #4; both rows-only by nature, r10
-    debuts via NEXT_ROUND_BACKLOG) = 165. Bumping this count again
-    requires a matching rotation plan (head slot in the debut round or
-    an explicit NEXT_ROUND_BACKLOG entry) — see
+    debuts via NEXT_ROUND_BACKLOG) = 165, and the r9-added D38/D39/D40
+    surfaces (dedup_keep_best — quality-aware cluster resolution;
+    table_profile — one-pass column profiler; privacy_dp_counts —
+    discrete-Laplace DP count release; all three with exact DuckDB
+    oracles, r10 debuts via NEXT_ROUND_BACKLOG) = 168. Bumping this
+    count again requires a matching rotation plan (head slot in the
+    debut round or an explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 165, (
-        f"registry count changed ({len(REGISTRY)} != 165); new queries "
+    assert len(REGISTRY) == 168, (
+        f"registry count changed ({len(REGISTRY)} != 168); new queries "
         "need a rotation plan before registration"
     )
 
