@@ -19,13 +19,26 @@ _load()
 
 def test_staged_cohort_is_registered():
     # The thaw is total: every staged entry is the SAME Query object in
-    # the registry (no divergent copies), and each holds a head slot in
-    # its debut round (DRIVER_PRIORITY) per the rotation plan.
+    # the registry (no divergent copies), and each is either holding a
+    # head slot or already driver-adjudicated (the r7/r8 windows gave
+    # every cohort member 2 hash rows; after that the head legitimately
+    # rotates — the ledger test guards the never-checked case globally).
+    import glob
+    import json
+    import pathlib
+
     from mysql2parquet_spark.queries import DRIVER_PRIORITY
 
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    checked: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            checked |= set(json.load(fh))
     for name, q in STAGED.items():
         assert REGISTRY.get(name) is q, f"{name} not registered verbatim"
-        assert name in DRIVER_PRIORITY, f"{name} missing its debut head slot"
+        assert name in DRIVER_PRIORITY or name in checked, (
+            f"{name} neither driver-checked nor holding a head slot"
+        )
 
 
 def test_all_staged_queries_have_oracles():
