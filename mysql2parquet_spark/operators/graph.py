@@ -171,3 +171,72 @@ def gram_star_edges(
         .select(F.col(id_col).alias("src"), F.col("_min").alias("dst"))
         .distinct()
     )
+
+
+def incremental_components(
+    assign: DataFrame,
+    new_edges: DataFrame,
+    *,
+    v: str = "v",
+    component: str = "component",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fold a batch of NEW edges into a standing component assignment
+    (D41) — the nightly-crawl shape for duplicate-cluster maintenance:
+    tonight's docs arrive with edges into the standing clusters, and
+    the answer must equal a full ``connected_components`` recompute
+    over (all old edges ∪ new edges) WITHOUT re-running the fixpoint
+    over the whole graph.
+
+    Three bounded steps, the D25 band-store philosophy applied to
+    graphs:
+
+    1. **Touch set** — components containing any endpoint of a new
+       edge (two semi-joins). A component with no touched node cannot
+       merge with anything (every path in needs an incident edge), so
+       it passes through UNTOUCHED via one anti-join — its rows are
+       never re-shuffled through the loop.
+    2. **Star compression** — each affected component collapses to its
+       star edges ``(member → component_root)``: diameter ≤ 2
+       regardless of the original component's shape, carrying original
+       node ids so the merged min-label is still the global minimum.
+    3. **Fixpoint over the small graph** — ``connected_components``
+       over (affected stars ∪ new edges) only. Per-batch cost scales
+       with |new edges| + |members of touched components|, never |V|;
+       the star graphs converge in a couple of doubling rounds.
+
+    Exactness: the union result is IDENTICAL to the full recompute
+    (hash-checked against the recursive-CTE closure oracle in the
+    registered query, invariant-tested across batch splits in
+    tests/test_graph_incremental.py). Labels are component-minimum
+    node ids, the family contract.
+
+    ``assign`` is ``connected_components`` output ``(v, component)``;
+    brand-new nodes may appear only in ``new_edges``.
+    """
+    touched = (
+        new_edges.select(F.col(src).alias(v))
+        .unionByName(new_edges.select(F.col(dst).alias(v)))
+        .distinct()
+    )
+    touched_comps = (
+        assign.join(touched, v, "left_semi").select(component).distinct()
+    )
+    affected = assign.join(touched_comps, component, "left_semi")
+    star = affected.filter(F.col(v) != F.col(component)).select(
+        F.col(v).alias(src), F.col(component).alias(dst)
+    )
+    merged = connected_components(
+        star.unionByName(new_edges.select(src, dst)),
+        src=src,
+        dst=dst,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    untouched = assign.join(touched_comps, component, "left_anti")
+    return untouched.select(v, component).unionByName(
+        merged.select(F.col("v").alias(v), F.col("component").alias(component))
+    )

@@ -2469,3 +2469,73 @@ def privacy_dp_counts(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return dp_group_counts(d, "lang", epsilon=1.0, seed="r9dp")
+
+
+@register(
+    "dedup_cluster_incremental",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    star AS (
+      SELECT doc_id AS s, MIN(doc_id) OVER (PARTITION BY g) AS d FROM wins
+    ),
+    edges0 AS (
+      SELECT DISTINCT s, d FROM star WHERE s <> d
+    ),
+    edges AS (
+      SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0
+    ),
+    nodes AS (
+      SELECT DISTINCT s AS v FROM edges
+    ),
+    comp AS (
+      WITH RECURSIVE reach(v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT e.d, c.r FROM reach c JOIN edges e ON e.s = c.v
+      )
+      SELECT v, MIN(r) AS component FROM reach GROUP BY v
+    )
+    SELECT v AS doc_id, component FROM comp
+    """,
+    "D41: INCREMENTAL duplicate-cluster maintenance — the nightly-crawl "
+    "fold. Standing clusters = connected components over the "
+    "shared-8-token-window graph of the first 250 docs; the batch = "
+    "every gram edge touching a later doc. incremental_components "
+    "passes untouched components through ONE anti-join (never "
+    "re-shuffled through the fixpoint), collapses affected components "
+    "to diameter-2 star edges, and runs the doubling loop over "
+    "(stars + new edges) only — per-batch cost scales with the batch "
+    "and its touched clusters, never |V|. The oracle is the FULL "
+    "recursive-CTE closure over the whole graph: the fold must be "
+    "indistinguishable from a global recompute.",
+)
+def dedup_cluster_incremental(spark, sf_dir):
+    from mysql2parquet_spark.operators.graph import (
+        connected_components,
+        gram_star_edges,
+        incremental_components,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    cut = 250
+    hist_edges = gram_star_edges(docs.filter(F.col("doc_id") < cut))
+    # every edge of the full graph touching a batch doc; history edges
+    # between old docs are a subset of the full graph's (the global
+    # min-holder of any gram with an old holder is itself old), so
+    # hist_edges UNION new_edges == the oracle's edge set exactly
+    new_edges = gram_star_edges(docs).filter(
+        (F.col("src") >= cut) | (F.col("dst") >= cut)
+    )
+    assign = connected_components(hist_edges)
+    return incremental_components(assign, new_edges).select(
+        F.col("v").alias("doc_id"), "component"
+    )

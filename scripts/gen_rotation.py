@@ -27,14 +27,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Queries that have never held a head slot and are deliberately deferred
 # to the NEXT round's rotation (head capacity is 50). The four r8-added
 # D33/D34/D35/D37 surfaces hold r9 head slots per the r9 plan below;
-# the two entries here are the r9-ADDED scale-path variants (VERDICT r8
-# asks #4/#5: the persisted-PQ probe and the learned-codebook SemDeDup)
-# — the r9 head was already full, so they debut in r10. Both are
-# rows-only by nature (approximate ANN / float-argmax assignment) and
-# locally gated (tests/test_pq.py round-trip + zero-training-job pin;
-# tests/test_semantic_ivf.py survivor invariant + plan pins). The
-# ledger test fails if a query is neither checked, in the head, nor
-# here.
+# the six entries here are the r9-ADDED surfaces — the r9 head was
+# already full, so they debut in r10. The first two are the VERDICT r8
+# ask #4/#5 scale-path variants, rows-only by nature (approximate ANN /
+# float-argmax assignment) and locally gated (tests/test_pq.py
+# round-trip + zero-training-job pin; tests/test_semantic_ivf.py
+# survivor invariant + plan pins); the other four carry exact DuckDB
+# oracles. The ledger test fails if a query is neither checked, in the
+# head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "ann_pq_persisted",
     "dedup_semantic_ivf",
@@ -43,6 +43,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     "dedup_keep_best",
     "table_profile",
     "privacy_dp_counts",
+    # r9-added D41 (exact oracle = full recursive-CTE closure;
+    # invariant tests in tests/test_graph_incremental.py)
+    "dedup_cluster_incremental",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -204,7 +207,9 @@ two r9-added scale variants has >=1 driver row. r10 priorities:
    tests/test_semantic_ivf.py), and the D38/D39/D40 trio with exact
    oracles (`dedup_keep_best` quality-aware cluster resolution,
    `table_profile` one-pass column profiler, `privacy_dp_counts`
-   discrete-Laplace DP release — parity-proven locally).
+   discrete-Laplace DP release — parity-proven locally) and the D41
+   `dedup_cluster_incremental` (incremental CC vs the full-recompute
+   closure oracle).
 3. Second greens for the four r9 debuts.
 4. Third greens for the r8-debut cohort so no D25-D32 surface rests
    on two adjudications by r11; backfill the remaining two-row TPCH

@@ -255,13 +255,16 @@ def test_registry_count_is_planned():
     surfaces (dedup_keep_best — quality-aware cluster resolution;
     table_profile — one-pass column profiler; privacy_dp_counts —
     discrete-Laplace DP count release; all three with exact DuckDB
-    oracles, r10 debuts via NEXT_ROUND_BACKLOG) = 168. Bumping this
-    count again requires a matching rotation plan (head slot in the
-    debut round or an explicit NEXT_ROUND_BACKLOG entry) — see
+    oracles, r10 debuts via NEXT_ROUND_BACKLOG) = 168, and the D41
+    surface (dedup_cluster_incremental — incremental connected
+    components vs the full-recompute closure oracle, r10 debut via
+    NEXT_ROUND_BACKLOG) = 169. Bumping this count again requires a
+    matching rotation plan (head slot in the debut round or an
+    explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 168, (
-        f"registry count changed ({len(REGISTRY)} != 168); new queries "
+    assert len(REGISTRY) == 169, (
+        f"registry count changed ({len(REGISTRY)} != 169); new queries "
         "need a rotation plan before registration"
     )
 
