@@ -2527,15 +2527,14 @@ def dedup_cluster_incremental(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     cut = 250
-    hist_edges = gram_star_edges(docs.filter(F.col("doc_id") < cut))
-    # every edge of the full graph touching a batch doc; history edges
-    # between old docs are a subset of the full graph's (the global
-    # min-holder of any gram with an old holder is itself old), so
-    # hist_edges UNION new_edges == the oracle's edge set exactly
-    new_edges = gram_star_edges(docs).filter(
-        (F.col("src") >= cut) | (F.col("dst") >= cut)
-    )
-    assign = connected_components(hist_edges)
-    return incremental_components(assign, new_edges).select(
+    # ONE gram-mining pass, split by the cut: ids are ingest-ordered
+    # (old < cut <= new), so any gram with an old holder has an OLD
+    # global min-holder — the full graph's both-endpoints-old edges ARE
+    # the history graph's edges, and the rest is exactly the batch.
+    # Pinned once so the split doesn't re-mine the index per side.
+    edges = gram_star_edges(docs).localCheckpoint(eager=True)
+    old_edge = (F.col("src") < cut) & (F.col("dst") < cut)
+    assign = connected_components(edges.filter(old_edge))
+    return incremental_components(assign, edges.filter(~old_edge)).select(
         F.col("v").alias("doc_id"), "component"
     )
