@@ -183,11 +183,13 @@ def main() -> None:
         # fresh cache key (the at-write-time cost), run 2 reuses it.
         "ann_pq_persisted",
         "dedup_semantic_ivf",
-        # r9-added D38/D39/D40/D41 (r10 debuts, exact oracles)
+        # r9-added D38-D43 (r10 debuts, exact oracles)
         "dedup_keep_best",
         "table_profile",
         "privacy_dp_counts",
         "dedup_cluster_incremental",
+        "score_calibrate",
+        "similarity_tfidf",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):

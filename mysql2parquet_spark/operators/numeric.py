@@ -37,7 +37,7 @@ training pipeline the engine targets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,3 +160,44 @@ def robust_scale(
     iqr = F.col("_q3") - F.col("_q1")
     scaled = F.when(iqr > 0, (F.col(value_col) - F.col("_med")) / iqr)
     return j.withColumn(out_col, scaled).drop("_q1", "_med", "_q3")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    *,
+    by: str | None = None,
+    out_col: str = "calibrated",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Cross-source score calibration (D42): replace a raw score with
+    its within-group quantile (``percent_rank``), making scores
+    COMPARABLE across sources whose scorers have different scales —
+    the standard fix when mixing corpora whose "quality 0.8" means
+    different things (a 90th-percentile arXiv doc and a
+    90th-percentile crawl doc calibrate to the same 0.9).
+
+    ``percent_rank = (rank - 1) / (n - 1)`` per ``by`` group: ties
+    share a rank (equal raw scores calibrate equally — no arbitrary
+    ordering leaks in), every group spans [0, 1], and a 1-row group
+    calibrates to 0. Rounded to ``ndigits`` so the value is
+    engine-exact (the SQL-standard PERCENT_RANK shares the formula).
+
+    Scale shape: ONE ``by``-keyed exchange (the window partition —
+    sources are the natural partition so no global sort ever happens);
+    NULL scores calibrate to NULL and sort last, never polluting the
+    rank denominator of real rows. At 100 TB a per-source sort is the
+    honest cost of an exact quantile; for approximate calibration at
+    extreme group sizes, bucket through ``histogram_quantiles``
+    (operators/sketches.py) instead.
+    """
+    w = Window.partitionBy(*( [by] if by else [] )).orderBy(
+        F.col(score_col).asc()
+    )
+    ranked = df.filter(F.col(score_col).isNotNull()).withColumn(
+        out_col, F.round(F.percent_rank().over(w), ndigits)
+    )
+    nulls = df.filter(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)

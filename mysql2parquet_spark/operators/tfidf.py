@@ -1,0 +1,149 @@
+"""Sparse TF-IDF document similarity via an inverted index (D43): the
+sparse-vector complement of the dense ANN family (C3) — "find me docs
+like this one" when the representation is terms, not embeddings.
+
+Why it earns a place next to BM25 (C4) and the dense paths (D37 etc.):
+BM25 scores docs against a QUERY TERM LIST; this ranks docs against
+DOCS, pairing exclusively through shared terms (the gram-index
+contract from D25 — two documents with no term in common never meet),
+with each document reduced to its ``top_terms`` strongest TF-IDF
+entries first, so posting lists and join fan-out are capped by
+construction.
+
+Exactness across engines is engineered, not hoped for: TF-IDF weights
+are QUANTIZED to 64-bit integers (``round(tf·idf·10⁶)``) before any
+aggregation, so every sum a shuffle reorders is integer arithmetic —
+order-independent, overflow-safe (top_terms ≤ 64 terms × 10⁷² ≪ 2⁶³)
+— and the only floating point left is one sqrt/division over identical
+integers on both engines. That is what lets a float-cosine ranking
+hash-match a DuckDB oracle bit-for-bit.
+
+Scale shape: tokenize+count is one (doc, term) exchange; document
+frequency is one term-keyed aggregate; the signature cap is a
+WindowGroupLimit; the pair stage is a term-keyed equi-join whose
+output is bounded by Σ_term |postings|² over CAPPED postings; top-k
+serves through one more window. N (corpus size) rides as a broadcast
+1-row relation — never a driver scalar in the plan.
+
+Public method: TF-IDF with sklearn's smooth idf ``ln((N+1)/(df+1))+1``
+(Salton & Buckley 1988 lineage; the reference has no text surface —
+/root/reference/main.go:106).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.functions.hashing import tokens
+
+_QUANT = 1_000_000  # fixed-point scale for integer-exact weight sums
+
+
+def tfidf_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 16,
+) -> DataFrame:
+    """Per-document sparse signature: the ``top_terms`` highest-TF-IDF
+    terms with integer-quantized weights and the signature's squared
+    L2 norm. Columns: ``id_col``, ``term``, ``wq`` (long), ``norm2``
+    (long). Deterministic: the cap orders by (wq DESC, term ASC)."""
+    if top_terms < 1:
+        raise ValueError(f"top_terms must be >= 1: {top_terms}")
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    idf = F.log(
+        (F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))
+    ) + F.lit(1.0)
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))  # 1-row corpus-size relation
+        .select(
+            id_col,
+            "term",
+            F.round(F.col("_tf") * idf * F.lit(_QUANT))
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("wq").desc(), F.col("term").asc()
+    )
+    capped = (
+        weighted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_terms)
+        .drop("_rn")
+    )
+    norms = Window.partitionBy(id_col)
+    return capped.withColumn(
+        "norm2", F.sum(F.col("wq") * F.col("wq")).over(norms)
+    )
+
+
+def tfidf_topk_similar(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 16,
+    k: int = 5,
+    query_pred=None,
+) -> DataFrame:
+    """Top-``k`` most similar documents per query document by cosine
+    over the capped TF-IDF signatures. ``query_pred`` (a boolean
+    Column) restricts the QUERY side — the corpus side always pairs in
+    full; zero-overlap pairs never materialize (they share no term).
+    Columns: ``qid``, ``nid``, ``sim`` (ROUND 4; higher = closer);
+    top-k under (sim DESC, nid ASC) per qid.
+    """
+    sig = tfidf_signatures(
+        docs, id_col=id_col, text_col=text_col, top_terms=top_terms
+    )
+    a = sig.select(
+        F.col(id_col).alias("qid"),
+        "term",
+        F.col("wq").alias("_wa"),
+        F.col("norm2").alias("_na"),
+    )
+    if query_pred is not None:
+        qdocs = docs.filter(query_pred).select(
+            F.col(id_col).alias("qid")
+        )
+        a = a.join(F.broadcast(qdocs), "qid", "left_semi")
+    b = sig.select(
+        F.col(id_col).alias("nid"),
+        "term",
+        F.col("wq").alias("_wb"),
+        F.col("norm2").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid", "_na", "_nb")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    # integer dot / (sqrt · sqrt): both engines divide identical longs
+    sim = F.col("_dot") / (
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.col("_nb").cast("double"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        sim.desc(), F.col("nid").asc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "nid", F.round(sim, 4).alias("sim"))
+    )

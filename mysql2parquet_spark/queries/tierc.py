@@ -2538,3 +2538,95 @@ def dedup_cluster_incremental(spark, sf_dir):
     return incremental_components(assign, edges.filter(~old_edge)).select(
         F.col("v").alias("doc_id"), "component"
     )
+
+
+@register(
+    "score_calibrate",
+    """
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY n_chars), 4) AS calibrated
+    FROM documents
+    """,
+    "D42: cross-source score calibration — replace each document's raw "
+    "score (n_chars as the stand-in scorer) with its WITHIN-SOURCE "
+    "quantile via percent_rank, making scores comparable across "
+    "corpora whose scorers use different scales (the standard fix "
+    "before budget-weighted mixing). ONE source-keyed exchange (the "
+    "window partition -- no global sort); ties share a rank so equal "
+    "raw scores calibrate equally.",
+)
+def score_calibrate(spark, sf_dir):
+    from mysql2parquet_spark.operators.numeric import quantile_normalize
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_normalize(d, "n_chars", by="source")
+
+
+@register(
+    "similarity_tfidf",
+    r"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    wq0 AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                        * 1000000) AS BIGINT) AS wq
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    ),
+    capped AS (
+      SELECT doc_id, term, wq FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY wq DESC, term) AS rn
+        FROM wq0
+      ) WHERE rn <= 16
+    ),
+    sig AS (
+      SELECT c.doc_id, c.term, c.wq, s.norm2
+      FROM capped c JOIN (
+        SELECT doc_id, SUM(wq * wq) AS norm2 FROM capped GROUP BY doc_id
+      ) s USING (doc_id)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS qid, b.doc_id AS nid,
+             a.norm2 AS na, b.norm2 AS nb, SUM(a.wq * b.wq) AS dot
+      FROM sig a JOIN sig b ON a.term = b.term AND a.doc_id <> b.doc_id
+      WHERE a.doc_id < 20
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT qid, nid,
+           ROUND(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                 4) AS sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                 DESC, nid) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    "D43: sparse TF-IDF top-k document similarity via an inverted "
+    "index -- the sparse complement of the dense ANN family: docs pair "
+    "ONLY through shared terms (gram-index contract), each doc reduced "
+    "to its 16 strongest TF-IDF terms first (WindowGroupLimit-capped "
+    "postings). Weights are quantized to 64-bit integers before any "
+    "aggregation so every shuffle-reordered sum is order-independent "
+    "integer math -- which is what lets a float-cosine RANKING "
+    "hash-match the oracle exactly. Query side = doc_id < 20, k = 5.",
+)
+def similarity_tfidf(spark, sf_dir):
+    from mysql2parquet_spark.operators.tfidf import tfidf_topk_similar
+
+    d = T(spark, sf_dir, "documents")
+    return tfidf_topk_similar(
+        d, top_terms=16, k=5, query_pred=F.col("doc_id") < 20
+    )

@@ -46,6 +46,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # r9-added D41 (exact oracle = full recursive-CTE closure;
     # invariant tests in tests/test_graph_incremental.py)
     "dedup_cluster_incremental",
+    # r9-added D42/D43 (exact oracles; tests/test_calibrate_tfidf.py)
+    "score_calibrate",
+    "similarity_tfidf",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -209,7 +212,9 @@ two r9-added scale variants has >=1 driver row. r10 priorities:
    `table_profile` one-pass column profiler, `privacy_dp_counts`
    discrete-Laplace DP release — parity-proven locally) and the D41
    `dedup_cluster_incremental` (incremental CC vs the full-recompute
-   closure oracle).
+   closure oracle), the D42 `score_calibrate` (cross-source quantile
+   calibration) and the D43 `similarity_tfidf` (sparse TF-IDF top-k,
+   integer-quantized weights for engine-exact ranking).
 3. Second greens for the four r9 debuts.
 4. Third greens for the r8-debut cohort so no D25-D32 surface rests
    on two adjudications by r11; backfill the remaining two-row TPCH

@@ -1,0 +1,136 @@
+"""D42 quantile-normalize calibration, D43 TF-IDF sparse similarity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.numeric import quantile_normalize
+from mysql2parquet_spark.operators.tfidf import (
+    tfidf_signatures,
+    tfidf_topk_similar,
+)
+
+
+# ----------------------------------------------------------- calibrate
+
+def test_quantile_normalize_handcount(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, src="a", s=10.0),
+            Row(id=2, src="a", s=20.0),
+            Row(id=3, src="a", s=20.0),   # tie shares the rank
+            Row(id=4, src="a", s=40.0),
+            Row(id=5, src="b", s=999.0),  # singleton group -> 0.0
+            Row(id=6, src="b", s=None),   # NULL -> NULL, not ranked
+        ]
+    )
+    out = {r["id"]: r["calibrated"] for r in
+           quantile_normalize(df, "s", by="src").collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == pytest.approx(1 / 3, abs=1e-4)
+    assert out[4] == 1.0
+    assert out[5] == 0.0
+    assert out[6] is None
+
+
+def test_quantile_normalize_cross_source_comparability(spark, sf_dir):
+    """The point of calibration: every source spans [0, 1] regardless
+    of its raw score scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quantile_normalize(
+        docs.select("doc_id", "source", "n_chars"), "n_chars", by="source"
+    )
+    rng = out.groupBy("source").agg(
+        F.min("calibrated").alias("lo"), F.max("calibrated").alias("hi")
+    )
+    for r in rng.collect():
+        assert r["lo"] == 0.0
+        # ties at the maximum share a rank below 1.0 (equal raw scores
+        # must calibrate equally), so the top is <= 1, not == 1
+        assert 0.9 <= r["hi"] <= 1.0
+
+
+def test_quantile_normalize_single_exchange(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quantile_normalize(
+        docs.select("doc_id", "source", "n_chars").filter(
+            F.col("n_chars").isNotNull()
+        ),
+        "n_chars",
+        by="source",
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the ranked branch costs exactly one source-keyed exchange; the
+    # NULL branch is a filter-only scan (no exchange of its own)
+    assert p.count("Exchange") <= 1, p
+
+
+# --------------------------------------------------------------- tfidf
+
+@pytest.fixture(scope="module")
+def minidocs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark shuffle join spark"),
+            Row(doc_id=1, text="spark shuffle join"),
+            Row(doc_id=2, text="pandas arrow batch"),
+            Row(doc_id=3, text="pandas arrow batch pandas"),
+            Row(doc_id=4, text="totally unrelated words here"),
+        ]
+    )
+
+
+def test_signature_cap_and_norm(spark, minidocs):
+    sig = tfidf_signatures(minidocs, top_terms=2)
+    rows = sig.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in per_doc.values())
+    for v in per_doc.values():
+        n2 = sum(r["wq"] ** 2 for r in v)
+        assert all(r["norm2"] == n2 for r in v)
+    with pytest.raises(ValueError, match="top_terms"):
+        tfidf_signatures(minidocs, top_terms=0)
+
+
+def test_topk_groups_similar_docs(spark, minidocs):
+    out = tfidf_topk_similar(minidocs, top_terms=4, k=1)
+    best = {r["qid"]: r["nid"] for r in out.collect()}
+    assert best[0] == 1 and best[1] == 0
+    assert best[2] == 3 and best[3] == 2
+    # doc 4 shares no term with anyone: zero-overlap pairs never
+    # materialize, so it has no neighbors at all
+    assert 4 not in best
+
+
+def test_topk_scores_sane_and_ordered(spark, minidocs):
+    out = tfidf_topk_similar(minidocs, top_terms=4, k=3)
+    for r in out.collect():
+        assert 0.0 < r["sim"] <= 1.0
+    per_q = {}
+    for r in out.orderBy("qid").collect():
+        per_q.setdefault(r["qid"], []).append(r["sim"])
+    assert all(v == sorted(v, reverse=True) for v in per_q.values())
+
+
+def test_tfidf_deterministic_across_partitionings(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, tfidf_topk_similar(
+        docs.repartition(3), k=3, query_pred=F.col("doc_id") < 10
+    ).collect()))
+    b = sorted(map(tuple, tfidf_topk_similar(
+        docs.repartition(17), k=3, query_pred=F.col("doc_id") < 10
+    ).collect()))
+    assert a == b and a
+
+
+def test_tfidf_no_cross_product(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_topk_similar(docs, k=3, query_pred=F.col("doc_id") < 10)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    # the 1-row corpus-size relation is the only nested-loop side
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
