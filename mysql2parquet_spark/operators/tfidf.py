@@ -107,6 +107,12 @@ def tfidf_topk_similar(
     full; zero-overlap pairs never materialize (they share no term).
     Columns: ``qid``, ``nid``, ``sim`` (ROUND 4; higher = closer);
     top-k under (sim DESC, nid ASC) per qid.
+
+    ``query_pred``'s id list is BROADCAST for the semi-join prune, so
+    its contract is a FEW probe docs (the "more like this" shape). For
+    an all-pairs / corpus-scale query side, pass ``query_pred=None``:
+    both sides then pair through the term equi-join with no broadcast,
+    and the signature cap alone bounds the fan-out.
     """
     sig = tfidf_signatures(
         docs, id_col=id_col, text_col=text_col, top_terms=top_terms

@@ -375,6 +375,14 @@ BROADCAST_ALLOWLIST = {
         "sparkContext.broadcast of the OR-merged bloom BYTES — "
         "num_bits/8 regardless of key cardinality (the operator's "
         "whole point); not an F.broadcast join hint at all",
+    ("operators/tfidf.py", "tfidf_signatures"):
+        "one-row corpus-size relation (the N in idf) — rides as a "
+        "broadcast instead of a driver scalar so the plan stays lazy",
+    ("operators/tfidf.py", "tfidf_topk_similar"):
+        "query-doc id list for the left-semi prune — bounded by the "
+        "operator's contract (query_pred selects the FEW probe docs; "
+        "a corpus-scale query side should skip query_pred and pair "
+        "both sides through the term join directly, docstring note)",
     ("queries/advanced.py", "events_funnel"):
         "one-row entry-population aggregate",
     ("queries/relext.py", "subquery_scalar"):
