@@ -190,6 +190,7 @@ def main() -> None:
         "dedup_cluster_incremental",
         "score_calibrate",
         "similarity_tfidf",
+        "pipeline_temperature",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | debut_r8):

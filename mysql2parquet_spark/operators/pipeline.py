@@ -11,7 +11,7 @@ intermediate materialization unless the caller writes checkpoints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql2parquet_spark.operators.dedup import fingerprint_dedup
@@ -378,4 +378,98 @@ def curriculum_order(
             "band",
             (F.col("_off") + F.col("_rk")).alias("position"),
         )
+    )
+
+
+def temperature_fractions(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+) -> DataFrame:
+    """Temperature-based domain mixing weights (D44): the standard
+    multi-domain LLM recipe (T5 / multilingual-sampling lineage) —
+    sample domain d proportionally to ``n_d^alpha``, so ``alpha=1`` is
+    natural proportions, ``alpha -> 0`` approaches uniform-per-domain,
+    and 0.3-0.7 up-weights tail domains without drowning the head.
+
+    Returns one row per domain: ``domain_col``, ``n`` (true count),
+    ``weight`` (normalized n^alpha), ``fraction_q`` — the keep
+    probability ``min(1, target_rows * weight / n)`` QUANTIZED to a
+    32-bit integer grid (``floor(p * 2^32)``), which is what makes the
+    downstream membership test integer-exact across engines. A
+    |domains|-row relation from ONE count aggregate; NULL domains are
+    dropped (no content address — the sampler contract).
+
+    This computes the budgets FROM the data; ``mix_corpus`` consumes
+    explicitly-declared budgets. At 100 TB the count aggregate is one
+    domain-keyed exchange of partial counts.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1: {target_rows}")
+    counts = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_raw = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    tot = Window.partitionBy()
+    weight = w_raw / F.sum(w_raw).over(tot)
+    frac = F.least(
+        F.lit(1.0), F.lit(float(target_rows)) * weight / F.col("n")
+    )
+    return counts.select(
+        domain_col,
+        "n",
+        F.round(weight, 6).alias("weight"),
+        F.floor(frac * F.lit(float(1 << 32))).cast("long").alias(
+            "fraction_q"
+        ),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    id_col: str,
+    alpha: float = 0.5,
+    target_rows: int,
+    salt: str = "tsamp",
+) -> DataFrame:
+    """Apply temperature mixing: keep a row iff its content-addressed
+    32-bit uniform sorts below its domain's quantized keep probability
+    (``temperature_fractions``). Expected output size ≈ ``target_rows``
+    (binomial per domain; upsampling is out of scope — a domain needing
+    fraction > 1 caps at keeping everything, stated by ``fraction_q =
+    2^32``).
+
+    Determinism contract: membership is a pure function of
+    (id, salt, domain counts) — integer compare of the md5-derived
+    uniform against the integer grid, so the kept set is reproducible
+    across engines, runs, and partitionings (oracle-exact). The
+    fractions relation is |domains| rows and broadcasts; the data-side
+    cost is one codegen projection + filter, zero extra exchanges.
+    """
+    fr = temperature_fractions(
+        df, domain_col, alpha=alpha, target_rows=target_rows
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(fr), domain_col)  # |domains|-row relation
+        .filter(u < F.col("fraction_q"))
+        .drop("n", "weight", "fraction_q")
     )

@@ -2630,3 +2630,43 @@ def similarity_tfidf(spark, sf_dir):
     return tfidf_topk_similar(
         d, top_terms=16, k=5, query_pred=F.col("doc_id") < 20
     )
+
+
+@register(
+    "pipeline_temperature",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IS NOT NULL GROUP BY source
+    ),
+    f AS (
+      SELECT source, n,
+             CAST(FLOOR(LEAST(1.0,
+               300.0 * (POWER(CAST(n AS DOUBLE), 0.5)
+                        / SUM(POWER(CAST(n AS DOUBLE), 0.5)) OVER ())
+               / n) * 4294967296.0) AS BIGINT) AS fraction_q
+      FROM c
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f USING (source)
+    WHERE CAST(CONCAT('0x',
+            substr(md5(CAST(d.doc_id AS VARCHAR) || ':tsamp'), 1, 8))
+          AS BIGINT) < f.fraction_q
+    """,
+    "D44: temperature-based domain mixing (the T5/multilingual-sampling "
+    "recipe): sample each source proportionally to n^alpha (alpha=0.5, "
+    "target 300 rows) so tail domains up-weight without drowning the "
+    "head. Keep probabilities are computed from ONE |domains|-row "
+    "count aggregate, QUANTIZED to a 32-bit integer grid, and "
+    "broadcast; membership is an integer compare of the row's "
+    "content-addressed uniform against the grid -- one codegen "
+    "projection + filter on the data side, zero extra exchanges, "
+    "engine-exact (the oracle reproduces the kept set bit-for-bit).",
+)
+def pipeline_temperature(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import temperature_sample
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(
+        d, "source", id_col="doc_id", alpha=0.5, target_rows=300
+    ).select("doc_id", "source")

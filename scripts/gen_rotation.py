@@ -46,9 +46,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # r9-added D41 (exact oracle = full recursive-CTE closure;
     # invariant tests in tests/test_graph_incremental.py)
     "dedup_cluster_incremental",
-    # r9-added D42/D43 (exact oracles; tests/test_calibrate_tfidf.py)
+    # r9-added D42/D43/D44 (exact oracles; tests/test_calibrate_tfidf.py)
     "score_calibrate",
     "similarity_tfidf",
+    "pipeline_temperature",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -214,7 +215,9 @@ two r9-added scale variants has >=1 driver row. r10 priorities:
    `dedup_cluster_incremental` (incremental CC vs the full-recompute
    closure oracle), the D42 `score_calibrate` (cross-source quantile
    calibration) and the D43 `similarity_tfidf` (sparse TF-IDF top-k,
-   integer-quantized weights for engine-exact ranking).
+   integer-quantized weights for engine-exact ranking), and the D44
+   `pipeline_temperature` (temperature-based domain mixing,
+   integer-grid keep probabilities).
 3. Second greens for the four r9 debuts.
 4. Third greens for the r8-debut cohort so no D25-D32 surface rests
    on two adjudications by r11; backfill the remaining two-row TPCH

@@ -134,3 +134,68 @@ def test_tfidf_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     # the 1-row corpus-size relation is the only nested-loop side
     assert p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
+# --------------------------------------------------- temperature mixing
+
+def test_temperature_fractions_math(spark):
+    from mysql2parquet_spark.operators.pipeline import (
+        temperature_fractions,
+    )
+
+    rows = [Row(id=i, d="big") for i in range(900)] + [
+        Row(id=1000 + i, d="small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["d"]: r for r in temperature_fractions(
+        df, "d", alpha=0.5, target_rows=500
+    ).collect()}
+    # weights: sqrt(900)=30, sqrt(100)=10 -> 0.75 / 0.25
+    assert out["big"]["weight"] == 0.75
+    assert out["small"]["weight"] == 0.25
+    # small keeps everything (500*0.25=125 > 100 -> fraction capped 1)
+    assert out["small"]["fraction_q"] == 1 << 32
+    # big keeps 500*0.75/900 ~ 0.4167
+    assert out["big"]["fraction_q"] == pytest.approx(
+        int(500 * 0.75 / 900 * (1 << 32)), abs=2
+    )
+
+
+def test_temperature_sample_upweights_tail(spark):
+    from mysql2parquet_spark.operators.pipeline import temperature_sample
+
+    rows = [Row(id=i, d="big") for i in range(900)] + [
+        Row(id=1000 + i, d="small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = temperature_sample(
+        df, "d", id_col="id", alpha=0.5, target_rows=500
+    ).groupBy("d").count().collect()
+    got = {r["d"]: r["count"] for r in kept}
+    assert got["small"] == 100            # capped: keep all
+    assert 300 < got["big"] < 450         # ~375 expected, binomial
+    # natural proportions would keep ~9x more big than small; the
+    # temperature pushed the ratio under 4.5x
+    assert got["big"] / got["small"] < 4.5
+
+
+def test_temperature_sample_deterministic_and_validated(spark):
+    from mysql2parquet_spark.operators.pipeline import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=i, d=f"s{i % 3}") for i in range(300)]
+    )
+    a = sorted(r["id"] for r in temperature_sample(
+        df.repartition(3), "d", id_col="id", alpha=0.5, target_rows=100
+    ).collect())
+    b = sorted(r["id"] for r in temperature_sample(
+        df.repartition(17), "d", id_col="id", alpha=0.5, target_rows=100
+    ).collect())
+    assert a == b and a
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(df, "d", alpha=-1, target_rows=10)
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_fractions(df, "d", alpha=0.5, target_rows=0)

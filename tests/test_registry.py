@@ -261,13 +261,16 @@ def test_registry_count_is_planned():
     NEXT_ROUND_BACKLOG) = 169, and the D42/D43 pair (score_calibrate —
     cross-source quantile calibration; similarity_tfidf — sparse
     TF-IDF top-k via inverted index with integer-quantized weights;
-    both exact oracles, r10 debuts via NEXT_ROUND_BACKLOG) = 171.
-    Bumping this count again requires a matching rotation plan (head
-    slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry)
-    — see test_rotation_ledger_current.
+    both exact oracles, r10 debuts via NEXT_ROUND_BACKLOG) = 171, and
+    the D44 surface (pipeline_temperature — temperature-based domain
+    mixing with integer-grid keep probabilities, exact oracle, r10
+    debut via NEXT_ROUND_BACKLOG) = 172. Bumping this count again
+    requires a matching rotation plan (head slot in the debut round or
+    an explicit NEXT_ROUND_BACKLOG entry) — see
+    test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 171, (
-        f"registry count changed ({len(REGISTRY)} != 171); new queries "
+    assert len(REGISTRY) == 172, (
+        f"registry count changed ({len(REGISTRY)} != 172); new queries "
         "need a rotation plan before registration"
     )
 
