@@ -375,6 +375,9 @@ BROADCAST_ALLOWLIST = {
         "sparkContext.broadcast of the OR-merged bloom BYTES — "
         "num_bits/8 regardless of key cardinality (the operator's "
         "whole point); not an F.broadcast join hint at all",
+    ("operators/pipeline.py", "temperature_sample"):
+        "|domains|-row fractions relation (one count aggregate over "
+        "the domain key — bounded by domain cardinality, not data)",
     ("operators/tfidf.py", "tfidf_signatures"):
         "one-row corpus-size relation (the N in idf) — rides as a "
         "broadcast instead of a driver scalar so the plan stays lazy",
