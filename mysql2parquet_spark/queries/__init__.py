@@ -101,15 +101,62 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the 8 TPCH shapes already at 2 rows that didn't fit -- all
 # component-guarded via tests/test_registry.py.
 # Per-round history: ROTATION.md.
+# ROTATION (r10, per ROTATION.md's r10 plan + VERDICT r9 asks #1/#4/#8):
+# CORRECTNESS_r09 landed 45 hash + 5 rows-only-by-design, 0 FAIL, so
+# the head rotates to: 9 debut slots for the r9-built D38-D44 surfaces
+# plus the two scale-path variants (ann_pq_persisted /
+# dedup_semantic_ivf rows-only by nature; the other seven carry exact
+# oracles — all parity-proven locally and declared in r9's
+# NEXT_ROUND_BACKLOG), 4 second-green slots for the r9 debuts
+# (events_estimate, events_heavy_hitters, text_bpe_tokens,
+# ann_pq_topk), 13 second-green slots clearing every remaining
+# one-row query (the r2-r4 rows-only ANN/minhash family, the r4-r6
+# sketch/text singles, and tpch_q10_shape), 10 third-green slots for
+# the full r8-debut cohort (VERDICT r9 ask #4 — no D25-D32 surface
+# rests on two adjudications after this round), 11 slots backfilling
+# every remaining two-row TPC-H shape (ask #8: q3/q6 — newest rows r3
+# — and the nine r7-displaced shapes), and 3 slots for the stalest
+# r2 two-row queries (filter_pred, join_anti, window_rank).
+# Displaced: the r9 thrice-proven graduates (cdc_scd2_asof,
+# events_retention, sample_weighted_rows, tpch_q1/q18, the 14 non-TPCH
+# r7 debuts, the 7 r9 TPCH third-greens, quality_report) — all
+# component-guarded via tests/test_registry.py.
+# Per-round history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r9 debuts (r8-built, never driver-checked; parity/recall
-    #     proven locally -- tests/test_estimate.py,
-    #     test_heavyhitters.py, test_bpe.py, test_pq.py) ---
+    # --- r10 debuts (r9-built, never driver-checked; parity/invariants
+    #     proven locally -- tests/test_curation_profile_dp.py,
+    #     test_graph_incremental.py, test_calibrate_tfidf.py,
+    #     test_pq.py, test_semantic_ivf.py) ---
+    "dedup_keep_best",      # D38 quality-aware cluster resolution
+    "table_profile",        # D39 one-pass column profiler
+    "privacy_dp_counts",    # D40 discrete-Laplace DP count release
+    "dedup_cluster_incremental",  # D41 incremental connected components
+    "score_calibrate",      # D42 cross-source score calibration
+    "similarity_tfidf",     # D43 sparse TF-IDF top-k similarity
+    "pipeline_temperature",  # D44 temperature-based domain mixing
+    "ann_pq_persisted",     # D37 persisted PQ artifact probe (rows-only)
+    "dedup_semantic_ivf",   # D31 learned-codebook SemDeDup (rows-only)
+    # --- second green rows for the 4 r9 debuts ---
     "events_estimate",      # D33 sampled estimates + closed-form CIs
     "events_heavy_hitters",  # D34 certified exact heavy hitters
     "text_bpe_tokens",      # D35 distributed BPE tokenizer (rows-only)
     "ann_pq_topk",          # D37 product-quantized ANN (rows-only)
-    # --- second green rows for the 10 r8 debuts ---
+    # --- second greens: every remaining one-row query ---
+    "ann_ivf_persisted",    # C3 partition-pruned persisted IVF index
+    "ann_ivf_topk",         # C3 IVF coarse-quantizer top-k
+    "ann_lsh_topk",         # C3 LSH-bucketed top-k
+    "dedup_minhash_verified",  # C2 LSH candidates + exact verify
+    "embedding_centroids",  # C3 kmeans-lite centroid assignment
+    "embedding_project",    # C3 random-projection sketch
+    "sample_stratified",    # C6/D14 stratified sampler
+    "sketch_cms_freq",      # D9 count-min frequency estimates
+    "sketch_hll_rollup",    # D9 mergeable HLL rollup
+    "text_bm25",            # C4 BM25 scoring
+    "text_repetition",      # C4 repetition / boilerplate ratios
+    "text_top_terms",       # C4 per-class top terms
+    "tpch_q10_shape",       # D13 returned-item revenue shape
+    # --- third greens for the 10 r8 debuts (ask #4: whole D25-D32
+    #     cohort to three adjudications) ---
     "dedup_jaccard_incremental",  # D25 inverted gram-index exact Jaccard
     "dedup_minhash_incremental",  # D25 persisted LSH band-store probe
     "join_strategy",        # D26 join-strategy advisor (decision oracle)
@@ -120,49 +167,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_paths",         # D30 k-step path mining
     "dedup_semantic",       # D31 SemDeDup centroid-blocked dedup
     "pipeline_curriculum",  # D32 curriculum ordering
-    # --- singleton backfill: newest driver row is r1/r2 ---
-    "agg_approx_distinct",  # B13 approx_count_distinct (rows-only)
-    "agg_approx_percentile",  # B12 approx percentile (rows-only)
-    "agg_corr",             # B12 corr/covar family
-    "agg_groupconcat",      # B22 listagg/group_concat
-    "set_except",           # B21 EXCEPT
-    "set_intersect",        # B21 INTERSECT
-    "set_union",            # B21 UNION / UNION ALL
-    "dedup_fingerprint",    # C1 content-fingerprint dedup
-    "text_langid",          # C4 n-gram language id
-    # --- third greens: r6 first-timers still at two rows ---
-    "cdc_scd2_asof",        # D6 SCD2 as-of lookup
-    "events_retention",     # D11 retention cohorts
-    "sample_weighted_rows",  # D14 weighted row sampler
-    "tpch_q1",              # D13 full TPC-H Q1
-    "tpch_q18",             # D13 full TPC-H Q18 (broadcast-semi pin)
-    # --- third greens: the 14 non-TPCH r7 debuts ---
-    "drift_psi",            # D18 PSI/JS/TV drift report
-    "skew_profile",         # D19 heavy-hitter / salt-factor profile
-    "join_explosion",       # D19 pre-join cardinality blowup check
-    "sketch_kmv_overlap",   # D9 KMV Jaccard vs exact set algebra
-    "sketch_bloom_probe",   # D9 Bloom membership vs exact anti-join
-    "sample_split_group",   # D14 group-disjoint train/val/test split
-    "events_anomaly",       # D20 volume z-score (reduce-first shape)
-    "events_resample",      # D23 gap-filled LOCF resample
-    "events_ohlc",          # D23 OHLC downsample
-    "events_transitions",   # D22 Markov transition matrix
-    "text_pmi",             # D22 co-occurrence PMI collocations
-    "knn_classify",         # D22 k-NN majority-label classify
-    "dedup_substring",      # D21 k-token-window substring dedup
-    "dedup_cluster_cc",     # D24 connected components vs recursive CTE
-    # --- third greens: TPCH shapes (q9/q21 are the bench-retime
-    #     targets from VERDICT r8 ask #7) ---
-    "tpch_q2_shape",        # D13 correlated-MIN decorrelation
-    "tpch_q4_shape",        # D13 EXISTS semi-join count
-    "tpch_q7_shape",        # D13 dual-role nation pair disjunction
-    "tpch_q8_shape",        # D13 seven-relation join tree
-    "tpch_q9_shape",        # D13 profit rollup over part filter
-    "tpch_q17_shape",       # D13 correlated AVG decorrelated
-    # --- third green for D15 (quality_report has 2 hash rows — its r6
-    #     row was the HUGEINT red; component not yet thrice-proven) ---
-    "quality_report",       # D15 constraint validation
-    "tpch_q21_shape",       # D13 double-correlated EXISTS/NOT EXISTS
+    # --- third greens: every remaining two-row TPC-H shape (ask #8) ---
+    "tpch_q3_shape",        # D13 top-unshipped-orders shape (newest r3)
+    "tpch_q6",              # D13 full TPC-H Q6 (newest r3)
+    "tpch_q11_shape",       # D13 HAVING-over-global-scalar shape
+    "tpch_q12_shape",       # D13 shipmode priority classify
+    "tpch_q13_shape",       # D13 outer-join distribution
+    "tpch_q14_shape",       # D13 conditional revenue share
+    "tpch_q15_shape",       # D13 top-supplier view shape
+    "tpch_q16_shape",       # D13 supplier-part anti-join count
+    "tpch_q19_shape",       # D13 disjunctive bracket predicate
+    "tpch_q20_shape",       # D13 nested semi-join quota
+    "tpch_q22_shape",       # D13 country-code anti-join aggregate
+    # --- stalest r2 two-row queries ---
+    "filter_pred",          # B5 compound predicates
+    "join_anti",            # B9 anti join
+    "window_rank",          # B16 ranking windows
 )
 
 

@@ -36,20 +36,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # oracles. The ledger test fails if a query is neither checked, in the
 # head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
-    "ann_pq_persisted",
-    "dedup_semantic_ivf",
-    # r9-added D38/D39/D40 (exact oracles; parity-proven locally in
-    # tests/test_curation_profile_dp.py + the oracle-parity mirror)
-    "dedup_keep_best",
-    "table_profile",
-    "privacy_dp_counts",
-    # r9-added D41 (exact oracle = full recursive-CTE closure;
-    # invariant tests in tests/test_graph_incremental.py)
-    "dedup_cluster_incremental",
-    # r9-added D42/D43/D44 (exact oracles; tests/test_calibrate_tfidf.py)
-    "score_calibrate",
-    "similarity_tfidf",
-    "pipeline_temperature",
+    # r10: the nine r9-added surfaces all hold r10 head slots (debut
+    # round), so the backlog is empty until r10 adds new queries.
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -222,6 +210,58 @@ two r9-added scale variants has >=1 driver row. r10 priorities:
 4. Third greens for the r8-debut cohort so no D25-D32 surface rests
    on two adjudications by r11; backfill the remaining two-row TPCH
    shapes as slots allow.
+
+## r10 rotation (executed)
+
+CORRECTNESS_r09 landed 45 hash + 5 rows-only-by-design, 0 FAIL, so the
+r10 head executes the plan above:
+
+1. **9 debut slots** — every r9-built surface: the D38/D39/D40 trio
+   (`dedup_keep_best`, `table_profile`, `privacy_dp_counts`), the D41
+   `dedup_cluster_incremental`, the D42/D43/D44 trio
+   (`score_calibrate`, `similarity_tfidf`, `pipeline_temperature`) —
+   all with exact oracles — plus the two rows-only scale variants
+   (`ann_pq_persisted`, `dedup_semantic_ivf`).
+2. **4 second-green slots** — the r9 debuts (`events_estimate`,
+   `events_heavy_hitters`, `text_bpe_tokens`, `ann_pq_topk`).
+3. **13 second-green slots** — every remaining one-row query:
+   `ann_ivf_persisted`, `ann_ivf_topk`, `ann_lsh_topk`,
+   `dedup_minhash_verified`, `embedding_centroids`,
+   `embedding_project`, `sample_stratified`, `sketch_cms_freq`,
+   `sketch_hll_rollup`, `text_bm25`, `text_repetition`,
+   `text_top_terms`, `tpch_q10_shape`. After r10 every registered
+   query has >=2 driver rows.
+4. **10 third-green slots** — the full r8-debut cohort (VERDICT r9
+   ask #4): `dedup_jaccard_incremental`, `dedup_minhash_incremental`,
+   `join_strategy`, `join_bloom_prune`, `join_interval`,
+   `privacy_kanon`, `events_winsorize`, `events_paths`,
+   `dedup_semantic`, `pipeline_curriculum`.
+5. **11 third-green slots** — every remaining two-row TPC-H shape
+   (ask #8): `tpch_q3_shape`, `tpch_q6` (newest rows r3) and
+   `tpch_q11/q12/q13/q14/q15/q16/q19/q20/q22_shape`.
+6. **3 slots** — the stalest r2 two-row queries (`filter_pred`,
+   `join_anti`, `window_rank`).
+
+Head arithmetic: 9 + 4 + 13 + 10 + 11 + 3 = 50. Displaced: the r9
+thrice-proven graduates (cdc_scd2_asof, events_retention,
+sample_weighted_rows, tpch_q1, tpch_q18, quality_report, the 14
+non-TPCH r7 debuts, the 7 r9 TPCH third-greens, and the r1/r2
+singleton backfills now at 2-6 rows) — all component-guarded via the
+proven-component rule in tests/test_registry.py.
+
+## r11 plan
+
+After CORRECTNESS_r10 lands green, every registered query has >=2
+driver rows and the r8 cohort is thrice-proven. r11 priorities:
+
+1. Any r10 red rows (fix + re-land).
+2. Debut head slots for queries registered during r10 (declared in
+   NEXT_ROUND_BACKLOG as they land).
+3. Second greens for the nine r10 debuts.
+4. Third greens for the r9-debut cohort (`events_estimate`,
+   `events_heavy_hitters`, `text_bpe_tokens`, `ann_pq_topk`) and the
+   13 r10 second-green singles, so no surface rests on two
+   adjudications by r12.
 """
 
 def _round_files() -> dict[int, dict]:

@@ -230,6 +230,13 @@ ROWS_ONLY_OK = {
     # construction (recall gated in tests/test_pq.py)
     "text_bpe_tokens",
     "ann_pq_topk",
+    # r10 debuts that are rows-only by nature: the persisted-PQ probe
+    # serves approximate top-k from trained codes (round-trip parity +
+    # zero-training-job pin in tests/test_pq.py); learned-codebook
+    # SemDeDup assigns cells by float argmax (survivor invariant in
+    # tests/test_semantic_ivf.py)
+    "ann_pq_persisted",
+    "dedup_semantic_ivf",
 }
 
 
