@@ -31,6 +31,14 @@ The unit of protection is one ROW's presence per group (Δ = 1). When
 an entity can contribute many rows, pass ``entity_col``: the count
 becomes distinct-entity participation per group (one extra pre-agg
 exchange), bounding each entity's contribution to 1 per group.
+Cross-group composition caveat (ADVICE r9): that bound is PER GROUP —
+an entity appearing in k different groups affects k released counts,
+so the grouped release as a whole is only k·eps-DP for that entity
+under sequential composition (group counts are not a partition of the
+protected units). Each per-group statistic is eps-DP; if the release
+must be eps-DP PER ENTITY overall, either bound group participation
+upstream (keep each entity's first group only — one window) or divide
+the budget by the participation bound before calling.
 
 The reference has no aggregation surface (/root/reference/main.go:106
 delegates to MySQL); this is pipeline north-star coverage like D28.
@@ -73,7 +81,10 @@ def dp_group_counts(
 ) -> DataFrame:
     """eps-DP noisy counts per group. Columns: ``group_col``,
     ``n_noisy`` (true count + two-sided-geometric noise, clamped at 0
-    — a released count is never negative), ``epsilon``.
+    — a released count is never negative), ``epsilon``. The guarantee
+    is PER STATISTIC: with ``entity_col``, an entity spanning k groups
+    is only k·eps-protected across the whole release (see the module
+    doc's composition caveat).
 
     NULL groups are dropped (a NULL is not a releasable category, and
     it has no content address — the sampler contract). Groups absent

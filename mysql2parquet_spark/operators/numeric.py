@@ -169,6 +169,7 @@ def quantile_normalize(
     by: str | None = None,
     out_col: str = "calibrated",
     ndigits: int = 4,
+    allow_global_sort: bool = False,
 ) -> DataFrame:
     """Cross-source score calibration (D42): replace a raw score with
     its within-group quantile (``percent_rank``), making scores
@@ -183,19 +184,111 @@ def quantile_normalize(
     calibrates to 0. Rounded to ``ndigits`` so the value is
     engine-exact (the SQL-standard PERCENT_RANK shares the formula).
 
-    Scale shape: ONE ``by``-keyed exchange (the window partition —
-    sources are the natural partition so no global sort ever happens);
-    NULL scores calibrate to NULL and sort last, never polluting the
-    rank denominator of real rows. At 100 TB a per-source sort is the
-    honest cost of an exact quantile; for approximate calibration at
-    extreme group sizes, bucket through ``histogram_quantiles``
-    (operators/sketches.py) instead.
+    Scale shape: ONE ``by``-keyed exchange (the window partition); NULL
+    scores calibrate to NULL and sort last, never polluting the rank
+    denominator of real rows. At 100 TB a per-source sort is the honest
+    cost of an exact quantile.
+
+    ``by=None`` plans ``Window.partitionBy()`` — a SINGLE-TASK global
+    sort, the first scale-killer a user would hit — so it RAISES unless
+    ``allow_global_sort=True`` is passed explicitly (small relations
+    only). For an exact UNGROUPED calibration that stays data-parallel,
+    use ``quantile_normalize_global`` (range-partitioned two-pass rank,
+    same values); for approximate calibration at extreme group sizes,
+    bucket through ``histogram_quantiles`` (operators/sketches.py).
     """
+    if by is None and not allow_global_sort:
+        raise ValueError(
+            "quantile_normalize(by=None) plans a single-task global "
+            "sort (Window.partitionBy() puts every row in ONE "
+            "partition). Pass by=<group col>, use "
+            "quantile_normalize_global for a data-parallel exact "
+            "global rank, approximate via histogram_quantiles "
+            "(operators/sketches.py), or opt in explicitly with "
+            "allow_global_sort=True on a small relation."
+        )
     w = Window.partitionBy(*( [by] if by else [] )).orderBy(
         F.col(score_col).asc()
     )
     ranked = df.filter(F.col(score_col).isNotNull()).withColumn(
         out_col, F.round(F.percent_rank().over(w), ndigits)
+    )
+    nulls = df.filter(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)
+
+
+def quantile_normalize_global(
+    df: DataFrame,
+    score_col: str,
+    *,
+    out_col: str = "calibrated",
+    ndigits: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL ``percent_rank`` without a single-task sort (D45):
+    the scalable face of ``quantile_normalize(by=None)``.
+
+    A global ``Window.orderBy`` funnels every row through ONE task;
+    this computes the identical value with the ORDER BY machinery Spark
+    itself uses for distributed sorts: ``repartitionByRange(score)``
+    (sampled boundaries; rows with EQUAL scores always land in the same
+    range partition, which is what keeps tie ranks exact), a
+    WITHIN-partition rank, and a |partitions|-row offset relation
+    (rows-per-partition cumulated) broadcast back:
+
+        global_rank(x) = offset(partition(x)) + local_rank(x)
+        percent_rank   = (global_rank - 1) / (n - 1)
+
+    Every stage is data-parallel: one range exchange, one pid-keyed
+    window, one broadcast join of a ≤``num_partitions``-row relation.
+    The boundaries Spark samples only decide WHERE rows sit, never the
+    rank arithmetic, so the output is deterministic and engine-exact
+    (oracle: ``PERCENT_RANK() OVER (ORDER BY score)``), regardless of
+    input partitioning.
+
+    Ties share the min rank (equal raw scores calibrate equally); NULL
+    scores calibrate to NULL without polluting the denominator; a
+    single-row relation calibrates to 0.
+    """
+    non_null = df.filter(F.col(score_col).isNotNull())
+    parts = (
+        non_null.repartitionByRange(num_partitions, F.col(score_col))
+        if num_partitions is not None
+        else non_null.repartitionByRange(F.col(score_col))
+    ).withColumn("_pid", F.spark_partition_id())
+    # |partitions|-row offsets: rows in strictly-earlier partitions,
+    # plus the global non-null count for the denominator.
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    wloc = Window.partitionBy("_pid").orderBy(F.col(score_col).asc())
+    ranked = (
+        parts.withColumn("_lr", F.rank().over(wloc))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.round(
+                F.when(
+                    F.col("_n") > 1,
+                    (F.col("_off") + F.col("_lr") - 1)
+                    / (F.col("_n") - 1),
+                ).otherwise(F.lit(0.0)),
+                ndigits,
+            ),
+        )
+        .drop("_pid", "_lr", "_off", "_n")
     )
     nulls = df.filter(F.col(score_col).isNull()).withColumn(
         out_col, F.lit(None).cast("double")

@@ -12,9 +12,11 @@ profile itself. The output is one row per profiled column:
     avg_len            (string columns; ROUND 4)
 
 Spark shape: ONE aggregation pass computes every metric for every
-column simultaneously (a single wide 1-row aggregate), then a
-``stack`` projection unpivots to long form — no per-column jobs, no
-driver-side loop, no collect. Cardinality defaults to
+column simultaneously (a single wide 1-row aggregate), then an
+explode-over-structs projection unpivots to long form — no per-column
+jobs, no driver-side loop, no collect, and no SQL-string assembly from
+column names (names are data: space/quote/backtick/dot-bearing names
+profile fine — everything is renamed positionally first). Cardinality defaults to
 ``approx_count_distinct`` (HLL, one pass, mergeable — the only sane
 default at 100 TB); ``exact_distinct=True`` switches to exact
 ``count_distinct``, which makes Catalyst plan an Expand (one replay of
@@ -81,51 +83,61 @@ def profile_table(
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
 
+    # Source column names are data, not syntax: a name with a space,
+    # quote, backtick, or dot must neither break parsing nor inject
+    # expressions (ADVICE r9). toDF() renames POSITIONALLY — zero name
+    # parsing — so every downstream reference and alias is a generated
+    # safe identifier; the real name rides along only as a literal.
+    pos = {c: df.columns.index(c) for c in columns}
+    safe = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+    src = {c: F.col(f"_c{pos[c]}") for c in columns}
     distinct = (
-        (lambda c: F.count_distinct(F.col(c)))
+        (lambda c: F.count_distinct(src[c]))
         if exact_distinct
-        else (lambda c: F.approx_count_distinct(c))
+        else (lambda c: F.approx_count_distinct(src[c]))
     )
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in columns:
+    for i, c in enumerate(columns):
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
+            F.sum(src[c].isNull().cast("long")).alias(f"_nulls_{i}")
         )
-        aggs.append(distinct(c).alias(f"_dist_{c}"))
+        aggs.append(distinct(c).alias(f"_dist_{i}"))
         if isinstance(types[c], _NUMERIC):
             aggs.append(
-                F.round(F.min(F.col(c)).cast("double"), 4).alias(f"_min_{c}")
+                F.round(F.min(src[c]).cast("double"), 4).alias(f"_min_{i}")
             )
             aggs.append(
-                F.round(F.max(F.col(c)).cast("double"), 4).alias(f"_max_{c}")
+                F.round(F.max(src[c]).cast("double"), 4).alias(f"_max_{i}")
             )
         else:
-            s = F.col(c).cast("string")
-            aggs.append(F.min(s).alias(f"_mins_{c}"))
-            aggs.append(F.max(s).alias(f"_maxs_{c}"))
-            aggs.append(F.round(F.avg(F.length(s)), 4).alias(f"_len_{c}"))
-    wide = df.agg(*aggs)
+            s = src[c].cast("string")
+            aggs.append(F.min(s).alias(f"_mins_{i}"))
+            aggs.append(F.max(s).alias(f"_maxs_{i}"))
+            aggs.append(F.round(F.avg(F.length(s)), 4).alias(f"_len_{i}"))
+    wide = safe.agg(*aggs)
 
-    # unpivot the 1-row wide aggregate to long form: stack() is a pure
-    # projection over one row — no second pass, no collect
-    parts = []
-    for c in columns:
-        if isinstance(types[c], _NUMERIC):
-            parts.append(
-                f"'{c}', _n, _nulls_{c}, _dist_{c}, "
-                f"_min_{c}, _max_{c}, "
-                "CAST(NULL AS STRING), CAST(NULL AS STRING), "
-                "CAST(NULL AS DOUBLE)"
+    # unpivot the 1-row wide aggregate to long form: explode over an
+    # array of per-column structs is a pure projection over one row —
+    # no second pass, no collect, and (unlike a stack() selectExpr
+    # string) no parsing of anything derived from column names
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    entries = []
+    for i, c in enumerate(columns):
+        num = isinstance(types[c], _NUMERIC)
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{i}").alias("n_nulls"),
+                F.col(f"_dist_{i}").alias("n_distinct"),
+                (F.col(f"_min_{i}") if num else null_d).alias("min_num"),
+                (F.col(f"_max_{i}") if num else null_d).alias("max_num"),
+                (null_s if num else F.col(f"_mins_{i}")).alias("min_str"),
+                (null_s if num else F.col(f"_maxs_{i}")).alias("max_str"),
+                (null_d if num else F.col(f"_len_{i}")).alias("avg_len"),
             )
-        else:
-            parts.append(
-                f"'{c}', _n, _nulls_{c}, _dist_{c}, "
-                "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
-                f"_mins_{c}, _maxs_{c}, _len_{c}"
-            )
-    stack = (
-        f"stack({len(columns)}, " + ", ".join(parts) + ") AS "
-        "(column, n_rows, n_nulls, n_distinct, min_num, max_num, "
-        "min_str, max_str, avg_len)"
-    )
-    return wide.selectExpr(stack)
+        )
+    return wide.select(
+        F.explode(F.array(*entries)).alias("_p")
+    ).select("_p.*")

@@ -7,16 +7,24 @@ BM25 scores docs against a QUERY TERM LIST; this ranks docs against
 DOCS, pairing exclusively through shared terms (the gram-index
 contract from D25 — two documents with no term in common never meet),
 with each document reduced to its ``top_terms`` strongest TF-IDF
-entries first, so posting lists and join fan-out are capped by
-construction.
+entries first. That per-DOC cap bounds the signature relation; it does
+NOT bound per-TERM posting length — hot terms (boilerplate present in
+every doc's top terms) need the explicit ``max_posting_docs`` cap on
+the pairing side (see ``tfidf_topk_similar``).
 
 Exactness across engines is engineered, not hoped for: TF-IDF weights
 are QUANTIZED to 64-bit integers (``round(tf·idf·10⁶)``) before any
 aggregation, so every sum a shuffle reorders is integer arithmetic —
-order-independent, overflow-safe (top_terms ≤ 64 terms × 10⁷² ≪ 2⁶³)
-— and the only floating point left is one sqrt/division over identical
-integers on both engines. That is what lets a float-cosine ranking
-hash-match a DuckDB oracle bit-for-bit.
+order-independent — and the only floating point left is one
+sqrt/division over identical integers on both engines. That is what
+lets a float-cosine ranking hash-match a DuckDB oracle bit-for-bit.
+Overflow safety is ENFORCED, not assumed: the raw quantized weight is
+unbounded (a doc repeating one term ~3000× at idf ~ln(N) already puts
+``wq² ~ 2⁶³``, and Spark wraps longs silently in non-ANSI mode), so
+every weight is clamped to ``_WQ_CAP = 10⁷`` — then
+``norm2 ≤ top_terms·10¹⁴`` and every dot ≤ ``top_terms·10¹⁴``, both
+≪ 2⁶³ for any ``top_terms`` up to ~9×10⁴. The clamp only engages on
+pathological term repetition; rankings below the cap are unchanged.
 
 Scale shape: tokenize+count is one (doc, term) exchange; document
 frequency is one term-keyed aggregate; the signature cap is a
@@ -38,6 +46,10 @@ from pyspark.sql import functions as F
 from mysql2parquet_spark.functions.hashing import tokens
 
 _QUANT = 1_000_000  # fixed-point scale for integer-exact weight sums
+# Clamp for the quantized weight: keeps wq² (norm/dot summands) at
+# 10¹⁴ ≪ 2⁶³ no matter how often a document repeats one term. Mirrored
+# verbatim (LEAST) in every oracle that reproduces the quantization.
+_WQ_CAP = 10_000_000
 
 
 def tfidf_signatures(
@@ -73,9 +85,10 @@ def tfidf_signatures(
         .select(
             id_col,
             "term",
-            F.round(F.col("_tf") * idf * F.lit(_QUANT))
-            .cast("long")
-            .alias("wq"),
+            F.least(
+                F.round(F.col("_tf") * idf * F.lit(_QUANT)).cast("long"),
+                F.lit(_WQ_CAP),
+            ).alias("wq"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -100,6 +113,7 @@ def tfidf_topk_similar(
     top_terms: int = 16,
     k: int = 5,
     query_pred=None,
+    max_posting_docs: int | None = None,
 ) -> DataFrame:
     """Top-``k`` most similar documents per query document by cosine
     over the capped TF-IDF signatures. ``query_pred`` (a boolean
@@ -110,13 +124,39 @@ def tfidf_topk_similar(
 
     ``query_pred``'s id list is BROADCAST for the semi-join prune, so
     its contract is a FEW probe docs (the "more like this" shape). For
-    an all-pairs / corpus-scale query side, pass ``query_pred=None``:
-    both sides then pair through the term equi-join with no broadcast,
-    and the signature cap alone bounds the fan-out.
+    an all-pairs / corpus-scale query side, pass ``query_pred=None`` —
+    and set ``max_posting_docs``. The per-DOC ``top_terms`` cap bounds
+    the signature relation, NOT per-TERM posting length: a term inside
+    every document's top-``top_terms`` (boilerplate headers, license
+    strings, templated text — exactly what LLM training corpora
+    contain) builds an n-row posting list whose term self-join is
+    O(n²). ``max_posting_docs`` drops terms whose CAPPED-signature
+    posting list exceeds it from the PAIRING side only (norms keep the
+    full signature), bounding pair fan-out at
+    Σ_term min(|postings|, cap)² — the ``max_gram_docs`` recipe from
+    the D25 gram index. Under-removal-only: pairs that shared ONLY
+    hot terms lose that dot-product mass and may rank lower or drop;
+    a term every document carries no discriminating signal anyway
+    (its idf is minimal). Default ``None`` = off, for small corpora or
+    broadcast-pruned query sides.
     """
     sig = tfidf_signatures(
         docs, id_col=id_col, text_col=text_col, top_terms=top_terms
     )
+    if max_posting_docs is not None:
+        if max_posting_docs < 1:
+            raise ValueError(
+                f"max_posting_docs must be >= 1: {max_posting_docs}"
+            )
+        # Posting length over the CAPPED signatures (the relation that
+        # joins); hot terms leave the pairing side, norm2 is untouched.
+        cold = (
+            sig.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_pd"))
+            .filter(F.col("_pd") <= max_posting_docs)
+            .select("term")
+        )
+        sig = sig.join(cold, "term", "left_semi")
     a = sig.select(
         F.col(id_col).alias("qid"),
         "term",

@@ -52,6 +52,36 @@ def _path_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _has_committed_batch(spark, store_dir: str) -> bool:
+    """True iff at least one ``batch=*`` partition finished its write
+    (its ``_SUCCESS`` marker exists).
+
+    A crash during the very FIRST batch's store write leaves
+    ``store_dir`` existing but holding only uncommitted task files —
+    existence alone would then route the replay into
+    ``spark.read.parquet`` with no committed footers ("unable to infer
+    schema"), failing the replay-after-crash-at-ANY-point contract
+    (ADVICE r9). Checking for a committed partition marker keeps that
+    case on the empty-store path while corrupt footers inside a
+    COMMITTED partition still raise. (Relies on Hadoop's default
+    ``_SUCCESS`` markers; the store writer never disables them.)
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(marker):
+            return True
+    return False
+
+
 def read_band_store(
     spark, store_dir: str, like: DataFrame, *, before_batch: int | None = None
 ) -> DataFrame:
@@ -65,11 +95,16 @@ def read_band_store(
     signature agreement 1.0 with itself, drop every doc, and overwrite
     the partition with empty data). Passing the current batch id keeps
     only strictly-earlier history via the ``batch`` partition column —
-    partition pruning, not a data scan. Only a genuinely missing store
-    path falls back to empty; any other read failure (corrupt footer,
-    permissions) raises rather than silently disabling dedup history.
+    partition pruning, not a data scan. A missing store path AND a
+    store path with no committed ``batch=*`` partition (the
+    crash-during-first-store-write residue — only uncommitted task
+    files on disk) both fall back to empty; any other read failure
+    (corrupt footer inside a committed partition, permissions) raises
+    rather than silently disabling dedup history.
     """
-    if not _path_exists(spark, store_dir):
+    if not _path_exists(spark, store_dir) or not _has_committed_batch(
+        spark, store_dir
+    ):
         return minhash_band_store(like.limit(0))
     store = spark.read.parquet(store_dir)
     if before_batch is not None:

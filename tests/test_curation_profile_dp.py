@@ -191,6 +191,53 @@ def test_profile_approx_default_close_to_exact(spark, sf_dir):
     )
 
 
+def test_profile_approx_face_error_bound_all_columns(spark, sf_dir):
+    """VERDICT r9 ask #6: the 100 TB default path (approx HLL
+    cardinality) adjudicated against the exact profile over EVERY
+    default column — the approximation touches ONLY n_distinct (HLL
+    default rsd 0.05; gate at 3 sigma = 15%); every other metric must
+    be bit-identical between the two faces."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {r["column"]: r for r in profile_table(
+        docs, exact_distinct=True
+    ).collect()}
+    approx = {r["column"]: r for r in profile_table(docs).collect()}
+    assert set(exact) == set(approx) and exact
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert a["n_distinct"] == pytest.approx(
+            e["n_distinct"], rel=0.15
+        ), c
+        for f in ("n_rows", "n_nulls", "min_num", "max_num",
+                  "min_str", "max_str", "avg_len"):
+            assert a[f] == e[f], (c, f)
+
+
+def test_profile_hostile_column_names(spark):
+    """ADVICE r9: column names are data — space, quote, backtick, dot,
+    and a stack()-shaped injection must all profile cleanly instead of
+    breaking (or rewriting) a parsed SQL string."""
+    df = (
+        spark.range(3)
+        .select(
+            F.col("id").alias("has space"),
+            F.col("id").cast("string").alias("qu'ote"),
+            (F.col("id") * 2).alias("back`tick"),
+            F.col("id").alias("dot.ted"),
+            F.col("id").alias("'), id, id, id, id, id, id, id, ('"),
+        )
+    )
+    out = {r["column"]: r for r in profile_table(
+        df, exact_distinct=True
+    ).collect()}
+    assert set(out) == set(df.columns)
+    assert out["has space"]["n_distinct"] == 3
+    assert out["back`tick"]["max_num"] == 4.0
+    assert out["qu'ote"]["min_str"] == "0"
+    assert out["dot.ted"]["n_nulls"] == 0
+    assert out["'), id, id, id, id, id, id, id, ('"]["n_rows"] == 3
+
+
 # ------------------------------------------------------------------ dp
 
 def test_dp_counts_deterministic_and_integer(spark, sf_dir):

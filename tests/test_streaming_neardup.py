@@ -173,17 +173,50 @@ def test_replay_after_store_write_crash_is_lossless(
 
 
 def test_read_band_store_raises_on_corrupt_store(spark, sf_dir, tmp_path):
-    """A store path that EXISTS but cannot be read must raise (ADVICE
-    r8, medium) — silently returning an empty store would disable the
-    entire dedup history for the batch and accept duplicates."""
+    """A COMMITTED partition (its _SUCCESS marker exists) that cannot
+    be read must raise (ADVICE r8, medium) — silently returning an
+    empty store would disable the entire dedup history for the batch
+    and accept duplicates."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     bad = tmp_path / "store" / "batch=0" / "part-00000.parquet"
     bad.parent.mkdir(parents=True)
     bad.write_bytes(b"PAR1 this is not a parquet footer")
+    (bad.parent / "_SUCCESS").write_bytes(b"")
     with pytest.raises(Exception):
         read_band_store(spark, str(tmp_path / "store"), docs).collect()
+
+
+def test_first_batch_store_write_crash_replays_clean(
+    spark, doc_stream_dir, tmp_path
+):
+    """ADVICE r9: a crash during the very FIRST batch's store write
+    leaves store_dir existing with only uncommitted task files — no
+    committed footers. The replay must treat that as the empty-store
+    case (and then rewrite both partitions), not die on 'unable to
+    infer schema'."""
+    from mysql2parquet_spark.streaming.neardup import fold_batch
+
+    out = str(tmp_path / "acc")
+    store = tmp_path / "st"
+    # crash residue: the partition dir + a half-written task file, no
+    # _SUCCESS marker anywhere
+    junk = store / "batch=0" / "_temporary" / "0" / "task" / "part-0"
+    junk.parent.mkdir(parents=True)
+    junk.write_bytes(b"PAR1 partial task output, never committed")
+
+    files = sorted(glob.glob(doc_stream_dir + "/part-*.parquet"))
+    batch0 = spark.read.parquet(files[0])
+    params = dict(out_dir=out, store_dir=str(store), threshold=0.5,
+                  max_band_width=None, **_SIG)
+    fold_batch(batch0, 0, **params)  # the replay — must not raise
+
+    accepted = {r.doc_id for r in accepted_docs(spark, out).collect()}
+    assert accepted  # batch 0 was folded with an empty history
+    # the store now has a genuinely committed batch=0 partition
+    st = read_band_store(spark, str(store), batch0)
+    assert st.select("doc").distinct().count() == len(accepted)
 
 
 def test_read_band_store_empty_schema_matches_builder(spark, sf_dir):
