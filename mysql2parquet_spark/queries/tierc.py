@@ -2417,7 +2417,7 @@ def _profile_oracle() -> str:
     "null counts, exact cardinality, numeric ranges, string min/max "
     "and average length, every metric for every column in ONE "
     "aggregation pass (single FileScan, plan-pinned) unpivoted to long "
-    "form by a stack projection. The registered query uses "
+    "form by an explode-over-structs projection. The registered query uses "
     "exact_distinct=True so the oracle reproduces bit-for-bit; the "
     "100 TB default is approx_count_distinct (HLL, no Expand replay).",
 )
@@ -2426,6 +2426,24 @@ def table_profile(spark, sf_dir):
 
     o = T(spark, sf_dir, "orders")
     return profile_table(o, list(_PROFILE_COLS), exact_distinct=True)
+
+
+@register(
+    "table_profile_approx",
+    None,  # rows-only: HLL cardinality is approximate by construction
+    "D39, the 100 TB default face (VERDICT r9 ask #6): the SAME "
+    "one-pass profile with approx_count_distinct (HLL sketch, "
+    "mergeable partial aggregation, NO Expand stream replay) over "
+    "every default-profilable documents column. Rows-only by "
+    "construction — n_distinct is an estimate; the error bound vs the "
+    "exact face is gated in tests/test_curation_profile_dp.py "
+    "(n_distinct within 3-sigma HLL rsd, every OTHER metric "
+    "bit-identical).",
+)
+def table_profile_approx(spark, sf_dir):
+    from mysql2parquet_spark.operators.profile import profile_table
+
+    return profile_table(T(spark, sf_dir, "documents"))
 
 
 def _dp_oracle() -> str:
@@ -2542,11 +2560,17 @@ def dedup_cluster_incremental(spark, sf_dir):
 
 @register(
     "score_calibrate",
+    # Mirrors the operator's NULL contract exactly (ADVICE r9): only
+    # non-NULL scores enter the rank denominator; NULL scores come back
+    # with calibrated NULL instead of being ranked last.
     """
     SELECT doc_id, source, n_chars,
            ROUND(PERCENT_RANK() OVER (
              PARTITION BY source ORDER BY n_chars), 4) AS calibrated
-    FROM documents
+    FROM documents WHERE n_chars IS NOT NULL
+    UNION ALL
+    SELECT doc_id, source, n_chars, CAST(NULL AS DOUBLE) AS calibrated
+    FROM documents WHERE n_chars IS NULL
     """,
     "D42: cross-source score calibration — replace each document's raw "
     "score (n_chars as the stand-in scorer) with its WITHIN-SOURCE "
@@ -2561,6 +2585,36 @@ def score_calibrate(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return quantile_normalize(d, "n_chars", by="source")
+
+
+@register(
+    "score_calibrate_global",
+    """
+    SELECT doc_id, n_chars,
+           ROUND(PERCENT_RANK() OVER (ORDER BY n_chars), 4) AS calibrated
+    FROM documents WHERE n_chars IS NOT NULL
+    UNION ALL
+    SELECT doc_id, n_chars, CAST(NULL AS DOUBLE) AS calibrated
+    FROM documents WHERE n_chars IS NULL
+    """,
+    "D45: exact GLOBAL percent_rank with no single-task stage -- the "
+    "scalable face of ungrouped calibration (VERDICT r9 What's-wrong "
+    "#3). repartitionByRange(score) colocates equal scores (tie ranks "
+    "stay exact), a within-partition rank plus a |partitions|-row "
+    "broadcast offset relation reassembles the global rank: "
+    "global_rank = offset(partition) + local_rank. Sampled range "
+    "boundaries decide only where rows SIT, never the arithmetic, so "
+    "the result is deterministic and hash-matches the SQL-standard "
+    "PERCENT_RANK oracle. Two data-parallel exchanges vs the one-task "
+    "funnel of a naive global window.",
+)
+def score_calibrate_global(spark, sf_dir):
+    from mysql2parquet_spark.operators.numeric import (
+        quantile_normalize_global,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_normalize_global(d, "n_chars")
 
 
 @register(
@@ -2579,8 +2633,9 @@ def score_calibrate(spark, sf_dir):
     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
     wq0 AS (
       SELECT tf.doc_id, tf.term,
-             CAST(ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
-                        * 1000000) AS BIGINT) AS wq
+             LEAST(CAST(ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1.0))
+                                       + 1.0) * 1000000) AS BIGINT),
+                   10000000) AS wq
       FROM tf, dfreq, n WHERE tf.term = dfreq.term
     ),
     capped AS (

@@ -37,7 +37,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # r10: the nine r9-added surfaces all hold r10 head slots (debut
-    # round), so the backlog is empty until r10 adds new queries.
+    # round); entries below are r10-ADDED queries that debut in r11.
+    # D45 distributed global percent_rank (exact PERCENT_RANK oracle;
+    # parity + plan pins in tests/test_calibrate_tfidf.py)
+    "score_calibrate_global",
+    # D39's 100 TB default face (VERDICT r9 ask #6): approx-HLL
+    # profile, rows-only by construction; error bound vs the exact
+    # face gated in tests/test_curation_profile_dp.py
+    "table_profile_approx",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -237,6 +237,10 @@ ROWS_ONLY_OK = {
     # tests/test_semantic_ivf.py)
     "ann_pq_persisted",
     "dedup_semantic_ivf",
+    # r11 debut (r10-added): approx-HLL profile face — n_distinct is
+    # an estimate by construction; error bound vs the exact face gated
+    # in tests/test_curation_profile_dp.py (VERDICT r9 ask #6)
+    "table_profile_approx",
 }
 
 
@@ -271,13 +275,22 @@ def test_registry_count_is_planned():
     both exact oracles, r10 debuts via NEXT_ROUND_BACKLOG) = 171, and
     the D44 surface (pipeline_temperature — temperature-based domain
     mixing with integer-grid keep probabilities, exact oracle, r10
-    debut via NEXT_ROUND_BACKLOG) = 172. Bumping this count again
-    requires a matching rotation plan (head slot in the debut round or
-    an explicit NEXT_ROUND_BACKLOG entry) — see
+    debut via NEXT_ROUND_BACKLOG) = 172, and the r10-added D45 surface
+    (score_calibrate_global — exact global percent_rank via
+    range-partitioned two-pass rank, the scalable face of ungrouped
+    calibration per VERDICT r9 What's-wrong #3; exact PERCENT_RANK
+    oracle, r11 debut via NEXT_ROUND_BACKLOG) = 173, and the D39
+    approx face (table_profile_approx — the 100 TB default HLL
+    cardinality path, rows-only by construction per VERDICT r9 ask #6,
+    error-bound-gated vs the exact profile in
+    tests/test_curation_profile_dp.py; r11 debut via
+    NEXT_ROUND_BACKLOG) = 174. Bumping this count again requires a
+    matching rotation plan (head slot in the debut round or an
+    explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 172, (
-        f"registry count changed ({len(REGISTRY)} != 172); new queries "
+    assert len(REGISTRY) == 174, (
+        f"registry count changed ({len(REGISTRY)} != 174); new queries "
         "need a rotation plan before registration"
     )
 
