@@ -538,3 +538,134 @@ def materialize_column(df, name, col):
     from pyspark.sql import functions as F
 
     return df.select("*", F.explode(F.array(col)).alias(name))
+
+
+def quota_allocate(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    *,
+    alpha: float = 1.0,
+    weight_quant: int = 1_000_000,
+) -> DataFrame:
+    """Largest-remainder integer quota allocation (D46): split a TOTAL
+    row budget across strata proportionally to ``n_g^alpha`` so the
+    quotas are EXACT integers summing to ``total`` — the deterministic
+    exact-count counterpart of D44's probabilistic temperature mixing
+    (a Bernoulli keep hits the budget only in expectation; an eval-set
+    carve or a fixed token budget needs the exact number).
+
+    Returns the |strata|-row relation ``strata_col, n, quota``.
+
+    Integer-exact across engines BY CONSTRUCTION (the D43/D44 recipe):
+    the only float op is ``n^alpha``, quantized once to
+    ``wq = floor(n^alpha * weight_quant)``; everything after is 64-bit
+    integer arithmetic — ``base_g = (total*wq_g) div Σwq`` and
+    ``rem_g = (total*wq_g) mod Σwq`` (Hamilton's method), with the
+    ``total - Σbase`` leftover units going to the largest remainders
+    (ties broken by strata value ASC). No float sum whose ordering a
+    shuffle could change ever feeds a floor. Overflow bound: needs
+    ``total · max(wq) < 2⁶³`` — at the default grid that is
+    ``total · max(n)^alpha < 9.2e12``, plenty for eval carving and
+    documented for anything bigger (drop ``weight_quant``).
+
+    Capacity: a stratum never receives more than its ``n`` rows —
+    ``quota = least(n, base + bonus)``. When ``total`` exceeds what
+    the weights can place (some strata saturate), the shortfall is NOT
+    silently redistributed: the allocation relation shows exactly
+    which strata capped, and the caller re-runs with the saturated
+    strata excluded if exact totals matter (stated, not silent —
+    the D44 keep-everything-cap convention).
+
+    Scale shape: ONE strata-keyed partial-agg exchange for the counts;
+    the allocation windows run over the |strata|-row relation —
+    bounded METADATA, the same contract as D44's fractions.
+    ``alpha=0.5`` keeps the float step IEEE-exact on both engines
+    (sqrt is correctly rounded; pow in general is libm-dependent).
+    """
+    if total < 1:
+        raise ValueError(f"total must be >= 1: {total}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0: {alpha}")
+    if weight_quant < 1:
+        raise ValueError(f"weight_quant must be >= 1: {weight_quant}")
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wq = F.floor(
+        F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+        * F.lit(weight_quant)
+    ).cast("long")
+    # windows below run over the |strata|-row metadata relation
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sized = counts.select(
+        strata_col, "n", wq.alias("_wq")
+    ).withColumn("_sum_wq", F.sum("_wq").over(wall))
+    num = F.lit(int(total)) * F.col("_wq")
+    based = sized.select(
+        strata_col,
+        "n",
+        ((num - F.pmod(num, F.col("_sum_wq"))) / F.col("_sum_wq"))
+        .cast("long")
+        .alias("_base"),
+        F.pmod(num, F.col("_sum_wq")).alias("_rem"),
+    )
+    wrem = Window.orderBy(F.col("_rem").desc(), F.col(strata_col).asc())
+    alloc = (
+        based.withColumn("_rk", F.row_number().over(wrem))
+        .withColumn(
+            "_leftover", F.lit(int(total)) - F.sum("_base").over(wall)
+        )
+        .select(
+            strata_col,
+            "n",
+            F.least(
+                F.col("n"),
+                F.col("_base")
+                + (F.col("_rk") <= F.col("_leftover")).cast("long"),
+            ).alias("quota"),
+        )
+    )
+    return alloc
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    *,
+    key_col: str,
+    alpha: float = 1.0,
+    salt: str = "quota",
+    weight_quant: int = 1_000_000,
+) -> DataFrame:
+    """Exactly ``total`` rows (capacity permitting — see
+    ``quota_allocate``), allocated across strata by largest-remainder
+    integer quotas and selected within each stratum by
+    content-addressed md5 rank (the ``sample_n_per_group`` contract:
+    deterministic across engines/reruns/partitionings, a larger total
+    extends a smaller one under the same salt).
+
+    Plan: one strata-keyed window exchange for the rank; the
+    |strata|-row allocation broadcasts back — the data stream moves
+    once. NULL strata and NULL keys are dropped (no content address).
+    """
+    alloc = quota_allocate(
+        df, strata_col, total, alpha=alpha, weight_quant=weight_quant
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))),
+        key_col,
+    )
+    return (
+        df.filter(F.col(strata_col).isNotNull())
+        .filter(F.col(key_col).isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(alloc.drop("n")), strata_col)
+        .filter(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "quota")
+    )

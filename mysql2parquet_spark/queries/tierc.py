@@ -2446,6 +2446,62 @@ def table_profile_approx(spark, sf_dir):
     return profile_table(T(spark, sf_dir, "documents"))
 
 
+@register(
+    "sample_quota",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n,
+             CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1000000)
+                  AS BIGINT) AS wq
+      FROM c
+    ),
+    t AS (SELECT SUM(wq) AS sum_wq FROM s),
+    b AS (
+      SELECT lang, n,
+             (CAST(400 AS BIGINT) * wq) // sum_wq AS base,
+             (CAST(400 AS BIGINT) * wq) % sum_wq AS rem
+      FROM s, t
+    ),
+    q AS (
+      SELECT lang,
+             LEAST(n, base + CASE WHEN
+               ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                 <= 400 - SUM(base) OVER () THEN 1 ELSE 0 END) AS quota
+      FROM b
+    )
+    SELECT x.doc_id, x.lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id
+             ) AS rk
+      FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+    ) x JOIN q ON x.lang = q.lang AND x.rk <= q.quota
+    """,
+    "D46: exact-total temperature sampling — EXACTLY 400 documents "
+    "allocated across languages by largest-remainder integer quotas "
+    "proportional to n^0.5 (Hamilton's method), selected within each "
+    "language by content-addressed md5 rank. The deterministic "
+    "exact-count counterpart of D44's Bernoulli temperature mixing "
+    "(which hits its budget only in expectation): after ONE float "
+    "sqrt quantized to an integer grid, every division/mod/compare is "
+    "64-bit integer arithmetic, so quotas are engine-exact and "
+    "shuffle-order-independent. One strata-keyed window exchange; the "
+    "|languages|-row allocation broadcasts back.",
+)
+def sample_quota(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import quota_sample
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_sample(
+        d, "lang", 400, key_col="doc_id", alpha=0.5
+    ).select("doc_id", "lang")
+
+
 def _dp_oracle() -> str:
     import math
 

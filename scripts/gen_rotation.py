@@ -45,6 +45,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # profile, rows-only by construction; error bound vs the exact
     # face gated in tests/test_curation_profile_dp.py
     "table_profile_approx",
+    # D46 exact-total largest-remainder quota sampling (exact oracle;
+    # Python-reference arithmetic twin + plan pins in tests/test_quota.py)
+    "sample_quota",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -284,13 +284,17 @@ def test_registry_count_is_planned():
     cardinality path, rows-only by construction per VERDICT r9 ask #6,
     error-bound-gated vs the exact profile in
     tests/test_curation_profile_dp.py; r11 debut via
-    NEXT_ROUND_BACKLOG) = 174. Bumping this count again requires a
+    NEXT_ROUND_BACKLOG) = 174, and the r10-added D46 surface
+    (sample_quota — exact-total largest-remainder integer quota
+    sampling, the deterministic exact-count counterpart of D44's
+    Bernoulli temperature mixing; exact oracle, r11 debut via
+    NEXT_ROUND_BACKLOG) = 175. Bumping this count again requires a
     matching rotation plan (head slot in the debut round or an
     explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 174, (
-        f"registry count changed ({len(REGISTRY)} != 174); new queries "
+    assert len(REGISTRY) == 175, (
+        f"registry count changed ({len(REGISTRY)} != 175); new queries "
         "need a rotation plan before registration"
     )
 
