@@ -439,6 +439,112 @@ def text_as_binary_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def encode_bmp_gray(values: list[list[int]]) -> bytes:
+    """Encode a row-major grid of 0-255 gray values as a 24-bit BI_RGB
+    BMP (R=G=B — the 256-total luma weights make integer luma == the
+    gray value EXACTLY, see operators/phash.py). Pure stdlib, the
+    encode twin of ``decode_bmp``."""
+    import struct
+
+    h = len(values)
+    w = len(values[0])
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    )
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for v in values[y]:
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    return header + bytes(body)
+
+
+def synth_bmp_assets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    groups: int = 40,
+    size: int = 16,
+    pattern_mod: int = 181,
+    brightness_mod: int = 60,
+) -> DataFrame:
+    """Deterministic synthetic image corpus with PLANTED near-dup
+    structure: each row gets a ``size``×``size`` gray BMP whose base
+    pattern depends only on ``id % groups`` (md5 counter-mode bytes —
+    content-addressed, no RNG) plus a per-row brightness offset
+    ``(id // groups) % brightness_mod``. Pattern values stay below
+    ``pattern_mod`` and offsets below ``brightness_mod`` with
+    ``pattern_mod + brightness_mod <= 256``, so no pixel ever clips —
+    every row in a group is an EXACT brightness shift of the group's
+    base image, which pHash is exactly invariant to (operators/
+    phash.py module doc). The expected duplicate clusters are therefore
+    ``id % groups`` — a SQL-expressible ground truth that turns a
+    DCT-hash pipeline into an exactly-oracle-checkable query.
+
+    One mapInPandas projection (zero shuffles); base patterns are
+    cached per group inside the worker (``groups`` is bounded)."""
+    import hashlib
+
+    if pattern_mod + brightness_mod > 256:
+        raise ValueError("pattern_mod + brightness_mod must be <= 256")
+
+    def _pattern(gid: int) -> list[list[int]]:
+        need = size * size
+        out: list[int] = []
+        blk = 0
+        while len(out) < need:
+            out.extend(
+                hashlib.md5(
+                    f"phash-pat:{gid}:{blk}".encode()
+                ).digest()
+            )
+            blk += 1
+        return [
+            [out[y * size + x] % pattern_mod for x in range(size)]
+            for y in range(size)
+        ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, list[list[int]]] = {}
+        for pdf in batches:
+            ids, blobs = [], []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                gid = i % groups
+                if gid not in cache:
+                    cache[gid] = _pattern(gid)
+                b = (i // groups) % brightness_mod
+                ids.append(i)
+                blobs.append(
+                    encode_bmp_gray(
+                        [[v + b for v in row] for row in cache[gid]]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": blobs,
+                    "media_type": ["image/bmp"] * len(ids),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+            StructField("media_type", StringType(), True),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(run, schema)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), True),

@@ -2502,6 +2502,47 @@ def sample_quota(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register(
+    "multimodal_phash_dedup",
+    """
+    SELECT doc_id AS asset_id, keeper FROM (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY doc_id % 40) AS keeper
+      FROM documents
+    ) WHERE doc_id <> keeper
+    """,
+    "D47: perceptual-hash image near-dup, exactly-oracle-checked "
+    "despite the DCT: the corpus is a SYNTHETIC deterministic image "
+    "table (one 16x16 BMP per document; base pattern = md5 counter "
+    "bytes of doc_id % 40, per-row brightness offset, no pixel ever "
+    "clips), so every row is an EXACT brightness shift of its group's "
+    "base image — an invariance the integer-luma pHash holds "
+    "bit-for-bit (256-total luma weights put a constant shift entirely "
+    "in the excluded DC coefficient). The expected duplicate clusters "
+    "are therefore doc_id % 40 exactly, which a plain window computes "
+    "— the oracle checks the whole decode -> batched-einsum-DCT -> "
+    "hash -> dedup pipeline end to end. Group separation is engineered "
+    "too: min pairwise Hamming between the 40 base patterns is 20 "
+    "bits (pinned in tests/test_phash.py).",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    from mysql2parquet_spark.operators.multimodal import synth_bmp_assets
+    from mysql2parquet_spark.operators.phash import (
+        phash_dedup,
+        with_phash,
+    )
+
+    # spread the per-row Python stages (BMP build + decode) BEFORE they
+    # run: the fixture parquet is one input split, and mapInPandas cost
+    # is per-row, not per-byte — the same REPARTITION_BY_NUM contract
+    # as the minhash signature folds (SCALE.md "Dedup / similarity")
+    d = T(spark, sf_dir, "documents").select("doc_id").repartition(
+        32, "doc_id"
+    )
+    assets = synth_bmp_assets(d, id_col="doc_id", groups=40)
+    return phash_dedup(with_phash(assets), mode="exact")
+
+
 def _dp_oracle() -> str:
     import math
 

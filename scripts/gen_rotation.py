@@ -48,6 +48,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D46 exact-total largest-remainder quota sampling (exact oracle;
     # Python-reference arithmetic twin + plan pins in tests/test_quota.py)
     "sample_quota",
+    # D47 perceptual-hash image near-dup (exact oracle via the planted
+    # synthetic cluster structure; invariance/codec/plan pins in
+    # tests/test_phash.py)
+    "multimodal_phash_dedup",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -288,13 +288,17 @@ def test_registry_count_is_planned():
     (sample_quota — exact-total largest-remainder integer quota
     sampling, the deterministic exact-count counterpart of D44's
     Bernoulli temperature mixing; exact oracle, r11 debut via
-    NEXT_ROUND_BACKLOG) = 175. Bumping this count again requires a
-    matching rotation plan (head slot in the debut round or an
-    explicit NEXT_ROUND_BACKLOG entry) — see
-    test_rotation_ledger_current.
+    NEXT_ROUND_BACKLOG) = 175, and the r10-added D47 surface
+    (multimodal_phash_dedup — DCT perceptual-hash image near-dup over
+    a planted-cluster synthetic BMP corpus whose ground truth is
+    SQL-expressible, so the whole decode→DCT→hash→dedup pipeline is
+    exactly-oracle-checked; r11 debut via NEXT_ROUND_BACKLOG) = 176.
+    Bumping this count again requires a matching rotation plan (head
+    slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry) —
+    see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 175, (
-        f"registry count changed ({len(REGISTRY)} != 175); new queries "
+    assert len(REGISTRY) == 176, (
+        f"registry count changed ({len(REGISTRY)} != 176); new queries "
         "need a rotation plan before registration"
     )
 
