@@ -2543,6 +2543,52 @@ def multimodal_phash_dedup(spark, sf_dir):
     return phash_dedup(with_phash(assets), mode="exact")
 
 
+@register(
+    "text_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+      FROM toks, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+      WHERE u.z[1] <> '' AND u.z[2] <> ''
+    ),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    q AS (
+      SELECT bg.doc_id,
+             CAST(FLOOR(LN((COALESCE(bi.c2, 0) + 1.0)
+                           / (COALESCE(uni.c1, 0) + 1.0 * v.v))
+                        * 1000000) AS BIGINT) AS lq
+      FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1), v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-SUM(lq) / (COUNT(*) * 1000000.0), 4) AS score
+    FROM q GROUP BY doc_id
+    """,
+    "D48: bigram-LM cross-entropy quality scoring (the CCNet recipe: "
+    "rank text by perplexity against a language model — here "
+    "self-scored, so outliers under the corpus's OWN statistics "
+    "surface for inspection). Add-1-smoothed bigram model "
+    "P(w2|w1) = (c2+1)/(c1+V); score = average negative log-prob in "
+    "nats. Each bigram's log-prob is quantized ONCE to integer "
+    "micro-nats, so every shuffle-reordered sum is 64-bit integer "
+    "math (the D43/D46 recipe) and the float-entropy RANKING "
+    "hash-matches the oracle. Tokenize+bigram = zero-shuffle "
+    "slice+zip projection; model = two keyed partial-agg exchanges "
+    "over vocabulary-bounded relations; V rides as a broadcast 1-row "
+    "relation.",
+)
+def text_lm_score(spark, sf_dir):
+    from mysql2parquet_spark.operators.lm import lm_score
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_score(d)
+
+
 def _dp_oracle() -> str:
     import math
 

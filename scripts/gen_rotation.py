@@ -52,6 +52,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # synthetic cluster structure; invariance/codec/plan pins in
     # tests/test_phash.py)
     "multimodal_phash_dedup",
+    # D48 bigram-LM cross-entropy scoring (exact oracle; pure-Python
+    # reference twin + backoff/determinism/plan pins in tests/test_lm.py)
+    "text_lm_score",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

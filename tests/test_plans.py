@@ -402,6 +402,15 @@ BROADCAST_ALLOWLIST = {
         "nation — fixed-cardinality dim",
     ("queries/tierc.py", "ann_ivf_topk"):
         "probe centroid ids — k rows",
+    ("operators/numeric.py", "quantile_normalize_global"):
+        "|range-partitions|-row cumulative-offset relation — bounded "
+        "by the partition count, never the data",
+    ("operators/scale.py", "quota_sample"):
+        "|strata|-row quota allocation — one count aggregate over the "
+        "stratum key, bounded by stratum cardinality",
+    ("operators/lm.py", "lm_score"):
+        "one-row vocabulary-size relation — rides as a broadcast "
+        "instead of a driver scalar so the plan stays lazy",
     ("queries/tpch.py", "tpch_q5_shape"):
         "nation (25) + region (5) only; supplier/customer hint-free",
     ("queries/tpch.py", "tpch_q10_shape"):

@@ -292,13 +292,18 @@ def test_registry_count_is_planned():
     (multimodal_phash_dedup — DCT perceptual-hash image near-dup over
     a planted-cluster synthetic BMP corpus whose ground truth is
     SQL-expressible, so the whole decode→DCT→hash→dedup pipeline is
-    exactly-oracle-checked; r11 debut via NEXT_ROUND_BACKLOG) = 176.
-    Bumping this count again requires a matching rotation plan (head
-    slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry) —
-    see test_rotation_ledger_current.
+    exactly-oracle-checked; r11 debut via NEXT_ROUND_BACKLOG) = 176,
+    and the r10-added D48 surface (text_lm_score — bigram-LM
+    cross-entropy quality scoring, CCNet-style; log-probs quantized to
+    integer micro-nats for order-independent sums, exact oracle, pure-
+    Python reference twin in tests/test_lm.py; r11 debut via
+    NEXT_ROUND_BACKLOG) = 177. Bumping this count again requires a
+    matching rotation plan (head slot in the debut round or an
+    explicit NEXT_ROUND_BACKLOG entry) — see
+    test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 176, (
-        f"registry count changed ({len(REGISTRY)} != 176); new queries "
+    assert len(REGISTRY) == 177, (
+        f"registry count changed ({len(REGISTRY)} != 177); new queries "
         "need a rotation plan before registration"
     )
 
