@@ -829,6 +829,84 @@ def gram_jaccard_pairs_indexed(
     )
 
 
+def gram_containment_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    self_pairs: bool = True,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs (D49): ``|A∩B| / min(|A|, |B|)``
+    (Broder 1997's containment) — the near-SUBSET detector resemblance
+    misses. A 200-word article quoted inside a 5,000-word aggregator
+    page has Jaccard ≈ 0.04 (invisible to every resemblance threshold)
+    but containment ≈ 1.0; LLM corpora are full of exactly this shape
+    (quotes, aggregators, boilerplate-wrapped reposts), and dropping
+    the big near-superset — or the small contained fragment — is a
+    CURATION decision this relation feeds (compose with D38's
+    quality-aware resolution).
+
+    Same inverted gram-index plan as ``gram_jaccard_pairs_indexed``
+    (documents meet ONLY through shared grams; the intersection is a
+    count aggregate; set sizes ride on the index rows), so it is exact
+    for ``threshold > 0`` — a zero-overlap pair cannot pass — and never
+    O(n²). ``max_gram_docs`` carries the same under-removal-only
+    recall trade (dropped hot grams shrink intersections, never
+    fabricate a pair). Returns ``(id_a, id_b, containment)`` ROUND 4,
+    thresholded on the unrounded ratio (integer-exact cross-engine).
+    """
+    if threshold <= 0.0:
+        raise ValueError(
+            "gram_containment_pairs is exact only for threshold > 0 "
+            "(zero-overlap pairs never meet the gram join)"
+        )
+    lg = _gram_index(left, id_col, text_col, shingle_n)
+    rg = (
+        lg
+        if self_pairs or right is None
+        else _gram_index(right, id_col, text_col, shingle_n)
+    )
+    if max_gram_docs is not None:
+        heavy = (
+            rg.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_docs)
+            .select("gram")
+        )
+        rg = rg.join(heavy, "gram", "left_anti")
+    x, y = lg.alias("x"), rg.alias("y")
+    cond = F.col("x.gram") == F.col("y.gram")
+    if self_pairs:
+        cond = cond & (F.col("x.doc") < F.col("y.doc"))
+    inter = (
+        x.join(y, cond)
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.n").alias("_xn"),
+            F.col("y.n").alias("_yn"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min("_xn").alias("_na"),
+            F.min("_yn").alias("_nb"),
+        )
+    )
+    cont = F.col("_inter").cast("double") / F.least(
+        F.col("_na"), F.col("_nb")
+    ).cast("double")
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    )
+
+
 def incremental_jaccard_dedup(
     batch: DataFrame,
     accepted: DataFrame,

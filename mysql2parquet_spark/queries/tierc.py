@@ -2589,6 +2589,36 @@ def text_lm_score(spark, sf_dir):
     return lm_score(d)
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_GRAMS2} AS g FROM documents
+    )
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+                 / LEAST(len(x.g), len(y.g)), 4) AS containment
+    FROM d x, d y
+    WHERE x.doc_id < y.doc_id
+      AND CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+          / LEAST(len(x.g), len(y.g)) >= 0.5
+    """,
+    "D49: exact n-gram CONTAINMENT pairs — |A∩B| / min(|A|,|B|) "
+    "(Broder's containment), the near-SUBSET detector resemblance "
+    "misses: a 200-word article quoted inside a 5000-word aggregator "
+    "page has jaccard ~0.04 but containment ~1.0 — exactly the "
+    "quote/repost shape LLM corpora are full of. Same inverted "
+    "gram-index plan as the green D25 family (docs meet ONLY through "
+    "shared grams; intersection = count aggregate; set sizes ride the "
+    "index rows), exact for threshold > 0, never O(n²); the oracle "
+    "recomputes the identical integer ratios via set algebra. "
+    "Bigram shingles, threshold 0.5.",
+)
+def dedup_containment(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.gram_containment_pairs(d, shingle_n=2, threshold=0.5)
+
+
 def _dp_oracle() -> str:
     import math
 

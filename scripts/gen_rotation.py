@@ -55,6 +55,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D48 bigram-LM cross-entropy scoring (exact oracle; pure-Python
     # reference twin + backoff/determinism/plan pins in tests/test_lm.py)
     "text_lm_score",
+    # D49 exact n-gram containment pairs (exact set-algebra oracle;
+    # quote-detection/under-removal/plan pins in tests/test_containment.py)
+    "dedup_containment",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -297,13 +297,17 @@ def test_registry_count_is_planned():
     cross-entropy quality scoring, CCNet-style; log-probs quantized to
     integer micro-nats for order-independent sums, exact oracle, pure-
     Python reference twin in tests/test_lm.py; r11 debut via
-    NEXT_ROUND_BACKLOG) = 177. Bumping this count again requires a
+    NEXT_ROUND_BACKLOG) = 177, and the r10-added D49 surface
+    (dedup_containment — exact n-gram containment pairs over the
+    inverted gram index, the near-subset/quote detector resemblance
+    misses; exact set-algebra oracle, r11 debut via
+    NEXT_ROUND_BACKLOG) = 178. Bumping this count again requires a
     matching rotation plan (head slot in the debut round or an
     explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 177, (
-        f"registry count changed ({len(REGISTRY)} != 177); new queries "
+    assert len(REGISTRY) == 178, (
+        f"registry count changed ({len(REGISTRY)} != 178); new queries "
         "need a rotation plan before registration"
     )
 
