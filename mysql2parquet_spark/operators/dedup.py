@@ -1074,3 +1074,87 @@ def incremental_minhash_dedup(
     )
     losers = cross.unionByName(within).distinct()
     return batch.join(losers, id_col, "left_anti")
+
+
+def frequent_segment_removal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-frequent SEGMENT removal (D50) — the C4/RefinedWeb line
+    dedup (Raffel et al. 2020 drop any three-sentence span seen more
+    than once; Penedo et al. 2023 drop duplicated lines): split every
+    document on ``sep``, count each segment's occurrences across the
+    WHOLE corpus, delete every occurrence of any segment seen
+    ``min_count``-or-more times, and reassemble the survivors in their
+    original order. Removes the boilerplate that whole-document dedup
+    is blind to — nav bars, cookie banners, license headers — which
+    repeat across millions of otherwise-distinct pages.
+
+    Plan shape (100 TB): posexplode is a zero-shuffle projection; the
+    global segment count is ONE keyed partial-agg exchange (map-side
+    combine collapses each partition to its distinct segments before
+    the wire); the ban is a left_anti equi-join on the segment key
+    (never O(n²) — segments meet only their own hash bucket); the
+    reassembly is one ``id_col``-keyed agg with ``array_sort`` on the
+    carried position (no window, no global sort). Counting keys on the
+    raw segment so the oracle mirrors trivially; at petabyte scale key
+    the count/ban on ``md5(seg)`` to shuffle 16-byte keys — same plan,
+    documented trade.
+
+    Returns ``(id_col, text, n_kept, n_dropped)`` — SURVIVORS ONLY: a
+    document whose every segment is banned disappears (the C4
+    contract; left_anti against this relation recovers the killed
+    set). Occurrences inside one document count toward the global
+    total, so a doc that repeats its own boilerplate ``min_count``
+    times bans it alone — exactly how the published pipelines count.
+
+    The reference exports text untouched (/root/reference/main.go:106);
+    this is Tier-C pipeline coverage like C1/D21.
+    """
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (got {min_count}): 1 would ban "
+            "every segment and empty the corpus"
+        )
+    import re as _re
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "seg"),
+    )
+    banned = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("seg")
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
+    kept = segs.join(banned, "seg", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            "text",
+            "n_kept",
+            (F.col("_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )

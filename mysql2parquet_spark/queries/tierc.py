@@ -2898,3 +2898,41 @@ def pipeline_temperature(spark, sf_dir):
     return temperature_sample(
         d, "source", id_col="doc_id", alpha=0.5, target_rows=300
     ).select("doc_id", "source")
+
+
+@register(
+    "dedup_segments",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' the '), 1) AS pos,
+             unnest(string_split(text, ' the ')) AS seg
+      FROM documents
+    ), b AS (
+      SELECT seg FROM s GROUP BY seg HAVING COUNT(*) >= 2
+    ), t AS (
+      SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id
+    ), k AS (
+      SELECT * FROM s WHERE seg NOT IN (SELECT seg FROM b)
+    )
+    SELECT k.doc_id,
+           string_agg(k.seg, ' the ' ORDER BY k.pos) AS text,
+           COUNT(*) AS n_kept,
+           MIN(t.n) - COUNT(*) AS n_dropped
+    FROM k JOIN t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+    "D50: corpus-frequent segment removal — the C4/RefinedWeb line "
+    "dedup: split every doc on a separator, ban any segment occurring "
+    ">= min_count times across the WHOLE corpus, reassemble survivors "
+    "in original order (boilerplate killer whole-doc dedup is blind "
+    "to). ONE keyed count exchange (map-side combined) + left_anti "
+    "equi-join + one id-keyed reassembly agg (array_sort on carried "
+    "positions -- no window, no global sort). The fixture has no "
+    "newlines, so the registered query segments on the phrase "
+    "boundary ' the ' (min_count=2) -- identical plan, and the unit "
+    "tests prove the newline contract on planted multi-line docs.",
+)
+def dedup_segments(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.frequent_segment_removal(d, sep=" the ", min_count=2)

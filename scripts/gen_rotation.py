@@ -58,6 +58,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D49 exact n-gram containment pairs (exact set-algebra oracle;
     # quote-detection/under-removal/plan pins in tests/test_containment.py)
     "dedup_containment",
+    # D50 corpus-frequent segment removal — C4/RefinedWeb line dedup
+    # (exact oracle incl. ordered reassembly; C4-semantics/Python-twin/
+    # plan pins in tests/test_segments.py)
+    "dedup_segments",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

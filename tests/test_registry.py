@@ -301,13 +301,18 @@ def test_registry_count_is_planned():
     (dedup_containment — exact n-gram containment pairs over the
     inverted gram index, the near-subset/quote detector resemblance
     misses; exact set-algebra oracle, r11 debut via
-    NEXT_ROUND_BACKLOG) = 178. Bumping this count again requires a
-    matching rotation plan (head slot in the debut round or an
-    explicit NEXT_ROUND_BACKLOG entry) — see
+    NEXT_ROUND_BACKLOG) = 178, and the r10-added D50 surface
+    (dedup_segments — corpus-frequent segment removal, the
+    C4/RefinedWeb line dedup: global segment counts ban boilerplate,
+    survivors reassemble in order; exact oracle incl. the ordered
+    reassembly, Python reference twin in tests/test_segments.py; r11
+    debut via NEXT_ROUND_BACKLOG) = 179. Bumping this count again
+    requires a matching rotation plan (head slot in the debut round or
+    an explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 178, (
-        f"registry count changed ({len(REGISTRY)} != 178); new queries "
+    assert len(REGISTRY) == 179, (
+        f"registry count changed ({len(REGISTRY)} != 179); new queries "
         "need a rotation plan before registration"
     )
 
