@@ -473,3 +473,140 @@ def temperature_sample(
         .filter(u < F.col("fraction_q"))
         .drop("n", "weight", "fraction_q")
     )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target_pred,
+    *,
+    text_col: str = "text",
+    hex_chars: int = 2,
+) -> DataFrame:
+    """DSIR bucket log-ratios (D51, Xie et al. 2023 "Data Selection
+    for Language Models via Importance Resampling"): hash every token
+    into ``16^hex_chars`` buckets (the md5-hex prefix IS the bucket
+    key — no integer conversion, so the oracle mirrors char-for-char),
+    estimate add-one-smoothed unigram bag models over the TARGET slice
+    (rows matching ``target_pred``) and the RAW corpus, and emit one
+    row per observed bucket with the quantized log importance ratio
+
+        lam_micro = floor((ln(ct+1) - ln(Nt+B) - ln(cr+1) + ln(Nr+B))
+                          * 1e6)
+
+    in integer micro-nats (the D48 recipe: quantize ONCE, then every
+    downstream sum is order-independent 64-bit integer math).
+
+    Scale shape: tokenize+hash is a zero-shuffle projection; each bag
+    model is ONE bucket-keyed partial-agg exchange over a relation
+    bounded by B (≤ 65536 at hex_chars=4), and the totals ride as
+    broadcast 1-row relations — nothing is collected. Buckets unseen
+    in the target smooth to ct=0 (add-one keeps every ratio finite);
+    an EMPTY target degrades to a pure rarity score (ct=0 everywhere),
+    coalesced rather than raised, documented here.
+    """
+    if not 1 <= hex_chars <= 8:
+        raise ValueError(f"hex_chars must be in [1, 8]: {hex_chars}")
+    b_count = 16 ** hex_chars
+    toks = docs.select(
+        target_pred.alias("_is_target"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    hashed = toks.select(
+        "_is_target", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+    )
+    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        hashed.filter(F.col("_is_target"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nr = raw.agg(F.sum("cr").alias("nr"))
+    nt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    joined = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nr))  # 1-row totals relation
+        .crossJoin(F.broadcast(nt))  # 1-row totals relation
+    )
+    lam = F.floor(
+        (
+            F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+            - F.log(F.col("nt") + F.lit(b_count))
+            - F.log(F.col("cr") + F.lit(1))
+            + F.log(F.col("nr") + F.lit(b_count))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return joined.select("b", lam.alias("lam_micro"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Per-document DSIR importance weight: ``(id_col, weight_micro)``
+    where ``weight_micro = Σ_buckets count_d(b) · lam_micro(b)`` — the
+    log-likelihood ratio of the document under the target vs raw bag
+    models, in integer micro-nats (exact: counts ≤ doc length, ratios
+    ≤ ~2·10⁷ micro-nats, sums ≤ ~10¹¹ — far inside int64). Documents
+    with zero tokens carry no evidence and are absent.
+
+    Plan: per-doc bucket counts are one (id, bucket)-keyed exchange;
+    the ≤ B-row ratio relation broadcasts onto it; one id-keyed sum
+    finishes. Three data exchanges total regardless of corpus size.
+    """
+    lam = dsir_log_ratios(
+        docs, target_pred, text_col=text_col, hex_chars=hex_chars
+    )
+    dc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(id_col, F.substring(F.md5("w"), 1, hex_chars).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dc.join(F.broadcast(lam), "b")  # ≤ 16^hex_chars-row relation
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("lam_micro")).alias("weight_micro"))
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Top-k DSIR selection: the k documents whose hashed-unigram
+    likelihood ratio most favors the target domain — the published
+    recipe's hard-top-k face (the paper resamples with Gumbel noise;
+    the deterministic top-k keeps the relation oracle-exact, and a
+    caller wanting the stochastic face adds a content-addressed
+    Gumbel like D44's sampler). Ties break by ``id_col`` ascending so
+    the selected SET is engine-exact, not just the scores. Spark plans
+    the limit as TakeOrderedAndProject (per-partition heaps + one k-row
+    merge), never a global sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = dsir_weights(
+        docs, target_pred, id_col=id_col, text_col=text_col,
+        hex_chars=hex_chars,
+    )
+    return w.orderBy(
+        F.col("weight_micro").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -2936,3 +2936,54 @@ def pipeline_temperature(spark, sf_dir):
 def dedup_segments(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.frequent_segment_removal(d, sep=" the ", min_count=2)
+
+
+@register(
+    "pipeline_dsir",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source, substring(md5(w), 1, 2) AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), raw AS (
+      SELECT b, COUNT(*) AS cr FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*) AS ct FROM tok
+      WHERE source IN ('src1', 'src3') GROUP BY b
+    ), lam AS (
+      SELECT raw.b,
+             CAST(FLOOR((ln(COALESCE(ct, 0) + 1)
+                         - ln((SELECT COALESCE(SUM(ct), 0) FROM tgt) + 256)
+                         - ln(cr + 1)
+                         + ln((SELECT SUM(cr) FROM raw) + 256))
+                        * 1000000) AS BIGINT) AS lam_micro
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ), dc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(SUM(c * lam_micro) AS BIGINT) AS weight_micro
+    FROM dc JOIN lam ON dc.b = lam.b
+    GROUP BY doc_id
+    ORDER BY weight_micro DESC, doc_id
+    LIMIT 100
+    """,
+    "D51: DSIR importance selection (Xie et al. 2023) — rank documents "
+    "by their hashed-unigram log-likelihood ratio under add-one bag "
+    "models of a TARGET domain (source src1/src3 here) vs the RAW "
+    "corpus, keep the top k=100. Buckets are md5-hex prefixes (256 at "
+    "hex_chars=2 -- the bucket KEY is the hex string, so the oracle "
+    "mirrors char-for-char); per-bucket log ratios quantized ONCE to "
+    "integer micro-nats (the D48 recipe), so per-doc sums are "
+    "order-independent int64 math and the selected SET is engine-exact "
+    "(ties break by doc_id). Two bag-model aggs over <=256-row "
+    "relations, one (id,bucket) exchange, broadcast ratio join, "
+    "TakeOrderedAndProject top-k -- never a global sort.",
+)
+def pipeline_dsir(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import dsir_select
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_select(d, F.col("source").isin("src1", "src3"), 100)

@@ -62,6 +62,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # (exact oracle incl. ordered reassembly; C4-semantics/Python-twin/
     # plan pins in tests/test_segments.py)
     "dedup_segments",
+    # D51 DSIR importance selection (exact oracle incl. micro-nat
+    # quantization; Python-twin/ranking/plan pins in tests/test_dsir.py)
+    "pipeline_dsir",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -411,6 +411,12 @@ BROADCAST_ALLOWLIST = {
     ("operators/lm.py", "lm_score"):
         "one-row vocabulary-size relation — rides as a broadcast "
         "instead of a driver scalar so the plan stays lazy",
+    ("operators/pipeline.py", "dsir_log_ratios"):
+        "two 1-row bag-model totals relations — ride as broadcasts "
+        "instead of driver scalars so the plan stays lazy",
+    ("operators/pipeline.py", "dsir_weights"):
+        "bucket log-ratio relation — ≤ 16^hex_chars rows (256 at the "
+        "default) regardless of corpus size",
     ("queries/tpch.py", "tpch_q5_shape"):
         "nation (25) + region (5) only; supplier/customer hint-free",
     ("queries/tpch.py", "tpch_q10_shape"):

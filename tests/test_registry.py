@@ -306,13 +306,17 @@ def test_registry_count_is_planned():
     C4/RefinedWeb line dedup: global segment counts ban boilerplate,
     survivors reassemble in order; exact oracle incl. the ordered
     reassembly, Python reference twin in tests/test_segments.py; r11
-    debut via NEXT_ROUND_BACKLOG) = 179. Bumping this count again
-    requires a matching rotation plan (head slot in the debut round or
-    an explicit NEXT_ROUND_BACKLOG entry) — see
-    test_rotation_ledger_current.
+    debut via NEXT_ROUND_BACKLOG) = 179, and the r10-added D51 surface
+    (pipeline_dsir — DSIR importance selection, Xie et al. 2023:
+    hashed-unigram log-likelihood ratios under target-vs-raw bag
+    models, integer micro-nat exact; exact oracle, Python reference
+    twin in tests/test_dsir.py; r11 debut via NEXT_ROUND_BACKLOG)
+    = 180. Bumping this count again requires a matching rotation plan
+    (head slot in the debut round or an explicit NEXT_ROUND_BACKLOG
+    entry) — see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 179, (
-        f"registry count changed ({len(REGISTRY)} != 179); new queries "
+    assert len(REGISTRY) == 180, (
+        f"registry count changed ({len(REGISTRY)} != 180); new queries "
         "need a rotation plan before registration"
     )
 
