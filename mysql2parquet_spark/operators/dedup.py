@@ -1158,3 +1158,128 @@ def frequent_segment_removal(
             (F.col("_total") - F.col("n_kept")).alias("n_dropped"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking (D53, the LBFS/rsync recipe — Muthitacharoen
+    et al. 2001 — at word granularity): a word closes a chunk iff the
+    leading hex char of ``md5(word ‖ ':salt')`` falls in
+    ``boundary_hexes``, so boundaries are a pure function of LOCAL
+    content, never of position. That is the property fixed-width
+    chunking lacks: insert one word at the front of a document and
+    every fixed window shifts (zero chunk reuse), while CDC boundaries
+    resynchronize at the next boundary word and every later chunk is
+    byte-identical — which is what makes CHUNK-level dedup robust to
+    the insert/prepend edits document-level near-dup misses.
+
+    Expected chunk length is ``16/len(boundary_hexes)`` words (8 at
+    the default). Returns ``(id_col, chunk_id, chunk)`` with chunk_id
+    counting boundaries before the word — 0-based, per document.
+
+    Plan shape: tokenize+flag is a zero-shuffle projection; the prefix
+    sum is ONE ``id_col``-keyed window (rows frame, no global sort);
+    chunk assembly is one (id, chunk)-keyed agg with ``array_sort`` on
+    carried positions (the D50 reassembly idiom). The md5-hex boundary
+    test mirrors char-for-char in any engine — chunking stays
+    oracle-exact.
+    """
+    if not boundary_hexes or not set(boundary_hexes) <= set("0123456789abcdef"):
+        raise ValueError(
+            f"boundary_hexes must be non-empty lowercase hex chars: "
+            f"{boundary_hexes!r}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("pos", "w"),
+    )
+    flag = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("w"), F.lit(":" + salt))), 1, 1
+        ).isin(*boundary_hexes),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum(flag).over(w), F.lit(0))
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+
+
+def cdc_chunk_dup_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_hexes: tuple[str, ...] = ("0", "1"),
+    salt: str = "cdc",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document chunk-level duplication report over CDC chunks:
+    ``(id_col, n_chunks, n_dup_chunks, dup_ratio)`` where a chunk is
+    DUP iff its corpus-wide occurrence count reaches ``min_count``.
+    The shift-robust middle ground between whole-document fingerprints
+    (miss any edit) and n-gram overlap (quadratic candidate relations):
+    a prepended header leaves every post-boundary chunk identical, so
+    the copied body still reads ~100% duplicated.
+
+    One extra chunk-keyed count exchange over ``cdc_chunks`` + a
+    chunk-keyed equi-join back (chunks meet only their own hash
+    bucket); at petabyte scale key both on ``md5(chunk)`` — the D50
+    trade, documented there. ``dup_ratio`` is floor-quantized to 1e-4
+    (the D52 tie rule). The chunk relation feeds BOTH sides of the
+    count join, so it is pinned once (localCheckpoint — the D41
+    discipline) instead of re-running the explode+window per side;
+    a pipeline that already materializes chunks should count/join
+    against its parquet instead.
+    """
+    ch = cdc_chunks(
+        df, id_col=id_col, text_col=text_col,
+        boundary_hexes=boundary_hexes, salt=salt,
+    ).localCheckpoint(eager=True)
+    cnt = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("_n"))
+    dup = F.when(F.col("_n") >= min_count, F.lit(1)).otherwise(F.lit(0))
+    return (
+        ch.join(cnt, "chunk")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            (
+                F.floor(
+                    F.col("n_dup_chunks").cast("double")
+                    / F.col("n_chunks").cast("double")
+                    * F.lit(10_000.0)
+                )
+                / F.lit(10_000.0)
+            ).alias("dup_ratio"),
+        )
+    )

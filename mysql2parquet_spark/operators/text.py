@@ -524,3 +524,121 @@ def term_cooccurrence_pmi(
             6,
         ).alias("pmi"),
     )
+
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_hits: int = 2,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+) -> DataFrame:
+    """The Gopher/MassiveText quality-rule VECTOR (D52, Rahimi et
+    al.'s rule set as published in Rae et al. 2021 §A1.1): the
+    word-level repetition-independent filters, each as its own boolean
+    so a pipeline can audit WHICH rule killed a document instead of
+    learning only that one did — word count in [min, max], mean word
+    length in [min, max], symbol-to-word ratio (``#`` or ``...``
+    inside a word) at most the cap, fraction of words containing an
+    alphabetic character at least the floor, and at least
+    ``min_required_hits`` DISTINCT words from the required-word list
+    (Gopher's "2 of the, be, to, of, and, that, have, with").
+    Defaults are the paper's numbers; callers tune them per corpus.
+    ``keep`` is the conjunction.
+
+    Line-shaped rules (bullet-start / ellipsis-end ratios) belong to
+    the segment relation — compose ``frequent_segment_removal``'s
+    exploded view (D50) with a plain aggregate for those; and the
+    repetition rules (duplicate n-gram fractions) are D21/C4's
+    ``with_repetition_score``. This operator is the per-word family.
+
+    Scale shape: ONE whole-stage-codegen projection — every metric is
+    higher-order array math on the tokenized column (aggregate /
+    filter / array_intersect), zero shuffles, zero UDFs, nothing
+    collected. Rules compare UNROUNDED (exact int/int division —
+    engine-exact); the emitted ratio columns are FLOOR-quantized to
+    ten-thousandths, not ROUND — int/int means with power-of-two
+    denominators land exactly on .xxxx5 ties (137/32 = 4.28125), where
+    Spark's HALF_UP and other engines' rounding split; floor of the
+    identical IEEE product is engine-exact. Documents with no words
+    fail every bound rule by definition (``keep = false``, NULL
+    ratios).
+
+    The reference exports text untouched (/root/reference/main.go:106);
+    this is Tier-C pipeline coverage like C4.
+    """
+    if min_required_hits > len(required_words):
+        raise ValueError(
+            f"min_required_hits ({min_required_hits}) exceeds the "
+            f"required-word list ({len(required_words)})"
+        )
+    words = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    symbol_n = F.size(
+        F.filter(
+            words, lambda w: w.contains("#") | w.contains("...")
+        )
+    )
+    alpha_n = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    req = F.array(*[F.lit(w) for w in required_words])
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), req
+        )
+    )
+    mean_len = F.when(
+        n > 0, sum_len.cast("double") / n.cast("double")
+    )
+    sym_ratio = F.when(
+        n > 0, symbol_n.cast("double") / n.cast("double")
+    )
+    alpha_ratio = F.when(
+        n > 0, alpha_n.cast("double") / n.cast("double")
+    )
+    r_words = (n >= min_words) & (n <= max_words)
+    r_mean = F.coalesce(
+        (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        F.lit(False),
+    )
+    r_symbol = F.coalesce(
+        sym_ratio <= max_symbol_word_ratio, F.lit(False)
+    )
+    r_alpha = F.coalesce(
+        alpha_ratio >= min_alpha_word_ratio, F.lit(False)
+    )
+    r_required = hits >= min_required_hits
+    def _q4(c):
+        return F.floor(c * F.lit(10_000.0)) / F.lit(10_000.0)
+
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        _q4(mean_len).alias("mean_word_len"),
+        _q4(sym_ratio).alias("symbol_ratio"),
+        _q4(alpha_ratio).alias("alpha_ratio"),
+        hits.alias("required_hits"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_ratio"),
+        r_required.alias("r_required_words"),
+        (r_words & r_mean & r_symbol & r_alpha & r_required).alias(
+            "keep"
+        ),
+    )

@@ -2987,3 +2987,121 @@ def pipeline_dsir(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return dsir_select(d, F.col("source").isin("src1", "src3"), 100)
+
+
+@register(
+    "text_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0 THEN
+               CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+               / len(ws) END AS mean_len,
+             CASE WHEN len(ws) > 0 THEN
+               CAST(len(list_filter(ws,
+                 x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+               / len(ws) END AS sym,
+             CASE WHEN len(ws) > 0 THEN
+               CAST(len(list_filter(ws,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(ws) END AS alpha,
+             len(list_intersect(
+               list_distinct(list_transform(ws, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with'])) AS hits
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           FLOOR(mean_len * 10000.0) / 10000.0 AS mean_word_len,
+           FLOOR(sym * 10000.0) / 10000.0 AS symbol_ratio,
+           FLOOR(alpha * 10000.0) / 10000.0 AS alpha_ratio,
+           hits AS required_hits,
+           (n_words >= 30 AND n_words <= 60) AS r_word_count,
+           COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
+             AS r_mean_word_len,
+           COALESCE(sym <= 0.1, FALSE) AS r_symbol_ratio,
+           COALESCE(alpha >= 0.8, FALSE) AS r_alpha_ratio,
+           (hits >= 1) AS r_required_words,
+           ((n_words >= 30 AND n_words <= 60)
+            AND COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
+            AND COALESCE(sym <= 0.1, FALSE)
+            AND COALESCE(alpha >= 0.8, FALSE)
+            AND (hits >= 1)) AS keep
+    FROM m
+    """,
+    "D52: the Gopher/MassiveText word-level quality-rule VECTOR (Rae "
+    "et al. 2021): word count in [min,max], mean word length in "
+    "[3,10], symbol-to-word ratio <= 0.1, alphabetic-word ratio >= "
+    "0.8, and >= N distinct required words -- each rule its own "
+    "boolean plus the conjunction, so a pipeline audits WHICH rule "
+    "killed a document. ONE whole-stage-codegen projection: every "
+    "metric is higher-order array math (aggregate/filter/intersect) "
+    "on the tokenized column -- zero shuffles, zero UDFs. Bounds "
+    "tuned to the fixture's 25-40-word docs (min 30 / max 60, 1 "
+    "required hit) so the keep decision has variety; the operator "
+    "defaults are the paper's numbers.",
+)
+def text_gopher_rules(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gopher_quality_rules(
+        d, min_words=30, max_words=60, min_required_hits=1
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(
+               regexp_split_to_array(trim(text), '\s+'), 1) AS pos,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN substring(md5(w || ':cdc'), 1, 1) IN ('0', '1')
+                  THEN 1 ELSE 0 END AS f
+      FROM tok
+    ), c AS (
+      SELECT doc_id, pos, w,
+             COALESCE(SUM(f) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_id
+      FROM b
+    ), ch AS (
+      SELECT doc_id, chunk_id, string_agg(w, ' ' ORDER BY pos) AS chunk
+      FROM c GROUP BY doc_id, chunk_id
+    ), cnt AS (
+      SELECT chunk, COUNT(*) AS n FROM ch GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           FLOOR(CAST(SUM(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / COUNT(*) * 10000.0) / 10000.0 AS dup_ratio
+    FROM ch JOIN cnt ON ch.chunk = cnt.chunk
+    GROUP BY ch.doc_id
+    """,
+    "D53: content-defined chunking chunk-level dup report (the "
+    "LBFS/rsync recipe at word granularity): a word closes a chunk "
+    "iff md5(word)'s leading hex char is in the boundary set (p=1/8 "
+    "here, ~8-word chunks), so boundaries depend only on LOCAL "
+    "content -- a prepended header shifts every fixed window but CDC "
+    "chunks resync at the next boundary and the copied body still "
+    "reads ~100% duplicated. Tokenize+flag = zero-shuffle projection; "
+    "prefix-sum = ONE doc-keyed rows-frame window; assembly = one "
+    "(doc,chunk)-keyed agg; dup flag = one chunk-keyed count + "
+    "equi-join back. dup_ratio floor-quantized 1e-4 (the D52 tie "
+    "rule).",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.cdc_chunk_dup_stats(d)

@@ -65,6 +65,13 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D51 DSIR importance selection (exact oracle incl. micro-nat
     # quantization; Python-twin/ranking/plan pins in tests/test_dsir.py)
     "pipeline_dsir",
+    # D52 Gopher word-level quality-rule vector (exact oracle; per-rule
+    # trigger/empty-doc/Python-twin/zero-exchange pins in
+    # tests/test_gopher.py)
+    "text_gopher_rules",
+    # D53 content-defined chunking dup report (exact oracle; Python
+    # twin/shift-robustness/plan pins in tests/test_cdc.py)
+    "dedup_cdc_chunks",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

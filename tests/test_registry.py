@@ -311,12 +311,22 @@ def test_registry_count_is_planned():
     hashed-unigram log-likelihood ratios under target-vs-raw bag
     models, integer micro-nat exact; exact oracle, Python reference
     twin in tests/test_dsir.py; r11 debut via NEXT_ROUND_BACKLOG)
-    = 180. Bumping this count again requires a matching rotation plan
-    (head slot in the debut round or an explicit NEXT_ROUND_BACKLOG
-    entry) — see test_rotation_ledger_current.
+    = 180, and the r10-added D52 surface (text_gopher_rules — the
+    Gopher/MassiveText word-level quality-rule vector, each rule an
+    auditable boolean, keep = conjunction, floor-quantized ratios for
+    engine-exact ties; exact oracle, Python reference twin in
+    tests/test_gopher.py; r11 debut via NEXT_ROUND_BACKLOG) = 181,
+    and the r10-added D53 surface (dedup_cdc_chunks — content-defined
+    chunking chunk-level dup report: md5-boundary word chunks that
+    resync after prepend/insert edits, per-doc dup ratios; exact
+    oracle incl. the window prefix sum, Python reference twin in
+    tests/test_cdc.py; r11 debut via NEXT_ROUND_BACKLOG) = 182.
+    Bumping this count again requires a matching rotation plan (head
+    slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry)
+    — see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 180, (
-        f"registry count changed ({len(REGISTRY)} != 180); new queries "
+    assert len(REGISTRY) == 182, (
+        f"registry count changed ({len(REGISTRY)} != 182); new queries "
         "need a rotation plan before registration"
     )
 
