@@ -3105,3 +3105,50 @@ def text_gopher_rules(spark, sf_dir):
 def dedup_cdc_chunks(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.cdc_chunk_dup_stats(d)
+
+
+@register(
+    "pipeline_length_buckets",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+             CAST(FLOOR(len(regexp_split_to_array(trim(text), '\s+'))
+                        / 16.0) AS BIGINT) AS bucket,
+             doc_id % 8 AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':lbb') AS r
+      FROM documents
+    ), a AS (
+      SELECT doc_id, n_toks, bucket, shard,
+             CAST(FLOOR((ROW_NUMBER() OVER (
+               PARTITION BY bucket, shard ORDER BY r, doc_id) - 1)
+               / 32.0) AS BIGINT) AS batch_idx
+      FROM s
+    )
+    SELECT bucket, shard, batch_idx,
+           COUNT(*) AS n_rows,
+           MAX(n_toks) AS max_toks,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+           COUNT(*) * MAX(n_toks) - CAST(SUM(n_toks) AS BIGINT)
+             AS padding_waste
+    FROM a
+    GROUP BY bucket, shard, batch_idx
+    """,
+    "D54: length-bucketed batch assignment + padding-waste report -- "
+    "the sorted-batching trick padded training uses (docs batch with "
+    "others of similar length so each batch pads to ITS max, not the "
+    "corpus max). Bucket = floor(n_tokens/16); within (bucket, shard) "
+    "a content-addressed md5 order fills batches of 32; report = "
+    "n_rows*max - sum per batch. ONE (bucket,shard)-keyed window "
+    "exchange -- the shard key bounds the modal bucket's window "
+    "partition (the D42/D45 single-task lesson) without changing "
+    "batch quality -- plus one batch-keyed aggregate; all-integer "
+    "output, engine-exact.",
+)
+def pipeline_length_buckets(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import (
+        padding_waste_report,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return padding_waste_report(d)

@@ -72,6 +72,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D53 content-defined chunking dup report (exact oracle; Python
     # twin/shift-robustness/plan pins in tests/test_cdc.py)
     "dedup_cdc_chunks",
+    # D54 length-bucketed batching + padding-waste report (exact
+    # all-integer oracle; waste-reduction/anti-funnel/plan pins in
+    # tests/test_length_buckets.py)
+    "pipeline_length_buckets",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -320,13 +320,19 @@ def test_registry_count_is_planned():
     chunking chunk-level dup report: md5-boundary word chunks that
     resync after prepend/insert edits, per-doc dup ratios; exact
     oracle incl. the window prefix sum, Python reference twin in
-    tests/test_cdc.py; r11 debut via NEXT_ROUND_BACKLOG) = 182.
-    Bumping this count again requires a matching rotation plan (head
-    slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry)
-    — see test_rotation_ledger_current.
+    tests/test_cdc.py; r11 debut via NEXT_ROUND_BACKLOG) = 182, and
+    the r10-added D54 surface (pipeline_length_buckets —
+    length-bucketed batch assignment + padding-waste report: sorted
+    batching with a sharded window so the modal bucket never funnels
+    through one task; exact all-integer oracle, waste-reduction gate
+    in tests/test_length_buckets.py; r11 debut via
+    NEXT_ROUND_BACKLOG) = 183. Bumping this count again requires a
+    matching rotation plan (head slot in the debut round or an
+    explicit NEXT_ROUND_BACKLOG entry) — see
+    test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 182, (
-        f"registry count changed ({len(REGISTRY)} != 182); new queries "
+    assert len(REGISTRY) == 183, (
+        f"registry count changed ({len(REGISTRY)} != 183); new queries "
         "need a rotation plan before registration"
     )
 
