@@ -696,3 +696,156 @@ def sample_frames(
 
     cols = [id_col, content_col, media_type_col]
     return assets.select(*cols).mapInPandas(run, FRAME_SCHEMA)
+
+
+def encode_wav_pcm16(samples: list[float], rate: int = 8000) -> bytes:
+    """Encode [-1, 1] samples as 16-bit PCM WAV — the encode twin of
+    ``decode_audio``. Pure stdlib."""
+    import io as _io
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                int(max(-1.0, min(1.0, s)) * 32767).to_bytes(
+                    2, "little", signed=True
+                )
+                for s in samples
+            )
+        )
+    return buf.getvalue()
+
+
+def synth_wav_assets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_len: int = 160,
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic synthetic audio corpus with PLANTED silence
+    structure (the D47 synth-BMP recipe for the audio column): row
+    ``id`` gets ``id % 5`` leading silent frames, ``3 + (id//5) % 4``
+    active frames (alternating ±0.5 — frame RMS ≈ 0.5), and
+    ``(id//20) % 3`` trailing silent frames, each ``frame_len``
+    samples. The expected trim points are therefore pure integer
+    arithmetic on the id — a SQL-expressible ground truth that turns
+    the encode → decode → per-frame-RMS → trim pipeline into an
+    exactly-oracle-checkable query. One mapInPandas projection, zero
+    shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                lead, active, trail = (
+                    i % 5, 3 + (i // 5) % 4, (i // 20) % 3,
+                )
+                samples = [0.0] * (lead * frame_len)
+                for k in range(active * frame_len):
+                    samples.append(0.5 if k % 2 == 0 else -0.5)
+                samples += [0.0] * (trail * frame_len)
+                ids.append(i)
+                blobs.append(encode_wav_pcm16(samples, rate))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "content": blobs,
+                    "media_type": ["audio/wav"] * len(ids),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+            StructField("media_type", StringType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+AUDIO_ACTIVITY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("lead_silence", LongType(), True),
+        StructField("trail_silence", LongType(), True),
+        StructField("active_frames", LongType(), True),
+        StructField("speech_ratio", DoubleType(), True),
+    ]
+)
+
+
+def audio_activity(
+    assets: DataFrame,
+    *,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    frame_len: int = 160,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Energy-based voice-activity segmentation (D55) — the
+    silence-trim step every speech-data pipeline runs before training
+    (and the audio-side sibling of D52's text gates): decode PCM, cut
+    it into ``frame_len``-sample frames (a trailing partial frame
+    counts), mark a frame ACTIVE iff its RMS exceeds ``threshold``,
+    and report per asset: total frames, leading/trailing silent runs
+    (the trim points), active-frame count, and ``speech_ratio``
+    (active/total, floor-quantized 1e-4 — the D52 tie rule). A fully
+    silent asset reports ``lead = trail = n_frames`` and ratio 0 —
+    the "drop me" signature.
+
+    Plan shape: ONE mapInPandas projection (decode + RMS per row —
+    the C5 contract: Python only inside Arrow batches), zero shuffles,
+    output rows constant-width regardless of audio length. Real
+    pipelines swap the stdlib decoder for soundfile without touching
+    the plumbing."""
+    import math
+
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1: {frame_len}")
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0: {threshold}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_ACTIVITY_SCHEMA.fields}
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                _rate, samples = decode_audio(bytes(blob))
+                frames = [
+                    samples[i : i + frame_len]
+                    for i in range(0, len(samples), frame_len)
+                ]
+                act = [
+                    (sum(s * s for s in f) / len(f)) ** 0.5 > threshold
+                    for f in frames
+                ]
+                n = len(frames)
+                n_active = sum(act)
+                if n_active:
+                    lead = act.index(True)
+                    trail = act[::-1].index(True)
+                else:
+                    lead = trail = n
+                ratio = (
+                    math.floor(n_active / n * 10_000.0) / 10_000.0
+                    if n
+                    else 0.0
+                )
+                out["asset_id"].append(int(aid))
+                out["n_frames"].append(n)
+                out["lead_silence"].append(lead)
+                out["trail_silence"].append(trail)
+                out["active_frames"].append(n_active)
+                out["speech_ratio"].append(ratio)
+            yield pd.DataFrame(out)
+
+    return assets.select(id_col, content_col).mapInPandas(
+        run, AUDIO_ACTIVITY_SCHEMA
+    )

@@ -3152,3 +3152,43 @@ def pipeline_length_buckets(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return padding_waste_report(d)
+
+
+@register(
+    "multimodal_audio_trim",
+    """
+    SELECT doc_id AS asset_id,
+           (doc_id % 5) + (3 + (doc_id // 5) % 4) + ((doc_id // 20) % 3)
+             AS n_frames,
+           doc_id % 5 AS lead_silence,
+           (doc_id // 20) % 3 AS trail_silence,
+           3 + (doc_id // 5) % 4 AS active_frames,
+           FLOOR(CAST(3 + (doc_id // 5) % 4 AS DOUBLE)
+                 / ((doc_id % 5) + (3 + (doc_id // 5) % 4)
+                    + ((doc_id // 20) % 3))
+                 * 10000.0) / 10000.0 AS speech_ratio
+    FROM documents WHERE doc_id < 300
+    """,
+    "D55: energy-based audio silence trim / voice-activity "
+    "segmentation over binary WAV columns -- the speech-pipeline "
+    "cleanup step (and the audio sibling of D52's text gates). The "
+    "corpus is synthesized with PLANTED silence structure (the D47 "
+    "recipe: lead/active/trail frame counts are pure integer "
+    "arithmetic on doc_id), so the oracle checks the ENTIRE encode -> "
+    "stdlib-PCM-decode -> per-frame RMS -> trim pipeline exactly. One "
+    "mapInPandas synth projection + one mapInPandas activity "
+    "projection, zero shuffles, constant-width output rows regardless "
+    "of audio length.",
+)
+def multimodal_audio_trim(spark, sf_dir):
+    from mysql2parquet_spark.operators.multimodal import (
+        audio_activity,
+        synth_wav_assets,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+    )
+    return audio_activity(synth_wav_assets(d))

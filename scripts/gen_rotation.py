@@ -76,6 +76,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # all-integer oracle; waste-reduction/anti-funnel/plan pins in
     # tests/test_length_buckets.py)
     "pipeline_length_buckets",
+    # D55 audio silence trim / VAD (exact oracle via planted silence
+    # structure; trim/mid-silence/roundtrip/zero-exchange pins in
+    # tests/test_audio_vad.py)
+    "multimodal_audio_trim",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -326,13 +326,18 @@ def test_registry_count_is_planned():
     batching with a sharded window so the modal bucket never funnels
     through one task; exact all-integer oracle, waste-reduction gate
     in tests/test_length_buckets.py; r11 debut via
-    NEXT_ROUND_BACKLOG) = 183. Bumping this count again requires a
+    NEXT_ROUND_BACKLOG) = 183, and the r10-added D55 surface
+    (multimodal_audio_trim — energy-based audio silence trim / VAD
+    over binary WAV columns, planted-silence synthesis makes the full
+    encode→decode→RMS→trim pipeline exactly oracle-checkable; unit
+    pins in tests/test_audio_vad.py; r11 debut via
+    NEXT_ROUND_BACKLOG) = 184. Bumping this count again requires a
     matching rotation plan (head slot in the debut round or an
     explicit NEXT_ROUND_BACKLOG entry) — see
     test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 183, (
-        f"registry count changed ({len(REGISTRY)} != 183); new queries "
+    assert len(REGISTRY) == 184, (
+        f"registry count changed ({len(REGISTRY)} != 184); new queries "
         "need a rotation plan before registration"
     )
 
