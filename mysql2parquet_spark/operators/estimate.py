@@ -132,3 +132,128 @@ def estimate_group_stats(
         ),
     )
     return out
+
+
+def poisson_thresholds_u32(k_max: int = 12) -> list[int]:
+    """Poisson(1) CDF quantized to the 32-bit integer grid (the D44
+    discipline): ``t_k = floor(CDF(k) · 2³²)``. A uniform u32 maps to
+    the weight ``w = |{k : u ≥ t_k}|`` — the inverse-CDF draw as pure
+    integer comparisons, engine-exact. ``k_max=12`` puts the residual
+    tail mass below the grid's resolution (CDF(12|λ=1) ≈ 1 − 1e-13)."""
+    import math
+
+    acc, fact = 0.0, 1
+    out = []
+    for k in range(k_max + 1):
+        if k:
+            fact *= k
+        acc += 1.0 / fact
+        out.append(min(int(math.exp(-1.0) * acc * 4294967296.0),
+                       4294967295))
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    key_col: str,
+    replicas: int = 32,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    salt: str = "boot",
+    ndigits: int = 4,
+) -> DataFrame:
+    """One-pass Poisson bootstrap (D56 — Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams"): per-group mean
+    with a bootstrap confidence interval computed WITHOUT resampling
+    passes. Each row carries ``replicas`` independent Poisson(1)
+    weights — the streaming-safe surrogate for multinomial bootstrap
+    resampling — so every replica's weighted mean accumulates in the
+    SAME single aggregation; the CI is read off the sorted replica
+    means at the ``lo``/``hi`` quantile indices.
+
+    Weights are CONTENT-ADDRESSED (md5(key:replica:salt) → u32 →
+    inverse-CDF against the integer-quantized Poisson CDF,
+    ``poisson_thresholds_u32``), so the whole release is deterministic
+    across engines, runs, and partitionings — no RNG, oracle-exact
+    weight for every (row, replica).
+
+    Returns ``group_cols + (n_rows, mean, ci_lo, ci_hi)``. A replica
+    whose total weight lands 0 (probability e^-n — only tiny groups)
+    contributes no mean; indices are taken over the surviving sorted
+    means: ``lo_idx = floor(lo·(m−1))``, ``hi_idx = ceil(hi·(m−1))``.
+
+    Scale shape: ONE group-keyed exchange. The shuffle rows widen by
+    2·replicas doubles (the partial sums) — constant per group per
+    partition, independent of data volume; the per-row cost is
+    ``replicas`` md5 calls + 13·replicas integer compares, all inside
+    whole-stage codegen. This is the textbook trade of the one-pass
+    bootstrap: B× column width instead of B× passes.
+    """
+    if replicas < 2:
+        raise ValueError(f"replicas must be >= 2: {replicas}")
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1: {lo}, {hi}")
+    ts = poisson_thresholds_u32()
+    t_arr = F.array(*[F.lit(t) for t in ts])
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col)).alias("_sv"),
+    ]
+    for r in range(replicas):
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit(f":{r}:{salt}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = F.size(F.filter(t_arr, lambda t: u >= t))
+        aggs.append(
+            F.sum(w.cast("double") * F.col(value_col)).alias(f"_s{r}")
+        )
+        aggs.append(F.sum(w).alias(f"_w{r}"))
+    g = df.groupBy(*group_cols).agg(*aggs)
+    means = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"_w{r}") > 0,
+                        F.col(f"_s{r}") / F.col(f"_w{r}").cast("double"),
+                    )
+                    for r in range(replicas)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    m = F.size(means)
+    lo_i = F.floor(F.lit(float(lo)) * (m - F.lit(1)).cast("double")).cast(
+        "int"
+    )
+    hi_i = F.ceil(F.lit(float(hi)) * (m - F.lit(1)).cast("double")).cast(
+        "int"
+    )
+    return g.select(
+        *group_cols,
+        F.col("_n").alias("n_rows"),
+        F.round(F.col("_sv") / F.col("_n").cast("double"), ndigits).alias(
+            "mean"
+        ),
+        F.round(F.element_at(means, lo_i + F.lit(1)), ndigits).alias(
+            "ci_lo"
+        ),
+        F.round(F.element_at(means, hi_i + F.lit(1)), ndigits).alias(
+            "ci_hi"
+        ),
+    )

@@ -3192,3 +3192,72 @@ def multimodal_audio_trim(spark, sf_dir):
         .filter(F.col("doc_id") < 300)
     )
     return audio_activity(synth_wav_assets(d))
+
+
+def _bootstrap_oracle(replicas: int = 32) -> str:
+    from mysql2parquet_spark.operators.estimate import (
+        poisson_thresholds_u32,
+    )
+
+    ts = "[" + ", ".join(str(t) for t in poisson_thresholds_u32()) + "]"
+    w_cols = ", ".join(
+        f"len(list_filter({ts}, t -> CAST(CONCAT('0x', "
+        f"substr(md5(CAST(event_id AS VARCHAR) || ':{r}:boot'), 1, 8)) "
+        f"AS BIGINT) >= t)) AS w{r}"
+        for r in range(replicas)
+    )
+    s_cols = ", ".join(
+        f"SUM(w{r} * value) AS s{r}, SUM(w{r}) AS c{r}"
+        for r in range(replicas)
+    )
+    mean_items = ", ".join(
+        f"CASE WHEN c{r} > 0 THEN s{r} / c{r} END"
+        for r in range(replicas)
+    )
+    return f"""
+    WITH w AS (
+      SELECT event_type, value, {w_cols} FROM events
+    ), g AS (
+      SELECT event_type, COUNT(*) AS n_rows, SUM(value) AS sv, {s_cols}
+      FROM w GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n_rows, sv,
+             list_sort(list_filter([{mean_items}],
+                                   x -> x IS NOT NULL)) AS means
+      FROM g
+    )
+    SELECT event_type, n_rows, ROUND(sv / n_rows, 4) AS mean,
+           ROUND(means[CAST(FLOOR(0.05 * (len(means) - 1)) AS BIGINT)
+                       + 1], 4) AS ci_lo,
+           ROUND(means[CAST(CEIL(0.95 * (len(means) - 1)) AS BIGINT)
+                       + 1], 4) AS ci_hi
+    FROM m
+    """
+
+
+@register(
+    "events_bootstrap",
+    _bootstrap_oracle(),
+    "D56: one-pass Poisson bootstrap (Chamandy et al. 2012): per-type "
+    "mean of events.value with a 90% bootstrap CI from 32 replicas -- "
+    "WITHOUT resampling passes. Each row carries 32 content-addressed "
+    "Poisson(1) weights (md5 -> u32 -> inverse-CDF against the "
+    "integer-quantized CDF grid, the D44 discipline -- no RNG, "
+    "engine-exact weights); every replica's weighted mean accumulates "
+    "in ONE group-keyed aggregate (shuffle rows widen by 2x32 partial "
+    "sums -- constant per group per partition); the CI reads the "
+    "sorted replica means at the quantile indices. B x column width "
+    "instead of B x passes -- the textbook massive-data bootstrap "
+    "trade.",
+)
+def events_bootstrap(spark, sf_dir):
+    from mysql2parquet_spark.operators.estimate import (
+        poisson_bootstrap_ci,
+    )
+
+    d = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return poisson_bootstrap_ci(
+        d, ["event_type"], "value", key_col="event_id"
+    )

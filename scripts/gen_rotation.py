@@ -80,6 +80,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # structure; trim/mid-silence/roundtrip/zero-exchange pins in
     # tests/test_audio_vad.py)
     "multimodal_audio_trim",
+    # D56 one-pass Poisson bootstrap CIs (exact oracle incl. quantized
+    # inverse-CDF weights; Python-twin/CI-bracket/one-exchange pins in
+    # tests/test_bootstrap.py)
+    "events_bootstrap",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

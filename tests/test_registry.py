@@ -331,13 +331,18 @@ def test_registry_count_is_planned():
     over binary WAV columns, planted-silence synthesis makes the full
     encode→decode→RMS→trim pipeline exactly oracle-checkable; unit
     pins in tests/test_audio_vad.py; r11 debut via
-    NEXT_ROUND_BACKLOG) = 184. Bumping this count again requires a
-    matching rotation plan (head slot in the debut round or an
-    explicit NEXT_ROUND_BACKLOG entry) — see
-    test_rotation_ledger_current.
+    NEXT_ROUND_BACKLOG) = 184, and the r10-added D56 surface
+    (events_bootstrap — one-pass Poisson bootstrap CIs, Chamandy et
+    al. 2012: 32 content-addressed Poisson(1) weights per row, every
+    replica mean in ONE aggregate; exact oracle incl. the quantized
+    inverse-CDF weights, Python reference twin in
+    tests/test_bootstrap.py; r11 debut via NEXT_ROUND_BACKLOG) = 185.
+    Bumping this count again requires a matching rotation plan (head
+    slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry)
+    — see test_rotation_ledger_current.
     """
-    assert len(REGISTRY) == 184, (
-        f"registry count changed ({len(REGISTRY)} != 184); new queries "
+    assert len(REGISTRY) == 185, (
+        f"registry count changed ({len(REGISTRY)} != 185); new queries "
         "need a rotation plan before registration"
     )
 
