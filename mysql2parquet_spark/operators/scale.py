@@ -669,3 +669,62 @@ def quota_sample(
         .filter(F.col("_rk") <= F.col("quota"))
         .drop("_rk", "quota")
     )
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    key_col: str,
+    salt: str = "aes",
+) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement (D57 —
+    Efraimidis & Spirakis 2006's A-ES): every row draws a
+    content-addressed uniform u and competes on the key
+    ``ln(u) / weight``; the k LARGEST keys win. That single-pass
+    top-k is distributionally identical to sequential weighted draws
+    without replacement — the missing face of the sampler family
+    (``sample_weighted`` = Bernoulli with EXPECTED size;
+    ``quota_sample`` = exact counts per STRATUM; this = exact k by
+    ROW weight).
+
+    u = (u32 + 1) / 2³² from md5(key:salt) — content-addressed (the
+    C6 contract: reruns, engines, and partitionings agree; no RNG),
+    never 0 so ln is finite. Rows with NULL or non-positive weight
+    cannot win and are dropped, stated not silent. Ties are
+    measure-zero but broken by ``key_col`` so the selected SET is
+    engine-exact.
+
+    Scale shape: one codegen projection (md5 + ln + divide) and a
+    TakeOrderedAndProject top-k (per-partition heaps, one k-row
+    merge) — never a global sort, nothing collected. Returns the
+    winning rows with their ``_aes_key`` (floor-quantized micro-nats,
+    for audit); selection compares UNROUNDED.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_aes", key)
+        .orderBy(F.col("_aes").desc(), F.col(key_col).asc())
+        .limit(k)
+        .withColumn(
+            "_aes_key",
+            F.floor(F.col("_aes") * F.lit(1_000_000.0)).cast("long"),
+        )
+        .drop("_aes")
+    )

@@ -3261,3 +3261,42 @@ def events_bootstrap(spark, sf_dir):
     return poisson_bootstrap_ci(
         d, ["event_type"], "value", key_col="event_id"
     )
+
+
+@register(
+    "sample_weighted_k",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             LN((CAST(CONCAT('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':aes'), 1, 8))
+                 AS BIGINT) + 1) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE) AS key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           CAST(FLOOR(key * 1000000.0) AS BIGINT) AS _aes_key
+    FROM s
+    ORDER BY key DESC, doc_id
+    LIMIT 100
+    """,
+    "D57: exact-size weighted sampling WITHOUT replacement (Efraimidis "
+    "& Spirakis 2006 A-ES): every row competes on ln(u)/weight with a "
+    "content-addressed uniform (md5 -> u32 -> (u+1)/2^32, never 0); "
+    "the k=100 largest keys are distributionally identical to "
+    "sequential weighted draws without replacement -- the missing "
+    "sampler face (Bernoulli = expected size, quota = exact per "
+    "stratum, this = exact k by row weight; weight = n_chars here). "
+    "One codegen projection + TakeOrderedAndProject top-k (partition "
+    "heaps, one k-row merge -- never a global sort); doc_id tiebreak "
+    "makes the selected SET engine-exact; audit key floor-quantized "
+    "micro-nats.",
+)
+def sample_weighted_k(spark, sf_dir):
+    from mysql2parquet_spark.operators.scale import (
+        weighted_sample_exact_k,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_exact_k(d, "n_chars", 100, key_col="doc_id")

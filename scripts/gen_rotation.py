@@ -84,6 +84,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # inverse-CDF weights; Python-twin/CI-bracket/one-exchange pins in
     # tests/test_bootstrap.py)
     "events_bootstrap",
+    # D57 A-ES exact-k weighted sampling (exact oracle; Python-twin/
+    # weight-dominance/top-k-heap pins in tests/test_aes_sample.py)
+    "sample_weighted_k",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

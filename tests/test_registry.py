@@ -339,10 +339,15 @@ def test_registry_count_is_planned():
     tests/test_bootstrap.py; r11 debut via NEXT_ROUND_BACKLOG) = 185.
     Bumping this count again requires a matching rotation plan (head
     slot in the debut round or an explicit NEXT_ROUND_BACKLOG entry)
-    — see test_rotation_ledger_current.
+    — see test_rotation_ledger_current. The r10-added D57 surface
+    (sample_weighted_k — Efraimidis-Spirakis A-ES exact-size weighted
+    sampling without replacement, ln(u)/weight top-k on
+    content-addressed uniforms; exact oracle, Python reference twin
+    in tests/test_aes_sample.py; r11 debut via NEXT_ROUND_BACKLOG)
+    makes 186.
     """
-    assert len(REGISTRY) == 185, (
-        f"registry count changed ({len(REGISTRY)} != 185); new queries "
+    assert len(REGISTRY) == 186, (
+        f"registry count changed ({len(REGISTRY)} != 186); new queries "
         "need a rotation plan before registration"
     )
 
