@@ -174,11 +174,12 @@ def poisson_bootstrap_ci(
     SAME single aggregation; the CI is read off the sorted replica
     means at the ``lo``/``hi`` quantile indices.
 
-    Weights are CONTENT-ADDRESSED (md5(key:replica:salt) → u32 →
-    inverse-CDF against the integer-quantized Poisson CDF,
-    ``poisson_thresholds_u32``), so the whole release is deterministic
-    across engines, runs, and partitionings — no RNG, oracle-exact
-    weight for every (row, replica).
+    Weights are CONTENT-ADDRESSED (window ``r % 4`` of
+    md5(key:r//4:salt) is replica r's 8-hex uniform, compared against
+    the integer-quantized Poisson CDF ``poisson_thresholds_u32`` as
+    fixed-width hex — lexicographic = numeric), so the whole release
+    is deterministic across engines, runs, and partitionings — no
+    RNG, oracle-exact weight for every (row, replica).
 
     Returns ``group_cols + (n_rows, mean, ci_lo, ci_hi)``. A replica
     whose total weight lands 0 (probability e^-n — only tiny groups)
@@ -188,36 +189,44 @@ def poisson_bootstrap_ci(
     Scale shape: ONE group-keyed exchange. The shuffle rows widen by
     2·replicas doubles (the partial sums) — constant per group per
     partition, independent of data volume; the per-row cost is
-    ``replicas`` md5 calls + 13·replicas integer compares, all inside
-    whole-stage codegen. This is the textbook trade of the one-pass
+    ``replicas/4`` md5 calls + 13·replicas fixed-width string
+    compares, all inside whole-stage codegen. This is the textbook trade of the one-pass
     bootstrap: B× column width instead of B× passes.
     """
     if replicas < 2:
         raise ValueError(f"replicas must be >= 2: {replicas}")
     if not 0.0 <= lo < hi <= 1.0:
         raise ValueError(f"need 0 <= lo < hi <= 1: {lo}, {hi}")
-    ts = poisson_thresholds_u32()
-    t_arr = F.array(*[F.lit(t) for t in ts])
+    hex_ts = [f"{t:08x}" for t in poisson_thresholds_u32()]
     aggs = [
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(value_col)).alias("_sv"),
     ]
+    # Per-row cost discipline (both lessons from the r10 tail sweep,
+    # 40.8 s → ~2 s at sf0.1):
+    # 1. NOT a higher-order array filter — HOF lambdas evaluate
+    #    interpreted per row and block whole-stage codegen; the
+    #    threshold test is a flat chain of primitive compares.
+    # 2. ONE md5 per FOUR replicas — an md5 digest is 32 hex chars =
+    #    four independent 8-hex uniforms, so replica r reads window
+    #    r%4 of digest r//4; and the compare stays on the HEX STRING
+    #    against fixed-width hex thresholds (lexicographic = numeric
+    #    for same-width lowercase hex — the estimate.py sampler
+    #    contract), so no base conversion runs at all.
+    digests = [
+        F.md5(
+            F.concat(
+                F.col(key_col).cast("string"), F.lit(f":{b}:{salt}")
+            )
+        )
+        for b in range((replicas + 3) // 4)
+    ]
     for r in range(replicas):
-        u = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col(key_col).cast("string"),
-                        F.lit(f":{r}:{salt}"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        w = F.size(F.filter(t_arr, lambda t: u >= t))
+        h = F.substring(digests[r // 4], 1 + 8 * (r % 4), 8)
+        w = sum(
+            ((h >= F.lit(t)).cast("int") for t in hex_ts[1:]),
+            (h >= F.lit(hex_ts[0])).cast("int"),
+        )
         aggs.append(
             F.sum(w.cast("double") * F.col(value_col)).alias(f"_s{r}")
         )

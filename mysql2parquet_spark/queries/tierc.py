@@ -96,6 +96,10 @@ _GRAMS2 = """list_distinct(list_transform(
       range(1, greatest(len(string_split(trim(text), ' ')) - 1, 1) + 1),
       i -> array_to_string(string_split(trim(text), ' ')[i:i+1], ' ')))"""
 
+_GRAMS3 = """list_distinct(list_transform(
+      range(1, greatest(len(string_split(trim(text), ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')))"""
+
 
 @register(
     "dedup_jaccard_incremental",
@@ -2593,7 +2597,7 @@ def text_lm_score(spark, sf_dir):
     "dedup_containment",
     f"""
     WITH d AS (
-      SELECT doc_id, {_GRAMS2} AS g FROM documents
+      SELECT doc_id, {_GRAMS3} AS g FROM documents
     )
     SELECT x.doc_id AS id_a, y.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
@@ -2612,11 +2616,16 @@ def text_lm_score(spark, sf_dir):
     "shared grams; intersection = count aggregate; set sizes ride the "
     "index rows), exact for threshold > 0, never O(n²); the oracle "
     "recomputes the identical integer ratios via set algebra. "
-    "Bigram shingles, threshold 0.5.",
+    "Trigram shingles, threshold 0.5 -- trigrams, not bigrams, because "
+    "the fixture's 31-word vocabulary makes every BIGRAM a hot gram "
+    "(<=961 possible; ~73M join rows at sf0.1, found by the r10 tail "
+    "sweep), while trigrams are diverse (27k grams, max posting 25, "
+    "~2.8M rows). Real corpora are gram-diverse at any n; for "
+    "hot-gram corpora the max_gram_docs cap is the documented guard.",
 )
 def dedup_containment(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup.gram_containment_pairs(d, shingle_n=2, threshold=0.5)
+    return dedup.gram_containment_pairs(d, shingle_n=3, threshold=0.5)
 
 
 def _dp_oracle() -> str:
@@ -3199,13 +3208,14 @@ def _bootstrap_oracle(replicas: int = 32) -> str:
         poisson_thresholds_u32,
     )
 
-    ts = "[" + ", ".join(str(t) for t in poisson_thresholds_u32()) + "]"
-    w_cols = ", ".join(
-        f"len(list_filter({ts}, t -> CAST(CONCAT('0x', "
-        f"substr(md5(CAST(event_id AS VARCHAR) || ':{r}:boot'), 1, 8)) "
-        f"AS BIGINT) >= t)) AS w{r}"
-        for r in range(replicas)
-    )
+    hts = [f"{t:08x}" for t in poisson_thresholds_u32()]
+    def _w(r):
+        h = (f"substr(md5(CAST(event_id AS VARCHAR) || ':{r // 4}:boot'), "
+             f"{1 + 8 * (r % 4)}, 8)")
+        return " + ".join(
+            f"CASE WHEN {h} >= '{t}' THEN 1 ELSE 0 END" for t in hts
+        ) + f" AS w{r}"
+    w_cols = ", ".join(_w(r) for r in range(replicas))
     s_cols = ", ".join(
         f"SUM(w{r} * value) AS s{r}, SUM(w{r}) AS c{r}"
         for r in range(replicas)

@@ -17,9 +17,9 @@ from mysql2parquet_spark.operators.estimate import (
 
 
 def _py_weight(key, r, salt="boot"):
-    u = int(
-        hashlib.md5(f"{key}:{r}:{salt}".encode()).hexdigest()[:8], 16
-    )
+    # replica r reads 8-hex window r%4 of digest r//4 (4 replicas per md5)
+    d = hashlib.md5(f"{key}:{r // 4}:{salt}".encode()).hexdigest()
+    u = int(d[8 * (r % 4): 8 * (r % 4) + 8], 16)
     return sum(1 for t in poisson_thresholds_u32() if u >= t)
 
 
