@@ -240,3 +240,147 @@ def incremental_components(
     return untouched.select(v, component).unionByName(
         merged.select(F.col("v").alias(v), F.col("component").alias(component))
     )
+
+
+def canonical_undirected(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge relation: one row per unordered pair,
+    ``a < b``, self-loops dropped. One distinct exchange."""
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Exact triangle enumeration (D58): every closed 3-cycle of the
+    undirected graph, one row per triangle, ``a < b < c`` — the
+    compact-forward algorithm (Schank & Wagner 2005 / Latapy 2008):
+    with every edge oriented low→high id, a wedge (a<b, b<c) closes
+    iff (a, c) is an edge, so each triangle is generated EXACTLY once
+    and the wedge fan-out at a vertex is C(out-deg, 2), never
+    C(deg, 2) of the undirected hub.
+
+    Plan shape: one distinct (canonicalize), one vertex-keyed
+    equi-self-join (wedges meet only at their center), one left-semi
+    probe for the closing edge — never O(n²) in vertices; the cost is
+    Σ_v C(out-deg(v), 2). ``max_degree`` drops vertices whose
+    UNDIRECTED degree exceeds the cap before wedge generation — the
+    hot-hub guard (the D25 ``max_gram_docs`` contract: under-count
+    only, a dropped hub can only remove triangles, never invent one).
+
+    The reference delegates everything to MySQL (main.go:106); this is
+    north-star graph coverage extending D24/D41's component family
+    with the within-cluster structure they cannot see.
+    """
+    e = canonical_undirected(edges, src, dst)
+    if max_degree is not None:
+        if max_degree < 2:
+            raise ValueError(f"max_degree must be >= 2: {max_degree}")
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > max_degree)
+            .select("v")
+        )
+        e = (
+            e.join(deg, e["a"] == deg["v"], "left_anti")
+            .join(deg, e["b"] == deg["v"], "left_anti")
+        )
+    x = e.alias("x")
+    y = e.alias("y")
+    z = e.select(F.col("a").alias("_za"), F.col("b").alias("_zb"))
+    wedges = x.join(y, F.col("x.b") == F.col("y.a")).select(
+        F.col("x.a").alias("a"),
+        F.col("x.b").alias("b"),
+        F.col("y.b").alias("c"),
+    )
+    return wedges.join(
+        z,
+        (F.col("a") == F.col("_za")) & (F.col("c") == F.col("_zb")),
+        "left_semi",
+    )
+
+
+def cluster_density_report(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-component STRUCTURE report over a (near-dup) pair graph:
+    ``(component, n_vertices, n_edges, n_wedges, n_triangles,
+    clustering)`` where clustering is the component's global
+    clustering coefficient ``3·triangles / wedges`` (floor-quantized
+    1e-4; NULL when the component has no wedge). The curation signal
+    D24/D41 cannot give: a TEMPLATE cluster (one page + many
+    independent near-copies of it) is a star — wedges but zero
+    triangles, clustering 0 — while a MUTUAL near-dup family is a
+    near-clique, clustering → 1. Resolving a star by D38's keep-best
+    keeps the hub's quality representative; resolving a clique keeps
+    any one — the report says which regime each cluster is in.
+
+    Plan: canonical edges once (localCheckpoint — three consumers:
+    components, degrees, triangles), the D24 pointer-doubling
+    components, one degree aggregate (wedges = Σ C(deg,2) per
+    component), the D58 triangle join, and |components|-row joins to
+    assemble. All counts integer-exact.
+    """
+    e = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    assign = connected_components(e, "a", "b")
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    verts = assign.join(deg, "v")
+    per_comp = verts.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("_d") / F.lit(2)).cast("long").alias("n_edges"),
+        F.sum(
+            (F.col("_d") * (F.col("_d") - F.lit(1)) / F.lit(2)).cast(
+                "long"
+            )
+        ).alias("n_wedges"),
+    )
+    tri = (
+        triangles(e, "a", "b", max_degree=max_degree)
+        .join(assign, F.col("a") == F.col("v"))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = per_comp.join(tri, "component", "left").withColumn(
+        "n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0))
+    )
+    clus = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+            * F.lit(10_000.0)
+        )
+        / F.lit(10_000.0),
+    )
+    return out.select(
+        "component",
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        clus.alias("clustering"),
+    )

@@ -3310,3 +3310,79 @@ def sample_weighted_k(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample_exact_k(d, "n_chars", 100, key_col="doc_id")
+
+
+@register(
+    "dedup_cluster_density",
+    f"""
+    WITH d AS (SELECT doc_id, {_GRAMS3} AS g FROM documents),
+    p AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM d x, d y
+      WHERE x.doc_id < y.doc_id
+        AND CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+            / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g)))
+            >= 0.3
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS dg FROM (
+        SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v
+    ),
+    eds AS (SELECT a AS s, b AS t FROM p UNION SELECT b, a FROM p),
+    nodes AS (SELECT DISTINCT s AS v FROM eds),
+    comp AS (
+      WITH RECURSIVE reach(v, r) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT e.t, c.r FROM reach c JOIN eds e ON e.s = c.v
+      )
+      SELECT v, MIN(r) AS component FROM reach GROUP BY v
+    ),
+    pc AS (
+      SELECT comp.component, COUNT(*) AS n_vertices,
+             CAST(SUM(dg) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(CAST(dg * (dg - 1) / 2 AS BIGINT)) AS BIGINT)
+               AS n_wedges
+      FROM comp JOIN deg USING (v) GROUP BY comp.component
+    ),
+    tri AS (
+      SELECT comp.component, COUNT(*) AS n_triangles
+      FROM (
+        SELECT x.a AS a FROM p x JOIN p y ON x.b = y.a
+        WHERE EXISTS (SELECT 1 FROM p z
+                      WHERE z.a = x.a AND z.b = y.b)
+      ) t JOIN comp ON comp.v = t.a
+      GROUP BY comp.component
+    )
+    SELECT pc.component, pc.n_vertices, pc.n_edges, pc.n_wedges,
+           COALESCE(tri.n_triangles, 0) AS n_triangles,
+           CASE WHEN pc.n_wedges > 0 THEN
+             FLOOR(3.0 * COALESCE(tri.n_triangles, 0) / pc.n_wedges
+                   * 10000.0) / 10000.0
+           END AS clustering
+    FROM pc LEFT JOIN tri USING (component)
+    """,
+    "D58: per-cluster STRUCTURE report over the exact trigram-Jaccard "
+    "pair graph (threshold 0.3): vertices, edges, wedges, triangles, "
+    "and the global clustering coefficient 3T/wedges per duplicate "
+    "cluster -- the signal D24/D41's components cannot give: a "
+    "TEMPLATE cluster (one page, many independent near-copies) is a "
+    "star (wedges, zero triangles, clustering 0) while a MUTUAL "
+    "near-dup family is a near-clique (clustering -> 1), and D38's "
+    "keep-best should treat the two differently. Triangles via the "
+    "compact-forward wedge join (every edge low->high, wedge closes "
+    "iff (a,c) is an edge -- each triangle counted exactly once, "
+    "fan-out = C(out-deg, 2)); pair edges from the D25 inverted gram "
+    "index (never O(n^2)); canonical edge relation pinned once "
+    "(localCheckpoint, three consumers).",
+)
+def dedup_cluster_density(spark, sf_dir):
+    from mysql2parquet_spark.operators.graph import (
+        cluster_density_report,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.gram_jaccard_pairs_indexed(
+        d, d, shingle_n=3, threshold=0.3, self_pairs=True
+    )
+    return cluster_density_report(pairs, "id_a", "id_b")

@@ -87,6 +87,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D57 A-ES exact-k weighted sampling (exact oracle; Python-twin/
     # weight-dominance/top-k-heap pins in tests/test_aes_sample.py)
     "sample_weighted_k",
+    # D58 cluster-density report: triangles + clustering coefficient
+    # (exact oracle; star-vs-clique/itertools-twin/cap pins in
+    # tests/test_triangles.py)
+    "dedup_cluster_density",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

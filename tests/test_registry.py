@@ -344,10 +344,16 @@ def test_registry_count_is_planned():
     sampling without replacement, ln(u)/weight top-k on
     content-addressed uniforms; exact oracle, Python reference twin
     in tests/test_aes_sample.py; r11 debut via NEXT_ROUND_BACKLOG)
-    makes 186.
+    makes 186, and the r10-added D58 surface (dedup_cluster_density —
+    per-cluster structure report over the exact trigram-Jaccard pair
+    graph: wedges/triangles/clustering via the compact-forward
+    triangle join, the star-vs-clique curation diagnostic; exact
+    oracle incl. the recursive-closure components, itertools
+    reference twin in tests/test_triangles.py; r11 debut via
+    NEXT_ROUND_BACKLOG) makes 187.
     """
-    assert len(REGISTRY) == 186, (
-        f"registry count changed ({len(REGISTRY)} != 186); new queries "
+    assert len(REGISTRY) == 187, (
+        f"registry count changed ({len(REGISTRY)} != 187); new queries "
         "need a rotation plan before registration"
     )
 

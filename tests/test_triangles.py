@@ -1,0 +1,116 @@
+"""D58: exact triangle enumeration (compact-forward) + per-component
+cluster-density report — the star-vs-clique diagnostic for dup clusters."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import Row
+
+from mysql2parquet_spark.operators.graph import (
+    cluster_density_report,
+    triangles,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs]
+    )
+
+
+def test_star_vs_clique(spark):
+    star = [(0, i) for i in range(1, 6)]            # hub 0, 5 leaves
+    clique = list(combinations([10, 11, 12, 13], 2))  # K4
+    rep = {
+        r["component"]: r.asDict()
+        for r in cluster_density_report(
+            _edges_df(spark, star + clique)
+        ).collect()
+    }
+    s, c = rep[0], rep[10]
+    assert (s["n_vertices"], s["n_edges"], s["n_wedges"],
+            s["n_triangles"], s["clustering"]) == (6, 5, 10, 0, 0.0)
+    assert (c["n_vertices"], c["n_edges"], c["n_wedges"],
+            c["n_triangles"], c["clustering"]) == (4, 6, 12, 4, 1.0)
+
+
+def test_triangles_match_itertools_reference(spark):
+    # deterministic pseudo-random graph on 18 vertices (10 triangles)
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                ((i * 5 + j) % 18, (i * 7 + j * j) % 18)
+                for i in range(40)
+                for j in range(3)
+            )
+            if a != b
+        }
+    )
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in triangles(_edges_df(spark, pairs)).collect()
+    )
+    es = set(pairs)
+    vs = sorted({v for e in pairs for v in e})
+    ref = sorted(
+        (a, b, c)
+        for a, b, c in combinations(vs, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert got == ref and ref
+    # each triangle exactly once (a < b < c canonical)
+    assert len(got) == len(set(got))
+
+
+def test_edge_direction_and_duplicates_canonicalize(spark):
+    # reversed + duplicated edges collapse to one canonical triangle
+    df = _edges_df(spark, [(2, 1), (1, 2), (2, 3), (1, 3), (3, 1)])
+    got = [(r["a"], r["b"], r["c"]) for r in triangles(df).collect()]
+    assert got == [(1, 2, 3)]
+
+
+def test_max_degree_cap_undercounts_only(spark):
+    clique = list(combinations(range(6), 2))  # K6: every vertex deg 5
+    full = triangles(_edges_df(spark, clique)).count()
+    capped = triangles(
+        _edges_df(spark, clique), max_degree=4
+    ).count()
+    assert full == 20
+    assert capped == 0  # every vertex dropped: under-count, no error
+    with pytest.raises(ValueError, match="max_degree"):
+        triangles(_edges_df(spark, clique), max_degree=1)
+
+
+def test_report_matches_fixture_pair_graph(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from mysql2parquet_spark.operators.dedup import (
+        gram_jaccard_pairs_indexed,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 200)
+    pairs = gram_jaccard_pairs_indexed(
+        d, d, shingle_n=3, threshold=0.3, self_pairs=True
+    )
+    rep = cluster_density_report(pairs, "id_a", "id_b").collect()
+    for r in rep:
+        # structural invariants hold on every component
+        assert r["n_edges"] >= r["n_vertices"] - 1
+        assert r["n_triangles"] * 3 <= max(r["n_wedges"], 1) * 3
+        if r["n_wedges"] == 0:
+            assert r["clustering"] is None
+        else:
+            assert 0.0 <= r["clustering"] <= 1.0
+    assert rep
+
+
+def test_plan_no_cartesian(spark):
+    df = _edges_df(spark, [(0, 1), (1, 2), (0, 2)])
+    p = cluster_density_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
