@@ -724,3 +724,85 @@ def semantic_dedup(
         .distinct()
     )
     return losers
+
+
+def topk_ranking(
+    df: DataFrame,
+    order_col,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """A bounded (id, rank) ranking relation: the k best rows by
+    ``order_col`` (an expression Column or name), rank 1 = best, ties
+    broken by ``id_col`` ascending so the LIST — not just the set — is
+    engine-exact. The global window runs AFTER the
+    TakeOrderedAndProject top-k, so the single-task stage touches k
+    rows by construction, never the corpus (the D42 funnel guard:
+    bounded inputs make a global window legal)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    c = F.col(order_col) if isinstance(order_col, str) else order_col
+    ordering = [c.asc() if ascending else c.desc(), F.col(id_col).asc()]
+    top = df.orderBy(*ordering).limit(k)
+    w = Window.orderBy(*ordering)
+    return top.select(
+        id_col, F.row_number().over(w).alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (D59 — Cormack, Clarke & Büttcher 2009):
+    merge N rankings of the same id space into one consensus ranking
+    by ``score(d) = Σ_lists 1/(k + rank_list(d))`` — the standard
+    training-free combiner for hybrid retrieval (BM25 ⊕ dense ANN) and
+    multi-signal quality ranking, robust to incomparable score scales
+    because only RANKS enter.
+
+    Exactness: each reciprocal is quantized ONCE to an integer
+    (``floor(1e9 / (k + rank))`` — nano-scale resolution, ranks are
+    small integers so no collision in practice), so the fused score is
+    an order-independent int64 sum and the output ORDER (score DESC,
+    id ASC) is engine-exact. Absent-from-a-list contributes 0 (the
+    published convention). ``n_lists`` counts how many rankings
+    mention the id.
+
+    Scale shape: inputs are top-k ranking relations (bounded by
+    construction — see ``topk_ranking``), so the union + id-keyed agg
+    + final sort all run on ≤ N·k rows regardless of corpus size.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k_const < 1:
+        raise ValueError(f"k_const must be >= 1: {k_const}")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.floor(
+                F.lit(1_000_000_000.0)
+                / (F.lit(float(k_const)) + F.col("rank").cast("double"))
+            )
+            .cast("long")
+            .alias("_rr"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("_rr").alias("rrf_micro"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+    )
+    return fused.limit(top_k) if top_k else fused

@@ -3386,3 +3386,76 @@ def dedup_cluster_density(spark, sf_dir):
         d, d, shingle_n=3, threshold=0.3, self_pairs=True
     )
     return cluster_density_report(pairs, "id_a", "id_b")
+
+
+@register(
+    "search_rrf_fusion",
+    r"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS div,
+             len(list_filter(ws, x -> x = 'spark')) AS rel
+      FROM w
+    ),
+    r1 AS (SELECT doc_id, rank FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+        AS rank FROM m) WHERE rank <= 200),
+    r2 AS (SELECT doc_id, rank FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY div DESC, doc_id)
+        AS rank FROM m) WHERE rank <= 200),
+    r3 AS (SELECT doc_id, rank FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id)
+        AS rank FROM m) WHERE rank <= 200),
+    u AS (
+      SELECT doc_id, CAST(FLOOR(1000000000.0 / (60.0 + rank))
+                          AS BIGINT) AS rr FROM r1
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000000.0 / (60.0 + rank))
+                          AS BIGINT) FROM r2
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000000.0 / (60.0 + rank))
+                          AS BIGINT) FROM r3
+    )
+    SELECT doc_id, CAST(SUM(rr) AS BIGINT) AS rrf_micro,
+           COUNT(*) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_micro DESC, doc_id LIMIT 50
+    """,
+    "D59: reciprocal-rank fusion (Cormack et al. 2009) -- the "
+    "training-free combiner for hybrid retrieval and multi-signal "
+    "ranking: fuse three top-200 rankings of documents (term-frequency "
+    "relevance for 'spark', length prior, lexical diversity) by "
+    "score = sum 1/(60+rank), keep the consensus top-50. Only RANKS "
+    "enter, so incomparable score scales fuse safely; each reciprocal "
+    "is quantized ONCE to an integer (floor(1e9/(60+rank))) so fused "
+    "scores are order-independent int64 sums and the output ORDER is "
+    "engine-exact (doc_id tiebreak). Each ranking is TakeOrdered "
+    "top-k; the bounded k-row relations make the rank window and the "
+    "fusion agg touch <= N*k rows regardless of corpus size.",
+)
+def search_rrf_fusion(spark, sf_dir):
+    from mysql2parquet_spark.functions.hashing import tokens
+    from mysql2parquet_spark.operators.similarity import (
+        rrf_fuse,
+        topk_ranking,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    ws = tokens(F.trim(F.col("text")))
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+        ).alias("div"),
+        F.size(F.filter(ws, lambda x: x == "spark")).alias("rel"),
+    )
+    r1 = topk_ranking(m, "n_chars", 200)
+    r2 = topk_ranking(m, "div", 200)
+    r3 = topk_ranking(m, "rel", 200)
+    return rrf_fuse([r1, r2, r3], top_k=50)

@@ -91,6 +91,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # (exact oracle; star-vs-clique/itertools-twin/cap pins in
     # tests/test_triangles.py)
     "dedup_cluster_density",
+    # D59 reciprocal-rank fusion (exact oracle; rank-only/quantized-
+    # reciprocal/bounded-window pins in tests/test_rrf.py)
+    "search_rrf_fusion",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -350,10 +350,14 @@ def test_registry_count_is_planned():
     triangle join, the star-vs-clique curation diagnostic; exact
     oracle incl. the recursive-closure components, itertools
     reference twin in tests/test_triangles.py; r11 debut via
-    NEXT_ROUND_BACKLOG) makes 187.
+    NEXT_ROUND_BACKLOG) makes 187, and the r10-added D59 surface
+    (search_rrf_fusion — reciprocal-rank fusion, Cormack et al. 2009:
+    rank-only combining of bounded top-k lists with integer-quantized
+    reciprocals; exact oracle, Python reference twin in
+    tests/test_rrf.py; r11 debut via NEXT_ROUND_BACKLOG) makes 188.
     """
-    assert len(REGISTRY) == 187, (
-        f"registry count changed ({len(REGISTRY)} != 187); new queries "
+    assert len(REGISTRY) == 188, (
+        f"registry count changed ({len(REGISTRY)} != 188); new queries "
         "need a rotation plan before registration"
     )
 
