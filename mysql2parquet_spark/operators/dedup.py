@@ -1283,3 +1283,56 @@ def cdc_chunk_dup_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def within_doc_segment_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal (D60) — the intra-doc
+    sibling of ``frequent_segment_removal``: keep each segment's FIRST
+    occurrence inside its own document, drop later repeats, reassemble
+    in order. Web pages repeat their own nav blocks, footers, and
+    cookie banners several times per page; this removes the repeats
+    without any corpus-wide statistic (so it composes with D50, which
+    needs the cross-corpus count, and with C4's repetition SCORE,
+    which only measures).
+
+    Plan shape: posexplode (zero shuffle) → ONE (id, seg)-keyed
+    ``min(pos)`` aggregate (the keeper set — no window, dedup by
+    group-min like ``exact_dedup``) → the D50 reassembly aggregate.
+    Two keyed exchanges total, both on the document id (+segment);
+    every document keeps ≥ 1 segment, so the output has exactly one
+    row per input document — ``n_dropped`` counts the removed repeats.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), __import__("re").escape(sep), -1)
+        ).alias("pos", "seg"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
+    kept = segs.groupBy(id_col, "seg").agg(F.min("pos").alias("pos"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            "text",
+            "n_kept",
+            (F.col("_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )

@@ -3459,3 +3459,42 @@ def search_rrf_fusion(spark, sf_dir):
     r2 = topk_ranking(m, "div", 200)
     r3 = topk_ranking(m, "rel", 200)
     return rrf_fuse([r1, r2, r3], top_k=50)
+
+
+@register(
+    "dedup_segments_within",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS seg
+      FROM documents
+    ), t AS (
+      SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id
+    ), k AS (
+      SELECT doc_id, seg, MIN(pos) AS pos FROM s GROUP BY doc_id, seg
+    )
+    SELECT k.doc_id,
+           string_agg(k.seg, ' ' ORDER BY k.pos) AS text,
+           COUNT(*) AS n_kept,
+           MIN(t.n) - COUNT(*) AS n_dropped
+    FROM k JOIN t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+    "D60: WITHIN-document repeated-segment removal -- keep each "
+    "segment's FIRST occurrence inside its own document, drop later "
+    "repeats, reassemble in order (pages repeating their own nav/"
+    "footer blocks; no corpus-wide statistic needed, composing with "
+    "D50's cross-corpus ban and C4's repetition score). posexplode -> "
+    "ONE (id,seg)-keyed min(pos) aggregate (group-min dedup, no "
+    "window) -> the D50 reassembly agg; exactly one output row per "
+    "document. Registered at WORD granularity (sep=' ') -- the "
+    "fixture has no newlines and no repeated phrases, while its "
+    "31-word vocabulary repeats heavily within docs, so the word "
+    "face is the discriminating one (first-occurrence unique tokens "
+    "in order); the unit tests prove the newline/nav-block contract "
+    "on planted pages.",
+)
+def dedup_segments_within(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.within_doc_segment_dedup(d, sep=" ")

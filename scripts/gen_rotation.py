@@ -94,6 +94,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D59 reciprocal-rank fusion (exact oracle; rank-only/quantized-
     # reciprocal/bounded-window pins in tests/test_rrf.py)
     "search_rrf_fusion",
+    # D60 within-doc repeated-segment removal (exact oracle; nav-block/
+    # no-cross-doc/Python-twin/no-window pins in tests/test_within_dedup.py)
+    "dedup_segments_within",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

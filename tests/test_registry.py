@@ -354,10 +354,15 @@ def test_registry_count_is_planned():
     (search_rrf_fusion — reciprocal-rank fusion, Cormack et al. 2009:
     rank-only combining of bounded top-k lists with integer-quantized
     reciprocals; exact oracle, Python reference twin in
-    tests/test_rrf.py; r11 debut via NEXT_ROUND_BACKLOG) makes 188.
+    tests/test_rrf.py; r11 debut via NEXT_ROUND_BACKLOG) makes 188,
+    and the r10-added D60 surface (dedup_segments_within —
+    within-document repeated-segment removal, first occurrence kept,
+    group-min keeper + ordered reassembly, no corpus statistic; exact
+    oracle, Python reference twin in tests/test_within_dedup.py; r11
+    debut via NEXT_ROUND_BACKLOG) makes 189.
     """
-    assert len(REGISTRY) == 188, (
-        f"registry count changed ({len(REGISTRY)} != 188); new queries "
+    assert len(REGISTRY) == 189, (
+        f"registry count changed ({len(REGISTRY)} != 189); new queries "
         "need a rotation plan before registration"
     )
 
