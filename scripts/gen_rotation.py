@@ -314,13 +314,32 @@ After CORRECTNESS_r10 lands green, every registered query has >=2
 driver rows and the r8 cohort is thrice-proven. r11 priorities:
 
 1. Any r10 red rows (fix + re-land).
-2. Debut head slots for queries registered during r10 (declared in
-   NEXT_ROUND_BACKLOG as they land).
-3. Second greens for the nine r10 debuts.
-4. Third greens for the r9-debut cohort (`events_estimate`,
-   `events_heavy_hitters`, `text_bpe_tokens`, `ann_pq_topk`) and the
-   13 r10 second-green singles, so no surface rests on two
-   adjudications by r12.
+2. **17 debut head slots** — every query registered during r10, all
+   declared in NEXT_ROUND_BACKLOG as they landed: the six from the
+   round's first half (`score_calibrate_global`,
+   `table_profile_approx`, `sample_quota`, `multimodal_phash_dedup`,
+   `text_lm_score`, `dedup_containment` — D45-D49 + the approx
+   profiler face) and the eleven from the second half
+   (`dedup_segments`, `pipeline_dsir`, `text_gopher_rules`,
+   `dedup_cdc_chunks`, `pipeline_length_buckets`,
+   `multimodal_audio_trim`, `events_bootstrap`, `sample_weighted_k`,
+   `dedup_cluster_density`, `search_rrf_fusion`,
+   `dedup_segments_within` — D50-D60). All carry exact oracles
+   except `table_profile_approx` (rows-only by construction).
+3. **9 second-green slots** — the r10 debuts (`dedup_keep_best`,
+   `table_profile`, `privacy_dp_counts`, `dedup_cluster_incremental`,
+   `score_calibrate`, `similarity_tfidf`, `pipeline_temperature`,
+   `ann_pq_persisted`, `dedup_semantic_ivf`).
+4. **4 third-green slots** — the r9-debut cohort (`events_estimate`,
+   `events_heavy_hitters`, `text_bpe_tokens`, `ann_pq_topk`).
+5. Remaining ~20 slots: third greens for the 13 r10 second-green
+   singles plus the stalest two-row queries, so no surface rests on
+   two adjudications by r12.
+
+Head arithmetic: 17 + 9 + 4 = 30 pinned, ~20 rotation slots. The
+NEXT_ROUND_BACKLOG tuple empties into the r11 head at the next
+DRIVER_PRIORITY rotation; the ledger test keeps the accounting
+honest until then.
 """
 
 def _round_files() -> dict[int, dict]:
