@@ -294,3 +294,97 @@ def quantile_normalize_global(
         out_col, F.lit(None).cast("double")
     )
     return ranked.unionByName(nulls)
+
+
+def quantiles_exact_global(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global quantiles without a single-task sort (D61): the
+    selection counterpart of ``quantile_normalize_global`` — where
+    ``approx_percentile`` trades error for one pass, this returns the
+    TRUE order statistics with the same distributed machinery Spark
+    uses for ORDER BY: ``repartitionByRange(value)``, a
+    within-partition ``row_number``, and a |partitions|-row offset
+    relation broadcast back, so
+
+        global_pos(x) = offset(partition(x)) + local_row_number(x)
+
+    is a valid 1..n positioning consistent with value order. Each
+    requested fraction q selects the value at position
+    ``floor(q·(n−1)) + 1`` (the lower empirical quantile — q=0 is the
+    min, q=1 the max). The value at a position is deterministic even
+    under ties (every position inside a tie block holds the same
+    value), so the output is engine-exact against a plain ROW_NUMBER
+    oracle. NULLs are excluded from the order statistics, stated not
+    silent.
+
+    Plan shape: one range exchange, one pid-keyed window, two
+    broadcast joins of bounded relations (|partitions| offsets,
+    |qs| targets) — every stage data-parallel; the sampled range
+    boundaries decide only WHERE rows sit, never the arithmetic.
+    Returns ``(q, value, rank, n_rows)``, one row per requested
+    fraction.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile outside [0,1]: {q}")
+    non_null = df.filter(F.col(value_col).isNotNull())
+    parts = (
+        non_null.repartitionByRange(num_partitions, F.col(value_col))
+        if num_partitions is not None
+        else non_null.repartitionByRange(F.col(value_col))
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    # |qs|-row target relation: (q, target position) from the global n.
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    targets = (
+        offsets.select("_n")
+        .distinct()
+        .select(F.explode(qarr).alias("q"), "_n")
+        .select(
+            "q",
+            (
+                F.floor(F.col("q") * (F.col("_n") - F.lit(1)).cast("double"))
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("_target"),
+            F.col("_n").alias("n_rows"),
+        )
+    )
+    wloc = Window.partitionBy("_pid").orderBy(F.col(value_col).asc())
+    pos = (
+        parts.withColumn("_lr", F.row_number().over(wloc))
+        .join(F.broadcast(offsets.drop("_n")), "_pid")
+        .withColumn("_pos", F.col("_off") + F.col("_lr"))
+    )
+    return (
+        pos.join(
+            F.broadcast(targets), F.col("_pos") == F.col("_target")
+        )
+        .select(
+            "q",
+            F.col(value_col).alias("value"),
+            F.col("_pos").alias("rank"),
+            "n_rows",
+        )
+        .orderBy("q")
+    )

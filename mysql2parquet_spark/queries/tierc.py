@@ -3498,3 +3498,44 @@ def search_rrf_fusion(spark, sf_dir):
 def dedup_segments_within(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.within_doc_segment_dedup(d, sep=" ")
+
+
+@register(
+    "agg_quantiles_global",
+    """
+    WITH v AS (
+      SELECT value FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM v
+    ), q AS (
+      SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+    )
+    SELECT CAST(q.q AS DOUBLE) AS q, r.value, r.rnk AS rank,
+           CAST(r.n AS BIGINT) AS n_rows
+    FROM q JOIN r
+      ON r.rnk = CAST(FLOOR(CAST(q.q AS DOUBLE) * (r.n - 1)) AS BIGINT) + 1
+    ORDER BY q.q
+    """,
+    "D61: EXACT global quantiles (p1/p10/p25/p50/p75/p90/p99 of "
+    "events.value) without a single-task sort -- the true-order-"
+    "statistic counterpart of agg_approx_percentile, using the D45 "
+    "machinery: repartitionByRange + within-partition row_number + "
+    "broadcast |partitions|-row offsets give a valid global position "
+    "consistent with value order; each fraction selects the value at "
+    "floor(q*(n-1))+1 via a broadcast |qs|-row target join. Every "
+    "stage data-parallel (one range exchange, one pid window, two "
+    "bounded broadcasts); sampled boundaries decide only WHERE rows "
+    "sit, never the arithmetic -- engine-exact vs the plain "
+    "ROW_NUMBER oracle.",
+)
+def agg_quantiles_global(spark, sf_dir):
+    from mysql2parquet_spark.operators.numeric import (
+        quantiles_exact_global,
+    )
+
+    d = T(spark, sf_dir, "events").select("value")
+    return quantiles_exact_global(
+        d, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )

@@ -97,6 +97,9 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # D60 within-doc repeated-segment removal (exact oracle; nav-block/
     # no-cross-doc/Python-twin/no-window pins in tests/test_within_dedup.py)
     "dedup_segments_within",
+    # D61 exact global quantiles (exact ROW_NUMBER oracle; tie/NULL/
+    # partition-independence/plan pins in tests/test_quantiles_global.py)
+    "agg_quantiles_global",
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -314,18 +317,19 @@ After CORRECTNESS_r10 lands green, every registered query has >=2
 driver rows and the r8 cohort is thrice-proven. r11 priorities:
 
 1. Any r10 red rows (fix + re-land).
-2. **17 debut head slots** — every query registered during r10, all
+2. **18 debut head slots** — every query registered during r10, all
    declared in NEXT_ROUND_BACKLOG as they landed: the six from the
    round's first half (`score_calibrate_global`,
    `table_profile_approx`, `sample_quota`, `multimodal_phash_dedup`,
    `text_lm_score`, `dedup_containment` — D45-D49 + the approx
-   profiler face) and the eleven from the second half
+   profiler face) and the twelve from the second half
    (`dedup_segments`, `pipeline_dsir`, `text_gopher_rules`,
    `dedup_cdc_chunks`, `pipeline_length_buckets`,
    `multimodal_audio_trim`, `events_bootstrap`, `sample_weighted_k`,
    `dedup_cluster_density`, `search_rrf_fusion`,
-   `dedup_segments_within` — D50-D60). All carry exact oracles
-   except `table_profile_approx` (rows-only by construction).
+   `dedup_segments_within`, `agg_quantiles_global` — D50-D61). All
+   carry exact oracles except `table_profile_approx` (rows-only by
+   construction).
 3. **9 second-green slots** — the r10 debuts (`dedup_keep_best`,
    `table_profile`, `privacy_dp_counts`, `dedup_cluster_incremental`,
    `score_calibrate`, `similarity_tfidf`, `pipeline_temperature`,
@@ -336,7 +340,7 @@ driver rows and the r8 cohort is thrice-proven. r11 priorities:
    singles plus the stalest two-row queries, so no surface rests on
    two adjudications by r12.
 
-Head arithmetic: 17 + 9 + 4 = 30 pinned, ~20 rotation slots. The
+Head arithmetic: 18 + 9 + 4 = 31 pinned, ~19 rotation slots. The
 NEXT_ROUND_BACKLOG tuple empties into the r11 head at the next
 DRIVER_PRIORITY rotation; the ledger test keeps the accounting
 honest until then.

@@ -1,0 +1,79 @@
+"""D61: exact global quantiles via range-partition rank selection —
+true order statistics with no single-task sort."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql2parquet_spark.operators.numeric import quantiles_exact_global
+
+
+def test_matches_sorted_python_reference(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value")
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {r["q"]: (r["value"], r["rank"], r["n_rows"])
+           for r in quantiles_exact_global(ev, "value", qs).collect()}
+    vals = sorted(
+        r["value"] for r in ev.collect() if r["value"] is not None
+    )
+    n = len(vals)
+    for q in qs:
+        pos = math.floor(q * (n - 1)) + 1
+        assert got[q] == (vals[pos - 1], pos, n)
+    # q=0 is the min, q=1 the max
+    assert got[0.0][0] == vals[0] and got[1.0][0] == vals[-1]
+
+
+def test_ties_select_deterministically(spark):
+    # 100 rows, only 3 distinct values — every position in a tie block
+    # holds the same value, so quantiles are exact under ties
+    df = spark.createDataFrame(
+        [Row(v=float(i % 3)) for i in range(100)]
+    )
+    got = {r["q"]: r["value"] for r in quantiles_exact_global(
+        df, "v", [0.25, 0.5, 0.75]).collect()}
+    vals = sorted(float(i % 3) for i in range(100))
+    assert got == {
+        q: vals[math.floor(q * 99)] for q in (0.25, 0.5, 0.75)
+    }
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(v=None), Row(v=1.0), Row(v=2.0), Row(v=3.0), Row(v=None)]
+    )
+    got = quantiles_exact_global(df, "v", [0.5]).collect()
+    assert got[0]["value"] == 2.0 and got[0]["n_rows"] == 3
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([Row(v=1.0)])
+    with pytest.raises(ValueError, match="non-empty"):
+        quantiles_exact_global(df, "v", [])
+    with pytest.raises(ValueError, match="outside"):
+        quantiles_exact_global(df, "v", [1.5])
+
+
+def test_partition_count_never_changes_answers(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value")
+    qs = [0.1, 0.5, 0.9]
+    a = sorted(map(tuple, quantiles_exact_global(
+        ev, "value", qs, num_partitions=2).collect()))
+    b = sorted(map(tuple, quantiles_exact_global(
+        ev, "value", qs, num_partitions=17).collect()))
+    assert a == b and a
+
+
+def test_plan_no_global_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value")
+    out = quantiles_exact_global(ev, "value", [0.5, 0.9])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # range exchange + pid-keyed window; the data-scale window must be
+    # partitioned (the offsets window runs on |partitions| rows only)
+    assert "rangepartitioning" in p.lower(), p
+    assert "windowspecdefinition(_pid" in p, p
+    assert "CartesianProduct" not in p, p

@@ -359,10 +359,16 @@ def test_registry_count_is_planned():
     within-document repeated-segment removal, first occurrence kept,
     group-min keeper + ordered reassembly, no corpus statistic; exact
     oracle, Python reference twin in tests/test_within_dedup.py; r11
-    debut via NEXT_ROUND_BACKLOG) makes 189.
+    debut via NEXT_ROUND_BACKLOG) makes 189, and the r10-added D61
+    surface (agg_quantiles_global — exact global quantiles via
+    range-partition rank selection, the true-order-statistic
+    counterpart of approx_percentile with no single-task sort; exact
+    ROW_NUMBER oracle, sorted-Python twin in
+    tests/test_quantiles_global.py; r11 debut via NEXT_ROUND_BACKLOG)
+    makes 190.
     """
-    assert len(REGISTRY) == 189, (
-        f"registry count changed ({len(REGISTRY)} != 189); new queries "
+    assert len(REGISTRY) == 190, (
+        f"registry count changed ({len(REGISTRY)} != 190); new queries "
         "need a rotation plan before registration"
     )
 
