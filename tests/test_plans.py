@@ -405,6 +405,9 @@ BROADCAST_ALLOWLIST = {
     ("operators/numeric.py", "quantile_normalize_global"):
         "|range-partitions|-row cumulative-offset relation — bounded "
         "by the partition count, never the data",
+    ("operators/numeric.py", "quantiles_exact_global"):
+        "|range-partitions|-row offsets + |qs|-row quantile targets — "
+        "both bounded by configuration, never the data",
     ("operators/scale.py", "quota_sample"):
         "|strata|-row quota allocation — one count aggregate over the "
         "stratum key, bounded by stratum cardinality",
