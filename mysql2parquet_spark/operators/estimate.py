@@ -253,16 +253,23 @@ def poisson_bootstrap_ci(
     hi_i = F.ceil(F.lit(float(hi)) * (m - F.lit(1)).cast("double")).cast(
         "int"
     )
+    # A group where EVERY replica drew weight 0 (probability e^-B per
+    # replica; ~13.5% for a singleton at the replicas=2 floor) has an
+    # empty means array — lo_i would be -1 and element_at(means, 0)
+    # throws. Such a group carries no bootstrap information: emit NULL
+    # CIs instead of failing the whole job (ADVICE r10).
     return g.select(
         *group_cols,
         F.col("_n").alias("n_rows"),
         F.round(F.col("_sv") / F.col("_n").cast("double"), ndigits).alias(
             "mean"
         ),
-        F.round(F.element_at(means, lo_i + F.lit(1)), ndigits).alias(
-            "ci_lo"
-        ),
-        F.round(F.element_at(means, hi_i + F.lit(1)), ndigits).alias(
-            "ci_hi"
-        ),
+        F.when(
+            m > 0,
+            F.round(F.element_at(means, lo_i + F.lit(1)), ndigits),
+        ).alias("ci_lo"),
+        F.when(
+            m > 0,
+            F.round(F.element_at(means, hi_i + F.lit(1)), ndigits),
+        ).alias("ci_hi"),
     )

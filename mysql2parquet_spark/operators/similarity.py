@@ -782,6 +782,10 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     if k_const < 1:
         raise ValueError(f"k_const must be >= 1: {k_const}")
+    if top_k is not None and top_k < 1:
+        # Truthiness would silently treat top_k=0 as "no limit"
+        # (ADVICE r10); validate like the other parameters.
+        raise ValueError(f"top_k must be >= 1 or None: {top_k}")
     parts = [
         r.select(
             F.col(id_col),
@@ -805,4 +809,4 @@ def rrf_fuse(
         )
         .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
     )
-    return fused.limit(top_k) if top_k else fused
+    return fused.limit(top_k) if top_k is not None else fused

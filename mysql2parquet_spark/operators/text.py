@@ -582,9 +582,14 @@ def gopher_quality_rules(
             f"min_required_hits ({min_required_hits}) exceeds the "
             f"required-word list ({len(required_words)})"
         )
+    # NULL text fails closed exactly like empty text (ADVICE r10):
+    # without the coalesce, split(NULL) is NULL, size(NULL) is NULL,
+    # and r_word_count / required_hits / keep would come out NULL
+    # instead of false — contradicting the word-less-document contract.
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        F.trim(text) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
     n = F.size(words)
     sum_len = F.aggregate(
         words, F.lit(0), lambda acc, w: acc + F.length(w)

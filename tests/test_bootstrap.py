@@ -130,3 +130,21 @@ def test_plan_one_exchange(spark, sf_dir):
     # B replicas ride as column width, never extra passes or shuffles
     assert p.count("Exchange") == 1, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_all_zero_weight_group_emits_null_ci(spark):
+    # ADVICE r10: a group whose every replica weight is 0 (key=3 draws
+    # w=0 for both replicas under the default salt — verified by the
+    # Python twin) has an empty means array; it must emit NULL CIs,
+    # not throw on element_at(means, 0).
+    assert _py_weight(3, 0) == 0 and _py_weight(3, 1) == 0
+    df = spark.createDataFrame(
+        [Row(k=3, g="dead", v=1.0), Row(k=0, g="live", v=2.0),
+         Row(k=1, g="live", v=4.0)]
+    )
+    got = {r["g"]: r for r in poisson_bootstrap_ci(
+        df, ["g"], "v", key_col="k", replicas=2
+    ).collect()}
+    assert got["dead"]["mean"] == 1.0
+    assert got["dead"]["ci_lo"] is None and got["dead"]["ci_hi"] is None
+    assert got["live"]["ci_lo"] is not None

@@ -120,3 +120,20 @@ def test_plan_is_one_projection_zero_exchanges(spark, sf_dir):
     # operator must stay a shuffle-free scan+project
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_null_text_fails_closed_like_empty(spark):
+    # ADVICE r10: NULL text must fail every rule (keep=false), not
+    # propagate NULL through r_word_count / required_hits / keep.
+    df = spark.createDataFrame(
+        [(0, None), (1, GOOD)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality_rules(df, min_words=1).collect()}
+    r = got[0]
+    assert r["n_words"] == 0
+    assert r["r_word_count"] is False
+    assert r["required_hits"] == 0
+    assert r["r_required_words"] is False
+    assert r["keep"] is False
+    assert got[1]["keep"] is True

@@ -96,3 +96,17 @@ def test_plan_bounded_window_after_topk(spark, sf_dir):
     # window's input is k rows by construction
     assert "TakeOrderedAndProject" in p, p
     assert p.index("Window") < p.index("TakeOrderedAndProject"), p
+
+
+def test_top_k_zero_rejected_not_unlimited(spark):
+    # ADVICE r10: top_k=0 must raise, not silently mean "no limit";
+    # negative values are equally invalid.
+    df = spark.createDataFrame(
+        [Row(doc_id=i, s=float(i)) for i in range(10)]
+    )
+    r = topk_ranking(df, "s", 5)
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse([r], top_k=0)
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse([r], top_k=-3)
+    assert len(rrf_fuse([r], top_k=2).collect()) == 2
