@@ -122,11 +122,50 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # r7 debuts, the 7 r9 TPCH third-greens, quality_report) — all
 # component-guarded via tests/test_registry.py.
 # Per-round history: ROTATION.md.
+# ROTATION (r11, per ROTATION.md's r11 plan + VERDICT r10 asks #1/#3/#7):
+# CORRECTNESS_r10 landed 38 hash + 12 rows-only-by-design, 0 FAIL
+# (fourth consecutive clean window), so the head rotates to: 18 debut
+# slots for every query registered during r10 (the full
+# NEXT_ROUND_BACKLOG — D45-D61 plus the D39 approx-profiler face; all
+# exact oracles except table_profile_approx, rows-only by
+# construction), 9 second-green slots for the r10 debuts, 4
+# third-green slots for the r9-debut cohort, and 19 staleness slots:
+# the nine r2-newest two-row queries, the eight r3-newest two-row
+# queries, topk_similarity (r3), and agg_group (the flagship entry
+# query, newest row r3). Displaced: the r10 thrice-proven graduates
+# (the D25-D32 cohort, the 11 TPC-H backfills, filter_pred/join_anti/
+# window_rank) and the 13 r10 second-green singles (each now at 2-3
+# rows) — all component-guarded via tests/test_registry.py.
+# Per-round history: ROTATION.md.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r10 debuts (r9-built, never driver-checked; parity/invariants
-    #     proven locally -- tests/test_curation_profile_dp.py,
-    #     test_graph_incremental.py, test_calibrate_tfidf.py,
-    #     test_pq.py, test_semantic_ivf.py) ---
+    # --- 18 r11 debuts (r10-built, never driver-checked; parity
+    #     proven locally in the r10 closing sim — tests per surface:
+    #     test_calibrate_tfidf.py, test_curation_profile_dp.py,
+    #     test_quota.py, test_phash.py, test_lm.py,
+    #     test_containment.py, test_segments.py, test_dsir.py,
+    #     test_gopher.py, test_cdc.py, test_length_buckets.py,
+    #     test_audio_vad.py, test_bootstrap.py, test_aes_sample.py,
+    #     test_triangles.py, test_rrf.py, test_within_dedup.py,
+    #     test_quantiles_global.py) ---
+    "score_calibrate_global",   # D45 distributed exact percent_rank
+    "table_profile_approx",     # D39 approx-HLL profile (rows-only)
+    "sample_quota",             # D46 exact-total quota sampling
+    "multimodal_phash_dedup",   # D47 DCT pHash image near-dup
+    "text_lm_score",            # D48 bigram-LM cross-entropy scoring
+    "dedup_containment",        # D49 exact n-gram containment pairs
+    "dedup_segments",           # D50 C4 corpus-frequent line dedup
+    "pipeline_dsir",            # D51 DSIR importance selection
+    "text_gopher_rules",        # D52 Gopher quality-rule vector
+    "dedup_cdc_chunks",         # D53 content-defined chunk dup report
+    "pipeline_length_buckets",  # D54 length-bucketed batching
+    "multimodal_audio_trim",    # D55 audio silence trim / VAD
+    "events_bootstrap",         # D56 one-pass Poisson bootstrap CIs
+    "sample_weighted_k",        # D57 A-ES exact-k weighted sampling
+    "dedup_cluster_density",    # D58 triangle/density cluster report
+    "search_rrf_fusion",        # D59 reciprocal-rank fusion
+    "dedup_segments_within",    # D60 within-doc repeated-segment dedup
+    "agg_quantiles_global",     # D61 exact global quantiles
+    # --- second green rows for the 9 r10 debuts ---
     "dedup_keep_best",      # D38 quality-aware cluster resolution
     "table_profile",        # D39 one-pass column profiler
     "privacy_dp_counts",    # D40 discrete-Laplace DP count release
@@ -136,53 +175,32 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_temperature",  # D44 temperature-based domain mixing
     "ann_pq_persisted",     # D37 persisted PQ artifact probe (rows-only)
     "dedup_semantic_ivf",   # D31 learned-codebook SemDeDup (rows-only)
-    # --- second green rows for the 4 r9 debuts ---
+    # --- third green rows for the 4 r9 debuts ---
     "events_estimate",      # D33 sampled estimates + closed-form CIs
     "events_heavy_hitters",  # D34 certified exact heavy hitters
     "text_bpe_tokens",      # D35 distributed BPE tokenizer (rows-only)
     "ann_pq_topk",          # D37 product-quantized ANN (rows-only)
-    # --- second greens: every remaining one-row query ---
-    "ann_ivf_persisted",    # C3 partition-pruned persisted IVF index
-    "ann_ivf_topk",         # C3 IVF coarse-quantizer top-k
-    "ann_lsh_topk",         # C3 LSH-bucketed top-k
-    "dedup_minhash_verified",  # C2 LSH candidates + exact verify
-    "embedding_centroids",  # C3 kmeans-lite centroid assignment
-    "embedding_project",    # C3 random-projection sketch
-    "sample_stratified",    # C6/D14 stratified sampler
-    "sketch_cms_freq",      # D9 count-min frequency estimates
-    "sketch_hll_rollup",    # D9 mergeable HLL rollup
-    "text_bm25",            # C4 BM25 scoring
-    "text_repetition",      # C4 repetition / boilerplate ratios
-    "text_top_terms",       # C4 per-class top terms
-    "tpch_q10_shape",       # D13 returned-item revenue shape
-    # --- third greens for the 10 r8 debuts (ask #4: whole D25-D32
-    #     cohort to three adjudications) ---
-    "dedup_jaccard_incremental",  # D25 inverted gram-index exact Jaccard
-    "dedup_minhash_incremental",  # D25 persisted LSH band-store probe
-    "join_strategy",        # D26 join-strategy advisor (decision oracle)
-    "join_bloom_prune",     # D26 bloom-pruned join (oracle = plain join)
-    "join_interval",        # D27 bucketized interval-overlap join
-    "privacy_kanon",        # D28 k-anonymity suppression gate
-    "events_winsorize",     # D29 winsorize / robust-scale report
-    "events_paths",         # D30 k-step path mining
-    "dedup_semantic",       # D31 SemDeDup centroid-blocked dedup
-    "pipeline_curriculum",  # D32 curriculum ordering
-    # --- third greens: every remaining two-row TPC-H shape (ask #8) ---
-    "tpch_q3_shape",        # D13 top-unshipped-orders shape (newest r3)
-    "tpch_q6",              # D13 full TPC-H Q6 (newest r3)
-    "tpch_q11_shape",       # D13 HAVING-over-global-scalar shape
-    "tpch_q12_shape",       # D13 shipmode priority classify
-    "tpch_q13_shape",       # D13 outer-join distribution
-    "tpch_q14_shape",       # D13 conditional revenue share
-    "tpch_q15_shape",       # D13 top-supplier view shape
-    "tpch_q16_shape",       # D13 supplier-part anti-join count
-    "tpch_q19_shape",       # D13 disjunctive bracket predicate
-    "tpch_q20_shape",       # D13 nested semi-join quota
-    "tpch_q22_shape",       # D13 country-code anti-join aggregate
-    # --- stalest r2 two-row queries ---
-    "filter_pred",          # B5 compound predicates
-    "join_anti",            # B9 anti join
-    "window_rank",          # B16 ranking windows
+    # --- 19 staleness slots: newest driver row r2/r3 (standing rule:
+    #     no query's newest row should age out; these are the oldest) ---
+    "agg_rollup",           # B14 rollup (newest r2)
+    "join_full",            # B8 full outer join (newest r2)
+    "sort_limit_topk",      # B20 top-k heap (newest r2)
+    "stream_tumbling_batch",  # B32 tumbling rollup (newest r2)
+    "subquery_recursive",   # B29 recursive CTE (newest r2)
+    "subquery_scalar",      # B29 scalar subquery (newest r2)
+    "udf_pandas",           # B30 Arrow pandas UDF (newest r2)
+    "window_lag",           # B17 lag/lead analytics (newest r2)
+    "window_running",       # B17 running aggregates (newest r2)
+    "agg_grouping_sets",    # B14 grouping sets (newest r3)
+    "agg_pivot",            # B12 pivot aggregation (newest r3)
+    "dedup_minhash",        # C2 MinHash-LSH near-dup (newest r3)
+    "dedup_simhash",        # C2 SimHash near-dup (newest r3)
+    "json_funcs",           # B27 JSON functions (newest r3)
+    "pipeline_curate",      # C4/D14 curation filter (newest r3)
+    "sample_split",         # C6 train/val/test split (newest r3)
+    "text_quality",         # C4 quality scoring (newest r3)
+    "topk_similarity",      # C3 brute-force cosine top-k (newest r3)
+    "agg_group",            # B12 flagship entry aggregate (newest r3)
 )
 
 

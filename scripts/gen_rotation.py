@@ -36,70 +36,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # oracles. The ledger test fails if a query is neither checked, in the
 # head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
-    # r10: the nine r9-added surfaces all hold r10 head slots (debut
-    # round); entries below are r10-ADDED queries that debut in r11.
-    # D45 distributed global percent_rank (exact PERCENT_RANK oracle;
-    # parity + plan pins in tests/test_calibrate_tfidf.py)
-    "score_calibrate_global",
-    # D39's 100 TB default face (VERDICT r9 ask #6): approx-HLL
-    # profile, rows-only by construction; error bound vs the exact
-    # face gated in tests/test_curation_profile_dp.py
-    "table_profile_approx",
-    # D46 exact-total largest-remainder quota sampling (exact oracle;
-    # Python-reference arithmetic twin + plan pins in tests/test_quota.py)
-    "sample_quota",
-    # D47 perceptual-hash image near-dup (exact oracle via the planted
-    # synthetic cluster structure; invariance/codec/plan pins in
-    # tests/test_phash.py)
-    "multimodal_phash_dedup",
-    # D48 bigram-LM cross-entropy scoring (exact oracle; pure-Python
-    # reference twin + backoff/determinism/plan pins in tests/test_lm.py)
-    "text_lm_score",
-    # D49 exact n-gram containment pairs (exact set-algebra oracle;
-    # quote-detection/under-removal/plan pins in tests/test_containment.py)
-    "dedup_containment",
-    # D50 corpus-frequent segment removal — C4/RefinedWeb line dedup
-    # (exact oracle incl. ordered reassembly; C4-semantics/Python-twin/
-    # plan pins in tests/test_segments.py)
-    "dedup_segments",
-    # D51 DSIR importance selection (exact oracle incl. micro-nat
-    # quantization; Python-twin/ranking/plan pins in tests/test_dsir.py)
-    "pipeline_dsir",
-    # D52 Gopher word-level quality-rule vector (exact oracle; per-rule
-    # trigger/empty-doc/Python-twin/zero-exchange pins in
-    # tests/test_gopher.py)
-    "text_gopher_rules",
-    # D53 content-defined chunking dup report (exact oracle; Python
-    # twin/shift-robustness/plan pins in tests/test_cdc.py)
-    "dedup_cdc_chunks",
-    # D54 length-bucketed batching + padding-waste report (exact
-    # all-integer oracle; waste-reduction/anti-funnel/plan pins in
-    # tests/test_length_buckets.py)
-    "pipeline_length_buckets",
-    # D55 audio silence trim / VAD (exact oracle via planted silence
-    # structure; trim/mid-silence/roundtrip/zero-exchange pins in
-    # tests/test_audio_vad.py)
-    "multimodal_audio_trim",
-    # D56 one-pass Poisson bootstrap CIs (exact oracle incl. quantized
-    # inverse-CDF weights; Python-twin/CI-bracket/one-exchange pins in
-    # tests/test_bootstrap.py)
-    "events_bootstrap",
-    # D57 A-ES exact-k weighted sampling (exact oracle; Python-twin/
-    # weight-dominance/top-k-heap pins in tests/test_aes_sample.py)
-    "sample_weighted_k",
-    # D58 cluster-density report: triangles + clustering coefficient
-    # (exact oracle; star-vs-clique/itertools-twin/cap pins in
-    # tests/test_triangles.py)
-    "dedup_cluster_density",
-    # D59 reciprocal-rank fusion (exact oracle; rank-only/quantized-
-    # reciprocal/bounded-window pins in tests/test_rrf.py)
-    "search_rrf_fusion",
-    # D60 within-doc repeated-segment removal (exact oracle; nav-block/
-    # no-cross-doc/Python-twin/no-window pins in tests/test_within_dedup.py)
-    "dedup_segments_within",
-    # D61 exact global quantiles (exact ROW_NUMBER oracle; tie/NULL/
-    # partition-independence/plan pins in tests/test_quantiles_global.py)
-    "agg_quantiles_global",
+    # r11: the eighteen r10-added queries all hold r11 head slots
+    # (debut round — the backlog emptied into DRIVER_PRIORITY per the
+    # r11 plan below); entries added here are r11-ADDED queries that
+    # debut in r12.
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -344,6 +284,58 @@ Head arithmetic: 18 + 9 + 4 = 31 pinned, ~19 rotation slots. The
 NEXT_ROUND_BACKLOG tuple empties into the r11 head at the next
 DRIVER_PRIORITY rotation; the ledger test keeps the accounting
 honest until then.
+
+## r11 rotation (executed)
+
+CORRECTNESS_r10 landed 38 hash + 12 rows-only-by-design, 0 FAIL (the
+fourth consecutive clean window), so the r11 head executes the plan
+above:
+
+1. **18 debut slots** — every query registered during r10, i.e. the
+   full r10 NEXT_ROUND_BACKLOG: `score_calibrate_global`,
+   `table_profile_approx`, `sample_quota`, `multimodal_phash_dedup`,
+   `text_lm_score`, `dedup_containment`, `dedup_segments`,
+   `pipeline_dsir`, `text_gopher_rules`, `dedup_cdc_chunks`,
+   `pipeline_length_buckets`, `multimodal_audio_trim`,
+   `events_bootstrap`, `sample_weighted_k`, `dedup_cluster_density`,
+   `search_rrf_fusion`, `dedup_segments_within`,
+   `agg_quantiles_global`. All carry exact oracles except
+   `table_profile_approx` (rows-only by construction).
+2. **9 second-green slots** — the r10 debuts (`dedup_keep_best`,
+   `table_profile`, `privacy_dp_counts`, `dedup_cluster_incremental`,
+   `score_calibrate`, `similarity_tfidf`, `pipeline_temperature`,
+   `ann_pq_persisted`, `dedup_semantic_ivf`).
+3. **4 third-green slots** — the r9-debut cohort (`events_estimate`,
+   `events_heavy_hitters`, `text_bpe_tokens`, `ann_pq_topk`).
+4. **19 staleness slots** — the standing rule (oldest newest-row
+   first): the nine r2-newest two-row queries (`agg_rollup`,
+   `join_full`, `sort_limit_topk`, `stream_tumbling_batch`,
+   `subquery_recursive`, `subquery_scalar`, `udf_pandas`,
+   `window_lag`, `window_running`), the eight r3-newest two-row
+   queries (`agg_grouping_sets`, `agg_pivot`, `dedup_minhash`,
+   `dedup_simhash`, `json_funcs`, `pipeline_curate`, `sample_split`,
+   `text_quality`), plus `topk_similarity` (r3) and `agg_group` (the
+   flagship entry query, newest row r3).
+
+Head arithmetic: 18 + 9 + 4 + 19 = 50. Displaced: the r10
+thrice-proven graduates (the D25-D32 cohort, the 11 TPC-H backfills,
+filter_pred/join_anti/window_rank) and the 13 r10 second-green
+singles (each now at 2-3 rows) — all component-guarded via the
+proven-component rule in tests/test_registry.py.
+
+## r12 plan
+
+After CORRECTNESS_r11 lands green, every registered query has >=2
+driver rows again and no query's newest row predates r4. r12
+priorities, in order:
+
+1. Any r11 red rows (fix + re-land).
+2. Debut head slots for every query registered during r11 (the
+   NEXT_ROUND_BACKLOG above — populated as r11 surfaces land).
+3. Third greens for the 9 r10 debuts; fourth greens for the r9
+   cohort as slots allow.
+4. Staleness backfill per the standing rule (oldest newest-row
+   first): the remaining r3/r4-newest two-row queries.
 """
 
 def _round_files() -> dict[int, dict]:
