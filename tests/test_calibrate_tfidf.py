@@ -313,3 +313,39 @@ def test_temperature_sample_deterministic_and_validated(spark):
         temperature_fractions(df, "d", alpha=-1, target_rows=10)
     with pytest.raises(ValueError, match="target_rows"):
         temperature_fractions(df, "d", alpha=0.5, target_rows=0)
+
+
+def test_skewed_tie_block_spread_probe(spark):
+    # VERDICT r10 ask #5 (D45 face): the 90%-tie fixture. The tie
+    # block is indivisible under range partitioning — pin the spread
+    # AND that every tied row still calibrates to the exact shared
+    # min-rank percent_rank.
+    n = 20_000
+    rows = [(i, 5.0 if i % 10 else float(i) / n) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    parts = df.repartitionByRange(8, F.col("score")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    spread = [
+        r["c"]
+        for r in parts.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    ]
+    assert max(spread) >= 0.9 * n
+    got = {
+        r["id"]: r["calibrated"]
+        for r in quantile_normalize_global(
+            df, "score", num_partitions=8, ndigits=6
+        ).collect()
+    }
+    # Python twin: min-rank percent_rank
+    vals = sorted(s for _, s in rows)
+    import bisect
+
+    for i, s in rows[:50] + rows[-50:]:
+        pr = bisect.bisect_left(vals, s) / (n - 1)
+        assert got[i] == round(pr, 6), (i, s)
+    # all 90% tied rows share one calibrated value
+    tied = {got[i] for i, s in rows if s == 5.0}
+    assert len(tied) == 1
