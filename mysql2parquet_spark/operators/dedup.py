@@ -1336,3 +1336,189 @@ def within_doc_segment_dedup(
             (F.col("_total") - F.col("n_kept")).alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal duplicated spans: merge adjacent duplicated k-token windows
+# into the longest repeated substrings — the span-level completion of
+# duplicated_window_counts (which only counts hits per doc).
+# --------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated-span report (D62 — the distributed
+    approximation of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", whose ExactSubstr removes maximal
+    duplicated substrings of >= 50 tokens via a suffix array): for
+    every document, every maximal run of k-token windows that appear
+    verbatim in >= ``min_docs`` distinct documents, merged into one
+    span row ``(doc_id, span_start, span_end, span_tokens)`` (1-based
+    token positions, inclusive). A duplicated substring of L >= k
+    tokens surfaces as exactly L-k+1 consecutive duplicated window
+    positions, so merging adjacent hits recovers its full extent —
+    the trim offsets D21's per-doc counts cannot give. (Approximation
+    vs a suffix array: span boundaries are k-token quantized — a
+    shared substring shorter than k is invisible, and two shared
+    substrings overlapping within k-1 tokens merge; Lee et al.'s
+    edit-similarity follow-up has the same window granularity.)
+
+    Exact and deterministic: window key = md5 of the space-joined
+    k-gram (any engine computes it identically), island merge is
+    integer arithmetic — the whole report is oracle-checkable.
+
+    Scale shape: the D21 gram pipeline unchanged (constant-width
+    md5-key shuffle, distinct-(doc, gram) before the doc-count
+    aggregate so a hot boilerplate gram costs m rows, never m²), then
+    ONE doc-keyed window over the HIT positions only (bounded by
+    document length — the per-doc gaps-and-islands fold; duplicated
+    positions are a small fraction of the corpus by construction) and
+    one (doc, island)-keyed aggregate. No pairwise document compare
+    anywhere.
+    """
+    from mysql2parquet_spark.operators.scale import (
+        fan_out,
+        materialize_column,
+    )
+
+    toked = materialize_column(
+        fan_out(df, key=id_col).select(id_col, text_col),
+        "_t",
+        tokens(F.col(text_col)),
+    ).drop(text_col)
+    n_tok = F.size("_t")
+    wins = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - k + 1),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toked.select(
+        F.col(id_col), F.posexplode(wins).alias("_p0", "_g")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_g")
+    dup_keys = (
+        grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_g")
+    )
+    hits = grams.join(dup_keys, "_g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return islands.groupBy(id_col, "_grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k) - 1).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + F.lit(k))
+        .cast("long")
+        .alias("span_tokens"),
+    ).drop("_grp")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level substring REMOVAL (D62's trim face): cut every token
+    covered by any duplicated k-window (>= ``min_docs`` distinct docs)
+    and reassemble the remainder in order — Lee et al. 2021's
+    ExactSubstr semantics, where ALL occurrences of a duplicated span
+    are removed (they observe models rarely regenerate text that
+    appeared even twice; C4-style keep-one is D50's contract, this is
+    the stricter one). Returns one row per input document:
+    ``(doc_id, text, n_kept, n_removed)`` — a fully-duplicated
+    document comes back with ``text = ''`` rather than vanishing.
+
+    Scale shape: the D21 gram pipeline, then the hit positions fan
+    out k-fold (constant k) into covered token positions, one
+    (doc, pos)-keyed distinct, one (doc, pos)-keyed anti-join against
+    the posexploded tokens, and the D50 ordered-reassembly aggregate.
+    All keyed exchanges; no window at all on the data-scale path.
+    """
+    from mysql2parquet_spark.operators.scale import (
+        fan_out,
+        materialize_column,
+    )
+
+    toked = materialize_column(
+        fan_out(df, key=id_col).select(id_col, text_col),
+        "_t",
+        tokens(F.col(text_col)),
+    ).drop(text_col)
+    n_tok = F.size("_t")
+    wins = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - k + 1),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toked.localCheckpoint(eager=True)  # grams + tokens + totals
+    grams = base.select(
+        F.col(id_col), F.posexplode(wins).alias("_p0", "_g")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_g")
+    dup_keys = (
+        grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_g")
+    )
+    covered = (
+        grams.join(dup_keys, "_g", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    alltok = base.select(
+        F.col(id_col), F.posexplode("_t").alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "tok")
+    kept = alltok.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size("_t").cast("long").alias("_total")
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.col("_total")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

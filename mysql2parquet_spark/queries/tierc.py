@@ -3539,3 +3539,102 @@ def agg_quantiles_global(spark, sf_dir):
     return quantiles_exact_global(
         d, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
+
+
+@register(
+    "dedup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d FROM wins GROUP BY g)
+      WHERE d >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "D62: MAXIMAL duplicated-span report (Lee et al. 2021 ExactSubstr "
+    "approximation) -- every maximal run of 8-token windows shared "
+    "verbatim by >= 2 distinct documents, merged into one span row "
+    "with 1-based token trim offsets (span_start/span_end/"
+    "span_tokens). A duplicated substring of L >= k tokens is exactly "
+    "L-k+1 consecutive window hits, so the island merge recovers the "
+    "full extent D21's per-doc counts cannot express. The D21 gram "
+    "pipeline (constant-width md5-key shuffle, distinct-(doc,gram) "
+    "before the doc-count agg) plus ONE doc-keyed window over hit "
+    "positions only and one (doc,island)-keyed aggregate -- no "
+    "pairwise document compare.",
+)
+def dedup_spans(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicated_spans(d, k=8, min_docs=2)
+
+
+@register(
+    "dedup_spans_trim",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d FROM wins GROUP BY g)
+      WHERE d >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)),
+    cov AS (
+      SELECT DISTINCT h.doc_id, u.p AS pos
+      FROM hits h, unnest(range(h.pos, h.pos + 8)) AS u(p)
+    ),
+    alltok AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok
+      FROM alltok a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+           CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
+           CAST(MIN(len(t.t)) - COUNT(k.pos) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id
+    """,
+    "D62 trim face: remove EVERY token covered by any duplicated "
+    "8-window (Lee et al.'s ExactSubstr semantics -- all occurrences "
+    "cut, stricter than D50's keep-one) and reassemble the remainder "
+    "in order; one row per input document, a fully-duplicated doc "
+    "comes back with text='' rather than vanishing. Hit positions fan "
+    "out k-fold (constant) into covered positions, one (doc,pos) "
+    "distinct, one (doc,pos) anti-join against the posexploded "
+    "tokens, the D50 ordered-reassembly aggregate -- all keyed "
+    "exchanges, no window on the data-scale path.",
+)
+def dedup_spans_trim(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.remove_duplicated_spans(d, k=8, min_docs=2)

@@ -40,6 +40,14 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # (debut round — the backlog emptied into DRIVER_PRIORITY per the
     # r11 plan below); entries added here are r11-ADDED queries that
     # debut in r12.
+    # D62 maximal duplicated-span report (exact gaps-and-islands
+    # oracle; Python twin + planted-run/island tests in
+    # tests/test_spans.py) — VERDICT r10 ask #4
+    "dedup_spans",
+    # D62 trim face: all-occurrence span removal with ordered
+    # reassembly (exact oracle incl. empty-doc contract; Python twin
+    # in tests/test_spans.py)
+    "dedup_spans_trim",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

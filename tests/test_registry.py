@@ -365,10 +365,16 @@ def test_registry_count_is_planned():
     counterpart of approx_percentile with no single-task sort; exact
     ROW_NUMBER oracle, sorted-Python twin in
     tests/test_quantiles_global.py; r11 debut via NEXT_ROUND_BACKLOG)
-    makes 190.
+    makes 190. The r11-added D62 pair (dedup_spans +
+    dedup_spans_trim — maximal duplicated-span report with trim
+    offsets and the all-occurrence span-removal face, the Lee et al.
+    2021 ExactSubstr approximation closing VERDICT r10 ask #4; exact
+    gaps-and-islands / covered-position oracles, Python twins in
+    tests/test_spans.py; r12 debuts via NEXT_ROUND_BACKLOG) makes
+    192.
     """
-    assert len(REGISTRY) == 190, (
-        f"registry count changed ({len(REGISTRY)} != 190); new queries "
+    assert len(REGISTRY) == 192, (
+        f"registry count changed ({len(REGISTRY)} != 192); new queries "
         "need a rotation plan before registration"
     )
 
