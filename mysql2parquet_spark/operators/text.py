@@ -7,7 +7,7 @@ shuffle; only the final per-group aggregations exchange data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql2parquet_spark.functions.hashing import tokens
@@ -647,3 +647,243 @@ def gopher_quality_rules(
             "keep"
         ),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY (D63 — the corpus-internal form of
+    McCoy et al. 2021's RAVEN novel-n-gram metric, "How much do
+    language models copy from their training data?"): for each
+    document, the fraction of its DISTINCT word n-grams whose first
+    corpus occurrence — minimum ``id_col`` over all documents
+    containing the gram — is this document. A document full of grams
+    that earlier documents already used (novelty → 0) is boilerplate /
+    near-copy material even when no single pairwise match fires; a
+    high-novelty document genuinely extends the corpus. The id order
+    is the "before" relation (ingestion order in a real pipeline), so
+    the score is deterministic and the measure composes with the
+    dedup family: C2/D25 find WHICH documents collide, this scores
+    how derivative each document is overall.
+
+    Exact and deterministic: gram key = md5 of the space-joined
+    n-gram; first-occurrence = plain ``min(doc_id)``; the ratio is
+    floor-quantized to 1e-4 (the D52 tie rule — int/int quotients at
+    .xxxx5 boundaries round differently across engines, floors of the
+    identical IEEE quotient do not).
+
+    Scale shape: distinct (doc, gram) BEFORE anything else (a gram
+    occurring m times in a doc costs one row — map-side combined),
+    one gram-keyed ``min(id)`` aggregate (|distinct grams| rows), one
+    gram-keyed equi-join back (a gram shared by m docs costs m rows,
+    never m²), one doc-keyed count aggregate. Docs with fewer than n
+    tokens have zero grams and report NULL novelty, stated not
+    silent.
+    """
+    from mysql2parquet_spark.operators.scale import (
+        fan_out,
+        materialize_column,
+    )
+
+    toked = materialize_column(
+        fan_out(df, key=id_col).select(id_col, text_col),
+        "_t",
+        tokens(F.col(text_col)),
+    ).drop(text_col)
+    n_tok = F.size("_t")
+    grams_arr = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - n + 1),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = (
+        toked.select(F.col(id_col), F.explode(grams_arr).alias("_g"))
+        .distinct()
+    )
+    first = doc_grams.groupBy("_g").agg(
+        F.min(id_col).alias("_first")
+    )
+    per_doc = (
+        doc_grams.join(first, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                (F.col(id_col) == F.col("_first")).cast("long")
+            ).alias("n_novel_grams"),
+        )
+    )
+    base = toked.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_distinct_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_grams"),
+        F.coalesce(F.col("n_novel_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_novel_grams"),
+        F.when(
+            F.col("n_distinct_grams") > 0,
+            F.floor(
+                F.col("n_novel_grams").cast("double")
+                / F.col("n_distinct_grams").cast("double")
+                * F.lit(10_000.0)
+            )
+            / F.lit(10_000.0),
+        ).alias("novelty"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (D64): the classic
+    low-information filter — keyboard mash, repeated-character spam,
+    and single-token boilerplate all have near-zero character entropy
+    while natural language sits near the corpus norm (entropy/
+    compressibility gates appear in the C4/Gopher-era cleaning stacks
+    as the cheap complement to word-level rules like D52's). Returns
+    ``(doc_id, n_chars, n_distinct_chars, entropy)`` in nats, with
+    ``H = ln(n) − Σ_c cnt_c·ln(cnt_c) / n`` over the per-character
+    counts.
+
+    Determinism: each character's ``cnt·ln(cnt)`` term is quantized
+    to an INTEGER micro-nat (``floor(·1e6)``) before summing — the
+    sum is an order-independent int64, so the result cannot drift
+    with partitioning or engine aggregation order (the D56/D44
+    discipline); only the final two doubles (one ln, one division)
+    touch floating point, and the emitted entropy rounds at 1e-4.
+    Empty documents report NULL entropy, stated not silent.
+
+    Scale shape: one explode to (doc, char) rows with map-side
+    combine into the (doc, char)-keyed count aggregate — the exchange
+    carries at most |alphabet| rows per document per partition, not
+    one row per character — then one doc-keyed aggregate. No UDFs,
+    no windows, no joins.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    ).filter(F.col("_c") != "")
+    counts = chars.groupBy(id_col, "_c").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(
+            F.floor(
+                F.col("_n").cast("double")
+                * F.log(F.col("_n").cast("double"))
+                * F.lit(1_000_000.0)
+            ).cast("long")
+        ).alias("_s"),
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias(
+            "n_chars"
+        ),
+        F.coalesce(F.col("n_distinct_chars"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_chars"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(
+                F.log(F.col("n_chars").cast("double"))
+                - F.col("_s").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_chars").cast("double"),
+                4,
+            ),
+        ).alias("entropy"),
+    )
+
+
+def zipf_report(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 100,
+) -> DataFrame:
+    """Corpus rank-frequency (Zipf) report (D65): the ``top_v`` most
+    frequent lowercased terms with rank, frequency, and the fitted
+    log-log slope — the corpus-health diagnostic (Zipf 1949;
+    Piantadosi 2014 reviews the law's empirical robustness): natural
+    language fits slope ≈ −1, while templated/synthetic/spam-heavy
+    corpora bend the curve (flat head = boilerplate domination, steep
+    tail = vocabulary collapse). One number a 100 TB ingest can trend
+    per snapshot.
+
+    Exactness: ln(rank) and ln(freq) are each quantized ONCE to
+    integer micro-nats (floor·1e6), so every least-squares sum is
+    order-independent integer arithmetic in DECIMAL(38,0) (no int64
+    overflow for any ``top_v``) and the slope — rounded at 1e-6 — is
+    engine-exact; ties in frequency break by term ascending, so the
+    ranking LIST is exact too.
+
+    Scale shape: one term-keyed count aggregate (map-side combined),
+    one TakeOrderedAndProject top-k (per-partition heaps, k·tasks
+    driver merge — never a global sort), then the single-task rank
+    window + slope aggregate run on ≤ ``top_v`` rows by construction
+    (the D59 bounded-window discipline) and the slope joins back as a
+    broadcast one-row relation.
+    """
+    if top_v < 2:
+        raise ValueError(f"top_v must be >= 2: {top_v}")
+    terms = (
+        df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = terms.orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    ).limit(top_v)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), "term", "freq"
+    )
+    xi = F.floor(
+        F.log(F.col("rank").cast("double")) * F.lit(1_000_000.0)
+    ).cast("decimal(38,0)")
+    yi = F.floor(
+        F.log(F.col("freq").cast("double")) * F.lit(1_000_000.0)
+    ).cast("decimal(38,0)")
+    fit = ranked.select(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_v"),
+        F.sum(xi).alias("_sx"),
+        F.sum(yi).alias("_sy"),
+        F.sum(xi * yi).alias("_sxy"),
+        F.sum(xi * xi).alias("_sxx"),
+    ).select(
+        F.round(
+            (
+                (F.col("_v") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                .cast("double")
+            )
+            / (
+                (F.col("_v") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                .cast("double")
+            ),
+            6,
+        ).alias("zipf_slope")
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("freq").cast("long").alias("freq"),
+    ).crossJoin(F.broadcast(fit))

@@ -3638,3 +3638,144 @@ def dedup_spans(spark, sf_dir):
 def dedup_spans_trim(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.remove_duplicated_spans(d, k=8, min_docs=2)
+
+
+@register(
+    "text_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[u.i:u.i+2], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    first AS (SELECT g, MIN(doc_id) AS f FROM dg GROUP BY g),
+    per_doc AS (
+      SELECT dg.doc_id,
+             COUNT(*) AS n_distinct_grams,
+             SUM(CASE WHEN dg.doc_id = first.f THEN 1 ELSE 0 END)
+               AS n_novel_grams
+      FROM dg JOIN first USING (g)
+      GROUP BY dg.doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(COALESCE(n_distinct_grams, 0) AS BIGINT)
+             AS n_distinct_grams,
+           CAST(COALESCE(n_novel_grams, 0) AS BIGINT) AS n_novel_grams,
+           CASE WHEN COALESCE(n_distinct_grams, 0) > 0 THEN
+             FLOOR(CAST(n_novel_grams AS DOUBLE) / n_distinct_grams
+                   * 10000) / 10000
+           END AS novelty
+    FROM toks LEFT JOIN per_doc USING (doc_id)
+    """,
+    "D63: per-document n-gram NOVELTY (corpus-internal RAVEN metric, "
+    "McCoy et al. 2021): fraction of each doc's distinct trigrams "
+    "whose FIRST corpus occurrence (min doc_id = ingestion order) is "
+    "this doc -- a copy scores 0, a genuinely new doc scores 1, "
+    "derivative-but-unmatched boilerplate lands in between; scores "
+    "how derivative each document is where C2/D25 only say which "
+    "pairs collide. distinct-(doc,gram) before everything (a gram "
+    "repeated m times in a doc costs ONE row), one gram-keyed "
+    "min(id) aggregate, one gram-keyed equi-join back (m rows per "
+    "shared gram, never m^2), one doc-keyed count agg; <n-token docs "
+    "report NULL novelty, stated not silent; ratio floor-quantized "
+    "1e-4 (the D52 tie rule).",
+)
+def text_novelty(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.ngram_novelty(d, n=3)
+
+
+@register(
+    "text_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, substr(text, u.i, 1) AS c
+      FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(n) AS nc,
+             COUNT(*) AS ndc,
+             SUM(CAST(FLOOR(n * LN(n) * 1e6) AS BIGINT)) AS s
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(nc, 0) AS BIGINT) AS n_chars,
+           CAST(COALESCE(ndc, 0) AS BIGINT) AS n_distinct_chars,
+           CASE WHEN COALESCE(nc, 0) > 0 THEN
+             ROUND(LN(nc) - CAST(s AS DOUBLE) / 1e6 / nc, 4)
+           END AS entropy
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """,
+    "D64: per-document character-level Shannon entropy in nats -- the "
+    "classic low-information gate (keyboard mash / repeated-char spam "
+    "/ single-token boilerplate score near 0, natural language near "
+    "the corpus norm; the cheap complement to D52's word-level "
+    "rules). Each cnt*ln(cnt) term is quantized to an INTEGER "
+    "micro-nat before summing, so the aggregate is an order-"
+    "independent int64 and results cannot drift with partitioning "
+    "(the D56/D44 discipline). One (doc,char)-keyed count aggregate "
+    "with map-side combine (exchange carries <=|alphabet| rows per "
+    "doc per partition, never one per character) + one doc-keyed "
+    "aggregate; empty docs report NULL entropy, stated not silent.",
+)
+def text_entropy(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.char_entropy(d)
+
+
+@register(
+    "text_zipf",
+    """
+    WITH terms AS (
+      SELECT u.term, COUNT(*) AS freq
+      FROM documents,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS u(term)
+      WHERE u.term <> ''
+      GROUP BY u.term
+    ),
+    top AS (
+      SELECT term, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM terms ORDER BY freq DESC, term LIMIT 100
+    ),
+    q AS (
+      SELECT rnk, term, freq,
+             CAST(FLOOR(LN(rnk) * 1e6) AS HUGEINT) AS x,
+             CAST(FLOOR(LN(freq) * 1e6) AS HUGEINT) AS y
+      FROM top
+    ),
+    fit AS (
+      SELECT COUNT(*) AS v, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q
+    )
+    SELECT CAST(q.rnk AS BIGINT) AS rank, q.term,
+           CAST(q.freq AS BIGINT) AS freq,
+           ROUND(CAST(v * sxy - sx * sy AS DOUBLE)
+                 / CAST(v * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM q, fit
+    """,
+    "D65: corpus rank-frequency (Zipf) report -- top-100 lowercased "
+    "terms with rank/freq plus the fitted log-log slope (Zipf 1949; "
+    "natural language ~ -1, templated/synthetic corpora bend the "
+    "curve): the one-number corpus-health trend a 100 TB ingest "
+    "tracks per snapshot. ln(rank)/ln(freq) quantized ONCE to "
+    "integer micro-nats so every least-squares sum is order-"
+    "independent DECIMAL(38,0)/HUGEINT arithmetic -- slope engine-"
+    "exact at 1e-6; freq ties break by term so the LIST is exact. "
+    "One term-keyed count agg (map-side combined), one "
+    "TakeOrderedAndProject heap, rank window + slope aggregate on "
+    "<= top_v rows by construction (the D59 bounded-window "
+    "discipline), slope joined back as a broadcast one-row relation.",
+)
+def text_zipf(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.zipf_report(d, top_v=100)

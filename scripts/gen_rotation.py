@@ -48,6 +48,18 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # reassembly (exact oracle incl. empty-doc contract; Python twin
     # in tests/test_spans.py)
     "dedup_spans_trim",
+    # D63 per-document n-gram novelty — corpus-internal RAVEN metric
+    # (exact min-doc_id oracle; Python twin + copy/original/order
+    # tests in tests/test_novelty.py)
+    "text_novelty",
+    # D64 per-document character entropy — low-information gate with
+    # order-independent integer micro-nat sums (exact oracle; Python
+    # twin + partitioning-independence pin in tests/test_entropy.py)
+    "text_entropy",
+    # D65 Zipf rank-frequency report + quantized log-log slope (exact
+    # HUGEINT/DECIMAL least-squares oracle; Python twin + ideal-Zipf/
+    # uniform-corpus tests in tests/test_zipf.py)
+    "text_zipf",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -426,6 +426,9 @@ BROADCAST_ALLOWLIST = {
         "nation — fixed-cardinality dim",
     ("streaming/windows.py", "enrich_with_dimension"):
         "caller-gated (broadcast_dim flag) with documented size contract",
+    ("operators/text.py", "zipf_report"):
+        "one-row slope aggregate over the ≤ top_v ranked relation — "
+        "bounded by configuration, never the data",
 }
 
 

@@ -371,10 +371,16 @@ def test_registry_count_is_planned():
     2021 ExactSubstr approximation closing VERDICT r10 ask #4; exact
     gaps-and-islands / covered-position oracles, Python twins in
     tests/test_spans.py; r12 debuts via NEXT_ROUND_BACKLOG) makes
-    192.
+    192. The r11-added D63/D64/D65 text-diagnostic trio
+    (text_novelty — per-doc n-gram novelty, the corpus-internal RAVEN
+    metric; text_entropy — character entropy with order-independent
+    micro-nat sums; text_zipf — rank-frequency report with a
+    quantized log-log slope; exact oracles + Python twins in
+    tests/test_novelty.py / test_entropy.py / test_zipf.py; r12
+    debuts via NEXT_ROUND_BACKLOG) makes 195.
     """
-    assert len(REGISTRY) == 192, (
-        f"registry count changed ({len(REGISTRY)} != 192); new queries "
+    assert len(REGISTRY) == 195, (
+        f"registry count changed ({len(REGISTRY)} != 195); new queries "
         "need a rotation plan before registration"
     )
 
