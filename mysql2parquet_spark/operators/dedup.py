@@ -1522,3 +1522,98 @@ def remove_duplicated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    fingerprint: str = "bow",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix (D66 — the corpus-overlap
+    analysis of Elazar et al. 2023, "What's In My Big Data?", and
+    Dodge et al. 2021's C4 audit, both of which measure how much
+    sources/splits share verbatim content): for every pair of sources
+    that share at least one document fingerprint, the overlap counts
+    plus Jaccard and containment — the table that tells a 100 TB
+    ingest which feeds are mirrors of each other BEFORE paying for
+    pairwise document dedup across them.
+
+    ``fingerprint``: ``"exact"`` = md5 of the raw text (byte-identical
+    duplicates only); ``"bow"`` = md5 of the sorted distinct token
+    set (order/repetition-normalized — catches shuffled and
+    re-templated mirrors; the C1 fingerprint family's normalization).
+
+    Output: ``(source_a, source_b, n_a, n_b, n_common, jaccard,
+    containment)`` with ``source_a < source_b``; ``n_a``/``n_b`` are
+    DISTINCT fingerprints per source, ``jaccard = common/(a+b-common)``,
+    ``containment = common/min(a, b)``; ratios floor-quantized 1e-4
+    (the D52 tie rule). Pairs with zero overlap are absent (inner
+    join), stated not silent.
+
+    Scale shape: distinct (fingerprint, source) FIRST (a document
+    repeated m times in a source costs one row, map-side combined);
+    the pair join meets only on the fingerprint key, so a fingerprint
+    present in s sources costs C(s, 2) rows — bounded by SOURCE
+    cardinality squared, never documents²; per-source totals are a
+    |sources|-row aggregate joined back as a reviewed broadcast.
+    """
+    if fingerprint == "exact":
+        fp = F.md5(F.col(text_col))
+    elif fingerprint == "bow":
+        fp = F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(tokens(F.col(text_col)))
+                ),
+                " ",
+            )
+        )
+    else:
+        raise ValueError(
+            f"fingerprint must be 'exact' or 'bow': {fingerprint}"
+        )
+    rel = df.select(
+        fp.alias("_f"), F.col(source_col).alias("_s")
+    ).distinct()
+    totals = rel.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    a = rel.select(F.col("_f"), F.col("_s").alias("source_a"))
+    b = rel.select(F.col("_f"), F.col("_s").alias("source_b"))
+    inter = (
+        a.join(b, "_f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = totals.select(
+        F.col("_s").alias("source_a"), F.col("_n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("_s").alias("source_b"), F.col("_n").alias("n_b")
+    )
+
+    def _q4(c):
+        return F.floor(c * F.lit(10_000.0)) / F.lit(10_000.0)
+
+    return (
+        inter.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            _q4(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+            _q4(
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -810,3 +810,73 @@ def rrf_fuse(
         .orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
     )
     return fused.limit(top_k) if top_k is not None else fused
+
+
+def embedding_health_report(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding-space health report (D67 — the anisotropy /
+    concentration diagnostic of Ethayarajh 2019, "How contextual are
+    contextualized word representations?": embedding spaces routinely
+    collapse toward a shared direction, which silently breaks
+    cosine-based dedup (C2/D31) and ANN recall (C3)): for each label,
+    the vector count, the mean squared norm, the squared norm of the
+    label CENTROID, and their ratio — the ``concentration``. Isotropic
+    spread around the origin scores → 0 (centroid cancels out);
+    embeddings collapsed onto one direction score → 1 (centroid keeps
+    the full norm). A concentration jump between two ingest snapshots
+    means the embedding model or the data shifted — before ANN recall
+    quietly degrades.
+
+    Determinism: the per-vector squared norm folds left-to-right over
+    the array (fixed order) and is rounded at 1e-6; per-(label, dim)
+    centroid means are rounded at 1e-6 BEFORE squaring and summing
+    (the embedding_centroids precedent — both engines then operate on
+    identical doubles and the final 1e-6/1e-4 rounds sit far above
+    ulp-level aggregation-order noise).
+
+    Scale shape: one fold per vector (an 8-byte column through the
+    shuffle, the C3 norm-hoisting discipline), one label-keyed
+    aggregate, one posexplode + (label, dim)-keyed aggregate whose
+    exchange carries dim×|labels| partials — never whole vector
+    groups; the per-label join is |labels| rows. No UDFs, no windows.
+    """
+    sq = df.select(
+        F.col(label_col).alias("label"),
+        F.round(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("_sq"),
+    )
+    per_label = sq.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg("_sq"), 6).alias("mean_sq_norm"),
+    )
+    cent = label_centroids_long(
+        df, label_col=label_col, vec_col=vec_col
+    ).select(
+        "label", "pos", F.round("centroid_val", 6).alias("_c")
+    )
+    cn = cent.groupBy("label").agg(
+        F.round(F.sum(F.col("_c") * F.col("_c")), 6).alias(
+            "centroid_sq_norm"
+        )
+    )
+    return per_label.join(cn, "label").select(
+        "label",
+        "n_vecs",
+        "mean_sq_norm",
+        "centroid_sq_norm",
+        F.round(
+            F.col("centroid_sq_norm") / F.col("mean_sq_norm"), 4
+        ).alias("concentration"),
+    )

@@ -3779,3 +3779,99 @@ def text_entropy(spark, sf_dir):
 def text_zipf(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return text.zipf_report(d, top_v=100)
+
+
+@register(
+    "dedup_source_overlap",
+    """
+    WITH rel AS (
+      SELECT DISTINCT
+        md5(array_to_string(
+          list_sort(list_distinct(
+            regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS f,
+        source AS s
+      FROM documents
+    ),
+    totals AS (SELECT s, COUNT(*) AS n FROM rel GROUP BY s),
+    inter AS (
+      SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_common
+      FROM rel a JOIN rel b ON a.f = b.f AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT source_a, source_b,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           FLOOR(CAST(n_common AS DOUBLE) / (ta.n + tb.n - n_common)
+                 * 10000) / 10000 AS jaccard,
+           FLOOR(CAST(n_common AS DOUBLE) / LEAST(ta.n, tb.n)
+                 * 10000) / 10000 AS containment
+    FROM inter
+    JOIN totals ta ON ta.s = source_a
+    JOIN totals tb ON tb.s = source_b
+    """,
+    "D66: cross-source duplicate-overlap matrix (Elazar et al. 2023 "
+    "WIMBD / Dodge et al. 2021 C4-audit corpus-overlap analysis) -- "
+    "for every source pair sharing at least one document fingerprint, "
+    "distinct-fingerprint counts + Jaccard + containment: which feeds "
+    "mirror each other, BEFORE paying for pairwise cross-source "
+    "document dedup. Registered on the bag-of-words fingerprint (md5 "
+    "of the sorted distinct token set -- catches shuffled/re-templated "
+    "mirrors; mode='exact' for byte-identical only). distinct "
+    "(fp, source) first (a doc repeated m times in a source costs ONE "
+    "row); the pair join meets only on the fp key, so a fingerprint in "
+    "s sources costs C(s,2) rows -- bounded by source cardinality "
+    "squared, never documents^2; totals are a |sources|-row reviewed "
+    "broadcast; ratios floor-quantized 1e-4.",
+)
+def dedup_source_overlap(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dedup.source_overlap_matrix(d, fingerprint="bow")
+
+
+@register(
+    "embedding_health",
+    """
+    WITH sq AS (
+      SELECT vec_id, label,
+             ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE)
+                       * CAST(embedding[i + 1] AS DOUBLE)), 6) AS s
+      FROM embeddings, range(64) t(i)
+      GROUP BY vec_id, label
+    ),
+    pl AS (
+      SELECT label, COUNT(*) AS n, ROUND(AVG(s), 6) AS msn
+      FROM sq GROUP BY label
+    ),
+    cent AS (
+      SELECT label, i,
+             ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS c
+      FROM embeddings, range(64) t(i)
+      GROUP BY label, i
+    ),
+    cn AS (
+      SELECT label, ROUND(SUM(c * c), 6) AS csn FROM cent GROUP BY label
+    )
+    SELECT pl.label, CAST(n AS BIGINT) AS n_vecs,
+           msn AS mean_sq_norm, csn AS centroid_sq_norm,
+           ROUND(csn / msn, 4) AS concentration
+    FROM pl JOIN cn USING (label)
+    """,
+    "D67: per-label embedding-space health (Ethayarajh 2019 "
+    "anisotropy diagnostic): vector count, mean squared norm, "
+    "CENTROID squared norm, and their ratio (concentration) -- "
+    "isotropic spread scores ~0 (centroid cancels), a space collapsed "
+    "onto one direction scores ~1; a concentration jump between "
+    "ingest snapshots means the embedding model or data shifted, "
+    "BEFORE cosine dedup (C2/D31) and ANN recall (C3) quietly "
+    "degrade. One left-to-right norm fold per vector (8-byte column "
+    "through the shuffle, the C3 norm-hoisting discipline), one "
+    "label-keyed agg, one posexplode + (label,dim)-keyed agg "
+    "(exchange carries dim x |labels| partials, never vector "
+    "groups), |labels|-row join; per-vector and per-dim values "
+    "rounded 1e-6 before downstream sums (the embedding_centroids "
+    "cross-engine precedent).",
+)
+def embedding_health(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.embedding_health_report(e)

@@ -60,6 +60,16 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # HUGEINT/DECIMAL least-squares oracle; Python twin + ideal-Zipf/
     # uniform-corpus tests in tests/test_zipf.py)
     "text_zipf",
+    # D66 cross-source duplicate-overlap matrix — WIMBD/C4-audit
+    # corpus overlap on bag-of-words fingerprints (exact oracle;
+    # Python twin + mirror/shuffled-mirror tests in
+    # tests/test_source_overlap.py)
+    "dedup_source_overlap",
+    # D67 per-label embedding anisotropy/concentration report (exact
+    # oracle via the embedding_centroids rounding precedent; Python
+    # twin + collapsed-vs-symmetric tests in
+    # tests/test_embedding_health.py)
+    "embedding_health",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -429,6 +429,9 @@ BROADCAST_ALLOWLIST = {
     ("operators/text.py", "zipf_report"):
         "one-row slope aggregate over the ≤ top_v ranked relation — "
         "bounded by configuration, never the data",
+    ("operators/dedup.py", "source_overlap_matrix"):
+        "|sources|-row per-source totals relation (one count aggregate "
+        "over the source key — bounded by source cardinality, not data)",
 }
 
 

@@ -377,10 +377,15 @@ def test_registry_count_is_planned():
     micro-nat sums; text_zipf — rank-frequency report with a
     quantized log-log slope; exact oracles + Python twins in
     tests/test_novelty.py / test_entropy.py / test_zipf.py; r12
-    debuts via NEXT_ROUND_BACKLOG) makes 195.
+    debuts via NEXT_ROUND_BACKLOG) makes 195. The r11-added D66/D67
+    pair (dedup_source_overlap — cross-source fingerprint overlap
+    matrix, the WIMBD/C4-audit measure; embedding_health — per-label
+    anisotropy/concentration report; exact oracles + Python twins in
+    tests/test_source_overlap.py / test_embedding_health.py; r12
+    debuts via NEXT_ROUND_BACKLOG) makes 197.
     """
-    assert len(REGISTRY) == 195, (
-        f"registry count changed ({len(REGISTRY)} != 195); new queries "
+    assert len(REGISTRY) == 197, (
+        f"registry count changed ({len(REGISTRY)} != 197); new queries "
         "need a rotation plan before registration"
     )
 
