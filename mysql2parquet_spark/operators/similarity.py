@@ -880,3 +880,103 @@ def embedding_health_report(
             F.col("centroid_sq_norm") / F.col("mean_sq_norm"), 4
         ).alias("concentration"),
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-center GREEDY coreset selection (D68 — farthest-point
+    traversal: Gonzalez 1985's 2-approximation for the k-center
+    problem, used as the coreset selector for active learning /
+    training-data subset selection by Sener & Savarese 2018): pick
+    the vector with the largest norm, then repeatedly pick the vector
+    FARTHEST from everything already chosen. The selected set covers
+    the embedding space's extremes — the diversity-maximizing
+    counterpart of the density samplers (D14/D46/D57 sample
+    proportionally; this anti-samples redundancy), and the principled
+    seed set for human review or codebook init.
+
+    Deterministic end to end: the seed is the max-squared-norm row
+    (ties by id ascending), every distance is a fixed left-to-right
+    fold (``Σ (x−c)²`` via zip_with+aggregate — a Python reference
+    twin reproduces it bit-for-bit, tests/test_kcenter.py), and every
+    argmax breaks ties by id. No RNG anywhere.
+
+    Scale shape: the running min-distance-to-chosen-set column is
+    updated INCREMENTALLY — each of the k iterations is one
+    zero-shuffle projection (distance to the single newest center,
+    ``least`` with the standing column) + one TakeOrderedAndProject
+    argmax (per-partition heaps, 1-row driver merge — bounded
+    metadata, the kmeans_lite contract), with a localCheckpoint
+    pinning the state so lineage depth stays constant in k (the D41
+    discipline). Total cost k scans — k is a human-review budget
+    (tens), never data-scale; for k beyond that, pre-filter with a
+    density sampler and run this on the sample (docstring contract).
+
+    Returns ``(sel_rank, vec_id, dist_sq)`` — ``dist_sq`` is the
+    squared distance to the previously-chosen set at selection time
+    (NULL for the seed), the standard coverage-radius trace.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    seed = (
+        df.select(id_col, vec_col, sq.alias("_d"))
+        .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+        .limit(1)
+        .collect()[0]  # bounded-metadata: the 1-row argmax seed
+    )
+    chosen = [(1, seed[id_col], None)]
+    center = [float(x) for x in seed[vec_col]]
+    state = df.select(id_col, vec_col).filter(
+        F.col(id_col) != F.lit(seed[id_col])
+    ).withColumn("_mind", F.lit(float("inf")))
+    for rank in range(2, k + 1):
+        cvec = F.array(*[F.lit(c) for c in center])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                cvec,
+                lambda x, c: (x.cast("double") - c)
+                * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        state = state.withColumn(
+            "_mind", F.least(F.col("_mind"), dist)
+        ).localCheckpoint(eager=True)
+        far = (
+            state.orderBy(F.col("_mind").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()  # bounded-metadata: the 1-row argmax per round
+        )
+        if not far:
+            break
+        row = far[0]
+        chosen.append((rank, row[id_col], float(row["_mind"])))
+        center = [float(x) for x in row[vec_col]]
+        state = state.filter(F.col(id_col) != F.lit(row[id_col]))
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    schema = StructType(
+        [
+            StructField("sel_rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("dist_sq", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(chosen, schema=schema)

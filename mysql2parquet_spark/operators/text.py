@@ -887,3 +887,59 @@ def zipf_report(
         "term",
         F.col("freq").cast("long").alias("freq"),
     ).crossJoin(F.broadcast(fit))
+
+
+def hashed_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Feature hashing / the hashing trick (D69 — Weinberger et al.
+    2009, "Feature Hashing for Large Scale Multitask Learning"): map
+    every token into one of ``16^hex_chars`` buckets by content hash
+    and emit the per-document sparse feature vector in long form —
+    the fixed-width, vocabulary-free document representation that
+    downstream classifiers (quality models, domain routers, fastText-
+    style filters) train on without ever building or shipping a
+    vocabulary. Includes the SIGNED sum (sign from an independent
+    hash bit, the paper's unbiasedness construction): collisions
+    cancel in expectation instead of inflating counts.
+
+    Exact and deterministic: the bucket KEY is the md5-hex prefix
+    itself (the D51 discipline — the oracle mirrors it char-for-char,
+    no base conversion ambiguity) and the sign bit is the parity of
+    the next hex digit; counts and signed sums are integers.
+
+    Scale shape: one explode to (doc, token) with the bucket/sign
+    computed in the same codegen projection, then ONE (doc, bucket)-
+    keyed count/sum aggregate with map-side combine — the exchange
+    carries at most ``16^hex_chars`` rows per document per partition
+    regardless of document length. Output rows ≤ docs × buckets by
+    construction; empty-token rows are filtered, stated not silent.
+    """
+    if hex_chars < 1 or hex_chars > 8:
+        raise ValueError(f"hex_chars must be in 1..8: {hex_chars}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    h = F.md5(F.col("_tok"))
+    sign_digit = F.conv(
+        F.substring(h, hex_chars + 1, 1), 16, 10
+    ).cast("int")
+    feats = toks.select(
+        F.col(id_col),
+        F.substring(h, 1, hex_chars).alias("bucket"),
+        F.when(sign_digit % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_sign"),
+    )
+    return (
+        feats.groupBy(id_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_sign").cast("long").alias("signed_sum"),
+        )
+    )

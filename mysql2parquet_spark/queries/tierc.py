@@ -3875,3 +3875,68 @@ def dedup_source_overlap(spark, sf_dir):
 def embedding_health(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     return similarity.embedding_health_report(e)
+
+
+@register(
+    "sample_kcenter",
+    None,  # k rounds of argmax-over-min-distance are iterative, not
+           # SQL-expressible — rows-only; tests/test_kcenter.py proves
+           # the selection bit-equal to a pure-Python twin (left-to-
+           # right float64 folds, id tie-breaks) and partitioning-
+           # independent (the kmeans/BPE precedent)
+    "D68: k-center greedy coreset selection (Gonzalez 1985 farthest-"
+    "point traversal; Sener & Savarese 2018 coreset selector): seed "
+    "at the max-norm vector, then repeatedly pick the vector FARTHEST "
+    "from everything chosen -- the diversity-maximizing counterpart "
+    "of the density samplers (D14/D46/D57), covering the embedding "
+    "space's extremes for review sets and codebook init. "
+    "Deterministic end to end (no RNG: fixed folds + id tie-breaks); "
+    "each of the k rounds is one zero-shuffle distance projection "
+    "against the single newest center + a TakeOrderedAndProject "
+    "1-row argmax (bounded metadata), with localCheckpoint pinning "
+    "the running min-distance state so lineage stays constant in k "
+    "(the D41 discipline). k is a review budget (16 here), never "
+    "data-scale.",
+)
+def sample_kcenter(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.kcenter_greedy(e, k=16)
+
+
+@register(
+    "text_hashed_features",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.tok AS tok
+      FROM documents,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS u(tok)
+      WHERE u.tok <> ''
+    ),
+    h AS (
+      SELECT doc_id, md5(tok) AS hx FROM toks
+    )
+    SELECT doc_id, substring(hx, 1, 2) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN
+                 (instr('0123456789abcdef', substring(hx, 3, 1)) - 1)
+                 % 2 = 0
+               THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum
+    FROM h
+    GROUP BY doc_id, substring(hx, 1, 2)
+    """,
+    "D69: feature hashing / the hashing trick (Weinberger et al. "
+    "2009): every token maps to one of 256 buckets by md5-hex prefix "
+    "(the D51 char-for-char discipline -- no base conversion "
+    "ambiguity) with a signed sum from an independent hash bit so "
+    "collisions cancel in expectation -- the vocabulary-free sparse "
+    "document representation that quality/domain classifiers train "
+    "on with NO vocabulary build or shipping. One explode with "
+    "bucket/sign in the same codegen projection + ONE (doc,bucket)-"
+    "keyed count/sum aggregate with map-side combine (exchange "
+    "carries <= 256 rows per doc per partition regardless of doc "
+    "length; pinned at exactly 1 Exchange); all-integer output.",
+)
+def text_hashed_features(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.hashed_features(d, hex_chars=2)

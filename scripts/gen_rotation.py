@@ -70,6 +70,14 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # twin + collapsed-vs-symmetric tests in
     # tests/test_embedding_health.py)
     "embedding_health",
+    # D68 k-center greedy coreset selection — iterative argmax, not
+    # SQL-expressible: rows-only by nature; bit-exact Python twin +
+    # partitioning-independence pins in tests/test_kcenter.py
+    "sample_kcenter",
+    # D69 feature hashing / the hashing trick — 256-bucket signed
+    # sparse features (exact all-integer oracle; hashlib twin in
+    # tests/test_hashed_features.py)
+    "text_hashed_features",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

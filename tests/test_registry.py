@@ -382,10 +382,16 @@ def test_registry_count_is_planned():
     matrix, the WIMBD/C4-audit measure; embedding_health — per-label
     anisotropy/concentration report; exact oracles + Python twins in
     tests/test_source_overlap.py / test_embedding_health.py; r12
-    debuts via NEXT_ROUND_BACKLOG) makes 197.
+    debuts via NEXT_ROUND_BACKLOG) makes 197. The r11-added D68/D69
+    pair (sample_kcenter — k-center greedy coreset selection,
+    rows-only by nature with a bit-exact Python twin in
+    tests/test_kcenter.py; text_hashed_features — the hashing trick
+    with signed sums, exact all-integer oracle + hashlib twin in
+    tests/test_hashed_features.py; r12 debuts via
+    NEXT_ROUND_BACKLOG) makes 199.
     """
-    assert len(REGISTRY) == 197, (
-        f"registry count changed ({len(REGISTRY)} != 197); new queries "
+    assert len(REGISTRY) == 199, (
+        f"registry count changed ({len(REGISTRY)} != 199); new queries "
         "need a rotation plan before registration"
     )
 
