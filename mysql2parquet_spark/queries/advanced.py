@@ -305,3 +305,59 @@ def events_retention(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_trimmed_mean",
+    """
+    WITH nn AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    nulls AS (
+      SELECT event_type, COUNT(*) AS n_null
+      FROM events WHERE value IS NULL GROUP BY event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             MAX(n) AS n_rows,
+             2 * MAX(CAST(FLOOR(n * 0.1) AS BIGINT)) AS n_trimmed,
+             ROUND(CAST(SUM(v) / COUNT(*) AS DOUBLE), 6) AS mean_raw,
+             ROUND(CAST(
+               SUM(v) FILTER (rn > FLOOR(n * 0.1)
+                              AND rn <= n - FLOOR(n * 0.1))
+               / COUNT(*) FILTER (rn > FLOOR(n * 0.1)
+                                  AND rn <= n - FLOOR(n * 0.1))
+               AS DOUBLE), 6) AS trimmed_mean
+      FROM nn GROUP BY event_type
+    )
+    SELECT agg.event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(COALESCE(n_null, 0) AS BIGINT) AS n_null,
+           CAST(n_trimmed AS BIGINT) AS n_trimmed,
+           mean_raw, trimmed_mean
+    FROM agg LEFT JOIN nulls USING (event_type)
+    """,
+    "D70: per-group TRIMMED mean over events.value (Tukey's robust "
+    "location estimator -- the DROP counterpart of D29's winsorize "
+    "CLAMP): sort each group, drop floor(n*0.1) rows from each end, "
+    "average the rest; a trim-fraction of the group must be corrupted "
+    "before the estimate moves. Kept multiset well-defined under ties "
+    "(equal values straddling the cut contribute equally); kept sums "
+    "in DECIMAL(18,2) -- exact and order-independent for 2-dp data "
+    "(the B12 money discipline); one group-keyed window exchange + "
+    "one group aggregate, no joins on the data path; NULLs excluded "
+    "from ranking and counted separately, stated not silent.",
+)
+def events_trimmed_mean(spark, sf_dir):
+    from mysql2parquet_spark.operators.numeric import (
+        trimmed_mean_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    return trimmed_mean_report(ev, "value", ["event_type"], trim=0.1)

@@ -78,6 +78,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # sparse features (exact all-integer oracle; hashlib twin in
     # tests/test_hashed_features.py)
     "text_hashed_features",
+    # D70 per-group trimmed mean — Tukey's robust location estimator,
+    # DECIMAL-exact kept sums (exact oracle; Decimal twin + tie/
+    # outlier tests in tests/test_trimmed_mean.py)
+    "events_trimmed_mean",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

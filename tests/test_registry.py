@@ -388,10 +388,14 @@ def test_registry_count_is_planned():
     tests/test_kcenter.py; text_hashed_features — the hashing trick
     with signed sums, exact all-integer oracle + hashlib twin in
     tests/test_hashed_features.py; r12 debuts via
-    NEXT_ROUND_BACKLOG) makes 199.
+    NEXT_ROUND_BACKLOG) makes 199. The r11-added D70 surface
+    (events_trimmed_mean — per-group Tukey trimmed mean with
+    DECIMAL-exact kept sums, the drop counterpart of D29's winsorize
+    clamp; exact oracle + Decimal twin in tests/test_trimmed_mean.py;
+    r12 debut via NEXT_ROUND_BACKLOG) makes 200.
     """
-    assert len(REGISTRY) == 199, (
-        f"registry count changed ({len(REGISTRY)} != 199); new queries "
+    assert len(REGISTRY) == 200, (
+        f"registry count changed ({len(REGISTRY)} != 200); new queries "
         "need a rotation plan before registration"
     )
 
