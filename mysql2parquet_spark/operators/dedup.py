@@ -1617,3 +1617,109 @@ def source_overlap_matrix(
             ).alias("containment"),
         )
     )
+
+
+def remove_matching_spans(
+    df: DataFrame,
+    needles: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    needle_text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION (D71): cut every token
+    covered by a k-gram that also appears in the ``needles`` (eval /
+    benchmark) corpus, and reassemble the remainder in order — the
+    surgical alternative to D16's document-level flagging: dropping a
+    whole 10k-token document because one benchmark sentence leaked
+    into its footer wastes 99.9% of it (the targeted-removal
+    decontamination practiced in the GPT-3/PaLM lineage: Brown et al.
+    2020 remove leaked SPANS with a window around eval collisions,
+    not documents). Composes with D16: flag first (cheap count), then
+    cut the flagged docs' spans with this.
+
+    Returns one row per input document: ``(doc_id, text, n_kept,
+    n_removed)`` — a fully-contaminated document comes back with
+    ``text = ''`` rather than vanishing (the D62 contract).
+
+    Scale shape: the needle gram relation is DISTINCT-ed then
+    broadcast (eval suites are bounded metadata next to a 100 TB
+    corpus — the D16 contract), so the hit probe is map-side on the
+    exploded training grams; hits expand k-fold (constant) into
+    covered positions, one (doc, pos) distinct, one (doc, pos)
+    anti-join against the posexploded tokens, the D50 ordered
+    reassembly. The only data-scale exchanges are keyed on the
+    document id.
+    """
+    from mysql2parquet_spark.operators.scale import (
+        fan_out,
+        materialize_column,
+    )
+
+    def _windows(frame, idc, txtc):
+        toked = materialize_column(
+            fan_out(frame, key=idc).select(idc, txtc),
+            "_t",
+            tokens(F.col(txtc)),
+        ).drop(txtc)
+        n_tok = F.size("_t")
+        wins = F.when(
+            n_tok >= k,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - k + 1),
+                lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toked, wins
+
+    ntoked, nwins = _windows(needles, id_col, needle_text_col)
+    needle_grams = ntoked.select(F.explode(nwins).alias("_g")).distinct()
+    toked, wins = _windows(df, id_col, text_col)
+    base = toked.localCheckpoint(eager=True)
+    grams = base.select(
+        F.col(id_col), F.posexplode(wins).alias("_p0", "_g")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_g")
+    hits = grams.join(F.broadcast(needle_grams), "_g", "left_semi")
+    covered = (
+        hits.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    alltok = base.select(
+        F.col(id_col), F.posexplode("_t").alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "tok")
+    kept = alltok.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size("_t").cast("long").alias("_total")
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.col("_total")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

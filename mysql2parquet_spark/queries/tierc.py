@@ -3940,3 +3940,64 @@ def sample_kcenter(spark, sf_dir):
 def text_hashed_features(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return text.hashed_features(d, hex_chars=2)
+
+
+@register(
+    "pipeline_decontaminate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    nw AS (
+      SELECT DISTINCT md5(array_to_string(t[u.i:u.i+2], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE len(t) >= 3 AND doc_id % 100 = 0
+    ),
+    tw AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+2], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE len(t) >= 3 AND doc_id % 100 <> 0
+    ),
+    hits AS (SELECT doc_id, pos FROM tw WHERE g IN (SELECT g FROM nw)),
+    cov AS (
+      SELECT DISTINCT h.doc_id, u.p AS pos
+      FROM hits h, unnest(range(h.pos, h.pos + 3)) AS u(p)
+    ),
+    alltok AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM toks WHERE doc_id % 100 <> 0
+    ),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok
+      FROM alltok a LEFT JOIN cov c
+        ON a.doc_id = c.doc_id AND a.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+           CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
+           CAST(MIN(len(t.t)) - COUNT(k.pos) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    WHERE t.doc_id % 100 <> 0
+    GROUP BY t.doc_id
+    """,
+    "D71: span-level benchmark decontamination (the GPT-3/PaLM-"
+    "lineage practice, Brown et al. 2020: remove leaked SPANS around "
+    "eval collisions, not whole documents): cut every token covered "
+    "by a trigram shared with the eval slice (doc_id %% 100 = 0, the "
+    "D16 convention) and reassemble in order -- the surgical "
+    "alternative to D16's document-level flag that would waste 99.9%% "
+    "of a 10k-token doc over one leaked footer sentence; one row per "
+    "train doc, fully-contaminated docs come back text='' (the D62 "
+    "contract). Needle grams DISTINCT-ed then broadcast (eval suites "
+    "are bounded metadata -- map-side semi-join probe, pinned); hits "
+    "expand k-fold (constant) into covered positions; all data-scale "
+    "exchanges keyed on doc id.",
+)
+def pipeline_decontaminate_spans(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 100 != 0)
+    holdout = d.filter(F.col("doc_id") % 100 == 0)
+    return dedup.remove_matching_spans(train, holdout, k=3)

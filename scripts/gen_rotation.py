@@ -82,6 +82,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # DECIMAL-exact kept sums (exact oracle; Decimal twin + tie/
     # outlier tests in tests/test_trimmed_mean.py)
     "events_trimmed_mean",
+    # D71 span-level benchmark decontamination — cut leaked spans,
+    # keep the document (exact oracle incl. reassembly; Python twin
+    # in tests/test_decontaminate_spans.py)
+    "pipeline_decontaminate_spans",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

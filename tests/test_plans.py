@@ -432,6 +432,10 @@ BROADCAST_ALLOWLIST = {
     ("operators/dedup.py", "source_overlap_matrix"):
         "|sources|-row per-source totals relation (one count aggregate "
         "over the source key — bounded by source cardinality, not data)",
+    ("operators/dedup.py", "remove_matching_spans"):
+        "DISTINCT-ed needle (eval/benchmark) gram relation — eval "
+        "suites are bounded metadata next to the corpus (the D16 "
+        "contamination_report contract)",
 }
 
 

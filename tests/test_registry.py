@@ -392,10 +392,15 @@ def test_registry_count_is_planned():
     (events_trimmed_mean — per-group Tukey trimmed mean with
     DECIMAL-exact kept sums, the drop counterpart of D29's winsorize
     clamp; exact oracle + Decimal twin in tests/test_trimmed_mean.py;
-    r12 debut via NEXT_ROUND_BACKLOG) makes 200.
+    r12 debut via NEXT_ROUND_BACKLOG) makes 200. The r11-added D71
+    surface (pipeline_decontaminate_spans — span-level benchmark
+    decontamination, the surgical cut-the-leak alternative to D16's
+    document flag; exact oracle incl. ordered reassembly + Python
+    twin in tests/test_decontaminate_spans.py; r12 debut via
+    NEXT_ROUND_BACKLOG) makes 201.
     """
-    assert len(REGISTRY) == 200, (
-        f"registry count changed ({len(REGISTRY)} != 200); new queries "
+    assert len(REGISTRY) == 201, (
+        f"registry count changed ({len(REGISTRY)} != 201); new queries "
         "need a rotation plan before registration"
     )
 
