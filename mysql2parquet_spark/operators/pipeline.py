@@ -711,3 +711,132 @@ def padding_waste_report(
             ).alias("padding_waste"),
         )
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_tokens: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained token-budget allocation (D73 — Muennighoff et
+    al. 2023, "Scaling Data-Constrained Language Models": repeating
+    data is worth it up to ~4 epochs, after which returns collapse):
+    given a training budget of ``budget_tokens`` and a per-source
+    repeat cap of ``max_epochs``, decide how many tokens to take from
+    each source by WATER-FILLING — every source drinks up to the
+    shared waterline θ or its own cap ``max_epochs·available``,
+    whichever is lower, with θ set so the total meets the budget.
+    This is the allocation step between D44's temperature mixing
+    (which sets proportions with no cap semantics) and the samplers
+    that then materialize the rows.
+
+    Exactness: availability counts are integers; the waterline is
+    derived from integer prefix sums over the caps sorted ascending
+    (``n_capped`` = sources whose cap sits fully under the line,
+    ``θ = floor((B − Σ capped) / (m − n_capped))``), so every
+    allocation is engine-exact integer arithmetic; the per-source
+    epochs ratio is floor-quantized 1e-4 (D52 tie rule). Total
+    allocated ≤ budget with slack < m from the floor — stated, not
+    hidden. A budget exceeding Σ caps allocates every cap in full.
+
+    Scale shape: ONE source-keyed token-count aggregate over the
+    corpus (``size(split())`` per row, map-side combined — the only
+    data-scale stage); everything after runs on the ≤ |sources|
+    bounded relation (sorted-prefix window + a 1-row waterline
+    aggregate joined back as a reviewed broadcast — the D59/D65
+    funnel discipline).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0: {budget_tokens}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1: {max_epochs}")
+    from mysql2parquet_spark.functions.hashing import tokens
+
+    avail = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(
+                F.filter(
+                    tokens(F.col(text_col)), lambda t: t != ""
+                )
+            ).alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("long").alias("avail_tokens"))
+        .withColumn(
+            "cap_tokens",
+            (F.col("avail_tokens") * F.lit(max_epochs)).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.col("cap_tokens").asc(), F.col("source").asc())
+    ranked = avail.select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        F.row_number().over(w).alias("_j"),
+        F.sum("cap_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_pfx"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_m"),
+    ).select(
+        "*", F.coalesce(F.col("_pfx"), F.lit(0)).alias("_p")
+    ).drop("_pfx")
+    b = F.lit(int(budget_tokens))
+    # source j is fully capped iff even giving everyone >= cap_j still
+    # fits: prefix-before + (m - j + 1) * cap_j <= B
+    capped = (
+        F.col("_p")
+        + (F.col("_m") - F.col("_j") + 1) * F.col("cap_tokens")
+    ) <= b
+    line = ranked.select(
+        F.sum(capped.cast("long")).alias("_nc"),
+        F.sum(F.when(capped, F.col("cap_tokens"))).alias("_pc"),
+        F.max("_m").alias("_mm"),
+    ).select(
+        F.when(
+            F.col("_nc") < F.col("_mm"),
+            F.floor(
+                (b - F.coalesce(F.col("_pc"), F.lit(0))).cast("double")
+                / (F.col("_mm") - F.col("_nc")).cast("double")
+            ).cast("long"),
+        ).alias("_theta")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(line))
+        .select(
+            "source",
+            "avail_tokens",
+            "cap_tokens",
+            F.when(
+                F.col("_theta").isNull(), F.col("cap_tokens")
+            )
+            .otherwise(
+                F.least(
+                    F.col("cap_tokens"), F.greatest(F.col("_theta"), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.floor(
+                    F.col("alloc_tokens").cast("double")
+                    / F.col("avail_tokens").cast("double")
+                    * F.lit(10_000.0)
+                )
+                / F.lit(10_000.0),
+            ),
+        )
+    )

@@ -943,3 +943,135 @@ def hashed_features(
             F.sum("_sign").cast("long").alias("signed_sum"),
         )
     )
+
+
+def heaps_growth(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve (D72 — Heaps 1978;
+    Baeza-Yates & Ribeiro-Neto treat it with Zipf as the twin corpus
+    law): split the corpus into ``n_buckets`` contiguous ingestion-
+    order buckets by ``id_col`` and report, per bucket, the tokens
+    seen, the NEW distinct terms first appearing there, and the
+    cumulative vocabulary — plus the fitted Heaps exponent β from
+    ``V(n) ≈ K·n^β`` (natural language: β ≈ 0.4-0.6). A corpus whose
+    curve flattens early (β → 0) is saturating — new ingestion buys
+    repetition, not coverage; the per-bucket form shows WHERE growth
+    died. The D63 novelty score answers this per document; this is
+    the corpus-level trend, and the β fit reuses D65's quantized
+    least-squares discipline.
+
+    Exactness: first occurrence = plain ``min(doc_id)`` per term;
+    bucket boundaries are integer arithmetic on the broadcast 1-row
+    max-id relation; ln(cum_tokens)/ln(cum_vocab) are quantized ONCE
+    to integer micro-nats so the fit sums are order-independent
+    DECIMAL(38,0) arithmetic and β is engine-exact at 1e-6.
+
+    Scale shape: one term-keyed ``min(id)`` aggregate (map-side
+    combined — a term occurring m times costs its distinct (doc,
+    term) rows only after the per-doc distinct), one doc-bucket token
+    count, then ALL remaining math (cumulative window, β fit) runs on
+    the ≤ ``n_buckets``-row relation — bounded by configuration (the
+    D59/D65 funnel discipline). The max-id relation is a reviewed
+    broadcast.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    terms = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_term"),
+    ).filter(F.col("_term") != "")
+    maxid = df.select(
+        (F.max(F.col(id_col)) + 1).cast("long").alias("_m")
+    )
+    bucket_of = lambda c: F.least(  # noqa: E731
+        F.lit(n_buckets - 1),
+        F.floor(
+            c.cast("double") * n_buckets / F.col("_m").cast("double")
+        ).cast("int"),
+    )
+    # tokens per ingestion bucket
+    tok_b = (
+        terms.crossJoin(F.broadcast(maxid))
+        .select(bucket_of(F.col("_id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    docs_b = (
+        df.select(F.col(id_col).alias("_id"))
+        .crossJoin(F.broadcast(maxid))
+        .select(bucket_of(F.col("_id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # new distinct terms per bucket (bucket of the term's FIRST doc)
+    first = (
+        terms.select("_id", "_term")
+        .distinct()
+        .groupBy("_term")
+        .agg(F.min("_id").alias("_fid"))
+    )
+    new_b = (
+        first.crossJoin(F.broadcast(maxid))
+        .select(bucket_of(F.col("_fid")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    curve = (
+        docs_b.join(tok_b, "bucket", "left")
+        .join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.col("new_terms"), F.lit(0))
+            .cast("long")
+            .alias("new_terms"),
+        )
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = curve.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_terms",
+        F.sum("n_tokens").over(wc).cast("long").alias("cum_tokens"),
+        F.sum("new_terms").over(wc).cast("long").alias("cum_vocab"),
+    )
+    xi = F.floor(
+        F.log(F.col("cum_tokens").cast("double")) * F.lit(1_000_000.0)
+    ).cast("decimal(38,0)")
+    yi = F.floor(
+        F.log(F.col("cum_vocab").cast("double")) * F.lit(1_000_000.0)
+    ).cast("decimal(38,0)")
+    fit_in = cum.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    )
+    fit = fit_in.select(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_v"),
+        F.sum(xi).alias("_sx"),
+        F.sum(yi).alias("_sy"),
+        F.sum(xi * yi).alias("_sxy"),
+        F.sum(xi * xi).alias("_sxx"),
+    ).select(
+        F.round(
+            (
+                (F.col("_v") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+                .cast("double")
+            )
+            / (
+                (F.col("_v") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                .cast("double")
+            ),
+            6,
+        ).alias("heaps_beta")
+    )
+    return cum.crossJoin(F.broadcast(fit))

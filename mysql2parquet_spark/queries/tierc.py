@@ -4001,3 +4001,157 @@ def pipeline_decontaminate_spans(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 100 != 0)
     holdout = d.filter(F.col("doc_id") % 100 == 0)
     return dedup.remove_matching_spans(train, holdout, k=3)
+
+
+@register(
+    "text_heaps",
+    """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+    toks AS (
+      SELECT doc_id, u.term
+      FROM documents,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS u(term)
+      WHERE u.term <> ''
+    ),
+    tb AS (
+      SELECT LEAST(19, CAST(FLOOR(CAST(doc_id AS DOUBLE) * 20 / mx)
+                            AS INT)) AS bucket,
+             COUNT(*) AS n_tokens
+      FROM toks, m GROUP BY 1
+    ),
+    db AS (
+      SELECT LEAST(19, CAST(FLOOR(CAST(doc_id AS DOUBLE) * 20 / mx)
+                            AS INT)) AS bucket,
+             COUNT(*) AS n_docs
+      FROM documents, m GROUP BY 1
+    ),
+    first AS (
+      SELECT term, MIN(doc_id) AS fid
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ),
+    nb AS (
+      SELECT LEAST(19, CAST(FLOOR(CAST(fid AS DOUBLE) * 20 / mx)
+                            AS INT)) AS bucket,
+             COUNT(*) AS new_terms
+      FROM first, m GROUP BY 1
+    ),
+    curve AS (
+      SELECT db.bucket, n_docs,
+             COALESCE(n_tokens, 0) AS n_tokens,
+             COALESCE(new_terms, 0) AS new_terms
+      FROM db LEFT JOIN tb USING (bucket) LEFT JOIN nb USING (bucket)
+    ),
+    cum AS (
+      SELECT bucket, n_docs, n_tokens, new_terms,
+             SUM(n_tokens) OVER (ORDER BY bucket) AS cum_tokens,
+             SUM(new_terms) OVER (ORDER BY bucket) AS cum_vocab
+      FROM curve
+    ),
+    q AS (
+      SELECT CAST(FLOOR(LN(cum_tokens) * 1e6) AS HUGEINT) AS x,
+             CAST(FLOOR(LN(cum_vocab) * 1e6) AS HUGEINT) AS y
+      FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+    ),
+    fit AS (
+      SELECT COUNT(*) AS v, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM q
+    )
+    SELECT cum.bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           ROUND(CAST(v * sxy - sx * sy AS DOUBLE)
+                 / CAST(v * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta
+    FROM cum, fit
+    """,
+    "D72: Heaps'-law vocabulary-growth curve (Heaps 1978 -- the twin "
+    "corpus law to D65's Zipf): per ingestion-order bucket, tokens "
+    "seen / NEW distinct terms / cumulative vocabulary, plus the "
+    "fitted exponent beta of V(n) ~ K*n^beta (natural language "
+    "~0.4-0.6; beta -> 0 = the corpus is saturating and new ingestion "
+    "buys repetition, not coverage -- the corpus-level trend behind "
+    "D63's per-doc novelty). One term-keyed min(id) aggregate + one "
+    "doc-bucket token count; ALL remaining math (cumulative window, "
+    "quantized-LS beta fit) runs on the <= n_buckets bounded relation "
+    "(D59/D65 funnel discipline); max-id and fit relations are "
+    "reviewed 1-row broadcasts; beta engine-exact at 1e-6 via integer "
+    "micro-nat sums.",
+)
+def text_heaps(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.heaps_growth(d, n_buckets=20)
+
+
+@register(
+    "pipeline_token_budget",
+    """
+    WITH avail AS (
+      SELECT source,
+             SUM(len(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'),
+               t -> t <> ''))) AS av
+      FROM documents GROUP BY source
+    ),
+    caps AS (SELECT source, av, av * 4 AS cap FROM avail),
+    r AS (
+      SELECT source, av, cap,
+             ROW_NUMBER() OVER (ORDER BY cap, source) AS j,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS p,
+             COUNT(*) OVER () AS m
+      FROM caps
+    ),
+    line AS (
+      SELECT SUM(CASE WHEN p + (m - j + 1) * cap <= 50000
+                      THEN 1 ELSE 0 END) AS nc,
+             COALESCE(SUM(CASE WHEN p + (m - j + 1) * cap <= 50000
+                               THEN cap END), 0) AS pc,
+             MAX(m) AS mm
+      FROM r
+    ),
+    theta AS (
+      SELECT CASE WHEN nc < mm THEN
+        GREATEST(CAST(FLOOR(CAST(50000 - pc AS DOUBLE) / (mm - nc))
+                      AS BIGINT), 0) END AS th
+      FROM line
+    )
+    SELECT r.source,
+           CAST(av AS BIGINT) AS avail_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN th IS NULL THEN cap ELSE LEAST(cap, th) END
+                AS BIGINT) AS alloc_tokens,
+           CASE WHEN av > 0 THEN
+             FLOOR(CAST(CASE WHEN th IS NULL THEN cap
+                        ELSE LEAST(cap, th) END AS DOUBLE)
+                   / av * 10000) / 10000 END AS epochs
+    FROM r, theta
+    """,
+    "D73: data-constrained token-budget WATER-FILLING (Muennighoff et "
+    "al. 2023: repeating data pays up to ~4 epochs): allocate a "
+    "50k-token training budget across sources where every source "
+    "drinks to the shared waterline or its 4-epoch cap, whichever is "
+    "lower -- the allocation step between D44's temperature "
+    "proportions (no cap semantics) and the samplers that materialize "
+    "rows. Waterline from integer prefix sums over caps sorted "
+    "ascending (theta = floor((B - sum capped)/(m - n_capped))) -- "
+    "every allocation engine-exact integer arithmetic, total <= "
+    "budget with slack < m stated; epochs floor-quantized 1e-4. ONE "
+    "source-keyed token-count aggregate over the corpus (map-side "
+    "combined) is the only data-scale stage; everything else runs on "
+    "the <= |sources| bounded relation (D59/D65 funnel discipline) "
+    "with a 1-row waterline reviewed broadcast.",
+)
+def pipeline_token_budget(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import (
+        token_budget_allocation,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return token_budget_allocation(
+        d, budget_tokens=50_000, max_epochs=4
+    )

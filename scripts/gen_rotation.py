@@ -86,6 +86,14 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # keep the document (exact oracle incl. reassembly; Python twin
     # in tests/test_decontaminate_spans.py)
     "pipeline_decontaminate_spans",
+    # D72 Heaps'-law vocabulary-growth curve + quantized exponent fit
+    # (exact oracle; Python twin + saturating/fresh-corpus tests in
+    # tests/test_heaps.py)
+    "text_heaps",
+    # D73 data-constrained token-budget water-filling (exact integer
+    # waterline oracle; Python twin + cap/budget edge tests in
+    # tests/test_token_budget.py)
+    "pipeline_token_budget",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -436,6 +436,13 @@ BROADCAST_ALLOWLIST = {
         "DISTINCT-ed needle (eval/benchmark) gram relation — eval "
         "suites are bounded metadata next to the corpus (the D16 "
         "contamination_report contract)",
+    ("operators/text.py", "heaps_growth"):
+        "1-row max-id relation (bucket boundaries) + one-row β-fit "
+        "aggregate over the ≤ n_buckets curve — both bounded by "
+        "construction, never the data",
+    ("operators/pipeline.py", "token_budget_allocation"):
+        "1-row waterline aggregate over the ≤ |sources| cap relation — "
+        "bounded by source cardinality, never the data",
 }
 
 

@@ -397,10 +397,16 @@ def test_registry_count_is_planned():
     decontamination, the surgical cut-the-leak alternative to D16's
     document flag; exact oracle incl. ordered reassembly + Python
     twin in tests/test_decontaminate_spans.py; r12 debut via
-    NEXT_ROUND_BACKLOG) makes 201.
+    NEXT_ROUND_BACKLOG) makes 201. The r11-added D72/D73 pair
+    (text_heaps — Heaps'-law vocabulary-growth curve with a quantized
+    exponent fit, the corpus-saturation trend; pipeline_token_budget
+    — data-constrained token-budget water-filling with an exact
+    integer waterline; exact oracles + Python twins in
+    tests/test_heaps.py / test_token_budget.py; r12 debuts via
+    NEXT_ROUND_BACKLOG) makes 203.
     """
-    assert len(REGISTRY) == 201, (
-        f"registry count changed ({len(REGISTRY)} != 201); new queries "
+    assert len(REGISTRY) == 203, (
+        f"registry count changed ({len(REGISTRY)} != 203); new queries "
         "need a rotation plan before registration"
     )
 
