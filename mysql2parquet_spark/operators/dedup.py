@@ -1723,3 +1723,183 @@ def remove_matching_spans(
             .alias("n_removed"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "inverse",
+    fingerprint: str = "exact",
+) -> DataFrame:
+    """Duplicate-aware REWEIGHTING instead of removal (D74 — SoftDeDup,
+    He et al. 2024, ACL: down-weight duplicated documents in the
+    training loss rather than dropping them; hard dedup throws away
+    the signal that a document was independently published n times,
+    soft dedup keeps every copy at weight w(n) so the CLUSTER's total
+    influence is controlled): every document gets its exact-content
+    duplicate-cluster size ``n_copies`` and a sampling/loss weight —
+    ``inverse`` (w = 1/n: each cluster contributes exactly 1.0 total,
+    equivalent in expectation to hard dedup) or ``sqrt``
+    (w = 1/√n: clusters keep √n total influence — the frequency-damped
+    middle ground, same shape as D44's temperature damping).
+
+    Exactness: cluster size is an integer count on the md5
+    fingerprint; weights are floor-quantized 1e-4 (the D52 tie rule),
+    so per-cluster totals are engine-exact sums of identical values.
+
+    Scale shape: ONE fingerprint-keyed count aggregate (constant
+    32-byte key regardless of document size, map-side combined) and
+    one fingerprint-keyed join back — a cluster of n copies costs n
+    join rows, never n²; no windows, no driver round-trip. Schema
+    passes through plus ``n_copies`` and ``weight``.
+
+    ``fingerprint``: ``"exact"`` (md5 of the raw text) or ``"bow"``
+    (md5 of the sorted distinct token set — the D66 normalization,
+    treating shuffled/re-templated mirrors as copies).
+    """
+    if mode not in ("inverse", "sqrt"):
+        raise ValueError(f"mode must be 'inverse' or 'sqrt': {mode}")
+    if fingerprint == "exact":
+        fp = F.md5(F.col(text_col))
+    elif fingerprint == "bow":
+        fp = F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(tokens(F.col(text_col)))
+                ),
+                " ",
+            )
+        )
+    else:
+        raise ValueError(
+            f"fingerprint must be 'exact' or 'bow': {fingerprint}"
+        )
+    with_fp = df.withColumn("_fp", fp)
+    sizes = with_fp.groupBy("_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    denom = (
+        F.col("n_copies").cast("double")
+        if mode == "inverse"
+        else F.sqrt(F.col("n_copies").cast("double"))
+    )
+    return (
+        with_fp.join(sizes, "_fp")
+        .drop("_fp")
+        .withColumn(
+            "weight",
+            F.floor(F.lit(10_000.0) / denom) / F.lit(10_000.0),
+        )
+    )
+
+
+def lsh_parameter_plan(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    index_threshold: float = 0.05,
+) -> DataFrame:
+    """Data-driven MinHash-LSH parameter planner (D74b — the banding
+    S-curve of Leskovec, Rajaraman & Ullman, "Mining of Massive
+    Datasets" ch. 3: with b bands of r rows, a pair at Jaccard s
+    collides with probability ``1 − (1 − s^r)^b``): for every (b, r)
+    factorization of the signature budget, the EXPECTED number of
+    colliding candidate pairs on THIS corpus — computed over the
+    exact Jaccard distribution of the gram-index candidates — plus
+    the collision probability at each similarity decile. Picking
+    (b, r) from the textbook curve alone ignores where the corpus'
+    similarity mass actually sits; this reads it off the same
+    inverted gram index the dedup family already trusts (D25), so
+    the C2 operators tune from a report instead of trial runs.
+
+    Exactness: powers are LEFT-ASSOCIATED MULTIPLY CHAINS, never
+    ``pow()`` — libm ``pow`` is not correctly rounded and differs by
+    ulps across engines, which flips quantization floors; a fixed
+    multiply sequence over the identical int/int Jaccard double is
+    bit-exact in any IEEE engine. Each pair's collision probability
+    quantizes ONCE to integer micro units before summing (the
+    D56/D64 order-independence discipline); the decile columns are
+    Python-evaluated constants of (b, r) only. Pairs BELOW
+    ``index_threshold`` are absent from the gram-index relation and
+    contribute ~0 to every (b, r) — an under-count of near-zero
+    terms, stated not hidden.
+
+    Scale shape: candidate pairs come from the D25 inverted gram
+    index (never O(n²)); per pair the planner adds ``|(b,r) grid|``
+    codegen structs (≤ d(num_hashes) ≈ 7 for 64) and ONE grid-keyed
+    aggregate over the exploded (pair, b, r) rows — bounded by
+    candidates × grid. Output: one row per (b, r).
+    """
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2: {num_hashes}")
+    pairs = gram_jaccard_pairs_indexed(
+        df,
+        df,
+        shingle_n=shingle_n,
+        threshold=index_threshold,
+        self_pairs=True,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    grid = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+
+    def chain_pow(col, n):
+        acc = col
+        for _ in range(n - 1):
+            acc = acc * col
+        return acc
+
+    rows = []
+    for b, r in grid:
+        inner = F.lit(1.0) - chain_pow(F.col("jaccard"), r)
+        p = F.lit(1.0) - chain_pow(inner, b)
+        rows.append(
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.floor(p * F.lit(1_000_000.0))
+                .cast("long")
+                .alias("_p_micro"),
+            )
+        )
+    exploded = pairs.select(
+        F.explode(F.array(*rows)).alias("_g")
+    ).select("_g.bands", "_g.rows_per_band", "_g._p_micro")
+    agg = exploded.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.round(
+            F.sum("_p_micro").cast("double") / F.lit(1_000_000.0), 4
+        ).alias("expected_pairs"),
+    )
+    # Decile probabilities are pure functions of the (b, r) constants:
+    # evaluate in Python once and attach as literals (config metadata,
+    # not data — the oracle embeds the same Python-evaluated values).
+    decile_map = {
+        (b, r): [
+            round(1.0 - (1.0 - (d / 10.0) ** r) ** b, 4)
+            for d in range(1, 10)
+        ]
+        for b, r in grid
+    }
+    dec_cols = []
+    for d in range(1, 10):
+        expr = F.lit(None).cast("double")
+        for (b, r), vals in decile_map.items():
+            expr = F.when(
+                (F.col("bands") == b) & (F.col("rows_per_band") == r),
+                F.lit(vals[d - 1]),
+            ).otherwise(expr)
+        dec_cols.append(expr.alias(f"p_at_{d * 10}"))
+    return agg.select(
+        "bands", "rows_per_band", "n_candidates", "expected_pairs",
+        *dec_cols,
+    )

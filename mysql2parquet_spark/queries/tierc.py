@@ -4155,3 +4155,119 @@ def pipeline_token_budget(spark, sf_dir):
     return token_budget_allocation(
         d, budget_tokens=50_000, max_epochs=4
     )
+
+
+@register(
+    "dedup_soft_weights",
+    """
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_sort(list_distinct(
+                 regexp_split_to_array(trim(text), '\\s+'))), ' '))
+               AS f
+      FROM documents
+    ),
+    sz AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f)
+    SELECT doc_id, source,
+           CAST(n AS BIGINT) AS n_copies,
+           FLOOR(10000.0 / n) / 10000 AS weight
+    FROM fp JOIN sz USING (f)
+    """,
+    "D74: duplicate-aware REWEIGHTING instead of removal (SoftDeDup, "
+    "He et al. 2024 ACL): every document keeps its copies but carries "
+    "its duplicate-cluster size and a 1/n loss weight, so each "
+    "cluster contributes exactly 1.0 total influence -- equivalent in "
+    "expectation to hard dedup without discarding the published-n-"
+    "times signal (sqrt mode = 1/sqrt(n), the frequency-damped middle "
+    "ground). Registered on the D66 bag-of-words fingerprint (the "
+    "fixture has no byte-identical duplicates; bow clusters exist). "
+    "ONE fingerprint-keyed count aggregate (constant 32-byte key, "
+    "map-side combined) + one fingerprint-keyed join back (n rows per "
+    "cluster, never n^2); weights floor-quantized 1e-4.",
+)
+def dedup_soft_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return dedup.soft_dedup_weights(
+        d, mode="inverse", fingerprint="bow"
+    ).select("doc_id", "source", "n_copies", "weight")
+
+
+def _lsh_plan_oracle() -> str:
+    grid = [(b, 64 // b) for b in range(1, 65) if 64 % b == 0]
+
+    def chain(expr: str, n: int) -> str:
+        out = expr
+        for _ in range(n - 1):
+            out = f"({out} * {expr})"
+        return out
+
+    arms = []
+    for b, r in grid:
+        inner = f"(1.0 - {chain('s', r)})"
+        p = f"(1.0 - {chain(inner, b)})"
+        deciles = ", ".join(
+            f"CAST({round(1.0 - (1.0 - (d / 10.0) ** r) ** b, 4)} "
+            f"AS DOUBLE) AS p_at_{d * 10}"
+            for d in range(1, 10)
+        )
+        arms.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_candidates, "
+            f"ROUND(SUM(CAST(FLOOR({p} * 1e6) AS BIGINT)) / 1e6, 4) "
+            f"AS expected_pairs, {deciles} FROM pairs"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[u.i:u.i+2], ' ')) AS gr
+      FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ic
+      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ROUND(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS s
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic) >= 0.05
+    )
+    {union}
+    """
+
+
+@register(
+    "dedup_lsh_plan",
+    _lsh_plan_oracle(),
+    "D74b: data-driven MinHash-LSH parameter planner (the MMDS ch.3 "
+    "banding S-curve, 1-(1-s^r)^b, evaluated over THIS corpus' exact "
+    "candidate-Jaccard distribution from the D25 inverted trigram "
+    "index): per (b, r) factorization of the 64-hash budget, the "
+    "expected colliding-pair count plus the collision probability at "
+    "each similarity decile -- tune the C2 family from a report "
+    "instead of trial runs. Powers are LEFT-ASSOCIATED MULTIPLY "
+    "CHAINS, never pow() (libm pow is not correctly rounded and "
+    "differs across engines by ulps, flipping quantization floors; a "
+    "fixed multiply sequence over the identical int/int Jaccard "
+    "double is bit-exact in any IEEE engine -- pinned by the Python "
+    "twin); per-pair probabilities quantized ONCE to integer micro "
+    "units before the order-independent sum; decile columns are "
+    "Python-evaluated constants of (b, r). Candidates from the gram "
+    "index (never O(n^2)); one grid-keyed aggregate over candidates x "
+    "7 grid rows.",
+)
+def dedup_lsh_plan(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.lsh_parameter_plan(
+        d, num_hashes=64, shingle_n=3, index_threshold=0.05
+    )

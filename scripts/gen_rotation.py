@@ -94,6 +94,15 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # waterline oracle; Python twin + cap/budget edge tests in
     # tests/test_token_budget.py)
     "pipeline_token_budget",
+    # D74 soft-dedup reweighting — keep copies at 1/n weight (exact
+    # oracle on the bow fingerprint; cluster-total tests in
+    # tests/test_soft_lsh_plan.py)
+    "dedup_soft_weights",
+    # D74b data-driven LSH (b, r) planner — chain-power S-curve over
+    # the corpus' candidate-Jaccard distribution (exact oracle with
+    # generated multiply chains; Python twin in
+    # tests/test_soft_lsh_plan.py)
+    "dedup_lsh_plan",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -403,10 +403,15 @@ def test_registry_count_is_planned():
     — data-constrained token-budget water-filling with an exact
     integer waterline; exact oracles + Python twins in
     tests/test_heaps.py / test_token_budget.py; r12 debuts via
-    NEXT_ROUND_BACKLOG) makes 203.
+    NEXT_ROUND_BACKLOG) makes 203. The r11-added D74 pair
+    (dedup_soft_weights — SoftDeDup reweighting, copies kept at 1/n
+    weight on the bow fingerprint; dedup_lsh_plan — data-driven LSH
+    (b, r) planner with bit-exact chain-power S-curve sums; exact
+    oracles + Python twins in tests/test_soft_lsh_plan.py; r12
+    debuts via NEXT_ROUND_BACKLOG) makes 205.
     """
-    assert len(REGISTRY) == 203, (
-        f"registry count changed ({len(REGISTRY)} != 203); new queries "
+    assert len(REGISTRY) == 205, (
+        f"registry count changed ({len(REGISTRY)} != 205); new queries "
         "need a rotation plan before registration"
     )
 

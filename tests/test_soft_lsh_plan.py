@@ -1,0 +1,145 @@
+"""D74: soft-dedup reweighting + data-driven LSH parameter planner."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from mysql2parquet_spark.operators.dedup import (
+    lsh_parameter_plan,
+    soft_dedup_weights,
+)
+
+
+def test_soft_weights_inverse_cluster_totals_one(spark):
+    docs = [
+        (1, "same text"), (2, "same text"), (3, "same text"),
+        (4, "unique one"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs]
+    )
+    got = {
+        r["doc_id"]: (r["n_copies"], r["weight"])
+        for r in soft_dedup_weights(df).collect()
+    }
+    assert got[1] == (3, math.floor(10_000 / 3) / 10_000)
+    assert got[4] == (1, 1.0)
+    # every copy kept — no rows dropped
+    assert len(got) == 4
+
+
+def test_soft_weights_sqrt_damps_less(spark):
+    docs = [(i, "dup dup dup") for i in range(4)]
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs]
+    )
+    inv = soft_dedup_weights(df, mode="inverse").collect()[0]["weight"]
+    sq = soft_dedup_weights(df, mode="sqrt").collect()[0]["weight"]
+    assert inv == 0.25 and sq == 0.5
+    with pytest.raises(ValueError, match="mode"):
+        soft_dedup_weights(df, mode="log")
+
+
+def _py_plan(docs, num_hashes, shingle_n, threshold):
+    grams = {}
+    for d, t in docs:
+        toks = t.strip().split()
+        grams[d] = {
+            " ".join(toks[i: i + shingle_n])
+            for i in range(len(toks) - shingle_n + 1)
+        }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids = sorted(grams)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            if not inter:
+                continue
+            s = inter / (len(grams[a]) + len(grams[b]) - inter)
+            if s >= threshold:
+                # the gram index emits jaccard rounded 4dp (Spark
+                # HALF_UP); the planner consumes that value
+                pairs.append(
+                    float(
+                        Decimal(str(s)).quantize(
+                            Decimal("0.0001"), ROUND_HALF_UP
+                        )
+                    )
+                )
+    grid = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+
+    def chain_pow(x, n):
+        acc = x
+        for _ in range(n - 1):
+            acc = acc * x
+        return acc
+
+    out = {}
+    for b, r in grid:
+        micro = 0
+        for s in pairs:
+            p = 1.0 - chain_pow(1.0 - chain_pow(s, r), b)
+            micro += math.floor(p * 1_000_000)
+        out[(b, r)] = (len(pairs), round(micro / 1_000_000, 4))
+    return out
+
+
+def test_planner_matches_python_twin(spark):
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f x y"),   # high overlap with 1
+        (3, "p q r s t u v w"),
+        (4, "p q r z z2 z3 z4 z5"),  # partial overlap with 3
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs]
+    )
+    got = {
+        (r["bands"], r["rows_per_band"]): (
+            r["n_candidates"], r["expected_pairs"]
+        )
+        for r in lsh_parameter_plan(
+            df, num_hashes=8, shingle_n=2, index_threshold=0.05
+        ).collect()
+    }
+    assert got == _py_plan(docs, 8, 2, 0.05)
+    # monotone: more bands (shorter rows) collide more
+    ordered = [got[(b, 8 // b)][1] for b in (1, 2, 4, 8)]
+    assert ordered == sorted(ordered)
+
+
+def test_planner_decile_curve_shape(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = lsh_parameter_plan(df, num_hashes=16).collect()
+    for r in rows:
+        # the S-curve is non-decreasing in s for every (b, r)
+        ps = [r[f"p_at_{d * 10}"] for d in range(1, 10)]
+        assert ps == sorted(ps)
+        assert r[f"p_at_90"] == round(
+            1 - (1 - 0.9 ** r["rows_per_band"]) ** r["bands"], 4
+        )
+    assert len(rows) == 5  # divisors of 16
+
+
+def test_plan_no_cartesian_no_python(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for out in (
+        soft_dedup_weights(df, fingerprint="bow"),
+        lsh_parameter_plan(df, num_hashes=16),
+    ):
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
