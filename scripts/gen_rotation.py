@@ -388,17 +388,26 @@ proven-component rule in tests/test_registry.py.
 
 ## r12 plan
 
-After CORRECTNESS_r11 lands green, every registered query has >=2
-driver rows again and no query's newest row predates r4. r12
-priorities, in order:
+After CORRECTNESS_r11 lands green, every registered query except the
+fifteen r11-added surfaces has >=2 driver rows and no query's newest
+row predates r4. r12 priorities, in order:
 
 1. Any r11 red rows (fix + re-land).
-2. Debut head slots for every query registered during r11 (the
-   NEXT_ROUND_BACKLOG above — populated as r11 surfaces land).
-3. Third greens for the 9 r10 debuts; fourth greens for the r9
-   cohort as slots allow.
-4. Staleness backfill per the standing rule (oldest newest-row
-   first): the remaining r3/r4-newest two-row queries.
+2. **15 debut head slots** — every query registered during r11 (the
+   NEXT_ROUND_BACKLOG above, in order): `dedup_spans`,
+   `dedup_spans_trim` (D62 maximal duplicated spans + trim),
+   `text_novelty` (D63), `text_entropy` (D64), `text_zipf` (D65),
+   `dedup_source_overlap` (D66), `embedding_health` (D67),
+   `sample_kcenter` (D68 — rows-only by nature),
+   `text_hashed_features` (D69), `events_trimmed_mean` (D70),
+   `pipeline_decontaminate_spans` (D71), `text_heaps` (D72),
+   `pipeline_token_budget` (D73), `dedup_soft_weights` (D74),
+   `dedup_lsh_plan` (D74b). All carry exact oracles except
+   `sample_kcenter`.
+3. Second greens for the 18 r11 debuts (the r10-built D45-D61
+   cohort) as slots allow — none should rest on one adjudication.
+4. Third greens for the 9 r10 debuts; staleness backfill per the
+   standing rule (oldest newest-row first) with the remainder.
 """
 
 def _round_files() -> dict[int, dict]:
