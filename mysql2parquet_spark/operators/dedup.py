@@ -1626,6 +1626,7 @@ def remove_matching_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     needle_text_col: str = "text",
+    needle_id_col: str | None = None,
     k: int = 3,
 ) -> DataFrame:
     """Span-level benchmark DECONTAMINATION (D71): cut every token
@@ -1651,6 +1652,12 @@ def remove_matching_spans(
     anti-join against the posexploded tokens, the D50 ordered
     reassembly. The only data-scale exchanges are keyed on the
     document id.
+
+    ``needle_id_col`` names the needles frame's id column (fan-out
+    spread key only — needle ids never reach the output). Default:
+    reuse ``id_col`` if the needles frame has it, else synthesize one
+    via ``monotonically_increasing_id`` (ADVICE r11: a benchmark
+    table need not share the training id column name).
     """
     from mysql2parquet_spark.operators.scale import (
         fan_out,
@@ -1673,7 +1680,16 @@ def remove_matching_spans(
         ).otherwise(F.array().cast("array<string>"))
         return toked, wins
 
-    ntoked, nwins = _windows(needles, id_col, needle_text_col)
+    if needle_id_col is None:
+        if id_col in needles.columns:
+            needle_id_col = id_col
+        else:
+            needle_id_col = "_needle_id"
+            needles = needles.select(
+                F.monotonically_increasing_id().alias("_needle_id"),
+                F.col(needle_text_col),
+            )
+    ntoked, nwins = _windows(needles, needle_id_col, needle_text_col)
     needle_grams = ntoked.select(F.explode(nwins).alias("_g")).distinct()
     toked, wins = _windows(df, id_col, text_col)
     base = toked.localCheckpoint(eager=True)
@@ -1740,10 +1756,12 @@ def soft_dedup_weights(
     soft dedup keeps every copy at weight w(n) so the CLUSTER's total
     influence is controlled): every document gets its exact-content
     duplicate-cluster size ``n_copies`` and a sampling/loss weight —
-    ``inverse`` (w = 1/n: each cluster contributes exactly 1.0 total,
-    equivalent in expectation to hard dedup) or ``sqrt``
-    (w = 1/√n: clusters keep √n total influence — the frequency-damped
-    middle ground, same shape as D44's temperature damping).
+    ``inverse`` (w = 1/n: each cluster contributes approximately 1.0
+    total — exactly 1.0 when 10000/n is integral, otherwise within
+    n·1e-4 below it from the floor quantization — equivalent in
+    expectation to hard dedup) or ``sqrt`` (w = 1/√n: clusters keep
+    ~√n total influence — the frequency-damped middle ground, same
+    shape as D44's temperature damping).
 
     Exactness: cluster size is an integer count on the md5
     fingerprint; weights are floor-quantized 1e-4 (the D52 tie rule),

@@ -268,9 +268,9 @@ def degree_oriented_forward(e: DataFrame) -> DataFrame:
 
     Two vertex-keyed joins attach the undirected degree to both
     endpoints; ties in degree break by id, so the order is total and
-    the orientation deterministic. Output columns: ``s, t, a, b``
-    (the original canonical endpoints ride along for the closing
-    probe)."""
+    the orientation deterministic. Output columns: ``(s, t)`` only —
+    the closing probe re-canonicalizes wedge endpoints itself, so the
+    original (a, b) pair does not ride along."""
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -95,7 +95,11 @@ def lm_score(
     ``train=None`` self-scores against the corpus's own statistics.
     Unseen bigrams back off through the add-k smoothing: an unseen
     continuation costs ln((c1+kV)/k) nats, an unseen conditioning word
-    ln(V) — no -inf, every document scores.
+    ln(V) — no -inf, every document scores. A DEGENERATE model — the
+    training corpus has zero bigrams, so V = 0 and the smoothing
+    denominator is exactly 0 — yields ``score = NULL`` per document
+    via ``try_divide`` (the r11 division-sweep contract) instead of
+    an ANSI DIVIDE_BY_ZERO abort.
     """
     if k <= 0:
         raise ValueError(f"k must be > 0: {k}")
@@ -110,8 +114,9 @@ def lm_score(
         .join(uni, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))  # 1-row vocabulary-size relation
     )
-    p = (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k))) / (
-        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k)) * F.col("v")
+    p = F.try_divide(
+        F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)),
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k)) * F.col("v"),
     )
     lq = F.floor(F.log(p) * F.lit(_QUANT)).cast("long")
     return (

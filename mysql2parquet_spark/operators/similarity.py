@@ -919,7 +919,9 @@ def kcenter_greedy(
 
     Returns ``(sel_rank, vec_id, dist_sq)`` — ``dist_sq`` is the
     squared distance to the previously-chosen set at selection time
-    (NULL for the seed), the standard coverage-radius trace.
+    (NULL for the seed), the standard coverage-radius trace. An empty
+    input returns an empty frame with this schema (never an
+    IndexError on the seed argmax — ADVICE r11).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
@@ -928,17 +930,28 @@ def kcenter_greedy(
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    seed = (
+    seed_rows = (
         df.select(id_col, vec_col, sq.alias("_d"))
         .orderBy(F.col("_d").desc(), F.col(id_col).asc())
         .limit(1)
-        .collect()[0]  # bounded-metadata: the 1-row argmax seed
+        .collect()  # bounded-metadata: the 1-row argmax seed
     )
-    chosen = [(1, seed[id_col], None)]
-    center = [float(x) for x in seed[vec_col]]
-    state = df.select(id_col, vec_col).filter(
-        F.col(id_col) != F.lit(seed[id_col])
-    ).withColumn("_mind", F.lit(float("inf")))
+    if not seed_rows:
+        # ADVICE r11: an empty input returns an empty selection with
+        # the declared schema instead of an IndexError on the seed.
+        chosen = []
+        k = 1  # skip the selection loop below
+        center: list[float] = []
+        state = df.select(id_col, vec_col).withColumn(
+            "_mind", F.lit(float("inf"))
+        )
+    else:
+        seed = seed_rows[0]
+        chosen = [(1, seed[id_col], None)]
+        center = [float(x) for x in seed[vec_col]]
+        state = df.select(id_col, vec_col).filter(
+            F.col(id_col) != F.lit(seed[id_col])
+        ).withColumn("_mind", F.lit(float("inf")))
     for rank in range(2, k + 1):
         cvec = F.array(*[F.lit(c) for c in center])
         dist = F.aggregate(

@@ -831,7 +831,10 @@ def zipf_report(
     order-independent integer arithmetic in DECIMAL(38,0) (no int64
     overflow for any ``top_v``) and the slope — rounded at 1e-6 — is
     engine-exact; ties in frequency break by term ascending, so the
-    ranking LIST is exact too.
+    ranking LIST is exact too. A degenerate fit (a single distinct
+    term → one rank point, zero least-squares denominator) yields
+    ``zipf_slope = NULL`` via ``try_divide`` — the D29 IQR=0 → NULL
+    contract — never an ANSI DIVIDE_BY_ZERO abort.
 
     Scale shape: one term-keyed count aggregate (map-side combined),
     one TakeOrderedAndProject top-k (per-partition heaps, k·tasks
@@ -871,13 +874,11 @@ def zipf_report(
         F.sum(xi * xi).alias("_sxx"),
     ).select(
         F.round(
-            (
+            F.try_divide(
                 (F.col("_v") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-                .cast("double")
-            )
-            / (
+                .cast("double"),
                 (F.col("_v") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
-                .cast("double")
+                .cast("double"),
             ),
             6,
         ).alias("zipf_slope")
@@ -966,10 +967,19 @@ def heaps_growth(
     least-squares discipline.
 
     Exactness: first occurrence = plain ``min(doc_id)`` per term;
-    bucket boundaries are integer arithmetic on the broadcast 1-row
-    max-id relation; ln(cum_tokens)/ln(cum_vocab) are quantized ONCE
-    to integer micro-nats so the fit sums are order-independent
-    DECIMAL(38,0) arithmetic and β is engine-exact at 1e-6.
+    bucket boundaries normalize by the OBSERVED id range — bucket =
+    floor((id − min_id) · n / (max_id − min_id + 1)) — so an id space
+    starting at any offset (1_000_000..1_000_500) spreads across all
+    buckets instead of collapsing into the last one (ids must be
+    numeric; ingestion order = id order is the stated assumption);
+    ln(cum_tokens)/ln(cum_vocab) are quantized ONCE to integer
+    micro-nats so the fit sums are order-independent DECIMAL(38,0)
+    arithmetic and β is engine-exact at 1e-6. Degenerate fits — a
+    single usable (cum_tokens, cum_vocab) point, or every point
+    sharing one quantized ln(cum_tokens) — have a zero least-squares
+    denominator and yield ``heaps_beta = NULL`` (the ``try_divide``
+    contract, same as D29's IQR=0 → NULL rule) instead of an ANSI
+    DIVIDE_BY_ZERO abort.
 
     Scale shape: one term-keyed ``min(id)`` aggregate (map-side
     combined — a term occurring m times costs its distinct (doc,
@@ -986,12 +996,17 @@ def heaps_growth(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_term"),
     ).filter(F.col("_term") != "")
     maxid = df.select(
-        (F.max(F.col(id_col)) + 1).cast("long").alias("_m")
+        F.min(F.col(id_col)).cast("long").alias("_lo"),
+        (F.max(F.col(id_col)) - F.min(F.col(id_col)) + 1)
+        .cast("long")
+        .alias("_m"),
     )
     bucket_of = lambda c: F.least(  # noqa: E731
         F.lit(n_buckets - 1),
         F.floor(
-            c.cast("double") * n_buckets / F.col("_m").cast("double")
+            (c.cast("double") - F.col("_lo").cast("double"))
+            * n_buckets
+            / F.col("_m").cast("double")
         ).cast("int"),
     )
     # tokens per ingestion bucket
@@ -1063,13 +1078,11 @@ def heaps_growth(
         F.sum(xi * xi).alias("_sxx"),
     ).select(
         F.round(
-            (
+            F.try_divide(
                 (F.col("_v") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
-                .cast("double")
-            )
-            / (
+                .cast("double"),
                 (F.col("_v") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
-                .cast("double")
+                .cast("double"),
             ),
             6,
         ).alias("heaps_beta")

@@ -137,16 +137,49 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # window_rank) and the 13 r10 second-green singles (each now at 2-3
 # rows) — all component-guarded via tests/test_registry.py.
 # Per-round history: ROTATION.md.
+# ROTATION (r12, per ROTATION.md's r12 plan + VERDICT r11 asks #1/#4):
+# CORRECTNESS_r11 landed 43 hash + 7 rows-only-by-design, 0 FAIL (the
+# fifth consecutive clean window), so the head rotates to: 15 debut
+# slots for every query registered during r11 (the full
+# NEXT_ROUND_BACKLOG — D62-D74b; all exact oracles except
+# sample_kcenter, rows-only by nature — and text_heaps debuts only
+# AFTER the D72 degenerate-fit DIVIDE_BY_ZERO fix landed, VERDICT r11
+# weak + ask #2), 18 second-green slots for the r11 debuts (the
+# D45-D61 cohort — none rests on a single adjudication), 9
+# third-green slots for the r10 debuts, and 8 staleness slots per the
+# standing oldest-newest-row rule: the four r3-newest queries
+# (date_funcs, join_broadcast, join_inner, str_funcs) and the four
+# r4-newest (agg_distinct, agg_percentile, multimodal_binary,
+# stream_sliding_batch). Displaced: the r11 thrice-proven graduates
+# (the r9-debut cohort, the 19 r11 staleness refreshes) — all
+# component-guarded via the proven-component rule in
+# tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 18 r11 debuts (r10-built, never driver-checked; parity
-    #     proven locally in the r10 closing sim — tests per surface:
-    #     test_calibrate_tfidf.py, test_curation_profile_dp.py,
-    #     test_quota.py, test_phash.py, test_lm.py,
-    #     test_containment.py, test_segments.py, test_dsir.py,
-    #     test_gopher.py, test_cdc.py, test_length_buckets.py,
-    #     test_audio_vad.py, test_bootstrap.py, test_aes_sample.py,
-    #     test_triangles.py, test_rrf.py, test_within_dedup.py,
-    #     test_quantiles_global.py) ---
+    # --- 15 r12 debuts (r11-built, never driver-checked; parity
+    #     proven locally in the r11 closing sim — tests per surface:
+    #     test_spans.py, test_novelty.py, test_entropy.py,
+    #     test_zipf.py, test_source_overlap.py,
+    #     test_embedding_health.py, test_kcenter.py,
+    #     test_hashed_features.py, test_trimmed_mean.py,
+    #     test_decontaminate_spans.py, test_heaps.py,
+    #     test_token_budget.py, test_soft_dedup.py,
+    #     test_lsh_plan.py) ---
+    "dedup_spans",          # D62 maximal duplicated spans
+    "dedup_spans_trim",     # D62 span-trim face
+    "text_novelty",         # D63 per-doc n-gram novelty
+    "text_entropy",         # D64 character entropy gate
+    "text_zipf",            # D65 Zipf rank-frequency + slope
+    "dedup_source_overlap",  # D66 cross-source overlap matrix
+    "embedding_health",     # D67 embedding anisotropy report
+    "sample_kcenter",       # D68 k-center coreset (rows-only)
+    "text_hashed_features",  # D69 feature hashing
+    "events_trimmed_mean",  # D70 per-group trimmed mean
+    "pipeline_decontaminate_spans",  # D71 span-level decontamination
+    "text_heaps",           # D72 Heaps-law growth (post-fix debut)
+    "pipeline_token_budget",  # D73 token-budget water-filling
+    "dedup_soft_weights",   # D74 SoftDeDup reweighting
+    "dedup_lsh_plan",       # D74b LSH banding parameter planner
+    # --- second green rows for the 18 r11 debuts (D45-D61) ---
     "score_calibrate_global",   # D45 distributed exact percent_rank
     "table_profile_approx",     # D39 approx-HLL profile (rows-only)
     "sample_quota",             # D46 exact-total quota sampling
@@ -165,7 +198,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "search_rrf_fusion",        # D59 reciprocal-rank fusion
     "dedup_segments_within",    # D60 within-doc repeated-segment dedup
     "agg_quantiles_global",     # D61 exact global quantiles
-    # --- second green rows for the 9 r10 debuts ---
+    # --- third green rows for the 9 r10 debuts ---
     "dedup_keep_best",      # D38 quality-aware cluster resolution
     "table_profile",        # D39 one-pass column profiler
     "privacy_dp_counts",    # D40 discrete-Laplace DP count release
@@ -175,32 +208,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_temperature",  # D44 temperature-based domain mixing
     "ann_pq_persisted",     # D37 persisted PQ artifact probe (rows-only)
     "dedup_semantic_ivf",   # D31 learned-codebook SemDeDup (rows-only)
-    # --- third green rows for the 4 r9 debuts ---
-    "events_estimate",      # D33 sampled estimates + closed-form CIs
-    "events_heavy_hitters",  # D34 certified exact heavy hitters
-    "text_bpe_tokens",      # D35 distributed BPE tokenizer (rows-only)
-    "ann_pq_topk",          # D37 product-quantized ANN (rows-only)
-    # --- 19 staleness slots: newest driver row r2/r3 (standing rule:
+    # --- 8 staleness slots: newest driver row r3/r4 (standing rule:
     #     no query's newest row should age out; these are the oldest) ---
-    "agg_rollup",           # B14 rollup (newest r2)
-    "join_full",            # B8 full outer join (newest r2)
-    "sort_limit_topk",      # B20 top-k heap (newest r2)
-    "stream_tumbling_batch",  # B32 tumbling rollup (newest r2)
-    "subquery_recursive",   # B29 recursive CTE (newest r2)
-    "subquery_scalar",      # B29 scalar subquery (newest r2)
-    "udf_pandas",           # B30 Arrow pandas UDF (newest r2)
-    "window_lag",           # B17 lag/lead analytics (newest r2)
-    "window_running",       # B17 running aggregates (newest r2)
-    "agg_grouping_sets",    # B14 grouping sets (newest r3)
-    "agg_pivot",            # B12 pivot aggregation (newest r3)
-    "dedup_minhash",        # C2 MinHash-LSH near-dup (newest r3)
-    "dedup_simhash",        # C2 SimHash near-dup (newest r3)
-    "json_funcs",           # B27 JSON functions (newest r3)
-    "pipeline_curate",      # C4/D14 curation filter (newest r3)
-    "sample_split",         # C6 train/val/test split (newest r3)
-    "text_quality",         # C4 quality scoring (newest r3)
-    "topk_similarity",      # C3 brute-force cosine top-k (newest r3)
-    "agg_group",            # B12 flagship entry aggregate (newest r3)
+    "date_funcs",           # B23 date/time functions (newest r3)
+    "join_broadcast",       # B7 broadcast join (newest r3)
+    "join_inner",           # B6 inner equi-join (newest r3)
+    "str_funcs",            # B22 string functions (newest r3)
+    "agg_distinct",         # B13 DISTINCT aggregation (newest r4)
+    "agg_percentile",       # B12 percentile aggregation (newest r4)
+    "multimodal_binary",    # C5 binary asset metadata (newest r4)
+    "stream_sliding_batch",  # B32 sliding windows (newest r4)
 )
 
 

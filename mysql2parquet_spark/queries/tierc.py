@@ -4006,7 +4006,9 @@ def pipeline_decontaminate_spans(spark, sf_dir):
 @register(
     "text_heaps",
     """
-    WITH m AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+    WITH m AS (SELECT MIN(doc_id) AS lo,
+                      MAX(doc_id) - MIN(doc_id) + 1 AS mx
+               FROM documents),
     toks AS (
       SELECT doc_id, u.term
       FROM documents,
@@ -4015,13 +4017,15 @@ def pipeline_decontaminate_spans(spark, sf_dir):
       WHERE u.term <> ''
     ),
     tb AS (
-      SELECT LEAST(19, CAST(FLOOR(CAST(doc_id AS DOUBLE) * 20 / mx)
+      SELECT LEAST(19, CAST(FLOOR(
+               (CAST(doc_id AS DOUBLE) - CAST(lo AS DOUBLE)) * 20 / mx)
                             AS INT)) AS bucket,
              COUNT(*) AS n_tokens
       FROM toks, m GROUP BY 1
     ),
     db AS (
-      SELECT LEAST(19, CAST(FLOOR(CAST(doc_id AS DOUBLE) * 20 / mx)
+      SELECT LEAST(19, CAST(FLOOR(
+               (CAST(doc_id AS DOUBLE) - CAST(lo AS DOUBLE)) * 20 / mx)
                             AS INT)) AS bucket,
              COUNT(*) AS n_docs
       FROM documents, m GROUP BY 1
@@ -4031,7 +4035,8 @@ def pipeline_decontaminate_spans(spark, sf_dir):
       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
     ),
     nb AS (
-      SELECT LEAST(19, CAST(FLOOR(CAST(fid AS DOUBLE) * 20 / mx)
+      SELECT LEAST(19, CAST(FLOOR(
+               (CAST(fid AS DOUBLE) - CAST(lo AS DOUBLE)) * 20 / mx)
                             AS INT)) AS bucket,
              COUNT(*) AS new_terms
       FROM first, m GROUP BY 1
@@ -4065,7 +4070,8 @@ def pipeline_decontaminate_spans(spark, sf_dir):
            CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(cum_vocab AS BIGINT) AS cum_vocab,
            ROUND(CAST(v * sxy - sx * sy AS DOUBLE)
-                 / CAST(v * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta
+                 / NULLIF(CAST(v * sxx - sx * sx AS DOUBLE), 0),
+                 6) AS heaps_beta
     FROM cum, fit
     """,
     "D72: Heaps'-law vocabulary-growth curve (Heaps 1978 -- the twin "
@@ -4077,9 +4083,11 @@ def pipeline_decontaminate_spans(spark, sf_dir):
     "D63's per-doc novelty). One term-keyed min(id) aggregate + one "
     "doc-bucket token count; ALL remaining math (cumulative window, "
     "quantized-LS beta fit) runs on the <= n_buckets bounded relation "
-    "(D59/D65 funnel discipline); max-id and fit relations are "
-    "reviewed 1-row broadcasts; beta engine-exact at 1e-6 via integer "
-    "micro-nat sums.",
+    "(D59/D65 funnel discipline); id-range and fit relations are "
+    "reviewed 1-row broadcasts; buckets normalize by (id - min_id) so "
+    "offset id spaces spread correctly; beta engine-exact at 1e-6 via "
+    "integer micro-nat sums, NULL on a degenerate (zero-denominator) "
+    "fit via try_divide.",
 )
 def text_heaps(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")

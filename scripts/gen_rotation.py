@@ -36,73 +36,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # oracles. The ledger test fails if a query is neither checked, in the
 # head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
-    # r11: the eighteen r10-added queries all hold r11 head slots
+    # r12: the fifteen r11-added queries all hold r12 head slots
     # (debut round — the backlog emptied into DRIVER_PRIORITY per the
-    # r11 plan below); entries added here are r11-ADDED queries that
-    # debut in r12.
-    # D62 maximal duplicated-span report (exact gaps-and-islands
-    # oracle; Python twin + planted-run/island tests in
-    # tests/test_spans.py) — VERDICT r10 ask #4
-    "dedup_spans",
-    # D62 trim face: all-occurrence span removal with ordered
-    # reassembly (exact oracle incl. empty-doc contract; Python twin
-    # in tests/test_spans.py)
-    "dedup_spans_trim",
-    # D63 per-document n-gram novelty — corpus-internal RAVEN metric
-    # (exact min-doc_id oracle; Python twin + copy/original/order
-    # tests in tests/test_novelty.py)
-    "text_novelty",
-    # D64 per-document character entropy — low-information gate with
-    # order-independent integer micro-nat sums (exact oracle; Python
-    # twin + partitioning-independence pin in tests/test_entropy.py)
-    "text_entropy",
-    # D65 Zipf rank-frequency report + quantized log-log slope (exact
-    # HUGEINT/DECIMAL least-squares oracle; Python twin + ideal-Zipf/
-    # uniform-corpus tests in tests/test_zipf.py)
-    "text_zipf",
-    # D66 cross-source duplicate-overlap matrix — WIMBD/C4-audit
-    # corpus overlap on bag-of-words fingerprints (exact oracle;
-    # Python twin + mirror/shuffled-mirror tests in
-    # tests/test_source_overlap.py)
-    "dedup_source_overlap",
-    # D67 per-label embedding anisotropy/concentration report (exact
-    # oracle via the embedding_centroids rounding precedent; Python
-    # twin + collapsed-vs-symmetric tests in
-    # tests/test_embedding_health.py)
-    "embedding_health",
-    # D68 k-center greedy coreset selection — iterative argmax, not
-    # SQL-expressible: rows-only by nature; bit-exact Python twin +
-    # partitioning-independence pins in tests/test_kcenter.py
-    "sample_kcenter",
-    # D69 feature hashing / the hashing trick — 256-bucket signed
-    # sparse features (exact all-integer oracle; hashlib twin in
-    # tests/test_hashed_features.py)
-    "text_hashed_features",
-    # D70 per-group trimmed mean — Tukey's robust location estimator,
-    # DECIMAL-exact kept sums (exact oracle; Decimal twin + tie/
-    # outlier tests in tests/test_trimmed_mean.py)
-    "events_trimmed_mean",
-    # D71 span-level benchmark decontamination — cut leaked spans,
-    # keep the document (exact oracle incl. reassembly; Python twin
-    # in tests/test_decontaminate_spans.py)
-    "pipeline_decontaminate_spans",
-    # D72 Heaps'-law vocabulary-growth curve + quantized exponent fit
-    # (exact oracle; Python twin + saturating/fresh-corpus tests in
-    # tests/test_heaps.py)
-    "text_heaps",
-    # D73 data-constrained token-budget water-filling (exact integer
-    # waterline oracle; Python twin + cap/budget edge tests in
-    # tests/test_token_budget.py)
-    "pipeline_token_budget",
-    # D74 soft-dedup reweighting — keep copies at 1/n weight (exact
-    # oracle on the bow fingerprint; cluster-total tests in
-    # tests/test_soft_lsh_plan.py)
-    "dedup_soft_weights",
-    # D74b data-driven LSH (b, r) planner — chain-power S-curve over
-    # the corpus' candidate-Jaccard distribution (exact oracle with
-    # generated multiply chains; Python twin in
-    # tests/test_soft_lsh_plan.py)
-    "dedup_lsh_plan",
+    # r12 plan below); entries added here are r12-ADDED queries that
+    # debut in r13.
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -408,6 +345,64 @@ row predates r4. r12 priorities, in order:
    cohort) as slots allow — none should rest on one adjudication.
 4. Third greens for the 9 r10 debuts; staleness backfill per the
    standing rule (oldest newest-row first) with the remainder.
+
+## r12 rotation (executed)
+
+CORRECTNESS_r11 landed 43 hash + 7 rows-only-by-design, 0 FAIL (the
+fifth consecutive clean window), so the r12 head executes the plan
+above:
+
+1. **15 debut slots** — every query registered during r11, i.e. the
+   full r11 NEXT_ROUND_BACKLOG in order: `dedup_spans`,
+   `dedup_spans_trim`, `text_novelty`, `text_entropy`, `text_zipf`,
+   `dedup_source_overlap`, `embedding_health`, `sample_kcenter`,
+   `text_hashed_features`, `events_trimmed_mean`,
+   `pipeline_decontaminate_spans`, `text_heaps`,
+   `pipeline_token_budget`, `dedup_soft_weights`, `dedup_lsh_plan`.
+   All carry exact oracles except `sample_kcenter` (rows-only by
+   nature). `text_heaps` debuts only after the D72 degenerate-fit
+   DIVIDE_BY_ZERO fix (try_divide → NULL beta + min-id-normalized
+   buckets, VERDICT r11 weak/ask #2 + ADVICE — pinned by the
+   degenerate/offset tests in tests/test_heaps.py).
+2. **18 second-green slots** — the r11 debuts (the D45-D61 cohort):
+   `score_calibrate_global`, `table_profile_approx`, `sample_quota`,
+   `multimodal_phash_dedup`, `text_lm_score`, `dedup_containment`,
+   `dedup_segments`, `pipeline_dsir`, `text_gopher_rules`,
+   `dedup_cdc_chunks`, `pipeline_length_buckets`,
+   `multimodal_audio_trim`, `events_bootstrap`, `sample_weighted_k`,
+   `dedup_cluster_density`, `search_rrf_fusion`,
+   `dedup_segments_within`, `agg_quantiles_global`.
+3. **9 third-green slots** — the r10 debuts (`dedup_keep_best`,
+   `table_profile`, `privacy_dp_counts`, `dedup_cluster_incremental`,
+   `score_calibrate`, `similarity_tfidf`, `pipeline_temperature`,
+   `ann_pq_persisted`, `dedup_semantic_ivf`).
+4. **8 staleness slots** — the standing rule (oldest newest-row
+   first): the four r3-newest queries (`date_funcs`,
+   `join_broadcast`, `join_inner`, `str_funcs`) and the four
+   r4-newest (`agg_distinct`, `agg_percentile`, `multimodal_binary`,
+   `stream_sliding_batch`).
+
+Head arithmetic: 15 + 18 + 9 + 8 = 50. Displaced: the r11
+thrice-proven graduates (the r9-debut cohort — `events_estimate`,
+`events_heavy_hitters`, `text_bpe_tokens`, `ann_pq_topk` — and the 19
+r11 staleness refreshes, each now at 3-6 rows) — all
+component-guarded via the proven-component rule in
+tests/test_registry.py.
+
+## r13 plan
+
+After CORRECTNESS_r12 lands green, every registered query has >=1
+driver row, the D62-D74b cohort has its debut green, and no query's
+newest row predates r5. r13 priorities, in order:
+
+1. Any r12 red rows (fix + re-land).
+2. Debut head slots for every query registered during r12 (the
+   NEXT_ROUND_BACKLOG above, declared as they land).
+3. Second greens for the 15 r12 debuts — none should rest on one
+   adjudication.
+4. Third greens for the 18 r11 debuts (D45-D61); staleness backfill
+   per the standing rule (oldest newest-row first) with the
+   remainder.
 """
 
 def _round_files() -> dict[int, dict]:

@@ -92,3 +92,32 @@ def test_plan_needle_side_broadcast_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     # the gram membership probe is a broadcast semi-join (map-side)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+
+
+def test_needles_with_different_id_column(spark):
+    # ADVICE r11: a benchmark table whose id column is named
+    # differently (or absent) must work — needle ids are a fan-out
+    # spread key only and never reach the output.
+    train = [(1, "a b c d e"), (2, "x y z w v")]
+    tdf = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in train]
+    )
+    # explicit needle_id_col
+    ndf_named = spark.createDataFrame(
+        [Row(bench_id=7, text="b c d")]
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in remove_matching_spans(
+            tdf, ndf_named, k=3, needle_id_col="bench_id"
+        ).collect()
+    }
+    assert got[1] == ("a e", 2, 3)
+    assert got[2] == ("x y z w v", 5, 0)
+    # no usable id column at all -> synthesized internally
+    ndf_bare = spark.createDataFrame([Row(text="b c d")])
+    got2 = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in remove_matching_spans(tdf, ndf_bare, k=3).collect()
+    }
+    assert got2 == got

@@ -12,10 +12,13 @@ from mysql2parquet_spark.operators.text import heaps_growth
 
 
 def _py_curve(docs, n_buckets):
-    m = max(d for d, _ in docs) + 1
+    lo = min(d for d, _ in docs)
+    m = max(d for d, _ in docs) - lo + 1
 
     def bucket(i):
-        return min(n_buckets - 1, int(i * n_buckets / m))
+        return min(
+            n_buckets - 1, math.floor((i - lo) * n_buckets / m)
+        )
 
     n_docs = [0] * n_buckets
     n_tokens = [0] * n_buckets
@@ -45,7 +48,8 @@ def _py_curve(docs, n_buckets):
     sx, sy = sum(xs), sum(ys)
     sxy = sum(a * b for a, b in zip(xs, ys))
     sxx = sum(a * a for a in xs)
-    beta = round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6)
+    den = v * sxx - sx * sx
+    beta = round((v * sxy - sx * sy) / den, 6) if den else None
     return rows, beta
 
 
@@ -90,6 +94,44 @@ def test_validation(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="a")])
     with pytest.raises(ValueError, match="n_buckets"):
         heaps_growth(df, n_buckets=1)
+
+
+def test_degenerate_single_fit_point_yields_null_beta(spark):
+    # one document -> one (cum_tokens, cum_vocab) point -> the
+    # least-squares denominator v*sxx - sx^2 is exactly 0. Under ANSI
+    # mode a plain division aborts with DIVIDE_BY_ZERO (the r11 weak);
+    # the try_divide contract returns beta = NULL and keeps the curve.
+    docs = [(0, "alpha beta gamma")]
+    rows, beta = _run(spark, docs, n_buckets=4)
+    ref_rows, ref_beta = _py_curve(docs, 4)
+    assert rows == sorted(ref_rows)
+    assert beta is None and ref_beta is None
+    assert rows[0][4] == 3 and rows[0][5] == 3
+
+
+def test_degenerate_equal_x_points_yields_null_beta(spark):
+    # two buckets with usable points but IDENTICAL cum_tokens (the
+    # second bucket adds zero tokens because its docs are empty):
+    # both quantized ln(cum_tokens) are equal -> denominator 0 -> NULL.
+    docs = [(0, "alpha beta"), (1, " "), (2, " "), (3, " ")]
+    rows, beta = _run(spark, docs, n_buckets=2)
+    ref_rows, ref_beta = _py_curve(docs, 2)
+    assert rows == sorted(ref_rows)
+    assert beta is None and ref_beta is None
+
+
+def test_offset_id_space_spreads_buckets(spark):
+    # ADVICE r11: ids starting at a large offset must NOT collapse
+    # into the last bucket — bucketing normalizes by (id - min_id).
+    docs = [
+        (1_000_000 + i, " ".join(f"w{i}_{j}" for j in range(4)))
+        for i in range(32)
+    ]
+    rows, beta = _run(spark, docs, n_buckets=8)
+    ref_rows, ref_beta = _py_curve(docs, 8)
+    assert rows == sorted(ref_rows) and beta == ref_beta
+    assert [r[0] for r in rows] == list(range(8))  # all 8 buckets hit
+    assert beta is not None and beta > 0.95
 
 
 def test_matches_python_twin_on_fixture(spark, sf_dir):

@@ -116,3 +116,15 @@ def test_selection_is_partitioning_independent(spark, sf_dir):
         for r in kcenter_greedy(df.repartition(17), k=8).collect()
     ]
     assert a == b
+
+
+def test_empty_input_returns_empty_frame(spark, sf_dir):
+    # ADVICE r11: the seed argmax on an empty frame must not raise
+    # IndexError — the contract is an empty selection with the
+    # declared (sel_rank, vec_id, dist_sq) schema.
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 0"
+    )
+    out = kcenter_greedy(df, k=4)
+    assert out.columns == ["sel_rank", "vec_id", "dist_sq"]
+    assert out.count() == 0

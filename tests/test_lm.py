@@ -124,3 +124,22 @@ def test_lm_plan_no_cartesian_no_udf(spark, sf_dir):
     # the only nested-loop side is the 1-row vocabulary relation
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
     assert "Python" not in p, p  # pure codegen — zero UDFs
+
+
+def test_degenerate_empty_train_yields_null_scores(spark):
+    # a training corpus with zero bigrams (every doc < 2 tokens) has
+    # V = 0 and a smoothing denominator of exactly 0: the try_divide
+    # contract scores every document NULL instead of aborting with an
+    # ANSI DIVIDE_BY_ZERO (the r11 division sweep).
+    from pyspark.sql import Row
+
+    from mysql2parquet_spark.operators.lm import lm_score
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox")]
+    )
+    train = spark.createDataFrame([Row(doc_id=9, text="solo")])
+    got = lm_score(docs, train=train).collect()
+    assert len(got) == 1
+    assert got[0]["n_bigrams"] == 3
+    assert got[0]["score"] is None

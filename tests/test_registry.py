@@ -241,6 +241,10 @@ ROWS_ONLY_OK = {
     # an estimate by construction; error bound vs the exact face gated
     # in tests/test_curation_profile_dp.py (VERDICT r9 ask #6)
     "table_profile_approx",
+    # r12 debut (r11-added): k-center greedy coreset — iterative
+    # argmax selection, not SQL-expressible; bit-exact Python twin +
+    # partitioning-independence pins in tests/test_kcenter.py
+    "sample_kcenter",
 }
 
 

@@ -24,7 +24,8 @@ def _py_zipf(texts, top_v):
     sx, sy = sum(xs), sum(ys)
     sxy = sum(x * y for x, y in zip(xs, ys))
     sxx = sum(x * x for x in xs)
-    slope = round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6)
+    den = v * sxx - sx * sx
+    slope = round((v * sxy - sx * sy) / den, 6) if den else None
     return rows, slope
 
 
@@ -73,6 +74,18 @@ def test_validation(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="x y")])
     with pytest.raises(ValueError, match="top_v"):
         zipf_report(df, top_v=1)
+
+
+def test_degenerate_single_term_yields_null_slope(spark):
+    # a corpus with ONE distinct term produces a single rank point:
+    # the least-squares denominator is exactly 0 and the slope is
+    # NULL under the try_divide contract (never an ANSI
+    # DIVIDE_BY_ZERO abort — the r11 division sweep).
+    texts = ["solo solo solo", "solo"]
+    rows, slope = _run(spark, texts, top_v=5)
+    ref_rows, ref_slope = _py_zipf(texts, 5)
+    assert rows == sorted(ref_rows) == [(1, "solo", 4)]
+    assert slope is None and ref_slope is None
 
 
 def test_matches_python_twin_on_fixture(spark, sf_dir):
