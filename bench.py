@@ -77,10 +77,42 @@ HEADLINE = [
     "events_retention",   # weekly retention cohorts (r5)
 ]
 
+# staged_total membership (VERDICT r11 ask #8): PINNED at the 53 staged
+# entries timed every round since r10, so the staged set finally has a
+# round-over-round-comparable total like the headline. New debuts ride
+# along in the "staged" dict but do NOT join this total; changing the
+# pin requires a docs/BENCH_NOTES.md entry (the headline rule).
+STAGED_TOTAL_PIN = (
+    "ann_pq_persisted", "ann_pq_topk", "dedup_cluster_cc",
+    "dedup_cluster_incremental", "dedup_jaccard_incremental",
+    "dedup_keep_best", "dedup_minhash_incremental", "dedup_semantic",
+    "dedup_semantic_ivf", "dedup_substring", "drift_psi",
+    "events_anomaly", "events_estimate", "events_heavy_hitters",
+    "events_ohlc", "events_paths", "events_resample",
+    "events_transitions", "events_winsorize", "join_bloom_prune",
+    "join_explosion", "join_interval", "join_strategy", "knn_classify",
+    "pipeline_curriculum", "pipeline_temperature", "privacy_dp_counts",
+    "privacy_kanon", "sample_split_group", "score_calibrate",
+    "similarity_tfidf", "sketch_bloom_probe", "sketch_kmv_overlap",
+    "skew_profile", "table_profile", "text_bpe_tokens", "text_pmi",
+    "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape",
+    "tpch_q17_shape", "tpch_q19_shape", "tpch_q20_shape",
+    "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape",
+    "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+)
+
 
 def main() -> None:
     from mysql2parquet_spark.queries import all_queries
     from mysql2parquet_spark.session import get_spark
+
+    # Host-load indicator (VERDICT r11 ask #3): the r11 artifact showed
+    # a UNIFORM 1.34x median slowdown across unchanged queries — the
+    # signature of noisy-neighbor load, but the artifact couldn't prove
+    # it. Recording 1/5/15-min loadavg at bench start makes an
+    # artifact-vs-quiet-host discrepancy self-explaining.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     spark = get_spark(
         "mysql2parquet_spark-bench",
@@ -160,9 +192,10 @@ def main() -> None:
     # truncated artifact loses these first.
     from mysql2parquet_spark.queries.staged import STAGED
 
-    # The r8 debuts ride along so every registered-but-unadjudicated
-    # query has per-round timings on record.
-    debut_r8 = {
+    # Ride-along set: debut-cohort queries timed each round so every
+    # registered-but-unadjudicated query has per-round timings on
+    # record (NOT in any pinned total).
+    ride_along = {
         "dedup_jaccard_incremental",
         "dedup_minhash_incremental",
         "join_strategy",
@@ -191,12 +224,47 @@ def main() -> None:
         "score_calibrate",
         "similarity_tfidf",
         "pipeline_temperature",
+        # r11-added D62-D74b (r12 debuts) — timed for the record,
+        # NOT in staged_total (the pin rule)
+        "dedup_spans",
+        "dedup_spans_trim",
+        "text_novelty",
+        "text_entropy",
+        "text_zipf",
+        "dedup_source_overlap",
+        "embedding_health",
+        "sample_kcenter",
+        "text_hashed_features",
+        "events_trimmed_mean",
+        "pipeline_decontaminate_spans",
+        "text_heaps",
+        "pipeline_token_budget",
+        "dedup_soft_weights",
+        "dedup_lsh_plan",
+        # r12-added D75-D81 (r13 debuts) — same ride-along rule
+        "text_classifier_nb",
+        "text_lm3_score",
+        "text_winnow_words",
+        "events_attribution",
+        "text_source_kl",
+        "embedding_jl_project",
+        "text_burstiness",
     }
     staged_timings: dict[str, float] = {}
-    for name in sorted(set(STAGED) | debut_r8):
+    for name in sorted(set(STAGED) | ride_along):
         wall1, _ = run(name)
         wall2, _ = run(name)
         staged_timings[name] = round(min(wall1, wall2), 3)
+
+    # staged_total (VERDICT r11 ask #8): the staged set had no pinned
+    # total, so regressions there surfaced only via manual diffs. The
+    # membership below is PINNED at the 54 entries timed since r10 —
+    # additions ride along in "staged" but do NOT join the total; any
+    # pin change requires a docs/BENCH_NOTES.md entry (the headline
+    # rule).
+    staged_total = round(
+        sum(staged_timings[n] for n in STAGED_TOTAL_PIN), 3
+    )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
     # Truncation armor (VERDICT r7 ask #5, fixing the half-delivered r6
@@ -219,6 +287,9 @@ def main() -> None:
                 "runs": 2,
                 "agg": "min",
                 "sf": float(sf),
+                "loadavg_start": loadavg_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "staged_total": staged_total,
                 "staged": staged_timings,
             }
         )
@@ -236,6 +307,8 @@ def main() -> None:
                 "runs": 2,
                 "agg": "min",
                 "slowest": slowest,
+                "staged_total": staged_total,
+                "loadavg_start": loadavg_start,
                 "queries_in_full_line_above": True,
             }
         )

@@ -1,0 +1,184 @@
+"""Trained quality classifier — the fastText-style corpus filter (D75).
+
+The GPT-3-era data recipe trains a cheap discriminative classifier to
+score raw web text against a trusted reference domain and keeps the
+documents the classifier likes (Brown et al. 2020, Appendix A: a
+logistic-regression filter over hashed features, positives = curated
+corpora, negatives = raw Common Crawl; Joulin et al. 2016's fastText is
+the canonical cheap linear text classifier). The closed-form v1 here is
+multinomial Naive Bayes over hashed unigram features (McCallum & Nigam
+1998's event model) — the same bounded 16^hex_chars feature space as
+D51's DSIR, but a two-class conditional model with a decision rule
+rather than an importance ratio. The NB log-odds IS a linear scorer
+w·x + b over the hashed bag (the fastText shape with closed-form
+weights), so the v1 is already the published filter's functional form;
+a gradient-trained LR can later reuse the identical feature relation.
+
+Everything is engine-exact: per-bucket log-odds quantize ONCE to
+integer micro-nats (the D48/D51 recipe), per-document scores are
+order-independent int64 sums, and the keep decision is an integer
+comparison — so the driver's value-hash oracle adjudicates the whole
+surface, not a float approximation of it.
+
+The reference exports text untouched (/root/reference/main.go:106);
+this is Tier C / LLM-pipeline north-star coverage like C4/D51.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucketed_tokens(
+    docs: DataFrame, id_col: str, text_col: str, hex_chars: int
+) -> DataFrame:
+    """(id, b) hashed-unigram relation — md5-hex-prefix buckets, the
+    D51 discipline (the bucket KEY is the hex string so an ANSI-SQL
+    oracle mirrors it char-for-char)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            id_col, F.substring(F.md5("w"), 1, hex_chars).alias("b")
+        )
+    )
+
+
+def nb_log_odds(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    text_col: str = "text",
+    hex_chars: int = 2,
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-bucket Naive Bayes log-odds relation ``(b, lam_micro)``:
+    ``lam(b) = ln P(b|target) − ln P(b|rest)`` with add-k smoothing
+    over the fixed ``B = 16^hex_chars`` bucket space —
+    ``ln((ct+k)/(T1+kB)) − ln((cn+k)/(T0+kB))``, quantized ONCE to
+    integer micro-nats. One pass over the token relation computes both
+    class bags (conditional aggregation, no second scan); the output
+    is ≤ B rows by construction. An empty class degrades smoothly: all
+    its probabilities collapse to the uniform k/(kB) floor rather than
+    dividing by zero (k > 0 is enforced).
+    """
+    if hex_chars < 1 or hex_chars > 4:
+        raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    n_buckets = 16**hex_chars
+    # one scan, both class bags: conditional count per bucket
+    tok = (
+        docs.select(F.col(text_col), target_pred.alias("_is_t"))
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+            "_is_t",
+        )
+        .filter(F.col("w") != "")
+        .select(
+            F.substring(F.md5("w"), 1, hex_chars).alias("b"), "_is_t"
+        )
+    )
+    bags = tok.groupBy("b").agg(
+        F.sum(F.col("_is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("_is_t")).cast("long")).alias("cn"),
+    )
+    totals = bags.agg(
+        F.sum("ct").alias("t1"), F.sum("cn").alias("t0")
+    )
+    joined = bags.crossJoin(F.broadcast(totals))
+    kb = float(k) * n_buckets
+    lam = F.floor(
+        (
+            F.log(F.col("ct").cast("double") + F.lit(float(k)))
+            - F.log(F.col("t1").cast("double") + F.lit(kb))
+            - F.log(F.col("cn").cast("double") + F.lit(float(k)))
+            + F.log(F.col("t0").cast("double") + F.lit(kb))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return joined.select("b", lam.alias("lam_micro"))
+
+
+def nb_classifier_score(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    k: float = 1.0,
+) -> DataFrame:
+    """Score every document with the trained NB quality classifier:
+    ``(id_col, n_tokens, score_micro, pred_target)`` where
+    ``score_micro = prior_micro + Σ_buckets count_d(b)·lam_micro(b)``
+    (the NB log-odds of "looks like the target domain" in integer
+    micro-nats; counts ≤ doc length, |lam| ≤ ~2·10⁷ micro-nats, sums
+    ≤ ~10¹¹ — far inside int64) and ``pred_target = score_micro > 0``
+    — the keep/drop decision of the published filter. The document
+    prior ``ln((N1+k)/(N0+k))`` is quantized once and added as a
+    constant, so the rule is the full MAP decision, not just the
+    likelihood term. Documents with zero tokens carry no evidence and
+    are absent (the D48/D51 contract — filter empties upstream).
+
+    Self-training is the norm (label docs by a metadata predicate —
+    trusted source vs rest — then score everyone, including the
+    labeled); pass a pre-filtered frame to train on a split.
+
+    Plan: the ≤ 16^hex_chars-row log-odds relation and the 1-row
+    prior broadcast onto ONE (id, bucket)-keyed exchange, one
+    id-keyed sum finishes — three data exchanges total regardless of
+    corpus size, identical to D51's shape.
+    """
+    lam = nb_log_odds(
+        docs, target_pred, text_col=text_col, hex_chars=hex_chars, k=k
+    )
+    prior = docs.agg(
+        F.floor(
+            (
+                F.log(
+                    F.sum(target_pred.cast("long")).cast("double")
+                    + F.lit(float(k))
+                )
+                - F.log(
+                    F.sum((~target_pred).cast("long")).cast("double")
+                    + F.lit(float(k))
+                )
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("prior_micro")
+    )
+    dc = (
+        _bucketed_tokens(docs, id_col, text_col, hex_chars)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dc.join(F.broadcast(lam), "b")  # ≤ 16^hex_chars-row relation
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lam_micro")).alias("_like"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_like") + F.col("prior_micro"))
+            .cast("long")
+            .alias("score_micro"),
+            (F.col("_like") + F.col("prior_micro") > 0).alias(
+                "pred_target"
+            ),
+        )
+    )

@@ -135,3 +135,184 @@ def lm_score(
             ).alias("score"),
         )
     )
+
+
+def doc_trigrams(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2, w3) trigram relation — lowercased whitespace
+    tokens, consecutive triples via slice+zip (zero shuffle, no
+    window; the doc_bigrams pattern one order up). Documents with
+    fewer than three tokens contribute no rows."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    triples = F.arrays_zip(
+        F.slice(toks, 1, n2),
+        F.slice(toks, 2, n2),
+        F.slice(toks, 3, n2),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(triples).alias("_tg"))
+        .select(
+            id_col,
+            F.col("_tg.0").alias("w1"),
+            F.col("_tg.1").alias("w2"),
+            F.col("_tg.2").alias("w3"),
+        )
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+    )
+
+
+def lm3_score(
+    docs: DataFrame,
+    *,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document TRIGRAM cross-entropy under STUPID BACKOFF (D76 —
+    Brants et al. 2007, "Large Language Models in Machine Translation":
+    at web scale, skip discount estimation entirely and back off with a
+    fixed penalty α; the standard α = 0.4 default is the paper's).
+    Columns: ``id_col``, ``n_trigrams``, ``score`` (average negative
+    log-score in nats, ROUND ``ndigits``; lower = more fluent). The
+    published CCNet-recipe upgrade over D48's bigram add-k model
+    (VERDICT r11 ask #6): a trigram context separates fluent
+    collocations from locally-plausible word salad that bigrams pass.
+
+    The backoff chain — each level is the train-corpus MLE, penalized
+    α per level skipped::
+
+        S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+                    = α · c(w2w3)/c(w2)            elif c(w2w3) > 0
+                    = α² · (c(w3)+1)/(N+V)         otherwise
+
+    The final level is add-1 smoothed (Brants' S(w) = c(w)/N leaves
+    unseen WORDS at zero; the +1 floor keeps every token scoreable —
+    no −inf — stated, not hidden). Seen-branch denominators are
+    provably positive (a trigram seen in train implies its (w1,w2)
+    bigram was seen; same one level down), so the only degenerate
+    division is an EMPTY train corpus (N = V = 0), which yields
+    ``score = NULL`` via ``try_divide`` — the r11 division-sweep
+    contract, matching ``lm_score``.
+
+    Exactness: each trigram's ln S quantizes ONCE to integer
+    micro-nats, so per-document sums are order-independent int64
+    arithmetic (the D48 recipe) and the score hash-matches any engine.
+
+    Scale shape: tokenize+trigram is a zero-shuffle slice+zip
+    projection; the model is FOUR keyed partial-agg exchanges over
+    vocabulary-bounded relations (trigram, bigram, unigram counts +
+    the 1-row (N, V) total); scoring joins the exploded trigrams to
+    the count relations by gram key (equi-joins — the model relations
+    are the small sides at 100 TB and AQE broadcasts them) and
+    reduces per doc. Documents with no trigram are absent (no
+    cross-entropy — the D48 contract).
+
+    ``train=None`` self-scores. NOTE: under self-scoring every scored
+    trigram was seen, so the backoff never fires and the model reduces
+    to pure trigram MLE — pass a held-out ``train`` split (the
+    registered query trains on two sources) to exercise the chain.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    tr = train if train is not None else docs
+    tg_train = doc_trigrams(tr, id_col=id_col, text_col=text_col)
+    tri = tg_train.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    bg_train = doc_bigrams(tr, id_col=id_col, text_col=text_col)
+    bi = bg_train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    uni_toks = (
+        tr.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    uni = uni_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(
+        F.sum("cu").alias("n_tok"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    tg = doc_trigrams(docs, id_col=id_col, text_col=text_col)
+    joined = (
+        tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select(
+                F.col("w1").alias("_b1"),
+                F.col("w2").alias("_b2"),
+                F.col("cb").alias("c12"),
+            ),
+            (F.col("w1") == F.col("_b1")) & (F.col("w2") == F.col("_b2")),
+            "left",
+        )
+        .drop("_b1", "_b2")
+        .join(
+            bi.select(
+                F.col("w1").alias("_c2"),
+                F.col("w2").alias("_c3"),
+                F.col("cb").alias("c23"),
+            ),
+            (F.col("w2") == F.col("_c2")) & (F.col("w3") == F.col("_c3")),
+            "left",
+        )
+        .drop("_c2", "_c3")
+        .join(
+            uni.select(F.col("w").alias("_u2"), F.col("cu").alias("c2")),
+            F.col("w2") == F.col("_u2"),
+            "left",
+        )
+        .drop("_u2")
+        .join(
+            uni.select(F.col("w").alias("_u3"), F.col("cu").alias("c3")),
+            F.col("w3") == F.col("_u3"),
+            "left",
+        )
+        .drop("_u3")
+        .crossJoin(F.broadcast(totals))  # 1-row (N, V) relation
+    )
+    a = float(alpha)
+    s = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double")
+            / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(a)
+            * F.col("c23").cast("double")
+            / F.col("c2").cast("double"),
+        )
+        .otherwise(
+            F.lit(a * a)
+            * F.try_divide(
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+                + F.lit(1.0),
+                (F.col("n_tok") + F.col("v")).cast("double"),
+            )
+        )
+    )
+    lq = F.floor(F.log(s) * F.lit(float(_QUANT))).cast("long")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(lq).alias("_sumq"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.round(
+                -F.col("_sumq")
+                / (F.col("n_trigrams") * F.lit(float(_QUANT))),
+                ndigits,
+            ).alias("score"),
+        )
+    )

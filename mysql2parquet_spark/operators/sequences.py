@@ -106,3 +106,85 @@ def top_paths(
         F.count(F.lit(1)).alias("n_entities"),
     )
     return counts.orderBy(F.col("n_walks").desc(), "path").limit(top)
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 168,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """LAST-TOUCH conversion attribution (D78 — the standard
+    single-touch marketing-attribution rule; Shao & Li, KDD 2011
+    formalize it as the baseline the data-driven models are measured
+    against): credit each conversion to the MOST RECENT preceding
+    touch event by the same user within ``lookback_hours``, and report
+    per channel the conversions and the exact revenue they carried.
+    Conversions with no in-window touch report under
+    ``'unattributed'`` — absence is a row, not a silent drop.
+
+    Semantics: the match is the D1 backward as-of join (touch visible
+    at equal timestamps — the inclusive as-of contract); touches are
+    first deduplicated per (user, ts) keeping the max ``id_col`` row,
+    satisfying as-of's unique-right requirement and making the credit
+    deterministic under same-instant touches. The lookback check is a
+    pure timestamp comparison (no epoch arithmetic — engine-exact).
+
+    Revenue follows the B12 money discipline: summed in
+    DECIMAL(18,2), emitted as DOUBLE — order-independent and
+    hash-exact.
+
+    Scale shape: the as-of union-window costs ONE user-keyed exchange
+    (the same sort a sort-merge join pays); the touch dedup is one
+    (user, ts)-keyed argmax aggregate; the final rollup is a
+    |channels|-row aggregate with map-side combine. No joins beyond
+    the as-of fold, no windows wider than a user's own stream.
+    """
+    if lookback_hours < 1:
+        raise ValueError(f"lookback_hours must be >= 1: {lookback_hours}")
+    from mysql2parquet_spark.operators.asof import asof_join
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(value_col).cast("decimal(18,2)").alias("_rev"),
+    )
+    touch = (
+        events.filter(F.col(type_col).isin(*touch_types))
+        .groupBy(user_col, ts_col)
+        .agg(
+            F.max(F.struct(F.col(id_col), F.col(type_col))).alias("_m")
+        )
+        .select(
+            user_col, ts_col, F.col("_m")[type_col].alias("_channel")
+        )
+    )
+    matched = asof_join(
+        conv,
+        touch.withColumnRenamed(ts_col, "_tts"),
+        on=[user_col],
+        left_ts=ts_col,
+        right_ts="_tts",
+        right_cols=["_channel"],
+    )
+    in_window = F.col("_tts_matched").isNotNull() & (
+        F.col("_tts_matched")
+        >= F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+    )
+    channel = F.when(
+        in_window, F.col("_channel_matched")
+    ).otherwise(F.lit("unattributed"))
+    return (
+        matched.select(channel.alias("channel"), "_rev")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+    )

@@ -993,3 +993,97 @@ def kcenter_greedy(
         ]
     )
     return spark.createDataFrame(chosen, schema=schema)
+
+
+def jl_sign_projection(
+    df: DataFrame,
+    out_dims: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dims: int = 64,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection with a ±1 SIGN matrix and an
+    EXACT cross-engine contract (D80 — Achlioptas 2003, "Database-
+    friendly random projections": ±1 entries satisfy the JL lemma
+    with the same distortion bounds as Gaussians and need no float
+    RNG). The sign matrix is CONTENT-ADDRESSED — entry (j, i) is the
+    md5 parity of ``salt:j:i``, evaluated in Python at plan time and
+    embedded as literals in BOTH the Spark plan and the SQL oracle
+    (the D74b decile-constant precedent), so the projection is a pure
+    deterministic function of configuration: no fitted model to ship,
+    no RNG state, reproducible anywhere. Upgrades the projection
+    family (C3's ``embedding_project``, rows-only since r4) to
+    hash-adjudicated.
+
+    Output: one scalar row per (vector, output dim) —
+    ``(id_col, pos, v_micro)`` with ``v_micro = Σ_i floor(x_i·s_ji·
+    1e6)`` (int64). Per-TERM quantization (not one floor after the
+    sum) makes the sum order-independent integer arithmetic; it
+    deviates from the float dot product by < ``in_dims``·1e-6 —
+    stated, and irrelevant to JL distance preservation at any real
+    embedding scale.
+
+    Scale shape: ``out_dims`` zip_with+aggregate folds over the
+    vector array — a single zero-shuffle projection (the posexplode
+    to scalar rows adds no exchange); nothing is trained, collected,
+    or joined.
+    """
+    if out_dims < 1:
+        raise ValueError(f"out_dims must be >= 1: {out_dims}")
+    if in_dims < 1:
+        raise ValueError(f"in_dims must be >= 1: {in_dims}")
+    import hashlib
+
+    signs = [
+        [
+            1
+            if int(
+                hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+    comps = []
+    for j in range(out_dims):
+        sarr = F.array(*[F.lit(s) for s in signs[j]])
+        q = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                sarr,
+                lambda x, s: F.floor(
+                    x.cast("double") * s.cast("double") * F.lit(1e6)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        comps.append(q)
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("pos", "v_micro")
+    )
+
+
+def jl_signs(
+    out_dims: int, in_dims: int, salt: str = "jl"
+) -> list[list[int]]:
+    """The content-addressed ±1 matrix of ``jl_sign_projection`` —
+    exposed so oracles/twins embed the identical literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]

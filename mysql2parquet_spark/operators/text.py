@@ -1088,3 +1088,285 @@ def heaps_growth(
         ).alias("heaps_beta")
     )
     return cum.crossJoin(F.broadcast(fit))
+
+
+def winnow_fingerprints_words(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """WORD-level winnowing fingerprints with an EXACT cross-engine
+    contract (D77 — Schleimer, Wilkerson & Aiken, SIGMOD'03: slide a
+    window of ``window`` consecutive k-gram hashes, keep each window's
+    minimum; winnowing guarantees any shared run of ≥ window+k−1
+    tokens yields at least one shared fingerprint, with expected
+    density 2/(window+1)). The char-level rolling-hash face
+    (``winnow_fingerprints``) stays the fine-grained signature; this
+    face trades char granularity for HASH-ADJUDICABILITY — the gram
+    hash is the md5 HEX STRING and the window minimum is plain string
+    comparison over [0-9a-f], both bit-identical in any engine, so
+    the selected fingerprint SET is exactly oracle-checkable (the
+    family's rows-only status upgraded, VERDICT coverage rule).
+
+    Returns one row per selected fingerprint: ``(id_col, fp)``,
+    distinct per document. Documents with fewer than ``k`` tokens
+    have no k-gram and are absent (stated, the D48 contract); with
+    fewer than ``window`` grams, a single window covers them all.
+
+    Scale shape: tokens → gram md5s → sliding string-min →
+    per-doc ``array_distinct`` are ALL zero-shuffle array projections
+    (the window min is an elementwise ``least`` over ``window``
+    shifted copies — constant references, the rolling-hash
+    discipline, never O(n·w) lambda re-evaluation); the only
+    exchange is ``fan_out``'s deliberate repartition spreading the
+    array-heavy projection across cores — no aggregation or join
+    shuffle anywhere. Fingerprint equality joins between corpora
+    then run on constant-width 32-char keys.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    from mysql2parquet_spark.operators.scale import (
+        fan_out,
+        materialize_column,
+    )
+
+    toked = materialize_column(
+        fan_out(df.select(id_col, text_col), key=id_col),
+        "_t",
+        tokens(F.col(text_col)),
+    )
+    n_tok = F.size("_t")
+    grams = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - k + 1),
+            lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = materialize_column(toked, "_g", grams)
+    h = F.col("_g")
+    n_g = F.size(h)
+    # sliding window min as elementwise least over `window` shifted
+    # copies; md5 hex is [0-9a-f], so "~" is a safe +inf sentinel
+    mins = F.transform(h, lambda x: x)
+    for j in range(1, window):
+        shifted = F.slice(h, j + 1, n_g)
+        mins = F.zip_with(
+            mins,
+            shifted,
+            lambda a, x: F.least(a, F.coalesce(x, F.lit("~"))),
+        )
+    n_win = F.greatest(n_g - F.lit(window - 1), F.lit(1))
+    sel = F.when(
+        n_g > 0, F.array_distinct(F.slice(mins, 1, n_win))
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(F.col(id_col), F.explode(sel).alias("fp"))
+
+
+def source_kl_report(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    k: float = 1.0,
+    ndigits: int = 9,
+) -> DataFrame:
+    """Per-source LEXICAL DIVERGENCE report (D79): KL(source ‖ corpus)
+    over hashed-unigram distributions — the WIMBD-style corpus-audit
+    measure of how far each ingestion source's vocabulary drifts from
+    the corpus average (Elazar et al. 2024 audit corpora with exactly
+    these per-source distributional lenses; Kullback-Leibler 1951 is
+    the divergence). A templated/spam source shows a high KL head; a
+    source near 0 is lexically redundant with the pool — the
+    token-level counterpart of D18's PSI (which watches column value
+    distributions, not vocabulary).
+
+    Columns: ``(source, n_tokens, kl)`` — nats, ROUND ``ndigits``
+    (default 9: the nano-nat quotient has at most 9 decimal digits,
+    so the round is an identity and the cross-engine HALF_UP-vs-
+    scaled-round divergence at .xx5 boundaries can never fire — the
+    B12 money-rounding lesson).
+
+    Reading the number: add-k smoothing at DIFFERENT sample sizes
+    (source ``ts`` vs pool ``t``) leaves a small size-dependent
+    offset, so a source lexically identical to the pool reports a
+    small positive kl, not 0 (equal-size identical sources report
+    EQUAL kl — pinned in tests). Compare sources against each other
+    and against that baseline; don't read kl=0 as the null.
+
+    Exactness: both distributions are add-k smoothed over the FIXED
+    ``B = 16^hex_chars`` bucket space (no zero terms), every bucket's
+    contribution ``P·ln(P/Q)`` is computed from pure integer-count
+    ratios and quantized ONCE to integer nano-nats (1e-9 — finer than
+    the micro-nat recipe because per-bucket terms can be tiny), so
+    the per-source sum is order-independent int64 arithmetic
+    (|term| ≤ ~6·10⁹ nano-nats × 256 buckets — far inside int64) and
+    the report hash-adjudicates.
+
+    Scale shape: ONE (source, bucket)-keyed count aggregate (map-side
+    combined; ≤ |sources|·B rows out) is the only data-scale stage —
+    the corpus marginal derives from IT by a second ≤ B-row aggregate
+    (no second scan), and the divergence evaluates on a source×bucket
+    GRID (|sources|·B rows, bounded by configuration: every bucket of
+    the fixed space contributes, including corpus-empty ones) built
+    from broadcast bucket/marginal relations. NULL sources are
+    excluded (not a releasable category — the D40 rule).
+    """
+    if hex_chars < 1 or hex_chars > 4:
+        raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    n_buckets = 16**hex_chars
+    kb = float(k) * n_buckets
+    sb = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "source",
+            F.substring(F.md5("w"), 1, hex_chars).alias("b"),
+        )
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    corpus = sb.groupBy("b").agg(F.sum("cs").alias("c"))
+    corpus_tot = corpus.agg(F.sum("c").alias("t"))
+    src_tot = sb.groupBy("source").agg(F.sum("cs").alias("ts"))
+    # the full smoothed distributions span EVERY bucket of the fixed
+    # space — a source×bucket grid (|sources|·B rows, bounded by
+    # configuration), not just the observed (source, bucket) pairs:
+    # corpus-empty buckets still carry P·ln(P/Q) ≠ 0 mass
+    spark = df.sparkSession
+    buckets = spark.range(n_buckets).select(
+        F.format_string(f"%0{hex_chars}x", F.col("id")).alias("b")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(corpus), "b", "left")
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(sb, ["source", "b"], "left")
+        .select(
+            "source",
+            "ts",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "t",
+        )
+    )
+    p = (F.col("cs").cast("double") + F.lit(float(k))) / (
+        F.col("ts").cast("double") + F.lit(kb)
+    )
+    q = (F.col("c").cast("double") + F.lit(float(k))) / (
+        F.col("t").cast("double") + F.lit(kb)
+    )
+    term = F.floor(p * F.log(p / q) * F.lit(1e9)).cast("long")
+    return (
+        grid.select("source", "ts", term.alias("_q"))
+        .groupBy("source")
+        .agg(
+            F.max("ts").cast("long").alias("n_tokens"),
+            F.sum("_q").alias("_kq"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("_kq").cast("double") / F.lit(1e9), ndigits)
+            .alias("kl"),
+        )
+    )
+
+
+def burstiness_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 100,
+) -> DataFrame:
+    """Per-term BURSTINESS report (D81 — Church & Gale 1995, "Poisson
+    mixtures": content words are bursty — once a document mentions
+    one, it mentions it again — while function words arrive
+    near-Poisson; the variance-to-mean ratio of per-document counts
+    separates them): for the ``top_v`` most frequent lowercased
+    terms, the dispersion index ``VMR = Var(c_d)/E(c_d)`` over ALL N
+    documents (zero-count documents included analytically:
+    ``VMR = Σc²/T − T/N`` — no zero rows materialize). VMR ≈ 1 =
+    Poisson scatter (function words / templated filler); VMR ≫ 1 =
+    topical burst (content words); a "frequent" term with low VMR
+    spread thin across every document is boilerplate — the term-level
+    lens D50 (segment dedup) and D65 (Zipf) don't give.
+
+    Columns: ``(rank, term, freq, n_docs, vmr)`` — rank by (freq
+    DESC, term ASC), vmr ROUND 6 on a micro-quantized value (identity
+    round — the D79 discipline).
+
+    Exactness: Σc², T, N are exact integers; VMR is two int→double
+    divisions and one subtraction — bit-identical in any engine —
+    quantized ONCE to integer micro units. Document count N includes
+    token-less documents (the population the zero counts live in —
+    stated).
+
+    Scale shape: one (term, doc)-keyed count aggregate (map-side
+    combined), one term-keyed moment aggregate, a
+    TakeOrderedAndProject top-k (per-partition heaps — never a global
+    sort), then the rank window runs on ≤ ``top_v`` rows (the D65
+    bounded-window discipline); N rides as a broadcast 1-row
+    relation.
+    """
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1: {top_v}")
+    td = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = td.groupBy("term").agg(
+        F.sum("c").cast("long").alias("freq"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_sc2"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    n_total = df.select(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    top = (
+        stats.orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(top_v)
+        .crossJoin(F.broadcast(n_total))
+    )
+    vmr_micro = F.floor(
+        (
+            F.col("_sc2").cast("double") / F.col("freq").cast("double")
+            - F.col("freq").cast("double") / F.col("_n").cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return (
+        top.select(
+            "term", "freq", "n_docs", vmr_micro.alias("_vq")
+        )
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "term",
+            "freq",
+            "n_docs",
+            F.round(
+                F.col("_vq").cast("double") / F.lit(1_000_000.0), 6
+            ).alias("vmr"),
+        )
+    )

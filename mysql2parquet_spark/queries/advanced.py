@@ -361,3 +361,50 @@ def events_trimmed_mean(spark, sf_dir):
         "event_type", "value"
     )
     return trimmed_mean_report(ev, "value", ["event_type"], trim=0.1)
+
+
+@register(
+    "events_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS rev
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts AS tts, arg_max(event_type, event_id) AS ch
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT conv.user_id, conv.ts, conv.rev, touch.tts, touch.ch
+      FROM conv
+      ASOF LEFT JOIN touch
+        ON conv.user_id = touch.user_id AND touch.tts <= conv.ts
+    )
+    SELECT CASE WHEN tts IS NOT NULL
+                 AND tts >= ts - INTERVAL 168 HOURS
+                THEN ch ELSE 'unattributed' END AS channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM m GROUP BY 1
+    """,
+    "D78: last-touch conversion attribution (the single-touch "
+    "baseline rule the data-driven attribution literature measures "
+    "against, Shao & Li KDD'11): credit each purchase to the most "
+    "recent preceding click/view by the same user within a 7-day "
+    "lookback; no-touch conversions report under 'unattributed'. "
+    "Match = the D1 backward as-of join (inclusive at equal ts); "
+    "touches deduped per (user, ts) by max event_id (deterministic "
+    "same-instant credit, as-of's unique-right contract); lookback = "
+    "pure timestamp comparison, no epoch arithmetic; revenue summed "
+    "in DECIMAL(18,2), emitted DOUBLE (B12 money discipline). ONE "
+    "user-keyed as-of exchange + one (user,ts) argmax aggregate + a "
+    "|channels|-row rollup with map-side combine.",
+)
+def events_attribution(spark, sf_dir):
+    from mysql2parquet_spark.operators.sequences import (
+        last_touch_attribution,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    return last_touch_attribution(ev)

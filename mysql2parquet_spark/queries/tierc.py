@@ -4279,3 +4279,401 @@ def dedup_lsh_plan(spark, sf_dir):
     return dedup.lsh_parameter_plan(
         d, num_hashes=64, shingle_n=3, index_threshold=0.05
     )
+
+
+@register(
+    "text_classifier_nb",
+    r"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             (source IN ('src1', 'src3')) AS is_t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, is_t, substring(md5(w), 1, 2) AS b
+      FROM (
+        SELECT doc_id, is_t,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+        FROM lab
+      ) WHERE w <> ''
+    ),
+    bags AS (
+      SELECT b,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cn
+      FROM tok GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS t1, SUM(cn) AS t0 FROM bags),
+    lam AS (
+      SELECT b,
+             CAST(FLOOR((ln(ct + 1.0) - ln(t1 + 256.0)
+                         - ln(cn + 1.0) + ln(t0 + 256.0))
+                        * 1000000) AS BIGINT) AS lam_micro
+      FROM bags, tot
+    ),
+    pri AS (
+      SELECT CAST(FLOOR(
+               (ln(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1.0)
+                - ln(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) + 1.0))
+               * 1000000) AS BIGINT) AS prior_micro
+      FROM lab
+    ),
+    dc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY doc_id, b
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * lam_micro) + ANY_VALUE(prior_micro)
+                AS BIGINT) AS score_micro,
+           (SUM(c * lam_micro) + ANY_VALUE(prior_micro)) > 0
+             AS pred_target
+    FROM dc JOIN lam USING (b), pri
+    GROUP BY dc.doc_id
+    """,
+    "D75: trained quality classifier -- the fastText-style corpus "
+    "filter (Brown et al. 2020 Appendix A: score raw text against a "
+    "trusted reference domain, keep what the classifier likes; Joulin "
+    "et al. 2016). Closed-form multinomial Naive Bayes over the D51 "
+    "hashed-unigram space (256 md5-hex buckets): per-bucket log-odds "
+    "and the document prior quantized ONCE to integer micro-nats "
+    "(the D48/D51 recipe), so per-doc scores are order-independent "
+    "int64 sums and the keep/drop decision (score > 0) is an integer "
+    "compare -- the full surface hash-adjudicates. Self-trained here: "
+    "target = source src1/src3, everyone scored. Two <=256-row bag "
+    "aggregates off ONE token scan, broadcast log-odds + prior joins, "
+    "one (id,bucket) exchange + one id-keyed sum -- the D51 plan "
+    "shape.",
+)
+def text_classifier_nb(spark, sf_dir):
+    from mysql2parquet_spark.operators.classifier import (
+        nb_classifier_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return nb_classifier_score(
+        d, F.col("source").isin("src1", "src3")
+    )
+
+
+@register(
+    "text_lm3_score",
+    r"""
+    WITH tr AS (
+      SELECT text FROM documents WHERE source IN ('src1', 'src3')
+    ),
+    ttoks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM tr
+    ),
+    tg_train AS (
+      SELECT u.z[1] AS w1, u.z[2] AS w2, u.z[3] AS w3
+      FROM ttoks,
+           UNNEST(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]))
+             AS u(z)
+      WHERE len(t) >= 3
+        AND u.z[1] <> '' AND u.z[2] <> '' AND u.z[3] <> ''
+    ),
+    tri AS (
+      SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg_train GROUP BY 1, 2, 3
+    ),
+    bg_train AS (
+      SELECT u.z[1] AS w1, u.z[2] AS w2
+      FROM ttoks,
+           UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+      WHERE len(t) >= 2 AND u.z[1] <> '' AND u.z[2] <> ''
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg_train GROUP BY 1, 2),
+    uni AS (
+      SELECT w, COUNT(*) AS cu
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+        FROM tr
+      ) WHERE w <> '' GROUP BY w
+    ),
+    tot AS (
+      SELECT COALESCE(SUM(cu), 0) AS n_tok, COUNT(*) AS v FROM uni
+    ),
+    alltoks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2, u.z[3] AS w3
+      FROM alltoks,
+           UNNEST(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]))
+             AS u(z)
+      WHERE len(t) >= 3
+        AND u.z[1] <> '' AND u.z[2] <> '' AND u.z[3] <> ''
+    ),
+    q AS (
+      SELECT tg.doc_id,
+             CAST(FLOOR(LN(
+               CASE
+                 WHEN tri.c123 IS NOT NULL
+                   THEN CAST(tri.c123 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+                 WHEN b23.cb IS NOT NULL
+                   THEN 0.4 * CAST(b23.cb AS DOUBLE)
+                        / CAST(u2.cu AS DOUBLE)
+                 ELSE 0.4 * 0.4 *
+                      ((COALESCE(u3.cu, 0) + 1.0)
+                       / CAST(tot.n_tok + tot.v AS DOUBLE))
+               END) * 1000000) AS BIGINT) AS lq
+      FROM tg
+      LEFT JOIN tri USING (w1, w2, w3)
+      LEFT JOIN bi b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+      LEFT JOIN bi b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+      LEFT JOIN uni u2 ON tg.w2 = u2.w
+      LEFT JOIN uni u3 ON tg.w3 = u3.w, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           ROUND(-SUM(lq) / (COUNT(*) * 1000000.0), 4) AS score
+    FROM q GROUP BY doc_id
+    """,
+    "D76: trigram STUPID-BACKOFF cross-entropy scoring (Brants et al. "
+    "2007 -- at web scale skip discounting, back off with the fixed "
+    "alpha = 0.4 penalty): S(w3|w1,w2) = trigram MLE, else "
+    "alpha * bigram MLE, else alpha^2 * add-1 unigram -- the published "
+    "CCNet-recipe upgrade over D48's bigram model (VERDICT r11 ask "
+    "#6). Trained on the src1/src3 split, EVERY doc scored, so all "
+    "three backoff levels fire. Per-trigram ln S quantized ONCE to "
+    "integer micro-nats (order-independent int64 sums, the D48 "
+    "recipe); float expression trees mirrored operator-for-operator "
+    "(left-assoc multiply chains, same division order) so floors "
+    "agree bit-for-bit. Model = four keyed partial-agg exchanges over "
+    "vocabulary-bounded relations (AQE broadcasts them at scale); "
+    "tokenize+trigram is a zero-shuffle slice+zip projection; seen "
+    "branches' denominators provably positive (trigram seen -> its "
+    "prefix bigram seen), empty-train N+V=0 -> NULL via try_divide.",
+)
+def text_lm3_score(spark, sf_dir):
+    from mysql2parquet_spark.operators.lm import lm3_score
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    train = d.filter(F.col("source").isin("src1", "src3")).select(
+        "doc_id", "text"
+    )
+    return lm3_score(d.select("doc_id", "text"), train=train)
+
+
+@register(
+    "text_winnow_words",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+2], ' ')) AS h
+      FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS m,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng
+      FROM g
+    )
+    SELECT DISTINCT doc_id, m AS fp
+    FROM w WHERE pos <= GREATEST(ng - 3, 1)
+    """,
+    "D77: WORD-level winnowing fingerprints with an exact "
+    "cross-engine contract (Schleimer/Wilkerson/Aiken SIGMOD'03 -- "
+    "window-min of consecutive k-gram hashes guarantees any shared "
+    "run of >= window+k-1 tokens shares a fingerprint, density "
+    "2/(window+1)): gram hash = md5 HEX STRING, window min = plain "
+    "string comparison over [0-9a-f] -- both bit-identical in any "
+    "engine, so the selected SET hash-adjudicates and upgrades the "
+    "winnow family from rows-only (the char-level rolling-hash face "
+    "stays for fine granularity). k=3 words, window=4. Tokens -> "
+    "gram md5s -> sliding string-min -> per-doc distinct are ALL "
+    "zero-shuffle array projections (elementwise least over 4 "
+    "shifted copies, constant references); the only exchange is "
+    "fan_out's deliberate core-spreading repartition -- no "
+    "aggregation or join shuffle anywhere.",
+)
+def text_winnow_words(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.winnow_fingerprints_words(d, k=3, window=4)
+
+
+@register(
+    "text_source_kl",
+    r"""
+    WITH tok AS (
+      SELECT source, substring(md5(w), 1, 2) AS b
+      FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+        FROM documents WHERE source IS NOT NULL
+      ) WHERE w <> ''
+    ),
+    sb AS (SELECT source, b, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+    corpus AS (SELECT b, SUM(cs) AS c FROM sb GROUP BY b),
+    tot AS (SELECT SUM(c) AS t FROM corpus),
+    st AS (SELECT source, SUM(cs) AS ts FROM sb GROUP BY source),
+    buckets AS (
+      SELECT printf('%02x', r.i) AS b FROM range(0, 256) AS r(i)
+    ),
+    grid AS (
+      SELECT st.source, st.ts,
+             COALESCE(sb.cs, 0) AS cs,
+             COALESCE(corpus.c, 0) AS c,
+             tot.t
+      FROM st
+      CROSS JOIN buckets
+      LEFT JOIN corpus ON corpus.b = buckets.b
+      CROSS JOIN tot
+      LEFT JOIN sb ON sb.source = st.source AND sb.b = buckets.b
+    ),
+    q AS (
+      SELECT source, ts,
+             CAST(FLOOR(((cs + 1.0) / (ts + 256.0))
+                        * LN(((cs + 1.0) / (ts + 256.0))
+                             / ((c + 1.0) / (t + 256.0)))
+                        * 1e9) AS BIGINT) AS tq
+      FROM grid
+    )
+    SELECT source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tq) / 1e9, 9) AS kl
+    FROM q GROUP BY source
+    """,
+    "D79: per-source lexical KL-divergence report -- KL(source || "
+    "corpus) over add-1-smoothed hashed-unigram distributions "
+    "(Kullback-Leibler 1951; the WIMBD-style per-source "
+    "distributional audit, Elazar et al. 2024): how far each "
+    "ingestion source's vocabulary drifts from the pool -- the "
+    "token-level counterpart of D18's PSI. Every bucket of the fixed "
+    "256-bucket space contributes (the smoothed distributions have "
+    "no zero terms -- corpus-empty buckets included via the "
+    "source x bucket grid, bounded by configuration); each P*ln(P/Q) "
+    "term quantized ONCE to integer NANO-nats (finer than micro "
+    "because per-bucket terms are tiny) so per-source sums are "
+    "order-independent int64; ROUND 9 is an identity on the "
+    "nano-quotient, so the .xx5 cross-engine rounding divergence "
+    "can never fire. ONE (source,bucket) count aggregate is the only "
+    "data-scale stage; marginals derive from it, no second scan.",
+)
+def text_source_kl(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return text.source_kl_report(d)
+
+
+def _jl_oracle() -> str:
+    """Generated JL oracle: the sign literals come from the SAME
+    content-addressed generator as the Spark plan (jl_signs), so both
+    engines evaluate the identical ±1 matrix — the D74b
+    Python-evaluated-constants precedent."""
+    from mysql2parquet_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(16, 64)
+    values = ", ".join(
+        f"({j}, {i}, {signs[j][i]})"
+        for j in range(16)
+        for i in range(64)
+    )
+    return f"""
+    WITH s(pos, i, sg) AS (VALUES {values}),
+    e AS (
+      -- in_dims = 64 is the registered configuration (the operator
+      -- parameterizes it; DuckDB range() cannot lateral-join on the
+      -- list length, so the constant mirrors the config)
+      SELECT vec_id, CAST(r.i AS INTEGER) AS i,
+             CAST(embedding[CAST(r.i AS INTEGER) + 1] AS DOUBLE) AS x
+      FROM embeddings, range(0, 64) AS r(i)
+    )
+    SELECT e.vec_id, s.pos,
+           CAST(SUM(CAST(FLOOR(x * sg * 1e6) AS BIGINT)) AS BIGINT)
+             AS v_micro
+    FROM e JOIN s USING (i)
+    GROUP BY e.vec_id, s.pos
+    """
+
+
+@register(
+    "embedding_jl_project",
+    _jl_oracle(),
+    "D80: Johnson-Lindenstrauss projection 64->16 with a +-1 SIGN "
+    "matrix and an exact cross-engine contract (Achlioptas 2003, "
+    "'Database-friendly random projections': +-1 entries satisfy the "
+    "JL lemma with Gaussian-grade distortion bounds, no float RNG). "
+    "Sign (j,i) = md5 parity of 'jl:j:i', evaluated in Python at "
+    "plan time and embedded as literals in BOTH engines (the D74b "
+    "decile-constant precedent) -- a pure deterministic function of "
+    "configuration, upgrading the projection family (C3's "
+    "embedding_project, rows-only since r4) to hash-adjudicated. "
+    "Per-TERM micro quantization makes each component an "
+    "order-independent int64 sum (deviation from the float dot "
+    "product < 64e-6, stated). 16 zip_with+aggregate folds in ONE "
+    "zero-shuffle projection; scalar (vec_id, pos, v_micro) output "
+    "per the head-shape lint.",
+)
+def embedding_jl_project(spark, sf_dir):
+    from mysql2parquet_spark.operators.similarity import (
+        jl_sign_projection,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return jl_sign_projection(e, 16, in_dims=64)
+
+
+@register(
+    "text_burstiness",
+    r"""
+    WITH td AS (
+      SELECT term, doc_id, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS term
+        FROM documents
+      ) WHERE term <> ''
+      GROUP BY term, doc_id
+    ),
+    stats AS (
+      SELECT term, SUM(c) AS freq, SUM(c * c) AS sc2,
+             COUNT(*) AS n_docs
+      FROM td GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    top AS (
+      SELECT term, freq, sc2, n_docs
+      FROM stats ORDER BY freq DESC, term ASC LIMIT 100
+    ),
+    q AS (
+      SELECT term, freq, n_docs,
+             CAST(FLOOR((CAST(sc2 AS DOUBLE) / CAST(freq AS DOUBLE)
+                         - CAST(freq AS DOUBLE) / CAST(nd AS DOUBLE))
+                        * 1000000) AS BIGINT) AS vq
+      FROM top, n
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC)
+                AS BIGINT) AS rank,
+           term, CAST(freq AS BIGINT) AS freq,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(vq / 1000000.0, 6) AS vmr
+    FROM q
+    """,
+    "D81: per-term BURSTINESS report (Church & Gale 1995, 'Poisson "
+    "mixtures': content words burst -- once a doc mentions one it "
+    "repeats it -- function words arrive near-Poisson): for the 100 "
+    "most frequent terms, the dispersion index VMR = Var/mean of "
+    "per-doc counts over ALL N documents, zero-count docs included "
+    "ANALYTICALLY (VMR = sum(c^2)/T - T/N -- no zero rows ever "
+    "materialize). VMR ~ 1 = Poisson filler, >> 1 = topical burst; a "
+    "frequent LOW-VMR term spread thin everywhere is boilerplate -- "
+    "the term-level lens D50/D65 don't give. Exact: integer moments, "
+    "two int->double divisions mirrored operator-for-operator, "
+    "micro-quantized, identity ROUND 6. One (term,doc) count "
+    "aggregate + one term moment aggregate (both map-side combined), "
+    "TakeOrderedAndProject top-k, rank window on <= 100 rows (D65 "
+    "bounded-window discipline), N as a broadcast 1-row relation.",
+)
+def text_burstiness(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.burstiness_report(d, top_v=100)

@@ -40,6 +40,49 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # (debut round — the backlog emptied into DRIVER_PRIORITY per the
     # r12 plan below); entries added here are r12-ADDED queries that
     # debut in r13.
+    # D75 trained quality classifier — the fastText-style corpus
+    # filter (Brown et al. 2020 Appendix A; Joulin et al. 2016):
+    # closed-form multinomial NB over the D51 hashed-unigram space,
+    # integer micro-nat log-odds + prior so the keep/drop decision
+    # hash-adjudicates (exact oracle; Python twin + separable-corpus
+    # tests in tests/test_classifier.py) — VERDICT r11 ask #5
+    "text_classifier_nb",
+    # D76 trigram stupid-backoff LM scoring (Brants et al. 2007):
+    # trigram MLE → α·bigram MLE → α²·add-1 unigram floor, trained on
+    # the src1/src3 split so every backoff level fires; micro-nat
+    # quantization with operator-mirrored float trees (exact oracle;
+    # Python twin + backoff-level tests in tests/test_lm3.py) —
+    # VERDICT r11 ask #6
+    "text_lm3_score",
+    # D77 word-level winnowing fingerprints with an exact contract
+    # (Schleimer/Wilkerson/Aiken SIGMOD'03): md5-hex gram hashes +
+    # string window minima — bit-identical in any engine, upgrading
+    # the winnow family from rows-only (exact oracle; Python twin +
+    # shared-run-guarantee test in tests/test_winnow_words.py)
+    "text_winnow_words",
+    # D78 last-touch conversion attribution (Shao & Li KDD'11
+    # baseline): D1 as-of credit within a 7-day lookback, max-id
+    # same-instant dedup, DECIMAL revenue (exact ASOF-JOIN oracle;
+    # Python twin + credit-rule tests in tests/test_attribution.py)
+    "events_attribution",
+    # D79 per-source lexical KL-divergence audit (Kullback-Leibler
+    # 1951; the WIMBD-style per-source distributional lens): smoothed
+    # hashed-unigram KL vs the pool over the full fixed bucket grid,
+    # nano-nat quantized, identity ROUND 9 (exact oracle; Python twin
+    # + equal-source/divergent-source tests in tests/test_source_kl.py)
+    "text_source_kl",
+    # D80 JL ±1 sign projection with content-addressed signs
+    # (Achlioptas 2003): md5-parity literals identical in both
+    # engines, per-term micro quantization — upgrades the projection
+    # family from rows-only (exact generated oracle; Python twin +
+    # controlled-geometry test in tests/test_jl.py)
+    "embedding_jl_project",
+    # D81 per-term burstiness / dispersion index (Church & Gale 1995
+    # Poisson mixtures): VMR of per-doc counts with zero-count docs
+    # folded analytically — topical burst vs Poisson boilerplate
+    # (exact oracle; Python twin + separation tests in
+    # tests/test_burstiness.py)
+    "text_burstiness",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

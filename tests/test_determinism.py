@@ -28,6 +28,11 @@ CASES = [
     "pipeline_pack",    # running-sum window binning
     "embedding_quantize",  # double closed-form rounding
     "events_anomaly",   # windowed-count z-scores (r7 reduce-first shape)
+    "text_classifier_nb",  # r12 D75: micro-nat log-odds integer sums
+    "text_lm3_score",   # r12 D76: micro-nat backoff integer sums
+    "events_attribution",  # r12 D78: as-of credit + decimal revenue
+    "text_source_kl",   # r12 D79: nano-nat KL integer sums
+    "text_burstiness",  # r12 D81: integer moment sums + top-k rank
 ]
 
 

@@ -412,10 +412,54 @@ def test_registry_count_is_planned():
     weight on the bow fingerprint; dedup_lsh_plan — data-driven LSH
     (b, r) planner with bit-exact chain-power S-curve sums; exact
     oracles + Python twins in tests/test_soft_lsh_plan.py; r12
-    debuts via NEXT_ROUND_BACKLOG) makes 205.
+    debuts via NEXT_ROUND_BACKLOG) makes 205. The r12-added D75
+    surface (text_classifier_nb — the fastText-style trained quality
+    classifier, Brown et al. 2020 Appendix A / Joulin et al. 2016:
+    closed-form multinomial Naive Bayes over the D51 hashed-unigram
+    space, log-odds + prior quantized to integer micro-nats so the
+    keep/drop decision hash-adjudicates; exact oracle + Python twin
+    in tests/test_classifier.py; r13 debut via NEXT_ROUND_BACKLOG)
+    makes 206. The r12-added D76 surface (text_lm3_score — trigram
+    STUPID-BACKOFF cross-entropy, Brants et al. 2007: trigram MLE,
+    else alpha·bigram MLE, else alpha²·add-1 unigram floor; trained on
+    the src1/src3 split so all three levels fire; per-trigram ln S
+    quantized to integer micro-nats with operator-for-operator
+    mirrored float trees, exact oracle + Python twin in
+    tests/test_lm3.py; r13 debut via NEXT_ROUND_BACKLOG) makes 207.
+    The r12-added D77 surface (text_winnow_words — word-level
+    winnowing fingerprints, Schleimer/Wilkerson/Aiken SIGMOD'03, with
+    an exact cross-engine contract: md5-hex-string gram hashes +
+    string window minima, upgrading the winnow family from rows-only;
+    exact oracle + Python twin + shared-run-guarantee test in
+    tests/test_winnow_words.py; r13 debut via NEXT_ROUND_BACKLOG)
+    makes 208. The r12-added D78 surface (events_attribution —
+    last-touch conversion attribution, the single-touch baseline of
+    Shao & Li KDD'11: D1 as-of credit within a 7-day lookback,
+    same-instant touches deduped by max event_id, DECIMAL(18,2)
+    revenue; exact ASOF-JOIN oracle + Python twin in
+    tests/test_attribution.py; r13 debut via NEXT_ROUND_BACKLOG)
+    makes 209. The r12-added D79 surface (text_source_kl — per-source
+    lexical KL divergence over add-1-smoothed hashed-unigram
+    distributions, the WIMBD-style per-source audit: full fixed-
+    bucket-space grid, nano-nat quantized terms, identity ROUND 9;
+    exact oracle + Python twin in tests/test_source_kl.py; r13 debut
+    via NEXT_ROUND_BACKLOG) makes 210. The r12-added D80 surface
+    (embedding_jl_project — JL ±1 sign projection 64→16, Achlioptas
+    2003, with content-addressed md5-parity signs embedded as
+    identical literals in both engines (the D74b precedent) and
+    per-term micro quantization, upgrading the projection family from
+    rows-only; exact generated oracle + Python twin +
+    controlled-geometry test in tests/test_jl.py; r13 debut via
+    NEXT_ROUND_BACKLOG) makes 211. The r12-added D81 surface
+    (text_burstiness — per-term dispersion-index report, Church &
+    Gale 1995 Poisson mixtures: VMR of per-doc counts over all N
+    documents with zeros folded analytically, separating topical
+    burst from Poisson boilerplate; exact oracle + Python twin in
+    tests/test_burstiness.py; r13 debut via NEXT_ROUND_BACKLOG)
+    makes 212.
     """
-    assert len(REGISTRY) == 205, (
-        f"registry count changed ({len(REGISTRY)} != 205); new queries "
+    assert len(REGISTRY) == 212, (
+        f"registry count changed ({len(REGISTRY)} != 212); new queries "
         "need a rotation plan before registration"
     )
 
