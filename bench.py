@@ -249,6 +249,9 @@ def main() -> None:
         "text_source_kl",
         "embedding_jl_project",
         "text_burstiness",
+        "text_readability",
+        "text_vocab_composition",
+        "events_sessions",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

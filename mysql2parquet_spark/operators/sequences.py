@@ -188,3 +188,91 @@ def last_touch_attribution(
             F.sum("_rev").cast("double").alias("revenue"),
         )
     )
+
+
+def gap_sessions(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Batch GAP-BASED SESSIONIZATION report (D84 — the classic
+    gaps-and-islands assignment every web-analytics stack defines:
+    a session breaks when the same user is idle longer than
+    ``gap_minutes``; the 30-minute default is the industry-standard
+    timeout): one row per session — ``(user_id, session_idx,
+    session_start, session_end, n_events, duration_s, total_value)``.
+    The batch-relational face of the family: B33's ``session_window``
+    aggregates within Spark's native session windows and D10's
+    stateful sessionizer handles streaming timeouts; this produces
+    the per-session RELATION (ordinal session index per user,
+    duration, depth) that funnel/retention joins consume.
+
+    Determinism: events order by (ts, event_id) within a user — ties
+    at the same instant break by the unique id, so session boundaries
+    are total-order stable; the gap test is pure timestamp
+    comparison (no epoch arithmetic). ``total_value`` follows the
+    B12 money discipline (DECIMAL(18,2) sum, DOUBLE out).
+
+    Scale shape: ONE user-keyed exchange and ONE sort (the lag
+    window and the running-sum boundary window share the partition
+    and ordering spec, so the second Window node reuses the first's
+    exchange+sort — plan-pinned), then a (user, session)-keyed
+    aggregate with map-side combine. Per-user stream length bounds
+    the window work — the user is the parallelism unit, the D30
+    posture.
+    """
+    if gap_minutes < 1:
+        raise ValueError(f"gap_minutes must be >= 1: {gap_minutes}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        *(
+            [F.col(value_col).cast("decimal(18,2)").alias("_v")]
+            if value_col is not None
+            else []
+        ),
+    ).withColumn(
+        "session_idx",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum("_v").cast("double").alias("total_value"))
+    out = (
+        sess.groupBy(user_col, "session_idx")
+        .agg(*aggs)
+        .withColumn("session_idx", F.col("session_idx").cast("long"))
+        # duration via calendar timestamp arithmetic, never epoch
+        # conversion (epoch interpretation is where engines pick
+        # different session-timezone rules — the D78 lesson)
+        .withColumn(
+            "duration_s",
+            F.expr(
+                "timestampdiff(SECOND, session_start, session_end)"
+            ).cast("long"),
+        )
+    )
+    cols = [
+        user_col, "session_idx", "session_start", "session_end",
+        "n_events", "duration_s",
+    ]
+    if value_col is not None:
+        cols.append("total_value")
+    return out.select(*cols)

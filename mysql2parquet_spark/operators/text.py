@@ -1370,3 +1370,173 @@ def burstiness_report(
             ).alias("vmr"),
         )
     )
+
+
+def readability_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document READABILITY scoring (D82 — Flesch 1948 reading
+    ease / Kincaid et al. 1975 grade level: the standard
+    surface-feature readability pair, used as corpus-quality lenses
+    alongside rule vectors like D52; Flesch-Kincaid is the one every
+    style guide and the U.S. DoD standardized on). Columns:
+    ``(id_col, n_sentences, n_words, n_syllables, fk_grade,
+    flesch_ease)``.
+
+    Syllables use the standard vowel-GROUP proxy (a maximal run of
+    ``[aeiouy]`` counts one syllable; every word counts at least one)
+    — the published heuristic's usual machine form; it is a proxy and
+    says so. Sentences = maximal runs of ``[.!?]`` (min 1 for
+    non-empty text). Both engines evaluate the same simple character
+    classes (no engine-divergent regex features).
+
+    Exactness: counts are integers; the two formulas are fixed
+    double-arithmetic trees over integer ratios, mirrored
+    operator-for-operator in the oracle, quantized ONCE to micro
+    units (identity ROUND 6 — the D79 discipline):
+
+        fk_grade    = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+        flesch_ease = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+
+    Documents with zero words are absent (no readability without
+    text — the D48 contract).
+
+    Scale shape: ONE zero-shuffle projection — tokenize, per-token
+    vowel-group counts via transform+aggregate, sentence runs via one
+    regexp_count — nothing aggregates across rows.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    words = F.filter(toks, lambda t: t != "")
+    n_words = F.size(words)
+    def syl_of(t):
+        # vowel-group count as a length diff: mark each maximal
+        # [aeiouy]+ run with '#', count the marks (pre-existing '#'
+        # in a token inflates identically in both engines — the
+        # proxy is stated, parity is what matters)
+        marked = F.regexp_replace(t, F.lit("[aeiouy]+"), F.lit("#"))
+        return F.greatest(
+            F.lit(1),
+            F.length(marked)
+            - F.length(F.regexp_replace(marked, F.lit("#"), F.lit(""))),
+        )
+    n_syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, t: acc + syl_of(t),
+    )
+    n_sent = F.greatest(
+        F.lit(1),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    fk = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    ease = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    base = df.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        n_syl.cast("long").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return base.select(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(
+            F.floor(fk * F.lit(1_000_000.0)).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("fk_grade"),
+        F.round(
+            F.floor(ease * F.lit(1_000_000.0)).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("flesch_ease"),
+    )
+
+
+def vocab_composition_report(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source VOCABULARY-COMPOSITION report (D83 — lexical
+    richness in the LNRE tradition, Baayen 2001: the hapax-legomenon
+    share is the classic productivity/richness measure, and the
+    type-token ratio its crude cousin): per source — token count,
+    vocabulary size, hapax count (terms occurring exactly once IN
+    THAT SOURCE), type-token ratio, hapax share, and the EXCLUSIVE
+    vocabulary (terms no other source uses; a source whose vocabulary
+    is mostly exclusive is a genuinely novel domain, one that is
+    mostly shared is redundant with the pool — the set-membership
+    complement of D79's distributional KL).
+
+    Columns: ``(source, n_tokens, vocab, hapax, exclusive_terms,
+    ttr, hapax_ratio, exclusive_ratio)`` — ratios micro-quantized
+    with identity ROUND 6 (the D79 discipline). NULL sources are
+    excluded (the D40 rule). TTR is stated raw (it falls with corpus
+    size — compare like-sized sources or trend one source over time).
+
+    Scale shape: ONE (source, term)-keyed count aggregate (map-side
+    combined) is the only data-scale stage; the per-term
+    source-spread count derives from IT (vocabulary-bounded), joins
+    back on the term key (AQE broadcasts the small side), and one
+    source-keyed aggregate finishes. Denominators are group counts —
+    provably ≥ 1 wherever a group exists (no division guard needed).
+    """
+    st = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spread = st.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    joined = st.join(spread, "term")
+    agg = joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("n_sources") == 1).cast("long")).alias(
+            "exclusive_terms"
+        ),
+    )
+    q = lambda num, den: F.round(  # noqa: E731
+        F.floor(
+            num.cast("double") / den.cast("double") * F.lit(1_000_000.0)
+        ).cast("double")
+        / F.lit(1_000_000.0),
+        6,
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "exclusive_terms",
+        q(F.col("vocab"), F.col("n_tokens")).alias("ttr"),
+        q(F.col("hapax"), F.col("vocab")).alias("hapax_ratio"),
+        q(F.col("exclusive_terms"), F.col("vocab")).alias(
+            "exclusive_ratio"
+        ),
+    )

@@ -408,3 +408,71 @@ def events_attribution(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return last_touch_attribution(ev)
+
+
+@register(
+    "events_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, ts, event_id, v,
+             CASE WHEN prev IS NULL
+                    OR ts > prev + INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, v,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM b
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(datesub('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+    "D84: batch gap-based sessionization report (the classic "
+    "gaps-and-islands assignment with the industry-standard 30-min "
+    "idle timeout): one row per session with ordinal index, "
+    "start/end, depth, duration, and B12-decimal value total -- the "
+    "per-session RELATION funnels/retention join against (B33 "
+    "aggregates within native session windows; D10 handles streaming "
+    "timeouts; this is the relational face). Determinism: (ts, "
+    "event_id) total order within a user; duration via COMPLETE-"
+    "interval timestamp arithmetic (Spark timestampdiff = DuckDB "
+    "datesub -- datediff counts boundary CROSSINGS and is the wrong "
+    "mirror, verified); timestamps emitted as microsecond strings "
+    "(the D1 hash discipline). ONE user-keyed window exchange (lag + "
+    "running sum share the spec -- one Window operator) + one "
+    "(user, session) aggregate with map-side combine.",
+)
+def events_sessions(spark, sf_dir):
+    from mysql2parquet_spark.operators.sequences import gap_sessions
+
+    ev = T(spark, sf_dir, "events")
+    s = gap_sessions(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_idx",
+        F.date_format(
+            "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_start"),
+        F.date_format(
+            "session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_end"),
+        "n_events",
+        "duration_s",
+        "total_value",
+    )

@@ -4677,3 +4677,122 @@ def embedding_jl_project(spark, sf_dir):
 def text_burstiness(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     return text.burstiness_report(d, top_v=100)
+
+
+@register(
+    "text_readability",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> t <> '') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             len(ws) AS n_words,
+             COALESCE(list_sum(list_transform(ws, t ->
+               GREATEST(1,
+                 length(regexp_replace(t, '[aeiouy]+', '#', 'g'))
+                 - length(replace(
+                     regexp_replace(t, '[aeiouy]+', '#', 'g'),
+                     '#', ''))))), 0) AS n_syllables
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(CAST(FLOOR((0.39 * (CAST(n_words AS DOUBLE)
+                                     / CAST(n_sentences AS DOUBLE))
+                             + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE))
+                             - 15.59) * 1000000) AS BIGINT)
+                 / 1000000.0, 6) AS fk_grade,
+           ROUND(CAST(FLOOR((206.835
+                             - 1.015 * (CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE))
+                             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                       / CAST(n_words AS DOUBLE)))
+                            * 1000000) AS BIGINT)
+                 / 1000000.0, 6) AS flesch_ease
+    FROM c WHERE n_words > 0
+    """,
+    "D82: Flesch-Kincaid readability scoring (Flesch 1948 reading "
+    "ease; Kincaid et al. 1975 grade level -- the standardized "
+    "surface-feature readability pair, a corpus-quality lens next to "
+    "D52's rules and D48/D76's LM scores). Syllables = vowel-group "
+    "proxy (maximal [aeiouy] runs, min 1 per word -- the usual "
+    "machine form, stated as a proxy); sentences = maximal [.!?] "
+    "runs (min 1). Formulas are fixed double trees over integer "
+    "ratios mirrored operator-for-operator, micro-quantized with "
+    "identity ROUND 6 (the D79 discipline). ONE zero-shuffle "
+    "projection -- nothing aggregates across rows; zero-word docs "
+    "absent (the D48 contract).",
+)
+def text_readability(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.readability_report(d)
+
+
+@register(
+    "text_vocab_composition",
+    r"""
+    WITH st AS (
+      SELECT source, term, COUNT(*) AS c
+      FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS term
+        FROM documents WHERE source IS NOT NULL
+      ) WHERE term <> ''
+      GROUP BY source, term
+    ),
+    spread AS (
+      SELECT term, COUNT(*) AS n_sources FROM st GROUP BY term
+    ),
+    agg AS (
+      SELECT source,
+             SUM(c) AS n_tokens,
+             COUNT(*) AS vocab,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+             SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+               AS exclusive_terms
+      FROM st JOIN spread USING (term)
+      GROUP BY source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(hapax AS BIGINT) AS hapax,
+           CAST(exclusive_terms AS BIGINT) AS exclusive_terms,
+           ROUND(CAST(FLOOR(CAST(vocab AS DOUBLE)
+                            / CAST(n_tokens AS DOUBLE) * 1000000)
+                      AS BIGINT) / 1000000.0, 6) AS ttr,
+           ROUND(CAST(FLOOR(CAST(hapax AS DOUBLE)
+                            / CAST(vocab AS DOUBLE) * 1000000)
+                      AS BIGINT) / 1000000.0, 6) AS hapax_ratio,
+           ROUND(CAST(FLOOR(CAST(exclusive_terms AS DOUBLE)
+                            / CAST(vocab AS DOUBLE) * 1000000)
+                      AS BIGINT) / 1000000.0, 6) AS exclusive_ratio
+    FROM agg
+    """,
+    "D83: per-source vocabulary-composition report (lexical richness "
+    "in the LNRE tradition, Baayen 2001: hapax share is the classic "
+    "productivity measure; TTR its crude cousin): tokens, vocabulary, "
+    "hapax count, EXCLUSIVE vocabulary (terms no other source uses -- "
+    "the set-membership complement of D79's distributional KL: "
+    "mostly-exclusive = novel domain, mostly-shared = redundant with "
+    "the pool). Ratios micro-quantized, identity ROUND 6; ONE "
+    "(source,term) count aggregate is the only data-scale stage, the "
+    "per-term source-spread derives from it and joins back on the "
+    "vocabulary-bounded term key (AQE broadcasts), one source "
+    "aggregate finishes. Denominators are group counts, provably "
+    ">= 1 where a group exists.",
+)
+def text_vocab_composition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return text.vocab_composition_report(d)

@@ -83,6 +83,23 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # (exact oracle; Python twin + separation tests in
     # tests/test_burstiness.py)
     "text_burstiness",
+    # D82 Flesch-Kincaid readability (Flesch 1948 / Kincaid 1975):
+    # vowel-group syllable proxy, mirrored double trees, identity
+    # ROUND 6 (exact oracle; Python twin + ordering tests in
+    # tests/test_readability.py)
+    "text_readability",
+    # D83 per-source vocabulary composition (Baayen 2001 LNRE):
+    # hapax share, TTR, exclusive-vocabulary share vs the pool — the
+    # set-membership complement of D79's KL (exact oracle; Python
+    # twin + novel-vs-redundant tests in
+    # tests/test_vocab_composition.py)
+    "text_vocab_composition",
+    # D84 batch gap-based sessionization (gaps-and-islands, 30-min
+    # industry timeout): per-session relation with ordinal index,
+    # bounds, depth, complete-interval duration (timestampdiff =
+    # datesub, verified), B12-decimal value (exact oracle; Python
+    # twin + boundary/tie tests in tests/test_sessions.py)
+    "events_sessions",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

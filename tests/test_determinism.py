@@ -33,6 +33,7 @@ CASES = [
     "events_attribution",  # r12 D78: as-of credit + decimal revenue
     "text_source_kl",   # r12 D79: nano-nat KL integer sums
     "text_burstiness",  # r12 D81: integer moment sums + top-k rank
+    "events_sessions",  # r12 D84: gaps-and-islands + decimal totals
 ]
 
 

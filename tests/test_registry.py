@@ -456,10 +456,27 @@ def test_registry_count_is_planned():
     documents with zeros folded analytically, separating topical
     burst from Poisson boilerplate; exact oracle + Python twin in
     tests/test_burstiness.py; r13 debut via NEXT_ROUND_BACKLOG)
-    makes 212.
+    makes 212. The r12-added D82 surface (text_readability —
+    Flesch-Kincaid grade + reading ease, Flesch 1948 / Kincaid et al.
+    1975, vowel-group syllable proxy and mirrored double trees with
+    identity ROUND 6; exact oracle + Python twin in
+    tests/test_readability.py; r13 debut via NEXT_ROUND_BACKLOG)
+    makes 213. The r12-added D83 surface (text_vocab_composition —
+    per-source lexical-richness report in the LNRE tradition, Baayen
+    2001: hapax share, TTR, and exclusive-vocabulary share vs the
+    pool; exact oracle + Python twin in
+    tests/test_vocab_composition.py; r13 debut via
+    NEXT_ROUND_BACKLOG) makes 214. The r12-added D84 surface
+    (events_sessions — batch gap-based sessionization, the classic
+    gaps-and-islands 30-minute-timeout assignment: per-session
+    ordinal index, bounds, depth, complete-interval duration (Spark
+    timestampdiff = DuckDB datesub, verified — datediff counts
+    boundary crossings and is the wrong mirror), B12-decimal value;
+    exact oracle + Python twin in tests/test_sessions.py; r13 debut
+    via NEXT_ROUND_BACKLOG) makes 215.
     """
-    assert len(REGISTRY) == 212, (
-        f"registry count changed ({len(REGISTRY)} != 212); new queries "
+    assert len(REGISTRY) == 215, (
+        f"registry count changed ({len(REGISTRY)} != 215); new queries "
         "need a rotation plan before registration"
     )
 
