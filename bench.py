@@ -252,6 +252,8 @@ def main() -> None:
         "text_readability",
         "text_vocab_composition",
         "events_sessions",
+        "dedup_minhash_planned",
+        "text_classifier_lr",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

@@ -182,3 +182,163 @@ def nb_classifier_score(
             ),
         )
     )
+
+
+def lr_classifier_score(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    epochs: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """GRADIENT-TRAINED logistic-regression quality classifier (D86 —
+    the literal fastText/GPT-3-filter form: Joulin et al. 2016 train
+    a linear classifier by gradient descent over hashed bag features;
+    Brown et al. 2020 Appendix A use exactly such a trained filter).
+    Full-batch gradient descent over the D51 hashed-count features,
+    ``epochs`` rounds, zero-initialized — and EVERY quantity that
+    crosses a shuffle is an integer: weights and bias live in
+    micro-logits (int64), per-document logits are integer dot
+    products, and each document's gradient contribution quantizes
+    ONCE to micro units before the per-bucket sum, so training is
+    order-independent, partitioning-independent, and (with the
+    epochs unrolled) expressible as an exact ANSI-SQL oracle — a
+    gradient-descent loop the driver hash-adjudicates end to end.
+
+    Update rule per epoch (mirrored bit-for-bit in oracle and twin)::
+
+        p_d   = 1 / (1 + exp(−z_d/1e6))          # double, same libm
+        g_j   = Σ_d floor((p_d − y_d)·c_dj·1e6)  # int64
+        w_j  −= floor(lr·g_j / N)                # micro-logits
+        (bias: c ≡ 1)
+
+    Returns ``(id_col, n_tokens, score_micro, pred_target)`` — the
+    final-epoch logit in micro units and the decision ``> 0``.
+    Documents with zero tokens are absent (the D48/D75 contract).
+    The NB face (``nb_classifier_score``) remains the closed-form
+    default; this is the calibrated-scores path when the bag prior
+    mis-weights correlated features.
+
+    Scale shape: per epoch — ONE id-keyed logit aggregate (the
+    ≤ 16^h-row model broadcasts onto the (id, bucket) relation) and
+    ONE bucket-keyed gradient aggregate (map-side combined); the
+    model/bias relations localCheckpoint between epochs so lineage
+    stays constant in ``epochs``. Nothing data-scale ever reaches
+    the driver.
+    """
+    if hex_chars < 1 or hex_chars > 4:
+        raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1: {epochs}")
+    if not 0.0 < lr <= 10.0:
+        raise ValueError(f"lr must be in (0, 10]: {lr}")
+    dc = (
+        _bucketed_tokens(docs, id_col, text_col, hex_chars)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # reused every epoch
+    )
+    lab = (
+        dc.select(id_col)
+        .distinct()
+        .join(
+            docs.select(
+                F.col(id_col),
+                F.when(target_pred, F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("y"),
+            ),
+            id_col,
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = lab.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    model = dc.select("b").distinct().withColumn(
+        "wq", F.lit(0).cast("long")
+    )
+    bias = dc.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("bq")
+    )
+    lrf = float(lr)
+    for _ in range(epochs):
+        z = (
+            dc.join(F.broadcast(model), "b")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("c") * F.col("wq")).alias("_zl"))
+            .crossJoin(F.broadcast(bias))
+            .select(id_col, (F.col("_zl") + F.col("bq")).alias("_z"))
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("_z").cast("double") / F.lit(1_000_000.0)))
+        )
+        resid = (
+            z.join(lab, id_col)
+            .select(id_col, (p - F.col("y")).alias("_r"))
+        )
+        grad = (
+            dc.join(resid, id_col)
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("_r")
+                        * F.col("c").cast("double")
+                        * F.lit(1_000_000.0)
+                    ).cast("long")
+                ).alias("_g")
+            )
+        )
+        model = (
+            model.join(grad, "b", "left")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "b",
+                (
+                    F.col("wq")
+                    - F.floor(
+                        F.lit(lrf)
+                        * F.coalesce(F.col("_g"), F.lit(0)).cast("double")
+                        / F.col("n").cast("double")
+                    ).cast("long")
+                ).alias("wq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        gb = resid.agg(
+            F.sum(F.floor(F.col("_r") * F.lit(1_000_000.0)).cast("long"))
+            .alias("_gb")
+        )
+        bias = (
+            bias.crossJoin(F.broadcast(gb))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                (
+                    F.col("bq")
+                    - F.floor(
+                        F.lit(lrf)
+                        * F.col("_gb").cast("double")
+                        / F.col("n").cast("double")
+                    ).cast("long")
+                ).alias("bq")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dc.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("wq")).alias("_zl"),
+        )
+        .crossJoin(F.broadcast(bias))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_zl") + F.col("bq")).cast("long").alias("score_micro"),
+            (F.col("_zl") + F.col("bq") > 0).alias("pred_target"),
+        )
+    )

@@ -4796,3 +4796,138 @@ def text_readability(spark, sf_dir):
 def text_vocab_composition(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return text.vocab_composition_report(d)
+
+
+@register(
+    "dedup_minhash_planned",
+    None,  # approximate (LSH banding) — rows-only; the plan→parameter
+    # wiring and the recall/cost frontier are pinned in
+    # tests/test_soft_lsh_plan.py
+    "C2/D74b end-to-end: MinHash near-dup dedup whose (bands, "
+    "rows_per_band) come FROM the D74b planner instead of a "
+    "hand-pick (VERDICT r11 ask #7) -- choose_lsh_parameters reads "
+    "the corpus' candidate-Jaccard distribution off the D25 gram "
+    "index, keeps the factorizations whose S-curve collision "
+    "probability at the dedup threshold meets the 0.9 recall bar, "
+    "and picks the cheapest by measured expected candidate pairs; "
+    "minhash_dedup(from_plan=...) then runs with that pick. The "
+    "plan relation is <= d(num_hashes) rows (a bounded-metadata "
+    "collect, the kmeans_lite contract); the dedup itself is the "
+    "band equi-join family shape, never O(n^2).",
+)
+def dedup_minhash_planned(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    b, r = dedup.choose_lsh_parameters(
+        d, threshold=0.5, target_prob=0.9, num_hashes=32
+    )
+    kept = dedup.minhash_dedup(
+        d, "doc_id", "text", threshold=0.5,
+        max_band_width=16, from_plan=(b, r),
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+@register(
+    "text_classifier_lr",
+    r"""
+    WITH lab0 AS (
+      SELECT doc_id, text,
+             CASE WHEN source IN ('src1', 'src3')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    dc AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, substring(md5(w), 1, 2) AS b
+        FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)),
+                        '\s+')) AS w
+          FROM lab0
+        ) WHERE w <> ''
+      ) GROUP BY doc_id, b
+    ),
+    lab AS (
+      SELECT doc_id, y FROM lab0
+      WHERE doc_id IN (SELECT DISTINCT doc_id FROM dc)
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM lab),
+    r1 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
+    g1 AS (
+      SELECT b, SUM(CAST(FLOOR(r * c * 1000000) AS BIGINT)) AS g
+      FROM dc JOIN r1 USING (doc_id) GROUP BY b
+    ),
+    w1 AS (
+      SELECT b, 0 - CAST(FLOOR(0.5 * CAST(g AS DOUBLE)
+                               / CAST(nd AS DOUBLE)) AS BIGINT) AS wq
+      FROM g1, n
+    ),
+    gb1 AS (
+      SELECT SUM(CAST(FLOOR(r * 1000000) AS BIGINT)) AS gb FROM r1
+    ),
+    b1 AS (
+      SELECT 0 - CAST(FLOOR(0.5 * CAST(gb AS DOUBLE)
+                            / CAST(nd AS DOUBLE)) AS BIGINT) AS bq
+      FROM gb1, n
+    ),
+    z2 AS (
+      SELECT dc.doc_id, SUM(c * wq) + ANY_VALUE(bq) AS z
+      FROM dc JOIN w1 USING (b), b1 GROUP BY dc.doc_id
+    ),
+    r2 AS (
+      SELECT z2.doc_id,
+             (1.0 / (1.0 + EXP(-(CAST(z AS DOUBLE) / 1000000.0)))) - y
+               AS r
+      FROM z2 JOIN lab USING (doc_id)
+    ),
+    g2 AS (
+      SELECT b, SUM(CAST(FLOOR(r * c * 1000000) AS BIGINT)) AS g
+      FROM dc JOIN r2 USING (doc_id) GROUP BY b
+    ),
+    w2 AS (
+      SELECT w1.b,
+             w1.wq - CAST(FLOOR(0.5 * CAST(COALESCE(g2.g, 0) AS DOUBLE)
+                                / CAST(nd AS DOUBLE)) AS BIGINT) AS wq
+      FROM w1 LEFT JOIN g2 ON w1.b = g2.b, n
+    ),
+    gb2 AS (
+      SELECT SUM(CAST(FLOOR(r * 1000000) AS BIGINT)) AS gb FROM r2
+    ),
+    b2 AS (
+      SELECT b1.bq - CAST(FLOOR(0.5 * CAST(gb AS DOUBLE)
+                                / CAST(nd AS DOUBLE)) AS BIGINT) AS bq
+      FROM b1, gb2, n
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * wq) + ANY_VALUE(bq) AS BIGINT) AS score_micro,
+           (SUM(c * wq) + ANY_VALUE(bq)) > 0 AS pred_target
+    FROM dc JOIN w2 USING (b), b2
+    GROUP BY dc.doc_id
+    """,
+    "D86: GRADIENT-TRAINED logistic-regression quality classifier -- "
+    "the literal fastText/GPT-3-filter form (Joulin et al. 2016; "
+    "Brown et al. 2020 Appendix A), 2 full-batch epochs, lr=0.5, "
+    "zero init, over the D51 hashed-count features. Every "
+    "shuffle-crossing quantity is an integer: micro-logit weights/"
+    "bias, integer dot-product logits, per-doc gradient "
+    "contributions floor-quantized BEFORE the per-bucket sum -- so "
+    "gradient descent itself is order-independent and the UNROLLED "
+    "oracle hash-adjudicates the training loop end to end (epoch 1 "
+    "simplifies: zero weights -> p = 0.5 exactly). Per epoch: one "
+    "id-keyed logit aggregate (broadcast <=256-row model) + one "
+    "bucket-keyed gradient aggregate; model localCheckpoints keep "
+    "lineage constant in epochs; sigmoid is the same libm exp on "
+    "identical doubles. NB (D75) stays the closed-form default; this "
+    "is the calibrated-scores path.",
+)
+def text_classifier_lr(spark, sf_dir):
+    from mysql2parquet_spark.operators.classifier import (
+        lr_classifier_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return lr_classifier_score(
+        d, F.col("source").isin("src1", "src3"), epochs=2, lr=0.5
+    )

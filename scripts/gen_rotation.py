@@ -100,6 +100,18 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # datesub, verified), B12-decimal value (exact oracle; Python
     # twin + boundary/tie tests in tests/test_sessions.py)
     "events_sessions",
+    # D85 plan-driven minhash dedup — choose_lsh_parameters picks
+    # (b, r) from the D74b planner, minhash_dedup(from_plan=...)
+    # runs it (VERDICT r11 ask #7 made registry-visible; rows-only
+    # by nature, frontier pinned in tests/test_soft_lsh_plan.py)
+    "dedup_minhash_planned",
+    # D86 gradient-trained LR classifier (Joulin et al. 2016 /
+    # Brown et al. 2020): integer micro-logit training, per-doc
+    # gradient contributions quantized before bucket sums — the
+    # training loop hash-adjudicates vs an epoch-unrolled exact
+    # oracle (Python twin + separable-corpus tests in
+    # tests/test_classifier_lr.py)
+    "text_classifier_lr",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

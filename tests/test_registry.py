@@ -245,6 +245,11 @@ ROWS_ONLY_OK = {
     # argmax selection, not SQL-expressible; bit-exact Python twin +
     # partitioning-independence pins in tests/test_kcenter.py
     "sample_kcenter",
+    # r13 debut (r12-added): plan-driven minhash dedup — approximate
+    # (LSH banding) like the rest of the minhash family; the
+    # plan→parameter wiring and recall/cost frontier are pinned in
+    # tests/test_soft_lsh_plan.py
+    "dedup_minhash_planned",
 }
 
 
@@ -473,10 +478,24 @@ def test_registry_count_is_planned():
     timestampdiff = DuckDB datesub, verified — datediff counts
     boundary crossings and is the wrong mirror), B12-decimal value;
     exact oracle + Python twin in tests/test_sessions.py; r13 debut
-    via NEXT_ROUND_BACKLOG) makes 215.
+    via NEXT_ROUND_BACKLOG) makes 215. The r12-added D85 surface
+    (dedup_minhash_planned — the C2/D74b end-to-end: minhash dedup
+    whose (b, r) come from choose_lsh_parameters instead of a
+    hand-pick, closing VERDICT r11 ask #7 in the registry; rows-only
+    by nature like the rest of the minhash family, recall/cost
+    frontier pinned in tests/test_soft_lsh_plan.py; r13 debut via
+    NEXT_ROUND_BACKLOG) makes 216. The r12-added D86 surface
+    (text_classifier_lr — gradient-trained logistic regression, the
+    literal fastText/GPT-3-filter form: 2 full-batch epochs with
+    integer micro-logit weights and per-doc gradient contributions
+    floor-quantized before the bucket sums, so the TRAINING LOOP
+    itself hash-adjudicates against an epoch-unrolled exact oracle;
+    Python twin + separable-corpus + partitioning-independence tests
+    in tests/test_classifier_lr.py; r13 debut via
+    NEXT_ROUND_BACKLOG) makes 217.
     """
-    assert len(REGISTRY) == 215, (
-        f"registry count changed ({len(REGISTRY)} != 215); new queries "
+    assert len(REGISTRY) == 217, (
+        f"registry count changed ({len(REGISTRY)} != 217); new queries "
         "need a rotation plan before registration"
     )
 
