@@ -1975,7 +1975,7 @@ def choose_lsh_parameters(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
         index_threshold=index_threshold,
-    ).collect()  # bounded metadata: one row per (b, r) factorization
+    ).collect()  # bounded-metadata: one row per (b, r) factorization
     dec = min(9, max(1, round(threshold * 10)))
     scored = [
         (

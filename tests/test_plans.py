@@ -443,6 +443,25 @@ BROADCAST_ALLOWLIST = {
     ("operators/pipeline.py", "token_budget_allocation"):
         "1-row waterline aggregate over the ≤ |sources| cap relation — "
         "bounded by source cardinality, never the data",
+    ("operators/classifier.py", "nb_log_odds"):
+        "1-row class-totals relation — rides as a broadcast instead "
+        "of a driver scalar so the plan stays lazy",
+    ("operators/classifier.py", "nb_classifier_score"):
+        "≤16^hex_chars-row log-odds model + 1-row prior — bounded by "
+        "the hashed feature space, never the data",
+    ("operators/classifier.py", "lr_classifier_score"):
+        "≤16^hex_chars-row weight model, 1-row bias/gradient-total/"
+        "doc-count relations — all bounded by configuration; the "
+        "per-epoch model is the only state that moves",
+    ("operators/lm.py", "lm3_score"):
+        "1-row (N, V) totals relation — rides as a broadcast instead "
+        "of a driver scalar so the plan stays lazy",
+    ("operators/text.py", "burstiness_report"):
+        "1-row document-count relation joined onto the ≤ top_v "
+        "bounded top-k — never the data",
+    ("operators/text.py", "source_kl_report"):
+        "16^hex_chars-row bucket grid + ≤B-row corpus marginal + "
+        "1-row total — all bounded by the fixed bucket space",
 }
 
 
