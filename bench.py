@@ -254,6 +254,7 @@ def main() -> None:
         "events_sessions",
         "dedup_minhash_planned",
         "text_classifier_lr",
+        "text_langid_ngram",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

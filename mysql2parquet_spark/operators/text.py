@@ -1540,3 +1540,120 @@ def vocab_composition_report(
             "exclusive_ratio"
         ),
     )
+
+
+def ngram_langid(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    profile_size: int = 100,
+    doc_profile_size: int = 50,
+) -> DataFrame:
+    """Character-n-gram LANGUAGE ID (D87 — Cavnar & Trenkle 1994,
+    "N-Gram-Based Text Categorization": rank the most frequent char
+    trigrams per language, rank a document's own trigrams, classify
+    by minimal OUT-OF-PLACE distance — the classic pre-neural langid
+    that fastText-langid and CLD descend from). Upgrades the C4
+    stopword-ratio heuristic (``with_lang_scores``): rank profiles
+    discriminate languages sharing stopword-free or code-mixed text,
+    and need no hand-curated word lists.
+
+    Columns: ``(id_col, lang_pred, dist)`` — distance = Σ over the
+    document's top-``doc_profile_size`` trigrams of
+    ``|doc_rank − lang_rank|``, with trigrams absent from a language
+    profile costing the maximum ``profile_size`` (the paper's
+    out-of-place penalty); winner = min distance, ties by language
+    code ascending. Documents shorter than 3 characters have no
+    trigram and are absent (the D48 contract).
+
+    Exactness: ranks are ROW_NUMBER over (count DESC, gram ASC) —
+    total orders in both engines — and distances are integer sums, so
+    the prediction hash-adjudicates end to end.
+
+    Scale shape: trigram extraction is a zero-shuffle substring
+    projection; the language profiles are (lang, gram) count
+    aggregates ranked within each language (char-trigram vocabulary
+    is bounded ~|charset|³, never data-scale) and BROADCAST; the doc
+    side pays one (doc, gram) count exchange + one doc-keyed rank
+    window (per-doc bounded), then expands ×|langs| (bounded) against
+    the broadcast profiles and reduces with one (doc)-keyed min-
+    struct argmin. ``train=None`` self-trains on ``docs``' own
+    ``lang_col`` labels (rows with NULL labels are excluded from
+    training but still classified).
+    """
+    if profile_size < 1:
+        raise ValueError(f"profile_size must be >= 1: {profile_size}")
+    if doc_profile_size < 1:
+        raise ValueError(
+            f"doc_profile_size must be >= 1: {doc_profile_size}"
+        )
+    tr = train if train is not None else docs
+
+    def grams(frame, *keys):
+        t = F.trim(F.lower(F.col(text_col)))
+        base = frame.select(*keys, t.alias("_t")).filter(
+            F.length("_t") >= 3
+        )
+        return base.select(
+            *keys,
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - 2)
+            ).alias("_i"),
+            F.col("_t"),
+        ).select(
+            *keys, F.col("_t").substr(F.col("_i"), F.lit(3)).alias("g")
+        )
+
+    lang_prof = (
+        grams(
+            tr.filter(F.col(lang_col).isNotNull()), F.col(lang_col)
+        )
+        .groupBy(lang_col, "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy(lang_col).orderBy(
+                    F.col("_c").desc(), F.col("g").asc()
+                )
+            ),
+        )
+        .filter(F.col("lr") <= profile_size)
+        .select(F.col(lang_col).alias("_lang"), "g", "lr")
+    )
+    doc_prof = (
+        grams(docs, F.col(id_col))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "dr",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("_c").desc(), F.col("g").asc()
+                )
+            ),
+        )
+        .filter(F.col("dr") <= doc_profile_size)
+        .select(id_col, "g", "dr")
+    )
+    langs = lang_prof.select("_lang").distinct()
+    expanded = doc_prof.crossJoin(F.broadcast(langs)).join(
+        F.broadcast(lang_prof), ["_lang", "g"], "left"
+    )
+    contrib = F.coalesce(
+        F.abs(F.col("dr") - F.col("lr")), F.lit(profile_size)
+    )
+    dists = expanded.groupBy(id_col, "_lang").agg(
+        F.sum(contrib).cast("long").alias("_d")
+    )
+    best = dists.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d"), F.col("_lang"))).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b._lang").alias("lang_pred"),
+        F.col("_b._d").alias("dist"),
+    )

@@ -4931,3 +4931,71 @@ def text_classifier_lr(spark, sf_dir):
     return lr_classifier_score(
         d, F.col("source").isin("src1", "src3"), epochs=2, lr=0.5
     )
+
+
+@register(
+    "text_langid_ngram",
+    r"""
+    WITH tl AS (
+      SELECT doc_id, lang, trim(lower(text)) AS t FROM documents
+    ),
+    lg AS (
+      SELECT lang, substr(t, CAST(u.i AS INT), 3) AS g
+      FROM tl, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE lang IS NOT NULL AND len(t) >= 3
+    ),
+    lp AS (
+      SELECT lang, g,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY COUNT(*) DESC, g ASC) AS lr
+      FROM lg GROUP BY lang, g
+      QUALIFY lr <= 100
+    ),
+    dg AS (
+      SELECT doc_id, substr(t, CAST(u.i AS INT), 3) AS g
+      FROM tl, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    dp AS (
+      SELECT doc_id, g,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY COUNT(*) DESC, g ASC) AS dr
+      FROM dg GROUP BY doc_id, g
+      QUALIFY dr <= 50
+    ),
+    langs AS (SELECT DISTINCT lang FROM lp),
+    d AS (
+      SELECT dp.doc_id, langs.lang,
+             SUM(COALESCE(ABS(dr - lr), 100)) AS dist
+      FROM dp CROSS JOIN langs
+      LEFT JOIN lp ON lp.lang = langs.lang AND lp.g = dp.g
+      GROUP BY dp.doc_id, langs.lang
+    ),
+    w AS (
+      SELECT doc_id, lang, dist,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY dist ASC, lang ASC) AS rn
+      FROM d
+    )
+    SELECT doc_id, lang AS lang_pred, CAST(dist AS BIGINT) AS dist
+    FROM w WHERE rn = 1
+    """,
+    "D87: character-n-gram language ID (Cavnar & Trenkle 1994, "
+    "'N-Gram-Based Text Categorization' -- the classic out-of-place "
+    "rank-distance classifier fastText-langid/CLD descend from): "
+    "top-100 char-trigram rank profile per language (self-trained on "
+    "the corpus' own labels), top-50 per document, classify by "
+    "minimal sum |doc_rank - lang_rank| with the profile_size "
+    "penalty for absent grams -- upgrades the C4 stopword-ratio "
+    "heuristic with no hand-curated word lists. Ranks are "
+    "ROW_NUMBER over (count DESC, gram ASC) total orders and "
+    "distances integer sums, so the PREDICTION hash-adjudicates. "
+    "Trigram extraction = zero-shuffle substring projection; "
+    "language profiles are charset^3-bounded and broadcast; the doc "
+    "side pays one (doc,gram) exchange + one doc-keyed rank window, "
+    "expands x|langs| (bounded) and reduces with a min-struct "
+    "argmin.",
+)
+def text_langid_ngram(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return text.ngram_langid(d)

@@ -112,6 +112,11 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # oracle (Python twin + separable-corpus tests in
     # tests/test_classifier_lr.py)
     "text_classifier_lr",
+    # D87 Cavnar-Trenkle char-n-gram language ID (1994): out-of-place
+    # rank distance over self-trained trigram profiles — the
+    # prediction itself hash-adjudicates (exact oracle; Python twin +
+    # planted-multilingual tests in tests/test_langid_ngram.py)
+    "text_langid_ngram",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

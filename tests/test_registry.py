@@ -492,10 +492,17 @@ def test_registry_count_is_planned():
     itself hash-adjudicates against an epoch-unrolled exact oracle;
     Python twin + separable-corpus + partitioning-independence tests
     in tests/test_classifier_lr.py; r13 debut via
-    NEXT_ROUND_BACKLOG) makes 217.
+    NEXT_ROUND_BACKLOG) makes 217. The r12-added D87 surface
+    (text_langid_ngram — Cavnar & Trenkle 1994 character-n-gram
+    language ID: out-of-place rank distance over self-trained
+    trigram profiles, upgrading the C4 stopword heuristic; ranks are
+    total-order ROW_NUMBERs and distances integer sums so the
+    PREDICTION hash-adjudicates; exact oracle + Python twin +
+    planted-multilingual tests in tests/test_langid_ngram.py; r13
+    debut via NEXT_ROUND_BACKLOG) makes 218.
     """
-    assert len(REGISTRY) == 217, (
-        f"registry count changed ({len(REGISTRY)} != 217); new queries "
+    assert len(REGISTRY) == 218, (
+        f"registry count changed ({len(REGISTRY)} != 218); new queries "
         "need a rotation plan before registration"
     )
 
