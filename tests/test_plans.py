@@ -462,6 +462,10 @@ BROADCAST_ALLOWLIST = {
     ("operators/text.py", "source_kl_report"):
         "16^hex_chars-row bucket grid + ≤B-row corpus marginal + "
         "1-row total — all bounded by the fixed bucket space",
+    ("operators/text.py", "ngram_langid"):
+        "≤|langs|·profile_size-row trigram rank profiles + the "
+        "|langs|-row language list — char-trigram vocabulary is "
+        "charset³-bounded, never the data",
 }
 
 
