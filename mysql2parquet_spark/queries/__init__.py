@@ -137,33 +137,48 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # window_rank) and the 13 r10 second-green singles (each now at 2-3
 # rows) — all component-guarded via tests/test_registry.py.
 # Per-round history: ROTATION.md.
-# ROTATION (r12, per ROTATION.md's r12 plan + VERDICT r11 asks #1/#4):
-# CORRECTNESS_r11 landed 43 hash + 7 rows-only-by-design, 0 FAIL (the
-# fifth consecutive clean window), so the head rotates to: 15 debut
-# slots for every query registered during r11 (the full
-# NEXT_ROUND_BACKLOG — D62-D74b; all exact oracles except
-# sample_kcenter, rows-only by nature — and text_heaps debuts only
-# AFTER the D72 degenerate-fit DIVIDE_BY_ZERO fix landed, VERDICT r11
-# weak + ask #2), 18 second-green slots for the r11 debuts (the
-# D45-D61 cohort — none rests on a single adjudication), 9
-# third-green slots for the r10 debuts, and 8 staleness slots per the
-# standing oldest-newest-row rule: the four r3-newest queries
-# (date_funcs, join_broadcast, join_inner, str_funcs) and the four
-# r4-newest (agg_distinct, agg_percentile, multimodal_binary,
-# stream_sliding_batch). Displaced: the r11 thrice-proven graduates
-# (the r9-debut cohort, the 19 r11 staleness refreshes) — all
+# ROTATION (r13, per ROTATION.md's r13 plan + VERDICT r12 ask #1/#2):
+# CORRECTNESS_r12 landed 46 hash + 4 rows-only-by-design, 0 FAIL (the
+# sixth consecutive clean window), so the head rotates to: 13 debut
+# slots for every query registered during r12 (the full
+# NEXT_ROUND_BACKLOG — D75-D87; all exact oracles except
+# dedup_minhash_planned, rows-only by nature like the rest of the
+# minhash family), 15 second-green slots for the r12 debuts (the
+# D62-D74b cohort — none rests on a single adjudication), 18
+# third-green slots for the r11 debuts (D45-D61), and 4 staleness
+# slots per the standing rule (oldest newest-row first, then fewest
+# hash greens, then alphabetical): agg_cube, set_ops,
+# sort_limit_offset, window_analytic (all newest r5 with 4 greens).
+# Displaced: the r12 thrice-proven graduates (the r10-debut cohort —
+# dedup_keep_best, table_profile, privacy_dp_counts,
+# dedup_cluster_incremental, score_calibrate, similarity_tfidf,
+# pipeline_temperature, ann_pq_persisted, dedup_semantic_ivf — and
+# the 8 r12 staleness refreshes, each now at 4-6 rows) — all
 # component-guarded via the proven-component rule in
 # tests/test_registry.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- 15 r12 debuts (r11-built, never driver-checked; parity
-    #     proven locally in the r11 closing sim — tests per surface:
-    #     test_spans.py, test_novelty.py, test_entropy.py,
-    #     test_zipf.py, test_source_overlap.py,
-    #     test_embedding_health.py, test_kcenter.py,
-    #     test_hashed_features.py, test_trimmed_mean.py,
-    #     test_decontaminate_spans.py, test_heaps.py,
-    #     test_token_budget.py, test_soft_dedup.py,
-    #     test_lsh_plan.py) ---
+    # --- 13 r13 debuts (r12-built, never driver-checked; parity
+    #     proven in the r12 judge sim — tests per surface:
+    #     test_classifier.py, test_lm3.py, test_winnow_words.py,
+    #     test_attribution.py, test_source_kl.py, test_jl.py,
+    #     test_burstiness.py, test_readability.py,
+    #     test_vocab_composition.py, test_sessions.py,
+    #     test_soft_lsh_plan.py, test_classifier_lr.py,
+    #     test_langid_ngram.py) ---
+    "text_classifier_nb",   # D75 NB trained quality classifier
+    "text_lm3_score",       # D76 trigram stupid-backoff LM
+    "text_winnow_words",    # D77 word-level winnowing (exact)
+    "events_attribution",   # D78 last-touch attribution
+    "text_source_kl",       # D79 per-source lexical KL audit
+    "embedding_jl_project",  # D80 JL sign projection (exact)
+    "text_burstiness",      # D81 per-term dispersion index
+    "text_readability",     # D82 Flesch-Kincaid readability
+    "text_vocab_composition",  # D83 per-source lexical richness
+    "events_sessions",      # D84 gap-based sessionization
+    "dedup_minhash_planned",  # D85 plan-driven minhash (rows-only)
+    "text_classifier_lr",   # D86 gradient-trained LR classifier
+    "text_langid_ngram",    # D87 Cavnar-Trenkle n-gram language ID
+    # --- second green rows for the 15 r12 debuts (D62-D74b) ---
     "dedup_spans",          # D62 maximal duplicated spans
     "dedup_spans_trim",     # D62 span-trim face
     "text_novelty",         # D63 per-doc n-gram novelty
@@ -175,11 +190,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_hashed_features",  # D69 feature hashing
     "events_trimmed_mean",  # D70 per-group trimmed mean
     "pipeline_decontaminate_spans",  # D71 span-level decontamination
-    "text_heaps",           # D72 Heaps-law growth (post-fix debut)
+    "text_heaps",           # D72 Heaps-law growth
     "pipeline_token_budget",  # D73 token-budget water-filling
     "dedup_soft_weights",   # D74 SoftDeDup reweighting
     "dedup_lsh_plan",       # D74b LSH banding parameter planner
-    # --- second green rows for the 18 r11 debuts (D45-D61) ---
+    # --- third green rows for the 18 r11 debuts (D45-D61) ---
     "score_calibrate_global",   # D45 distributed exact percent_rank
     "table_profile_approx",     # D39 approx-HLL profile (rows-only)
     "sample_quota",             # D46 exact-total quota sampling
@@ -198,26 +213,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "search_rrf_fusion",        # D59 reciprocal-rank fusion
     "dedup_segments_within",    # D60 within-doc repeated-segment dedup
     "agg_quantiles_global",     # D61 exact global quantiles
-    # --- third green rows for the 9 r10 debuts ---
-    "dedup_keep_best",      # D38 quality-aware cluster resolution
-    "table_profile",        # D39 one-pass column profiler
-    "privacy_dp_counts",    # D40 discrete-Laplace DP count release
-    "dedup_cluster_incremental",  # D41 incremental connected components
-    "score_calibrate",      # D42 cross-source score calibration
-    "similarity_tfidf",     # D43 sparse TF-IDF top-k similarity
-    "pipeline_temperature",  # D44 temperature-based domain mixing
-    "ann_pq_persisted",     # D37 persisted PQ artifact probe (rows-only)
-    "dedup_semantic_ivf",   # D31 learned-codebook SemDeDup (rows-only)
-    # --- 8 staleness slots: newest driver row r3/r4 (standing rule:
-    #     no query's newest row should age out; these are the oldest) ---
-    "date_funcs",           # B23 date/time functions (newest r3)
-    "join_broadcast",       # B7 broadcast join (newest r3)
-    "join_inner",           # B6 inner equi-join (newest r3)
-    "str_funcs",            # B22 string functions (newest r3)
-    "agg_distinct",         # B13 DISTINCT aggregation (newest r4)
-    "agg_percentile",       # B12 percentile aggregation (newest r4)
-    "multimodal_binary",    # C5 binary asset metadata (newest r4)
-    "stream_sliding_batch",  # B32 sliding windows (newest r4)
+    # --- 4 staleness slots: newest driver row r5, 4 hash greens
+    #     (standing rule: no query's newest row should age out) ---
+    "agg_cube",             # B14 CUBE aggregation (newest r5)
+    "set_ops",              # B21 set operations (newest r5)
+    "sort_limit_offset",    # B19/B20 sort+limit+offset (newest r5)
+    "window_analytic",      # B17 analytic window fns (newest r5)
 )
 
 

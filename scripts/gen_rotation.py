@@ -36,87 +36,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # oracles. The ledger test fails if a query is neither checked, in the
 # head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
-    # r12: the fifteen r11-added queries all hold r12 head slots
-    # (debut round — the backlog emptied into DRIVER_PRIORITY per the
-    # r12 plan below); entries added here are r12-ADDED queries that
-    # debut in r13.
-    # D75 trained quality classifier — the fastText-style corpus
-    # filter (Brown et al. 2020 Appendix A; Joulin et al. 2016):
-    # closed-form multinomial NB over the D51 hashed-unigram space,
-    # integer micro-nat log-odds + prior so the keep/drop decision
-    # hash-adjudicates (exact oracle; Python twin + separable-corpus
-    # tests in tests/test_classifier.py) — VERDICT r11 ask #5
-    "text_classifier_nb",
-    # D76 trigram stupid-backoff LM scoring (Brants et al. 2007):
-    # trigram MLE → α·bigram MLE → α²·add-1 unigram floor, trained on
-    # the src1/src3 split so every backoff level fires; micro-nat
-    # quantization with operator-mirrored float trees (exact oracle;
-    # Python twin + backoff-level tests in tests/test_lm3.py) —
-    # VERDICT r11 ask #6
-    "text_lm3_score",
-    # D77 word-level winnowing fingerprints with an exact contract
-    # (Schleimer/Wilkerson/Aiken SIGMOD'03): md5-hex gram hashes +
-    # string window minima — bit-identical in any engine, upgrading
-    # the winnow family from rows-only (exact oracle; Python twin +
-    # shared-run-guarantee test in tests/test_winnow_words.py)
-    "text_winnow_words",
-    # D78 last-touch conversion attribution (Shao & Li KDD'11
-    # baseline): D1 as-of credit within a 7-day lookback, max-id
-    # same-instant dedup, DECIMAL revenue (exact ASOF-JOIN oracle;
-    # Python twin + credit-rule tests in tests/test_attribution.py)
-    "events_attribution",
-    # D79 per-source lexical KL-divergence audit (Kullback-Leibler
-    # 1951; the WIMBD-style per-source distributional lens): smoothed
-    # hashed-unigram KL vs the pool over the full fixed bucket grid,
-    # nano-nat quantized, identity ROUND 9 (exact oracle; Python twin
-    # + equal-source/divergent-source tests in tests/test_source_kl.py)
-    "text_source_kl",
-    # D80 JL ±1 sign projection with content-addressed signs
-    # (Achlioptas 2003): md5-parity literals identical in both
-    # engines, per-term micro quantization — upgrades the projection
-    # family from rows-only (exact generated oracle; Python twin +
-    # controlled-geometry test in tests/test_jl.py)
-    "embedding_jl_project",
-    # D81 per-term burstiness / dispersion index (Church & Gale 1995
-    # Poisson mixtures): VMR of per-doc counts with zero-count docs
-    # folded analytically — topical burst vs Poisson boilerplate
-    # (exact oracle; Python twin + separation tests in
-    # tests/test_burstiness.py)
-    "text_burstiness",
-    # D82 Flesch-Kincaid readability (Flesch 1948 / Kincaid 1975):
-    # vowel-group syllable proxy, mirrored double trees, identity
-    # ROUND 6 (exact oracle; Python twin + ordering tests in
-    # tests/test_readability.py)
-    "text_readability",
-    # D83 per-source vocabulary composition (Baayen 2001 LNRE):
-    # hapax share, TTR, exclusive-vocabulary share vs the pool — the
-    # set-membership complement of D79's KL (exact oracle; Python
-    # twin + novel-vs-redundant tests in
-    # tests/test_vocab_composition.py)
-    "text_vocab_composition",
-    # D84 batch gap-based sessionization (gaps-and-islands, 30-min
-    # industry timeout): per-session relation with ordinal index,
-    # bounds, depth, complete-interval duration (timestampdiff =
-    # datesub, verified), B12-decimal value (exact oracle; Python
-    # twin + boundary/tie tests in tests/test_sessions.py)
-    "events_sessions",
-    # D85 plan-driven minhash dedup — choose_lsh_parameters picks
-    # (b, r) from the D74b planner, minhash_dedup(from_plan=...)
-    # runs it (VERDICT r11 ask #7 made registry-visible; rows-only
-    # by nature, frontier pinned in tests/test_soft_lsh_plan.py)
-    "dedup_minhash_planned",
-    # D86 gradient-trained LR classifier (Joulin et al. 2016 /
-    # Brown et al. 2020): integer micro-logit training, per-doc
-    # gradient contributions quantized before bucket sums — the
-    # training loop hash-adjudicates vs an epoch-unrolled exact
-    # oracle (Python twin + separable-corpus tests in
-    # tests/test_classifier_lr.py)
-    "text_classifier_lr",
-    # D87 Cavnar-Trenkle char-n-gram language ID (1994): out-of-place
-    # rank distance over self-trained trigram profiles — the
-    # prediction itself hash-adjudicates (exact oracle; Python twin +
-    # planted-multilingual tests in tests/test_langid_ngram.py)
-    "text_langid_ngram",
+    # r13: the thirteen r12-added queries (D75-D87) all hold r13 head
+    # slots (debut round — the backlog emptied into DRIVER_PRIORITY
+    # per the r13 plan below); entries added here are r13-ADDED
+    # queries that debut in r14.
 )
 
 # Emitted verbatim at the end of ROTATION.md.
@@ -480,6 +403,68 @@ newest row predates r5. r13 priorities, in order:
 4. Third greens for the 18 r11 debuts (D45-D61); staleness backfill
    per the standing rule (oldest newest-row first) with the
    remainder.
+
+## r13 rotation (executed)
+
+CORRECTNESS_r12 landed 46 hash + 4 rows-only-by-design, 0 FAIL (the
+sixth consecutive clean window), so the r13 head executes the plan
+above:
+
+1. **13 debut slots** — every query registered during r12, i.e. the
+   full r12 NEXT_ROUND_BACKLOG in order: `text_classifier_nb`,
+   `text_lm3_score`, `text_winnow_words`, `events_attribution`,
+   `text_source_kl`, `embedding_jl_project`, `text_burstiness`,
+   `text_readability`, `text_vocab_composition`, `events_sessions`,
+   `dedup_minhash_planned`, `text_classifier_lr`,
+   `text_langid_ngram`. All carry exact oracles except
+   `dedup_minhash_planned` (rows-only by nature, like the rest of
+   the minhash family). All 13 passed the r12 judge's
+   driver-equivalent sim (VERDICT r12).
+2. **15 second-green slots** — the r12 debuts (the D62-D74b cohort):
+   `dedup_spans`, `dedup_spans_trim`, `text_novelty`,
+   `text_entropy`, `text_zipf`, `dedup_source_overlap`,
+   `embedding_health`, `sample_kcenter`, `text_hashed_features`,
+   `events_trimmed_mean`, `pipeline_decontaminate_spans`,
+   `text_heaps`, `pipeline_token_budget`, `dedup_soft_weights`,
+   `dedup_lsh_plan`.
+3. **18 third-green slots** — the r11 debuts (the D45-D61 cohort):
+   `score_calibrate_global`, `table_profile_approx`, `sample_quota`,
+   `multimodal_phash_dedup`, `text_lm_score`, `dedup_containment`,
+   `dedup_segments`, `pipeline_dsir`, `text_gopher_rules`,
+   `dedup_cdc_chunks`, `pipeline_length_buckets`,
+   `multimodal_audio_trim`, `events_bootstrap`, `sample_weighted_k`,
+   `dedup_cluster_density`, `search_rrf_fusion`,
+   `dedup_segments_within`, `agg_quantiles_global`.
+4. **4 staleness slots** — the standing rule (oldest newest-row
+   first, then fewest hash greens, then alphabetical): `agg_cube`,
+   `set_ops`, `sort_limit_offset`, `window_analytic` (all newest
+   r5 with 4 greens; the other r5-newest queries hold 5 greens and
+   wait their turn).
+
+Head arithmetic: 13 + 15 + 18 + 4 = 50. Displaced: the r12
+thrice-proven graduates (the r10-debut cohort — `dedup_keep_best`,
+`table_profile`, `privacy_dp_counts`, `dedup_cluster_incremental`,
+`score_calibrate`, `similarity_tfidf`, `pipeline_temperature`,
+`ann_pq_persisted`, `dedup_semantic_ivf` — and the 8 r12 staleness
+refreshes, each now at 4-6 rows) — all component-guarded via the
+proven-component rule in tests/test_registry.py.
+
+## r14 plan
+
+After CORRECTNESS_r13 lands green, every registered query has >=1
+driver row (the 125-vs-138 gap closes), the D62-D74b cohort has two
+rows, and no query's newest row predates r5. r14 priorities, in
+order:
+
+1. Any r13 red rows (fix + re-land).
+2. Debut head slots for every query registered during r13 (the
+   NEXT_ROUND_BACKLOG above, declared as they land).
+3. Second greens for the 13 r13 debuts (D75-D87) — none should rest
+   on one adjudication.
+4. Third greens for the 15 r12 debuts (D62-D74b); staleness backfill
+   per the standing rule (oldest newest-row first, then fewest hash
+   greens) with the remainder — the twelve remaining r5-newest
+   queries lead the queue.
 """
 
 def _round_files() -> dict[int, dict]:
