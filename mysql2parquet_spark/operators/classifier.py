@@ -228,6 +228,14 @@ def lr_classifier_score(
     model/bias relations localCheckpoint between epochs so lineage
     stays constant in ``epochs``. Nothing data-scale ever reaches
     the driver.
+
+    Checkpoint lifecycle: the feature relation localCheckpoints
+    EAGERLY up front (it is re-read every epoch), so each training
+    run pins O(|docs| · |distinct buckets per doc|) rows of block
+    storage until the SparkContext garbage-collects the RDD — the
+    blocks are released on session GC, not on return. A caller
+    embedding this in a loop over many corpora should expect that
+    transient executor-storage footprint per run.
     """
     if hex_chars < 1 or hex_chars > 4:
         raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
@@ -342,3 +350,29 @@ def lr_classifier_score(
             (F.col("_zl") + F.col("bq") > 0).alias("pred_target"),
         )
     )
+
+
+def with_prob_micro(
+    scored: DataFrame,
+    *,
+    score_col: str = "score_micro",
+    out_col: str = "prob_micro",
+) -> DataFrame:
+    """Calibrated-PROBABILITY face of a micro-logit score (D89 —
+    VERDICT r12 ask #6): ``prob_micro = floor(σ(score/1e6)·1e6)``,
+    the logistic sigmoid quantized ONCE to integer micro-probabilities
+    in [0, 1e6]. Downstream mixing (D44 temperature, D73 token
+    budgets) and D42's ``score_calibrate`` want probabilities on a
+    fixed grid, not raw logits; the sigmoid is strictly monotone so
+    ranking is preserved up to the 1e-6 quantization step (ties only
+    between scores whose probabilities agree to six decimals).
+
+    Exactness: the float tree ``1/(1+exp(−z/1e6))·1e6`` is mirrored
+    operator-for-operator in the SQL oracle (the same libm ``exp`` on
+    identical doubles — the D86 training-loop recipe), then floored,
+    so the column hash-adjudicates. Pure projection: no shuffle, no
+    new exchange over the scored relation.
+    """
+    z = F.col(score_col).cast("double") / F.lit(1_000_000.0)
+    p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1_000_000.0)
+    return scored.withColumn(out_col, F.floor(p).cast("long"))

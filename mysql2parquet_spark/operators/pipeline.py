@@ -37,6 +37,131 @@ def curate_corpus(
     return out
 
 
+def curate_with_classifier(
+    docs: DataFrame,
+    target_pred,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+    hex_chars: int = 2,
+    k: float = 1.0,
+    min_score_micro: int | None = None,
+) -> DataFrame:
+    """TRAINED-filter curation (D88 — the GPT-3 Appendix-A pipeline
+    end-to-end, Brown et al. 2020: dedup the corpus, train a cheap
+    classifier on trusted-vs-raw, keep what the classifier likes —
+    closing the D75→C6 composition VERDICT r12 ask #5 named).
+    Replaces ``curate_corpus``'s HEURISTIC quality gate
+    (min(n/100,1)·distinct_ratio — which rewards long token-diverse
+    gibberish and punishes short clean prose) with the D75 trained NB
+    decision.
+
+    Threshold: ``min_score_micro=None`` (default) keeps documents
+    scoring ABOVE THE CORPUS MEAN — a relative gate, because the
+    absolute NB log-odds level is corpus-dependent (a corpus whose
+    classes share vocabulary scores everything below 0, making an
+    absolute gate vacuous). The mean is exact integer arithmetic
+    (``score·N > Σscores``, both int64 — |score|≲10⁷ micro-nats, so
+    the product stays far inside int64 up to N≈10¹¹ docs) and a
+    one-row broadcast aggregate — no global sort / order statistic.
+    Pass an explicit ``min_score_micro`` for an absolute gate (e.g. 0
+    = the MAP decision when the classes are genuinely separable).
+
+    Steps: md5 fingerprint dedup (min-id survivor) → train NB on the
+    DEDUPED corpus (dedup first, or duplicated junk inflates its own
+    class bag) with ``target_pred`` as the trusted label → keep
+    scored docs above the threshold. Returns
+    ``(id_col, *keep_cols, n_tokens, score_micro)`` — all integers,
+    so the whole dedup→train→filter pipeline hash-adjudicates.
+
+    Scale shape: the dedup is one constant-width md5 exchange; the NB
+    train/score adds two ≤16^hex_chars-row bag aggregates + one
+    (id, bucket) exchange (the D75 plan); the keep filter and the
+    metadata join-back ride the existing id partitioning.
+    """
+    from mysql2parquet_spark.operators.classifier import (
+        nb_classifier_score,
+    )
+
+    deduped = fingerprint_dedup(docs, text_col, id_col)
+    scored = nb_classifier_score(
+        deduped,
+        target_pred,
+        id_col=id_col,
+        text_col=text_col,
+        hex_chars=hex_chars,
+        k=k,
+    )
+    if min_score_micro is None:
+        stats = scored.agg(
+            F.sum("score_micro").alias("_tot"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        kept = scored.crossJoin(F.broadcast(stats)).filter(
+            F.col("score_micro") * F.col("_n") > F.col("_tot")
+        )
+    else:
+        kept = scored.filter(F.col("score_micro") > min_score_micro)
+    meta = deduped.select(id_col, *keep_cols)
+    return kept.join(meta, id_col).select(
+        id_col, *keep_cols, "n_tokens", "score_micro"
+    )
+
+
+def curate_corpus_langid(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_quality: float = 0.2,
+    languages: list[str] | None = None,
+    profile_size: int = 100,
+    doc_profile_size: int = 50,
+) -> DataFrame:
+    """Curation with the TRAINED language gate (D90 — VERDICT r12 ask
+    #7, the C4→D44 composition): like ``curate_corpus`` but the
+    language filter applies to the D87 Cavnar-Trenkle n-gram
+    PREDICTION (``lang_pred``), not the metadata label or the
+    stopword-ratio heuristic. Metadata labels are frequently missing
+    or wrong at corpus scale, and the stopword heuristic misroutes
+    any language outside its hand-curated word lists (or stopword-free
+    text within them); rank profiles self-trained on the labeled
+    subset classify every document, including the unlabeled.
+
+    Steps: md5 fingerprint dedup → heuristic quality gate (unchanged)
+    → ``ngram_langid`` self-trained on the deduped corpus's own
+    ``lang_col`` labels → keep docs whose ``lang_pred`` is in
+    ``languages``. Returns the curated docs with ``quality``,
+    ``n_tokens`` and ``lang_pred`` attached (feed to
+    ``curation_report(group_col='lang_pred')`` for the rollup).
+
+    Scale shape: dedup is one md5 exchange; quality scoring fuses
+    into codegen; the langid adds one (doc, gram) exchange + one
+    per-doc rank window against broadcast charset³-bounded profiles
+    (the D87 plan); the final filter+join rides the id partitioning.
+    """
+    from mysql2parquet_spark.operators.text import ngram_langid
+
+    deduped = fingerprint_dedup(docs, text_col, id_col)
+    gated = with_quality_score(deduped, text_col).filter(
+        F.col("quality") >= min_quality
+    )
+    preds = ngram_langid(
+        deduped,
+        id_col=id_col,
+        text_col=text_col,
+        lang_col=lang_col,
+        profile_size=profile_size,
+        doc_profile_size=doc_profile_size,
+    )
+    out = gated.join(preds, id_col)
+    if languages:
+        out = out.filter(F.col("lang_pred").isin(*languages))
+    return out
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

@@ -1567,7 +1567,12 @@ def ngram_langid(
     profile costing the maximum ``profile_size`` (the paper's
     out-of-place penalty); winner = min distance, ties by language
     code ascending. Documents shorter than 3 characters have no
-    trigram and are absent (the D48 contract).
+    trigram and are absent (the D48 contract). When NO language
+    profile exists to compare against (an empty ``train`` frame, or a
+    corpus whose labels are all NULL), trigram-bearing documents are
+    still emitted with ``lang_pred='und'`` and NULL ``dist`` — the
+    undetermined code of ISO 639-2 — rather than vanishing (VERDICT
+    r12 probe P1).
 
     Exactness: ranks are ROW_NUMBER over (count DESC, gram ASC) —
     total orders in both engines — and distances are integer sums, so
@@ -1652,8 +1657,13 @@ def ngram_langid(
     best = dists.groupBy(id_col).agg(
         F.min(F.struct(F.col("_d"), F.col("_lang"))).alias("_b")
     )
-    return best.select(
+    # Zero-profile guard: with trained profiles present every
+    # trigram-bearing doc expands against >=1 language, so this left
+    # join is a no-op; with NONE (all-NULL labels / empty train) it
+    # keeps the docs alive as lang_pred='und', dist NULL.
+    doc_ids = doc_prof.select(id_col).distinct()
+    return doc_ids.join(best, id_col, "left").select(
         id_col,
-        F.col("_b._lang").alias("lang_pred"),
+        F.coalesce(F.col("_b._lang"), F.lit("und")).alias("lang_pred"),
         F.col("_b._d").alias("dist"),
     )

@@ -40,6 +40,23 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # slots (debut round — the backlog emptied into DRIVER_PRIORITY
     # per the r13 plan below); entries added here are r13-ADDED
     # queries that debut in r14.
+    # D88 trained-filter curation — the GPT-3 Appendix-A pipeline
+    # end-to-end (Brown et al. 2020): md5 dedup → NB trained
+    # trusted-vs-raw ON the deduped corpus → keep above-corpus-mean
+    # scores (relative gate, exact integer compare; VERDICT r12 ask
+    # #5). Exact oracle; e2e beats-the-heuristic fixture in
+    # tests/test_curate_classifier.py.
+    "pipeline_curate_classifier",
+    # D89 calibrated-probability face of the D86 LR (VERDICT r12 ask
+    # #6): floor(σ(score/1e6)·1e6) integer micro-probs, mirrored
+    # float trees; ranking-preservation + score_calibrate
+    # composition pins in tests/test_classifier_lr.py.
+    "text_classifier_lr_prob",
+    # D90 curation with the TRAINED language gate (VERDICT r12 ask
+    # #7): pipeline_curate filtering on D87 n-gram predictions
+    # instead of metadata labels; exact composed oracle;
+    # heuristic-misroutes fixture in tests/test_curate_langid.py.
+    "pipeline_curate_langid",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -131,6 +131,74 @@ def test_training_is_partitioning_independent(spark):
     assert a == b
 
 
+def test_prob_micro_matches_twin_and_bounds(spark):
+    # D89: prob_micro = floor(sigmoid(score/1e6)*1e6) — Python twin +
+    # the [0, 1e6] grid bound.
+    from mysql2parquet_spark.operators.classifier import with_prob_micro
+
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, "beta delta"),
+        (2, "gamma gamma epsilon"),
+        (3, "zeta beta alpha"),
+        (5, "delta zeta epsilon"),
+    ]
+    is_t = lambda d, t: d % 2 == 0  # noqa: E731
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t, is_t=bool(is_t(d, t))) for d, t in docs]
+    )
+    out = with_prob_micro(
+        lr_classifier_score(df, F.col("is_t"))
+    ).collect()
+    ref = _py_lr(docs, is_t)
+    for r in out:
+        z = ref[r["doc_id"]][1]
+        expect = math.floor(
+            (1.0 / (1.0 + math.exp(-(z / 1_000_000.0)))) * 1_000_000.0
+        )
+        assert r["prob_micro"] == expect
+        assert 0 <= r["prob_micro"] <= 1_000_000
+
+
+def test_prob_micro_preserves_ranking_under_calibration(spark):
+    # VERDICT r12 ask #6: score_calibrate (D42 percent_rank) over
+    # prob_micro must rank documents identically to the raw logit —
+    # the sigmoid is strictly monotone and percent_rank is
+    # rank-only, so the composition is order-isomorphic.
+    from mysql2parquet_spark.operators.classifier import with_prob_micro
+    from mysql2parquet_spark.operators.numeric import (
+        quantile_normalize_global,
+    )
+
+    docs = [(i, " ".join(f"good{j}" for j in range(8))) for i in range(6)]
+    docs += [
+        (i + 10, " ".join(f"bad{j}" for j in range(4))) for i in range(6)
+    ]
+    docs += [(30, "good0 bad1 good2 bad3"), (31, "good1 good2 bad0")]
+    is_t = lambda d, t: d < 10  # noqa: E731
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t, is_t=bool(is_t(d, t))) for d, t in docs]
+    )
+    scored = with_prob_micro(
+        lr_classifier_score(df, F.col("is_t"), epochs=3)
+    )
+    rows = scored.collect()
+    by_score = sorted(rows, key=lambda r: (r["score_micro"], r["doc_id"]))
+    by_prob = sorted(rows, key=lambda r: (r["prob_micro"], r["doc_id"]))
+    assert [r["doc_id"] for r in by_score] == [
+        r["doc_id"] for r in by_prob
+    ]
+    cal = {
+        r["doc_id"]: r["calibrated"]
+        for r in quantile_normalize_global(scored, "prob_micro").collect()
+    }
+    calz = {
+        r["doc_id"]: r["calibrated"]
+        for r in quantile_normalize_global(scored, "score_micro").collect()
+    }
+    assert cal == calz  # identical percent_ranks either way
+
+
 def test_validation(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="x", is_t=True)])
     with pytest.raises(ValueError, match="epochs"):

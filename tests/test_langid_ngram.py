@@ -98,7 +98,35 @@ def test_matches_python_twin_on_fixture(spark, sf_dir):
     assert got == _py_langid(rows)
 
 
-def test_validation(spark):
+def test_all_null_labels_emit_und(spark):
+    # Zero trained profiles (every label NULL): trigram-bearing docs
+    # must survive as lang_pred='und' with NULL dist, not vanish
+    # (VERDICT r12 probe P1 / ask #4).
+    df = spark.createDataFrame(
+        [
+            (0, None, "the quick brown fox jumps over the lazy dog"),
+            (1, None, "der schnelle braune fuchs springt ueber den hund"),
+            (2, None, "ab"),  # no trigram -> absent per the D48 contract
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["dist"])
+        for r in ngram_langid(df).collect()
+    }
+    assert got == {0: ("und", None), 1: ("und", None)}
+
+
+def test_empty_train_frame_emits_und(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, lang=lang, text=t) for d, lang, t in PLANTED]
+    )
+    empty_train = docs.filter("doc_id < 0")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["dist"])
+        for r in ngram_langid(docs, train=empty_train).collect()
+    }
+    assert got == {d: ("und", None) for d, _, _ in PLANTED}
     df = spark.createDataFrame([Row(doc_id=0, lang="en", text="abcd")])
     with pytest.raises(ValueError, match="profile_size"):
         ngram_langid(df, profile_size=0)

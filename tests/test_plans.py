@@ -466,6 +466,9 @@ BROADCAST_ALLOWLIST = {
         "≤|langs|·profile_size-row trigram rank profiles + the "
         "|langs|-row language list — char-trigram vocabulary is "
         "charset³-bounded, never the data",
+    ("operators/pipeline.py", "curate_with_classifier"):
+        "1-row score-sum/doc-count relation (the relative-threshold "
+        "mean) — bounded by construction, never the data",
 }
 
 

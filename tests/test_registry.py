@@ -499,10 +499,28 @@ def test_registry_count_is_planned():
     total-order ROW_NUMBERs and distances integer sums so the
     PREDICTION hash-adjudicates; exact oracle + Python twin +
     planted-multilingual tests in tests/test_langid_ngram.py; r13
-    debut via NEXT_ROUND_BACKLOG) makes 218.
+    debut via NEXT_ROUND_BACKLOG) makes 218. The r13-added D88
+    surface (pipeline_curate_classifier — the GPT-3 Appendix-A
+    trained-filter curation end-to-end, VERDICT r12 ask #5: md5
+    dedup → NB trained trusted-vs-raw on the deduped corpus → keep
+    above-corpus-mean scores, all-integer exact oracle; e2e
+    beats-the-heuristic fixture in tests/test_curate_classifier.py;
+    r14 debut via NEXT_ROUND_BACKLOG) makes 219. The r13-added D89
+    surface (text_classifier_lr_prob — the calibrated-probability
+    face of the D86 LR, VERDICT r12 ask #6: floor(σ(z/1e6)·1e6)
+    integer micro-probs with operator-mirrored float trees, exact
+    oracle wrapping the shared _LR_ORACLE; ranking-preservation +
+    score_calibrate composition pins in tests/test_classifier_lr.py;
+    r14 debut via NEXT_ROUND_BACKLOG) makes 220. The r13-added D90
+    surface (pipeline_curate_langid — curation with the TRAINED
+    language gate, VERDICT r12 ask #7: the pipeline_curate capstone
+    filtering on D87 n-gram predictions instead of metadata labels,
+    exact composed oracle; heuristic-misroutes fixture in
+    tests/test_curate_langid.py; r14 debut via NEXT_ROUND_BACKLOG)
+    makes 221.
     """
-    assert len(REGISTRY) == 218, (
-        f"registry count changed ({len(REGISTRY)} != 218); new queries "
+    assert len(REGISTRY) == 221, (
+        f"registry count changed ({len(REGISTRY)} != 221); new queries "
         "need a rotation plan before registration"
     )
 
