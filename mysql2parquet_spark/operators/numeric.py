@@ -484,3 +484,124 @@ def trimmed_mean_report(
         "mean_raw",
         "trimmed_mean",
     )
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    z_milli: int = 3500,
+) -> DataFrame:
+    """Per-group ROBUST outlier report via median/MAD (D92 — the
+    modified z-score of Iglewicz & Hoaglin 1993: flag rows where
+    ``0.6745·|v − median| / MAD > 3.5``; unlike the D20 mean/stddev
+    z-score, one wild value cannot move the gate that judges it —
+    median and MAD each have a 50% breakdown point).
+
+    Exactness — everything that decides a flag is DECIMAL/integer:
+    values run in DECIMAL(18,2) (the B12 money discipline), doubled
+    order statistics avoid ALL division —
+
+    - ``med2 = 2·median``: the middle value doubled (odd n) or the
+      sum of the two middle values (even n) — exact scale-2 decimal;
+    - ``dev2 = |2·v − med2| = 2·|v − median|``;
+    - ``mad4 = 2·median(dev2) = 4·MAD``, same selection over dev2;
+    - flag ⟺ ``0.6745·(dev2/2) > (z_milli/1000)·(mad4/4)``; both
+      sides ×4000 clears every fraction (0.6745·2000 = 1349 exactly):
+      ``1349·dev2 > z_milli·mad4`` — an integer·decimal compare both
+      engines compute exactly (default z_milli=3500 is the paper's
+      3.5 cutoff).
+
+    ``median_x2``/``mad_x4`` are emitted as doubles of those exact
+    decimals (the naming states the scale — no lossy /2, /4). A
+    zero MAD (over half the group tied at the median) flags every
+    non-median value, the estimator's documented degeneracy. NULLs
+    are excluded from ranking and counted separately.
+
+    Scale shape: exact MAD needs two rank passes — two group-keyed
+    window exchanges + two bounded group aggregates (the per-group
+    medians relation, |groups| rows, broadcasts back). Like D70, the
+    window partitions by the group key: per-key cost at high
+    cardinality, a |groups|-task sort at low — for a low-cardinality
+    key over data that won't fit those tasks, pre-aggregate or use
+    the D39 approx profile instead (stated, the events_anomaly rule).
+    """
+    if z_milli <= 0:
+        raise ValueError(f"z_milli must be > 0: {z_milli}")
+    non_null = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_v").asc())
+    wn = Window.partitionBy(*group_cols)
+    ranked = non_null.select(
+        *group_cols,
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    ).select(
+        *group_cols,
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    lo = F.floor((F.col("_n") + 1).cast("double") / F.lit(2.0)).cast("long")
+    hi = F.floor((F.col("_n") + 2).cast("double") / F.lit(2.0)).cast("long")
+    sel = (F.col("_rn") == lo) | (F.col("_rn") == hi)
+    med = ranked.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.when(
+            F.max("_n") % 2 == 1,
+            F.lit(2) * F.sum(F.when(sel, F.col("_v"))),
+        )
+        .otherwise(F.sum(F.when(sel, F.col("_v"))))
+        .alias("_med2"),
+    )
+    dev = ranked.join(F.broadcast(med), list(group_cols)).select(
+        *group_cols,
+        "n_rows",
+        "_med2",
+        F.abs(F.lit(2) * F.col("_v") - F.col("_med2")).alias("_dev2"),
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.col("_dev2").asc())
+    dev_ranked = dev.withColumn("_rn2", F.row_number().over(w2))
+    lo2 = F.floor(
+        (F.col("n_rows") + 1).cast("double") / F.lit(2.0)
+    ).cast("long")
+    hi2 = F.floor(
+        (F.col("n_rows") + 2).cast("double") / F.lit(2.0)
+    ).cast("long")
+    sel2 = (F.col("_rn2") == lo2) | (F.col("_rn2") == hi2)
+    mad = dev_ranked.groupBy(*group_cols).agg(
+        F.when(
+            F.max("n_rows") % 2 == 1,
+            F.lit(2) * F.sum(F.when(sel2, F.col("_dev2"))),
+        )
+        .otherwise(F.sum(F.when(sel2, F.col("_dev2"))))
+        .alias("_mad4"),
+    )
+    flagged = dev.join(F.broadcast(mad), list(group_cols)).select(
+        *group_cols,
+        "n_rows",
+        "_med2",
+        "_mad4",
+        (
+            F.lit(1349) * F.col("_dev2")
+            > F.lit(int(z_milli)) * F.col("_mad4")
+        ).alias("_out"),
+    )
+    nulls = (
+        df.filter(F.col(value_col).isNull())
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_nnull"))
+    )
+    agg = flagged.groupBy(*group_cols).agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max("_med2").cast("double").alias("median_x2"),
+        F.max("_mad4").cast("double").alias("mad_x4"),
+        F.sum(F.col("_out").cast("long")).cast("long").alias("n_outliers"),
+    )
+    return agg.join(nulls, list(group_cols), "left").select(
+        *group_cols,
+        "n_rows",
+        F.coalesce(F.col("_nnull"), F.lit(0)).cast("long").alias("n_null"),
+        "median_x2",
+        "mad_x4",
+        "n_outliers",
+    )

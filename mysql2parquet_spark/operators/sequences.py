@@ -276,3 +276,91 @@ def gap_sessions(
     if value_col is not None:
         cols.append("total_value")
     return out.select(*cols)
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group CUSUM CHANGEPOINT report (D94 — Page 1954's cumulative
+    sum: the point where a series' running deviation from its overall
+    mean peaks is the maximum-likelihood single changepoint of a
+    mean-shift model; the offline face of every monitoring CUSUM
+    chart). For each group, walk the series in time order and find the
+    k maximizing ``|Σ_{i≤k}(v_i − mean)|`` — the level-shift location
+    drift dashboards (D18) want a TIMESTAMP for, not just a flag.
+
+    Exactness — no mean is ever divided: with ``P_k`` the running
+    DECIMAL(18,2) prefix sum, ``V`` the group total and ``n`` the
+    group count, ``T_k = n·P_k − k·V = n·Σ_{i≤k}(v_i − V/n)`` — the
+    CUSUM scaled by n, an exact DECIMAL both engines agree on; the
+    argmax over (|T_k| DESC, k ASC) is a total order, so the reported
+    changepoint row hash-adjudicates. The normalized magnitude
+    ``floor(|T_k|/n·1e6)`` (micro units of the raw CUSUM) is the one
+    mirrored double division. NULL values are excluded from the
+    series (stated, the D70 rule).
+
+    Scale shape: one group-keyed window exchange (running sum over
+    (ts, id) — ties broken by the unique id), a |groups|-row totals
+    relation broadcast back, one argmax rank over the same window
+    key. Like D70/D92, the window partitions by the group key: per-key
+    cost at high cardinality, a |groups|-task sort at low.
+    """
+    non_null = events.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    run = non_null.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    ).select(
+        *group_cols,
+        id_col,
+        ts_col,
+        F.sum("_v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_p"),
+        F.row_number().over(w).alias("_k"),
+    )
+    totals = non_null.groupBy(*group_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    t = run.join(F.broadcast(totals), list(group_cols)).select(
+        *group_cols,
+        id_col,
+        ts_col,
+        "_k",
+        "_n",
+        F.abs(
+            F.col("_n") * F.col("_p") - F.col("_k") * F.col("_tot")
+        ).alias("_abs_t"),
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col("_abs_t").desc(), F.col("_k").asc()
+    )
+    best = t.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") == 1
+    )
+    return best.select(
+        *group_cols,
+        F.col("_n").alias("n_rows"),
+        F.col(id_col).alias("cp_event_id"),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "cp_ts"
+        ),
+        F.col("_k").cast("long").alias("cp_k"),
+        F.floor(
+            F.col("_abs_t").cast("double")
+            / F.col("_n").cast("double")
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("cusum_micro"),
+    )

@@ -1667,3 +1667,136 @@ def ngram_langid(
         F.coalesce(F.col("_b._lang"), F.lit("und")).alias("lang_pred"),
         F.col("_b._d").alias("dist"),
     )
+
+
+def fertility_report(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source TOKENIZER-FERTILITY report (D93 — fertility = subword
+    tokens emitted per word, the standard tokenizer-efficiency measure;
+    cf. Rust et al. 2021, "How Good is Your Tokenizer?"): under the
+    BPE-ish pre-tokenization (GPT-2-style letter runs / digit runs /
+    punctuation — ``regex_tokens``), how many subword-ish tokens and
+    characters does each source pay per whitespace word? The planning
+    input D73's token budgets and D54's length buckets need: a source
+    whose fertility is 1.8× another's costs 1.8× the training tokens
+    for the same text.
+
+    Columns per source: ``n_docs``, ``n_chars``, ``n_ws_tokens``,
+    ``n_bpe_tokens``, ``bpe_per_word_micro`` (fertility),
+    ``chars_per_bpe_micro`` (compression) — ratios floor-quantized
+    ONCE to integer micro units (the D48/D81 recipe: one double
+    division mirrored operator-for-operator, so the report
+    hash-adjudicates). NULL sources are excluded (the D40 rule).
+
+    Scale shape: counting fuses into the scan projection
+    (whole-stage codegen); ONE |sources|-row aggregate with map-side
+    combine is the only exchange.
+    """
+    ws = F.size(tokens(F.col(text_col)))
+    bpe = F.size(regex_tokens(F.col(text_col)))
+    per_doc = docs.filter(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        ws.cast("long").alias("_ws"),
+        bpe.cast("long").alias("_bpe"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("_bpe").cast("long").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.floor(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_ws_tokens").cast("double")
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("bpe_per_word_micro"),
+        F.floor(
+            F.col("n_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double")
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("chars_per_bpe_micro"),
+    )
+
+
+def with_encoding_noise(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_nonascii_ratio_micro: int = 50_000,
+) -> DataFrame:
+    """ENCODING-NOISE / mojibake gate (D91 — the CCNet/C4 cleaning step
+    every crawl pipeline runs before language ID: text whose decode
+    produced U+FFFD replacement characters, stray C0 control bytes, or
+    an implausible non-ASCII density is an encoding casualty, not
+    content; cf. Wenzek et al. 2020 §3.1, Raffel et al. 2020 §2.2).
+
+    Adds per-document columns — all counts from LENGTH DIFFS against a
+    stripped copy, so they are exact in any engine:
+
+    - ``n_replacement``: U+FFFD occurrences (a literal replace — the
+      decoder's own corruption marker);
+    - ``n_control``: C0 control characters excluding tab/LF/CR, plus
+      DEL (``[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]`` — the same
+      simple character class in Java regex and RE2);
+    - ``n_nonascii``: characters outside ``[\\x00-\\x7F]``;
+    - ``nonascii_ratio_micro``: floor(n_nonascii/len·1e6), NULL for
+      empty text (no division by zero — the D72 try-contract);
+    - ``keep``: no replacement chars, no control chars, and the
+      non-ASCII ratio at or under ``max_nonascii_ratio_micro``
+      (default 5% — a LATIN-corpus prior: legitimate non-Latin text
+      exceeds it, so gate AFTER routing by language, not before).
+
+    Counts are per UTF-16 code unit on the Spark side and per
+    codepoint in engines like DuckDB; identical for BMP text (astral
+    plane emoji would count 2 vs 1 — stated, not silent).
+
+    Scale shape: one zero-shuffle projection, whole-stage codegen.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    n_repl = (
+        n - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    ).cast("long")
+    n_ctrl = (
+        n
+        - F.length(
+            F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+        )
+    ).cast("long")
+    n_na = (n - F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))).cast(
+        "long"
+    )
+    ratio = F.when(
+        n > 0,
+        F.floor(
+            n_na.cast("double") / n.cast("double") * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    return df.withColumns(
+        {
+            "n_replacement": n_repl,
+            "n_control": n_ctrl,
+            "n_nonascii": n_na,
+            "nonascii_ratio_micro": ratio,
+            "keep": (n_repl == 0)
+            & (n_ctrl == 0)
+            & F.coalesce(
+                ratio <= F.lit(max_nonascii_ratio_micro), F.lit(True)
+            ),
+        }
+    )

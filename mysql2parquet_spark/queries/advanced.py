@@ -364,6 +364,166 @@ def events_trimmed_mean(spark, sf_dir):
 
 
 @register(
+    "events_mad_outliers",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    nn AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n_rows,
+             CASE WHEN MAX(n) % 2 = 1
+                  THEN 2 * SUM(v) FILTER (
+                         rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                         OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+                  ELSE SUM(v) FILTER (
+                         rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                         OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT))
+             END AS med2
+      FROM nn GROUP BY event_type
+    ),
+    dev AS (
+      SELECT nn.event_type, med.n_rows, med.med2,
+             ABS(2 * v - med2) AS dev2
+      FROM nn JOIN med USING (event_type)
+    ),
+    dr AS (
+      SELECT event_type, n_rows, dev2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2)
+               AS rn2
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             CASE WHEN MAX(n_rows) % 2 = 1
+                  THEN 2 * SUM(dev2) FILTER (
+                         rn2 = CAST(FLOOR((n_rows + 1) / 2.0) AS BIGINT)
+                         OR rn2 = CAST(FLOOR((n_rows + 2) / 2.0)
+                                       AS BIGINT))
+                  ELSE SUM(dev2) FILTER (
+                         rn2 = CAST(FLOOR((n_rows + 1) / 2.0) AS BIGINT)
+                         OR rn2 = CAST(FLOOR((n_rows + 2) / 2.0)
+                                       AS BIGINT))
+             END AS mad4
+      FROM dr GROUP BY event_type
+    ),
+    fl AS (
+      SELECT dev.event_type, dev.n_rows, dev.med2, mad.mad4,
+             (1349 * dev2 > 3500 * mad4) AS isout
+      FROM dev JOIN mad USING (event_type)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+             CAST(MAX(med2) AS DOUBLE) AS median_x2,
+             CAST(MAX(mad4) AS DOUBLE) AS mad_x4,
+             CAST(SUM(CASE WHEN isout THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM fl GROUP BY event_type
+    ),
+    nulls AS (
+      SELECT event_type, COUNT(*) AS n_null
+      FROM events WHERE value IS NULL GROUP BY event_type
+    )
+    SELECT agg.event_type, n_rows,
+           CAST(COALESCE(n_null, 0) AS BIGINT) AS n_null,
+           median_x2, mad_x4, n_outliers
+    FROM agg LEFT JOIN nulls USING (event_type)
+    """,
+    "D92: per-group ROBUST outlier report via median/MAD (Iglewicz & "
+    "Hoaglin 1993 modified z-score, 0.6745*|v-med|/MAD > 3.5) -- "
+    "unlike the D20 mean/stddev z-score, one wild value cannot move "
+    "the gate that judges it (50% breakdown point). Everything that "
+    "decides a flag is DECIMAL/integer: doubled order statistics "
+    "(med2 = 2*median, mad4 = 4*MAD) avoid all division, and the "
+    "cutoff clears fractions exactly (x4000: 1349*dev2 > 3500*mad4), "
+    "so the REPORT -- counts included -- hash-adjudicates. Zero MAD "
+    "(half the group tied) flags every non-median value: the "
+    "estimator's documented degeneracy. Two group-keyed window "
+    "exchanges (exact MAD needs two rank passes) + bounded medians "
+    "relations broadcast back; NULLs counted separately.",
+)
+def events_mad_outliers(spark, sf_dir):
+    from mysql2parquet_spark.operators.numeric import mad_outlier_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    return mad_outlier_report(ev, "value", ["event_type"])
+
+
+@register(
+    "events_changepoint",
+    """
+    WITH base AS (
+      SELECT event_type, event_id, ts,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    run AS (
+      SELECT event_type, event_id, ts,
+             SUM(v) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS p,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS k
+      FROM base
+    ),
+    tot AS (
+      SELECT event_type, SUM(v) AS tot, COUNT(*) AS n
+      FROM base GROUP BY event_type
+    ),
+    t AS (
+      SELECT run.event_type, event_id, ts, k, n,
+             ABS(n * p - k * tot) AS abs_t
+      FROM run JOIN tot USING (event_type)
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs_t DESC, k ASC) AS rn
+      FROM t
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           event_id AS cp_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts,
+           CAST(k AS BIGINT) AS cp_k,
+           CAST(FLOOR(CAST(abs_t AS DOUBLE) / CAST(n AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS cusum_micro
+    FROM best WHERE rn = 1
+    """,
+    "D94: per-group CUSUM changepoint report (Page 1954: the k "
+    "maximizing |sum_{i<=k}(v_i - mean)| is the max-likelihood single "
+    "mean-shift changepoint -- the offline face of every monitoring "
+    "CUSUM chart, giving D18's drift dashboards a WHEN, not just a "
+    "flag). No mean is ever divided: T_k = n*P_k - k*V is the CUSUM "
+    "scaled by n, exact DECIMAL arithmetic; the argmax over "
+    "(|T_k| DESC, k ASC) is a total order with (ts, event_id) "
+    "tie-broken series order, so the reported changepoint row "
+    "hash-adjudicates; the normalized magnitude floor(|T|/n*1e6) is "
+    "the one mirrored double division. One group-keyed running-sum "
+    "window + a |groups|-row totals broadcast + one argmax rank on "
+    "the same key; NULL values excluded, stated.",
+)
+def events_changepoint(spark, sf_dir):
+    from mysql2parquet_spark.operators.sequences import (
+        cusum_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    return cusum_changepoint(ev, "value", ["event_type"])
+
+
+@register(
     "events_attribution",
     """
     WITH conv AS (

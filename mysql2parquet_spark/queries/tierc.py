@@ -5226,3 +5226,125 @@ def pipeline_curate_langid(spark, sf_dir):
         d, min_quality=0.2, languages=["en", "es", "de", "fr", "zh"]
     )
     return curation_report(curated, group_col="lang_pred")
+
+
+@register(
+    "text_fertility",
+    r"""
+    WITH per_doc AS (
+      SELECT source,
+             len(text) AS ch,
+             len(string_split(trim(text), ' ')) AS ws,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+      FROM documents WHERE source IS NOT NULL
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ch) AS BIGINT) AS n_chars,
+             CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+           CAST(FLOOR(CAST(n_bpe_tokens AS DOUBLE)
+                      / CAST(n_ws_tokens AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS bpe_per_word_micro,
+           CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                      / CAST(n_bpe_tokens AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS chars_per_bpe_micro
+    FROM agg
+    """,
+    "D93: per-source tokenizer-FERTILITY report (fertility = subword "
+    "tokens per word, the tokenizer-efficiency measure of Rust et al. "
+    "2021): chars / whitespace words / BPE-ish pre-tokens (the C4 "
+    "regex tokenizer) per source, with fertility and chars-per-token "
+    "ratios floor-quantized once to integer micro units (the D48/D81 "
+    "recipe) so the report hash-adjudicates. The planning input for "
+    "D73 token budgets and D54 length buckets: a 1.8x-fertility "
+    "source costs 1.8x the training tokens for the same text. "
+    "Counting fuses into the scan projection; ONE |sources|-row "
+    "map-side-combined aggregate is the only exchange.",
+)
+def text_fertility(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("source", "text")
+    return text.fertility_report(d)
+
+
+@register(
+    "text_mojibake",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' ' ||
+                       repeat(chr(65533), CAST(1 + doc_id % 5 AS INT))
+                       || chr(7)
+                  ELSE text END AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             len(t) AS n,
+             len(t) - len(replace(t, chr(65533), '')) AS n_replacement,
+             len(t) - len(regexp_replace(t,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_control,
+             len(t) - len(regexp_replace(t, '[^\x00-\x7F]', '', 'g'))
+               AS n_nonascii
+      FROM planted
+    )
+    SELECT doc_id,
+           CAST(n_replacement AS BIGINT) AS n_replacement,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_nonascii AS BIGINT) AS n_nonascii,
+           CASE WHEN n > 0
+                THEN CAST(FLOOR(CAST(n_nonascii AS DOUBLE)
+                                / CAST(n AS DOUBLE) * 1000000.0)
+                          AS BIGINT) END AS nonascii_ratio_micro,
+           (n_replacement = 0 AND n_control = 0
+            AND COALESCE(CASE WHEN n > 0
+                  THEN CAST(FLOOR(CAST(n_nonascii AS DOUBLE)
+                                  / CAST(n AS DOUBLE) * 1000000.0)
+                            AS BIGINT) END <= 50000, TRUE)) AS keep
+    FROM counted
+    """,
+    "D91: ENCODING-NOISE / mojibake gate (the CCNet/C4 cleaning step "
+    "before language ID -- Wenzek et al. 2020: U+FFFD replacement "
+    "chars, stray C0 control bytes, implausible non-ASCII density "
+    "mark decode casualties, not content). The sf corpus is pure "
+    "ASCII, so noise is PLANTED deterministically (doc_id % 7: 1-5 "
+    "U+FFFD + one BEL, identical literals in both engines -- the "
+    "D47/D80 planted-fixture precedent), making the whole "
+    "count->ratio->keep gate exactly hash-adjudicated and "
+    "non-vacuous. Counts are length-diffs against stripped copies "
+    "(exact in any engine); ratio floor-quantized to micro units, "
+    "NULL on empty text; one zero-shuffle codegen projection.",
+)
+def text_mojibake(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.repeat(
+                    F.lit("�"),
+                    (F.lit(1) + F.col("doc_id") % 5).cast("int"),
+                ),
+                F.lit("\x07"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.with_encoding_noise(planted).select(
+        "doc_id",
+        "n_replacement",
+        "n_control",
+        "n_nonascii",
+        "nonascii_ratio_micro",
+        "keep",
+    )

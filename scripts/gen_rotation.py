@@ -57,6 +57,24 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # instead of metadata labels; exact composed oracle;
     # heuristic-misroutes fixture in tests/test_curate_langid.py.
     "pipeline_curate_langid",
+    # D91 encoding-noise / mojibake gate (CCNet/C4 cleaning step,
+    # Wenzek et al. 2020): U+FFFD / control / non-ASCII counts as
+    # exact length-diffs; noise planted deterministically (D47/D80
+    # precedent) so the gate is non-vacuous; Python twin in
+    # tests/test_mojibake.py.
+    "text_mojibake",
+    # D92 median/MAD robust outlier report (Iglewicz & Hoaglin 1993
+    # modified z-score): doubled DECIMAL order statistics, fraction-
+    # free cutoff; Decimal twin in tests/test_mad_outliers.py.
+    "events_mad_outliers",
+    # D93 per-source tokenizer-fertility report (Rust et al. 2021):
+    # chars/words/BPE-ish tokens + micro ratios, one aggregate;
+    # Python twin in tests/test_fertility.py.
+    "text_fertility",
+    # D94 CUSUM mean-shift changepoint (Page 1954): T_k = n·P_k − k·V
+    # exact-DECIMAL argmax, no divided mean; Decimal twin +
+    # planted-shift test in tests/test_changepoint.py.
+    "events_changepoint",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -517,10 +517,31 @@ def test_registry_count_is_planned():
     filtering on D87 n-gram predictions instead of metadata labels,
     exact composed oracle; heuristic-misroutes fixture in
     tests/test_curate_langid.py; r14 debut via NEXT_ROUND_BACKLOG)
-    makes 221.
+    makes 221. The r13-added D91 surface (text_mojibake — the
+    CCNet/C4 encoding-noise gate: U+FFFD / C0-control / non-ASCII
+    density counts as exact length-diffs, noise PLANTED
+    deterministically into the pure-ASCII corpus per the D47/D80
+    precedent so the gate is non-vacuous; exact oracle + Python twin
+    in tests/test_mojibake.py; r14 debut via NEXT_ROUND_BACKLOG)
+    makes 222. The r13-added D92 surface (events_mad_outliers —
+    median/MAD modified z-score outlier report, Iglewicz & Hoaglin
+    1993: doubled DECIMAL order statistics avoid all division and the
+    3.5 cutoff clears fractions exactly (1349·dev2 > 3500·mad4);
+    exact oracle + Decimal twin in tests/test_mad_outliers.py; r14
+    debut via NEXT_ROUND_BACKLOG) makes 223. The r13-added D93
+    surface (text_fertility — per-source tokenizer-fertility report,
+    Rust et al. 2021: chars/words/BPE-ish tokens with micro-quantized
+    ratios, ONE map-side-combined aggregate; exact oracle + Python
+    twin in tests/test_fertility.py; r14 debut via
+    NEXT_ROUND_BACKLOG) makes 224. The r13-added D94 surface
+    (events_changepoint — Page 1954 CUSUM mean-shift changepoint:
+    T_k = n·P_k − k·V keeps the whole argmax in exact DECIMAL with
+    no divided mean, (ts, id)-tie-broken series order; exact oracle
+    + Decimal twin + planted-shift test in tests/test_changepoint.py;
+    r14 debut via NEXT_ROUND_BACKLOG) makes 225.
     """
-    assert len(REGISTRY) == 221, (
-        f"registry count changed ({len(REGISTRY)} != 221); new queries "
+    assert len(REGISTRY) == 225, (
+        f"registry count changed ({len(REGISTRY)} != 225); new queries "
         "need a rotation plan before registration"
     )
 
