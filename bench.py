@@ -255,6 +255,15 @@ def main() -> None:
         "dedup_minhash_planned",
         "text_classifier_lr",
         "text_langid_ngram",
+        # r13-added D88-D94 (r14 debuts) — same ride-along rule
+        "pipeline_curate_classifier",
+        "text_classifier_lr_prob",
+        "pipeline_curate_langid",
+        "text_mojibake",
+        "events_mad_outliers",
+        "text_fertility",
+        "events_changepoint",
+        "text_classifier_agreement",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

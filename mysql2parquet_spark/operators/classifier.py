@@ -376,3 +376,97 @@ def with_prob_micro(
     z = F.col(score_col).cast("double") / F.lit(1_000_000.0)
     p = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1_000_000.0)
     return scored.withColumn(out_col, F.floor(p).cast("long"))
+
+
+def classifier_agreement(
+    scored_a: DataFrame,
+    scored_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pred_col: str = "pred_target",
+) -> DataFrame:
+    """Cohen's KAPPA agreement between two classifiers (D95 — Cohen
+    1960, "A coefficient of agreement for nominal scales": raw
+    agreement corrected for the agreement two independent raters would
+    reach by chance; the standard audit before trusting a cheap
+    classifier as a proxy for an expensive one). Here: do the
+    closed-form NB (D75) and the gradient-trained LR (D86) keep/drop
+    the same documents?
+
+    One output row: the 2×2 confusion counts (``n11`` both-keep …
+    ``n00`` both-drop), raw agreement and kappa in integer micro
+    units, and the Landis & Koch 1977 verbal band (``poor`` < 0 ≤
+    ``slight`` ≤ 0.2 < ``fair`` ≤ 0.4 < ``moderate`` ≤ 0.6 <
+    ``substantial`` ≤ 0.8 < ``almost_perfect``).
+
+    Exactness: with N docs, ``kappa = (N·(n11+n00) − E) / (N² − E)``
+    where ``E = (n11+n10)(n11+n01) + (n01+n00)(n10+n00)`` — numerator
+    and denominator are exact int64 (N² overflows past N ≈ 3·10⁹
+    docs — sample first at that scale, stated), and the one mirrored
+    double division floor-quantizes to micro units, so the report
+    hash-adjudicates. Documents scored by only one side are excluded
+    by the inner join (both classifiers share the zero-token-absent
+    contract, so the joined set is the common corpus).
+
+    Scale shape: one id-keyed equi-join (both sides already partition
+    by id out of their score aggregates) + ONE 1-row conditional
+    aggregate.
+    """
+    a = scored_a.select(
+        F.col(id_col), F.col(pred_col).alias("_pa")
+    )
+    b = scored_b.select(
+        F.col(id_col), F.col(pred_col).alias("_pb")
+    )
+    j = a.join(b, id_col)
+    counts = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_pa") & F.col("_pb")).cast("long"))
+        .cast("long")
+        .alias("n11"),
+        F.sum((F.col("_pa") & ~F.col("_pb")).cast("long"))
+        .cast("long")
+        .alias("n10"),
+        F.sum((~F.col("_pa") & F.col("_pb")).cast("long"))
+        .cast("long")
+        .alias("n01"),
+        F.sum((~F.col("_pa") & ~F.col("_pb")).cast("long"))
+        .cast("long")
+        .alias("n00"),
+    )
+    n = F.col("n_docs")
+    e = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    num = n * (F.col("n11") + F.col("n00")) - e
+    den = n * n - e
+    kappa = F.when(
+        den != 0,
+        F.floor(
+            num.cast("double") / den.cast("double") * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    agree = F.floor(
+        (F.col("n11") + F.col("n00")).cast("double")
+        / n.cast("double")
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    band = (
+        F.when(kappa.isNull(), F.lit("undefined"))
+        .when(kappa < 0, F.lit("poor"))
+        .when(kappa <= 200_000, F.lit("slight"))
+        .when(kappa <= 400_000, F.lit("fair"))
+        .when(kappa <= 600_000, F.lit("moderate"))
+        .when(kappa <= 800_000, F.lit("substantial"))
+        .otherwise(F.lit("almost_perfect"))
+    )
+    return counts.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        agree.alias("agree_micro"),
+        kappa.alias("kappa_micro"),
+        band.alias("band"),
+    )

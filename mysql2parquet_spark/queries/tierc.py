@@ -4281,9 +4281,10 @@ def dedup_lsh_plan(spark, sf_dir):
     )
 
 
-@register(
-    "text_classifier_nb",
-    r"""
+# Exact NB-classifier oracle (D75) — shared verbatim by
+# text_classifier_nb and the D95 agreement face, which joins it
+# against the LR oracle.
+_NB_ORACLE = r"""
     WITH lab AS (
       SELECT doc_id, text,
              (source IN ('src1', 'src3')) AS is_t
@@ -4330,7 +4331,12 @@ def dedup_lsh_plan(spark, sf_dir):
              AS pred_target
     FROM dc JOIN lam USING (b), pri
     GROUP BY dc.doc_id
-    """,
+"""
+
+
+@register(
+    "text_classifier_nb",
+    _NB_ORACLE,
     "D75: trained quality classifier -- the fastText-style corpus "
     "filter (Brown et al. 2020 Appendix A: score raw text against a "
     "trusted reference domain, keep what the classifier likes; Joulin "
@@ -5270,6 +5276,84 @@ def pipeline_curate_langid(spark, sf_dir):
 def text_fertility(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("source", "text")
     return text.fertility_report(d)
+
+
+@register(
+    "text_classifier_agreement",
+    """
+    WITH j AS (
+      SELECT a.pred_target AS pa, b.pred_target AS pb
+      FROM ("""
+    + _NB_ORACLE
+    + """) AS a JOIN ("""
+    + _LR_ORACLE
+    + """) AS b USING (doc_id)
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN pa AND pb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM j
+    ),
+    k1 AS (
+      SELECT n_docs, n11, n10, n01, n00,
+             CAST(FLOOR(CAST(n11 + n00 AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS agree_micro,
+             CASE WHEN n_docs * n_docs
+                       - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00)) <> 0
+                  THEN CAST(FLOOR(
+                    CAST(n_docs * (n11 + n00)
+                         - ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                    / CAST(n_docs * n_docs
+                           - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                    * 1000000.0) AS BIGINT)
+             END AS kappa_micro
+      FROM c
+    )
+    SELECT n_docs, n11, n10, n01, n00, agree_micro, kappa_micro,
+           CASE WHEN kappa_micro IS NULL THEN 'undefined'
+                WHEN kappa_micro < 0 THEN 'poor'
+                WHEN kappa_micro <= 200000 THEN 'slight'
+                WHEN kappa_micro <= 400000 THEN 'fair'
+                WHEN kappa_micro <= 600000 THEN 'moderate'
+                WHEN kappa_micro <= 800000 THEN 'substantial'
+                ELSE 'almost_perfect' END AS band
+    FROM k1
+    """,
+    "D95: Cohen's KAPPA agreement between the two trained classifiers "
+    "(Cohen 1960: raw agreement corrected for chance; Landis & Koch "
+    "1977 verbal bands) -- does the closed-form NB (D75) keep/drop "
+    "the same documents as the gradient-trained LR (D86)? The audit "
+    "run before trusting the cheap classifier as a proxy for the "
+    "expensive one. 2x2 confusion counts + agreement + kappa, all "
+    "from exact int64 arithmetic (kappa = (N*(n11+n00) - E)/(N^2 - E) "
+    "with E the chance-agreement cross product; one mirrored double "
+    "division floor-quantized to micro units) so the report "
+    "hash-adjudicates. One id-keyed equi-join of the two score "
+    "relations + ONE 1-row conditional aggregate.",
+)
+def text_classifier_agreement(spark, sf_dir):
+    from mysql2parquet_spark.operators.classifier import (
+        classifier_agreement,
+        lr_classifier_score,
+        nb_classifier_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_t = F.col("source").isin("src1", "src3")
+    a = nb_classifier_score(d, is_t)
+    b = lr_classifier_score(d, is_t, epochs=2, lr=0.5)
+    return classifier_agreement(a, b)
 
 
 @register(

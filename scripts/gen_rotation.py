@@ -75,6 +75,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # exact-DECIMAL argmax, no divided mean; Decimal twin +
     # planted-shift test in tests/test_changepoint.py.
     "events_changepoint",
+    # D95 Cohen's-kappa agreement between the D75/D86 classifiers
+    # (Cohen 1960; Landis & Koch 1977 bands): exact int64 confusion
+    # + chance arithmetic; Python twin in tests/test_agreement.py.
+    "text_classifier_agreement",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -538,10 +538,16 @@ def test_registry_count_is_planned():
     T_k = n·P_k − k·V keeps the whole argmax in exact DECIMAL with
     no divided mean, (ts, id)-tie-broken series order; exact oracle
     + Decimal twin + planted-shift test in tests/test_changepoint.py;
-    r14 debut via NEXT_ROUND_BACKLOG) makes 225.
+    r14 debut via NEXT_ROUND_BACKLOG) makes 225. The r13-added D95
+    surface (text_classifier_agreement — Cohen's kappa between the
+    D75 NB and D86 LR keep/drop decisions, Cohen 1960 + Landis-Koch
+    bands: exact int64 confusion/chance arithmetic, one mirrored
+    division; exact oracle composing the shared _NB_ORACLE/_LR_ORACLE;
+    Python twin + canonical-value tests in tests/test_agreement.py;
+    r14 debut via NEXT_ROUND_BACKLOG) makes 226.
     """
-    assert len(REGISTRY) == 225, (
-        f"registry count changed ({len(REGISTRY)} != 225); new queries "
+    assert len(REGISTRY) == 226, (
+        f"registry count changed ({len(REGISTRY)} != 226); new queries "
         "need a rotation plan before registration"
     )
 
