@@ -264,6 +264,7 @@ def main() -> None:
         "text_fertility",
         "events_changepoint",
         "text_classifier_agreement",
+        "text_classifier_auc",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

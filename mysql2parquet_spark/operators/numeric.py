@@ -605,3 +605,87 @@ def mad_outlier_report(
         "mad_x4",
         "n_outliers",
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ranking AUC (D96 — the Mann-Whitney/rank-sum identity,
+    Hanley & McNeil 1982: AUC = P(score_pos > score_neg) + ½·P(tie) —
+    THE standard threshold-free quality measure for a trained scorer;
+    here, the evaluation face the D75/D86 classifiers were missing:
+    does the score actually rank trusted documents above raw ones?).
+
+    One output row: ``(n_docs, n_pos, n_neg, auc_micro)`` with
+    ``auc_micro = floor(AUC·1e6)`` — NULL when either class is empty
+    (AUC undefined, stated not silent).
+
+    Exactness without a global sort: group by DISTINCT score
+    (``(s, n_pos_s, n_neg_s)``), then
+    ``AUC·2PN = Σ_s n_pos_s·(2·cneg_below(s) + n_neg_s)`` — ties
+    contribute their half-credit exactly, everything int64 up to
+    ~3·10⁹ docs (the D95 bound, stated). The cumulative
+    ``cneg_below`` uses the D45/D61 distributed-ORDER-BY machinery:
+    ``repartitionByRange(score)`` (equal scores colocate), a
+    within-partition running sum, and a |partitions|-row offset
+    relation broadcast back — every stage data-parallel, no
+    single-task window. The one double division floor-quantizes to
+    micro units, so the measure hash-adjudicates.
+    """
+    base = df.select(
+        F.col(score_col).alias("_s"), F.col(label_col).alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    g = base.groupBy("_s").agg(
+        F.sum(F.col("_y").cast("long")).alias("_np"),
+        F.sum((~F.col("_y")).cast("long")).alias("_nn"),
+    )
+    parts = (
+        g.repartitionByRange(num_partitions, F.col("_s"))
+        if num_partitions is not None
+        else g.repartitionByRange(F.col("_s"))
+    ).withColumn("_pid", F.spark_partition_id())
+    pcounts = parts.groupBy("_pid").agg(F.sum("_nn").alias("_pnn"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = pcounts.select(
+        "_pid",
+        F.coalesce(F.sum("_pnn").over(woff), F.lit(0)).alias("_noff"),
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = parts.withColumn(
+        "_cl", F.coalesce(F.sum("_nn").over(wloc), F.lit(0))
+    ).join(F.broadcast(offsets), "_pid")
+    t = c.agg(
+        F.sum(
+            F.col("_np")
+            * (
+                F.lit(2) * (F.col("_cl") + F.col("_noff"))
+                + F.col("_nn")
+            )
+        ).alias("_num2"),
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.floor(
+            F.col("_num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+            * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    return t.select(
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_docs"),
+        "n_pos",
+        "n_neg",
+        auc.alias("auc_micro"),
+    )

@@ -5357,6 +5357,71 @@ def text_classifier_agreement(spark, sf_dir):
 
 
 @register(
+    "text_classifier_auc",
+    """
+    WITH sc AS (
+      SELECT q.score_micro AS s,
+             (d.source IN ('src1', 'src3')) AS y
+      FROM ("""
+    + _LR_ORACLE
+    + """) AS q JOIN documents d USING (doc_id)
+    ),
+    g AS (
+      SELECT s,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM sc GROUP BY s
+    ),
+    c AS (
+      SELECT s, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg
+      FROM g
+    ),
+    t AS (
+      SELECT SUM(np * (2 * cneg + nn)) AS num2,
+             SUM(np) AS p, SUM(nn) AS n
+      FROM c
+    )
+    SELECT CAST(p + n AS BIGINT) AS n_docs,
+           CAST(p AS BIGINT) AS n_pos,
+           CAST(n AS BIGINT) AS n_neg,
+           CASE WHEN p > 0 AND n > 0
+                THEN CAST(FLOOR(CAST(num2 AS DOUBLE)
+                                / CAST(2 * p * n AS DOUBLE)
+                                * 1000000.0) AS BIGINT)
+           END AS auc_micro
+    FROM t
+    """,
+    "D96: EXACT ranking AUC of the D86 LR score against the trusted "
+    "label (Mann-Whitney/rank-sum identity, Hanley & McNeil 1982: "
+    "AUC = P(score_pos > score_neg) + half-credit ties) -- the "
+    "threshold-free evaluation face the trained classifiers were "
+    "missing: does the score actually rank trusted documents above "
+    "raw ones? AUC*2PN = sum over distinct scores of "
+    "np*(2*cneg_below + nn) -- all int64, ties exact, ONE mirrored "
+    "floor-quantized division -- so the measure hash-adjudicates. "
+    "The cumulative negative count runs on the D45/D61 "
+    "distributed-ORDER-BY machinery (range partition + offsets "
+    "broadcast), no single-task sort; NULL AUC when either class is "
+    "empty, stated.",
+)
+def text_classifier_auc(spark, sf_dir):
+    from mysql2parquet_spark.operators.classifier import (
+        lr_classifier_score,
+    )
+    from mysql2parquet_spark.operators.numeric import exact_auc
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_t = F.col("source").isin("src1", "src3")
+    scored = lr_classifier_score(d, is_t, epochs=2, lr=0.5).join(
+        d.select("doc_id", is_t.alias("y")), "doc_id"
+    )
+    return exact_auc(scored, "score_micro", "y")
+
+
+@register(
     "text_mojibake",
     r"""
     WITH planted AS (

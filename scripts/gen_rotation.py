@@ -79,6 +79,11 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # (Cohen 1960; Landis & Koch 1977 bands): exact int64 confusion
     # + chance arithmetic; Python twin in tests/test_agreement.py.
     "text_classifier_agreement",
+    # D96 exact Mann-Whitney ranking AUC of the D86 score vs the
+    # trusted label (Hanley & McNeil 1982): tie-exact distinct-score
+    # arithmetic on the D45/D61 range-partition machinery; Python
+    # twin in tests/test_auc.py.
+    "text_classifier_auc",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

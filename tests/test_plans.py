@@ -476,6 +476,10 @@ BROADCAST_ALLOWLIST = {
         "|groups|-row total/count relation joined back onto the "
         "running-sum rows — bounded by group cardinality, never the "
         "data",
+    ("operators/numeric.py", "exact_auc"):
+        "|partitions|-row negative-count offset relation (the "
+        "D45/D61 distributed-ORDER-BY machinery) — bounded by the "
+        "partition count, never the data",
 }
 
 

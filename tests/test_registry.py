@@ -544,10 +544,17 @@ def test_registry_count_is_planned():
     bands: exact int64 confusion/chance arithmetic, one mirrored
     division; exact oracle composing the shared _NB_ORACLE/_LR_ORACLE;
     Python twin + canonical-value tests in tests/test_agreement.py;
-    r14 debut via NEXT_ROUND_BACKLOG) makes 226.
+    r14 debut via NEXT_ROUND_BACKLOG) makes 226. The r13-added D96
+    surface (text_classifier_auc — exact Mann-Whitney ranking AUC of
+    the D86 LR score vs the trusted label, Hanley & McNeil 1982:
+    distinct-score tie-exact int64 arithmetic on the D45/D61
+    range-partition machinery, no single-task sort, one mirrored
+    division; exact oracle composing _LR_ORACLE; Python twin +
+    perfect/inverted/tied/partitioning tests in tests/test_auc.py;
+    r14 debut via NEXT_ROUND_BACKLOG) makes 227.
     """
-    assert len(REGISTRY) == 226, (
-        f"registry count changed ({len(REGISTRY)} != 226); new queries "
+    assert len(REGISTRY) == 227, (
+        f"registry count changed ({len(REGISTRY)} != 227); new queries "
         "need a rotation plan before registration"
     )
 
