@@ -265,6 +265,7 @@ def main() -> None:
         "events_changepoint",
         "text_classifier_agreement",
         "text_classifier_auc",
+        "drift_wasserstein",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

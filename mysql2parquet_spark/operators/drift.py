@@ -239,3 +239,106 @@ def drift_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def wasserstein_drift(
+    docs: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group WASSERSTEIN-1 distance to the pool (D97 — the earth
+    mover's distance on the line: W₁(A, B) = ∫|CDF_A − CDF_B| dx,
+    Vallender 1974's closed form; the drift metric PSI/JS/TV cannot
+    be: those are BIN-WISE and blind to HOW FAR mass moved — a +10
+    shift and a +1000 shift of the same mass score identically once
+    they leave the bin, while W₁ reports the actual transport cost in
+    the column's own units).
+
+    One row per group: ``(group, n_docs, w1_milli)`` where
+    ``w1_milli = floor(1000·W₁(group, pool))`` against the pooled
+    distribution of all non-NULL-group rows.
+
+    Exactness — the entire computation is INTEGER (not even one
+    mirrored double division): on the pool's sorted distinct support
+    x₁<…<x_m, with cumulative counts cumA over the group (size N_A)
+    and cumB over the pool (size N_B),
+
+        W₁·N_A·N_B = Σᵢ |N_B·cumAᵢ − N_A·cumBᵢ| · (xᵢ₊₁ − xᵢ)
+
+    and ``w1_milli = (1000·Σ) div (N_A·N_B)`` — int64 throughout
+    (bound: N_B·cumA ≤ N_B·N_A, times the support span; overflows
+    past ~10⁹·span, stated — sample first at that scale).
+
+    Scale shape: the data-scale work is TWO value-keyed count
+    aggregates (per-group and pool, map-side combined); everything
+    after runs on the |groups|·|support| grid — value-bounded, not
+    data-bounded (an integer measurement column has bounded support;
+    for a near-continuous double column, bucket first with
+    ``sketches.histogram_sketch`` and run W₁ on the bins). The grid
+    cross join broadcasts the bounded support list; the per-group
+    cumulative is a window over the aggregated grid.
+    """
+    base = docs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_x")
+    )
+    vals = base.select("_x").distinct()
+    pool = base.groupBy("_x").agg(F.count(F.lit(1)).alias("_cb"))
+    srcs = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_na")
+    )
+    per = base.groupBy("_g", "_x").agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    nb = base.agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .join(per, ["_g", "_x"], "left")
+        .join(F.broadcast(pool), "_x")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "_g",
+            "_x",
+            "_na",
+            "_nb",
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
+            "_cb",
+        )
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_x").asc())
+    cum = grid.select(
+        "_g",
+        "_x",
+        "_na",
+        "_nb",
+        F.sum("_ca")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cuma"),
+        F.sum("_cb")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cumb"),
+        F.lead("_x").over(w).alias("_nx"),
+    )
+    terms = cum.filter(F.col("_nx").isNotNull()).select(
+        "_g",
+        "_na",
+        "_nb",
+        (
+            F.abs(
+                F.col("_nb") * F.col("_cuma")
+                - F.col("_na") * F.col("_cumb")
+            )
+            * (F.col("_nx") - F.col("_x"))
+        ).alias("_t"),
+    )
+    agg = terms.groupBy("_g").agg(
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+        F.sum("_t").cast("long").alias("_isum"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_na").cast("long").alias("n_docs"),
+        F.expr("(_isum * 1000) div (_na * _nb)")
+        .cast("long")
+        .alias("w1_milli"),
+    )

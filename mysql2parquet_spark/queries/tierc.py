@@ -5422,6 +5422,63 @@ def text_classifier_auc(spark, sf_dir):
 
 
 @register(
+    "drift_wasserstein",
+    """
+    WITH base AS (
+      SELECT source AS g, n_chars AS x FROM documents
+      WHERE source IS NOT NULL
+    ),
+    vals AS (SELECT DISTINCT x FROM base),
+    pool AS (SELECT x, COUNT(*) AS cb FROM base GROUP BY x),
+    srcs AS (SELECT g, COUNT(*) AS na FROM base GROUP BY g),
+    per AS (SELECT g, x, COUNT(*) AS ca FROM base GROUP BY g, x),
+    nbt AS (SELECT COUNT(*) AS nb FROM base),
+    grid AS (
+      SELECT s.g, v.x, s.na, nbt.nb, COALESCE(p.ca, 0) AS ca, pl.cb
+      FROM srcs s CROSS JOIN vals v
+      LEFT JOIN per p ON p.g = s.g AND p.x = v.x
+      JOIN pool pl ON pl.x = v.x, nbt
+    ),
+    cum AS (
+      SELECT g, x, na, nb,
+             SUM(ca) OVER (PARTITION BY g ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (PARTITION BY g ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS cumb,
+             LEAD(x) OVER (PARTITION BY g ORDER BY x) AS nx
+      FROM grid
+    ),
+    agg AS (
+      SELECT g, MAX(na) AS na, MAX(nb) AS nb,
+             SUM(ABS(nb * cuma - na * cumb) * (nx - x)) AS isum
+      FROM cum WHERE nx IS NOT NULL GROUP BY g
+    )
+    SELECT g AS source, CAST(na AS BIGINT) AS n_docs,
+           CAST((isum * 1000) // (na * nb) AS BIGINT) AS w1_milli
+    FROM agg
+    """,
+    "D97: per-source WASSERSTEIN-1 distance to the pool over "
+    "documents.n_chars (the earth mover's distance on the line, "
+    "W1 = integral |CDF_A - CDF_B| dx, Vallender 1974) -- the drift "
+    "metric D18's PSI/JS/TV cannot be: bin-wise divergences are "
+    "blind to HOW FAR mass moved, W1 reports the transport cost in "
+    "the column's own units. The ENTIRE computation is integer "
+    "(W1*Na*Nb = sum |Nb*cumA - Na*cumB| * dx on the pool's sorted "
+    "support, then (1000*sum) div (Na*Nb) -- not even one double), "
+    "so it hash-adjudicates with no quantization recipe at all. "
+    "Data-scale work is two value-keyed count aggregates; the grid, "
+    "cumulative windows, and reduction all run on the "
+    "|sources|x|support| relation (value-bounded -- bucket "
+    "continuous columns first, stated).",
+)
+def drift_wasserstein(spark, sf_dir):
+    from mysql2parquet_spark.operators.drift import wasserstein_drift
+
+    d = T(spark, sf_dir, "documents").select("source", "n_chars")
+    return wasserstein_drift(d, "n_chars", "source")
+
+
+@register(
     "text_mojibake",
     r"""
     WITH planted AS (

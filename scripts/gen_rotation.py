@@ -84,6 +84,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # arithmetic on the D45/D61 range-partition machinery; Python
     # twin in tests/test_auc.py.
     "text_classifier_auc",
+    # D97 per-source Wasserstein-1 drift vs the pool (Vallender 1974
+    # closed form): fully integer transport cost on the pool support;
+    # Python twin + shift-magnitude tests in tests/test_wasserstein.py.
+    "drift_wasserstein",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -480,6 +480,10 @@ BROADCAST_ALLOWLIST = {
         "|partitions|-row negative-count offset relation (the "
         "D45/D61 distributed-ORDER-BY machinery) — bounded by the "
         "partition count, never the data",
+    ("operators/drift.py", "wasserstein_drift"):
+        "bounded support list, |support|-row pool counts, and the "
+        "1-row pool total — value-bounded relations (bucket first "
+        "for continuous columns), never the data",
 }
 
 

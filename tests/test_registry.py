@@ -551,10 +551,17 @@ def test_registry_count_is_planned():
     range-partition machinery, no single-task sort, one mirrored
     division; exact oracle composing _LR_ORACLE; Python twin +
     perfect/inverted/tied/partitioning tests in tests/test_auc.py;
-    r14 debut via NEXT_ROUND_BACKLOG) makes 227.
+    r14 debut via NEXT_ROUND_BACKLOG) makes 227. The r13-added D97
+    surface (drift_wasserstein — per-source Wasserstein-1 distance
+    to the pool, Vallender 1974 closed form: W1·Na·Nb as a fully
+    INTEGER sum over the pool support with an integer `div`, the
+    transport-cost drift metric bin-wise PSI/JS/TV cannot express;
+    exact oracle; Python twin + shift-magnitude tests in
+    tests/test_wasserstein.py; r14 debut via NEXT_ROUND_BACKLOG)
+    makes 228.
     """
-    assert len(REGISTRY) == 227, (
-        f"registry count changed ({len(REGISTRY)} != 227); new queries "
+    assert len(REGISTRY) == 228, (
+        f"registry count changed ({len(REGISTRY)} != 228); new queries "
         "need a rotation plan before registration"
     )
 
