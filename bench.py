@@ -266,6 +266,7 @@ def main() -> None:
         "text_classifier_agreement",
         "text_classifier_auc",
         "drift_wasserstein",
+        "text_classifier_calibration",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

@@ -5479,6 +5479,62 @@ def drift_wasserstein(spark, sf_dir):
 
 
 @register(
+    "text_classifier_calibration",
+    """
+    WITH sc AS (
+      SELECT CAST(FLOOR((1.0 / (1.0 + EXP(-(CAST(q.score_micro
+                   AS DOUBLE) / 1000000.0)))) * 1000000.0) AS BIGINT)
+               AS p,
+             CASE WHEN d.source IN ('src1', 'src3')
+                  THEN 1 ELSE 0 END AS y
+      FROM ("""
+    + _LR_ORACLE
+    + """) AS q JOIN documents d USING (doc_id)
+    ),
+    base AS (
+      SELECT LEAST((p * 10) // 1000000, 9) AS bin, p, y FROM sc
+    ),
+    agg AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(p) AS sp
+      FROM base GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+           CAST(sp // n AS BIGINT) AS mean_prob_micro,
+           CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_micro,
+           CAST(ABS(sp // n - (n_pos * 1000000) // n) AS BIGINT)
+             AS gap_micro
+    FROM agg
+    """,
+    "D98: classifier RELIABILITY / calibration-curve report over the "
+    "D89 probabilities vs the trusted label (DeGroot & Fienberg "
+    "1983; Guo et al. 2017): equal-width probability buckets, each "
+    "comparing its mean predicted probability to its empirical "
+    "positive rate -- the audit that decides whether the "
+    "probabilities can be TRUSTED as probabilities by the D44/D73 "
+    "mixers (a perfectly-ranked but miscalibrated scorer passes D96 "
+    "AUC and fails here). EVERYTHING is integer (micro-unit sums, "
+    "counts, integer div) -- no quantization recipe at all. One "
+    "projection + ONE <=10-row map-side-combined aggregate.",
+)
+def text_classifier_calibration(spark, sf_dir):
+    from mysql2parquet_spark.operators.classifier import (
+        calibration_report,
+        lr_classifier_score,
+        with_prob_micro,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_t = F.col("source").isin("src1", "src3")
+    scored = with_prob_micro(
+        lr_classifier_score(d, is_t, epochs=2, lr=0.5)
+    ).join(d.select("doc_id", is_t.alias("y")), "doc_id")
+    return calibration_report(scored, "y")
+
+
+@register(
     "text_mojibake",
     r"""
     WITH planted AS (

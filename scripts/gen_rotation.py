@@ -88,6 +88,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # closed form): fully integer transport cost on the pool support;
     # Python twin + shift-magnitude tests in tests/test_wasserstein.py.
     "drift_wasserstein",
+    # D98 classifier reliability / calibration-curve report (DeGroot
+    # & Fienberg 1983; Guo et al. 2017): all-integer bucket means vs
+    # empirical rates; twin in tests/test_calibration.py.
+    "text_classifier_calibration",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

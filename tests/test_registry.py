@@ -558,10 +558,18 @@ def test_registry_count_is_planned():
     transport-cost drift metric bin-wise PSI/JS/TV cannot express;
     exact oracle; Python twin + shift-magnitude tests in
     tests/test_wasserstein.py; r14 debut via NEXT_ROUND_BACKLOG)
-    makes 228.
+    makes 228. The r13-added D98 surface (text_classifier_calibration
+    — the reliability / calibration-curve report over the D89
+    probabilities vs the trusted label, DeGroot & Fienberg 1983 / Guo
+    et al. 2017: equal-width probability buckets, mean prediction vs
+    empirical positive rate, EVERYTHING integer (micro sums, counts,
+    integer div); exact oracle composing _LR_ORACLE + the D89
+    sigmoid; Python twin + calibrated/overconfident canonical cases
+    in tests/test_calibration.py; r14 debut via NEXT_ROUND_BACKLOG)
+    makes 229.
     """
-    assert len(REGISTRY) == 228, (
-        f"registry count changed ({len(REGISTRY)} != 228); new queries "
+    assert len(REGISTRY) == 229, (
+        f"registry count changed ({len(REGISTRY)} != 229); new queries "
         "need a rotation plan before registration"
     )
 
