@@ -267,6 +267,7 @@ def main() -> None:
         "text_classifier_auc",
         "drift_wasserstein",
         "text_classifier_calibration",
+        "text_classifier_pr_curve",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

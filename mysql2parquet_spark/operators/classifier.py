@@ -533,3 +533,90 @@ def calibration_report(
         .cast("long")
         .alias("gap_micro"),
     )
+
+
+def pr_curve_report(
+    scored: DataFrame,
+    label_col: str,
+    *,
+    score_col: str = "prob_micro",
+    thresholds: tuple[int, ...] = (
+        100_000,
+        200_000,
+        300_000,
+        400_000,
+        500_000,
+        600_000,
+        700_000,
+        800_000,
+        900_000,
+    ),
+) -> DataFrame:
+    """PRECISION/RECALL/F1 threshold sweep (D99 — the operating-curve
+    report of Davis & Goadrich 2006, "The Relationship Between
+    Precision-Recall and ROC Curves": D96's AUC says whether the score
+    RANKS well, D98's calibration whether the probabilities are
+    honest; this says what you actually GET at each cutoff — the table
+    a curator reads before picking the keep threshold).
+
+    One row per threshold: ``(thr_micro, n_pred_pos, tp,
+    precision_micro, recall_micro, f1_micro)`` with predictions
+    ``score >= thr``. EVERYTHING is integer: counts, then
+    ``precision = tp·1e6 div n_pred_pos`` (NULL when nothing
+    predicted positive), ``recall = tp·1e6 div n_pos`` (NULL when no
+    positives exist), ``f1 = 2·tp·1e6 div (n_pred_pos + n_pos)``
+    (NULL when both are 0) — the algebraic F1 form that avoids
+    dividing two quotients — so the sweep hash-adjudicates with no
+    quantization recipe.
+
+    Scale shape: the |thresholds|-row grid BROADCASTS onto the scored
+    relation (a bounded ×|thresholds| expansion, the D87 pattern) and
+    ONE map-side-combined aggregate reduces to |thresholds| rows; the
+    positive total rides as a 1-row broadcast.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    spark = scored.sparkSession
+    grid = spark.createDataFrame(
+        [(int(t),) for t in sorted(thresholds)], "thr_micro bigint"
+    )
+    base = scored.select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    npos = base.agg(F.sum("_y").cast("long").alias("_npos"))
+    per = (
+        base.crossJoin(F.broadcast(grid))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum((F.col("_s") >= F.col("thr_micro")).cast("long"))
+            .cast("long")
+            .alias("n_pred_pos"),
+            F.sum(
+                ((F.col("_s") >= F.col("thr_micro")).cast("long"))
+                * F.col("_y")
+            )
+            .cast("long")
+            .alias("tp"),
+        )
+        .crossJoin(F.broadcast(npos))
+    )
+    return per.select(
+        "thr_micro",
+        "n_pred_pos",
+        "tp",
+        F.when(
+            F.col("n_pred_pos") > 0,
+            F.expr("(tp * 1000000) div n_pred_pos").cast("long"),
+        ).alias("precision_micro"),
+        F.when(
+            F.col("_npos") > 0,
+            F.expr("(tp * 1000000) div _npos").cast("long"),
+        ).alias("recall_micro"),
+        F.when(
+            F.col("n_pred_pos") + F.col("_npos") > 0,
+            F.expr("(2 * tp * 1000000) div (n_pred_pos + _npos)").cast(
+                "long"
+            ),
+        ).alias("f1_micro"),
+    )

@@ -5535,6 +5535,72 @@ def text_classifier_calibration(spark, sf_dir):
 
 
 @register(
+    "text_classifier_pr_curve",
+    """
+    WITH sc AS (
+      SELECT CAST(FLOOR((1.0 / (1.0 + EXP(-(CAST(q.score_micro
+                   AS DOUBLE) / 1000000.0)))) * 1000000.0) AS BIGINT)
+               AS p,
+             CASE WHEN d.source IN ('src1', 'src3')
+                  THEN 1 ELSE 0 END AS y
+      FROM ("""
+    + _LR_ORACLE
+    + """) AS q JOIN documents d USING (doc_id)
+    ),
+    npos AS (SELECT SUM(y) AS np FROM sc),
+    grid AS (
+      SELECT CAST(100000 * u.t AS BIGINT) AS thr_micro
+      FROM unnest(range(1, 10)) AS u(t)
+    ),
+    per AS (
+      SELECT thr_micro,
+             CAST(SUM(CASE WHEN p >= thr_micro THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pred_pos,
+             CAST(SUM(CASE WHEN p >= thr_micro THEN y ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM sc CROSS JOIN grid GROUP BY thr_micro
+    )
+    SELECT thr_micro, n_pred_pos, tp,
+           CASE WHEN n_pred_pos > 0
+                THEN CAST((tp * 1000000) // n_pred_pos AS BIGINT)
+           END AS precision_micro,
+           CASE WHEN np > 0
+                THEN CAST((tp * 1000000) // np AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN n_pred_pos + np > 0
+                THEN CAST((2 * tp * 1000000) // (n_pred_pos + np)
+                          AS BIGINT)
+           END AS f1_micro
+    FROM per, npos
+    """,
+    "D99: precision/recall/F1 THRESHOLD SWEEP of the D89 "
+    "probabilities vs the trusted label (Davis & Goadrich 2006): "
+    "D96's AUC says the score ranks well, D98's calibration that the "
+    "probabilities are honest; this is what a curator actually GETS "
+    "at each cutoff -- the table read before picking the keep "
+    "threshold. Nine deci-probability thresholds, EVERYTHING integer "
+    "(counts + integer div; F1 in the 2tp/(pred+pos) algebraic form, "
+    "never a quotient of quotients; NULL on empty denominators, "
+    "stated) so the sweep hash-adjudicates. The 9-row grid "
+    "broadcasts onto the scored relation (bounded expansion) and ONE "
+    "map-side-combined aggregate reduces it.",
+)
+def text_classifier_pr_curve(spark, sf_dir):
+    from mysql2parquet_spark.operators.classifier import (
+        lr_classifier_score,
+        pr_curve_report,
+        with_prob_micro,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    is_t = F.col("source").isin("src1", "src3")
+    scored = with_prob_micro(
+        lr_classifier_score(d, is_t, epochs=2, lr=0.5)
+    ).join(d.select("doc_id", is_t.alias("y")), "doc_id")
+    return pr_curve_report(scored, "y")
+
+
+@register(
     "text_mojibake",
     r"""
     WITH planted AS (

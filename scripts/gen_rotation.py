@@ -92,6 +92,10 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # & Fienberg 1983; Guo et al. 2017): all-integer bucket means vs
     # empirical rates; twin in tests/test_calibration.py.
     "text_classifier_calibration",
+    # D99 precision/recall/F1 threshold sweep (Davis & Goadrich
+    # 2006): all-integer operating-curve table at nine cutoffs;
+    # twin in tests/test_pr_curve.py.
+    "text_classifier_pr_curve",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -484,6 +484,9 @@ BROADCAST_ALLOWLIST = {
         "bounded support list, |support|-row pool counts, and the "
         "1-row pool total — value-bounded relations (bucket first "
         "for continuous columns), never the data",
+    ("operators/classifier.py", "pr_curve_report"):
+        "|thresholds|-row cutoff grid + the 1-row positive total — "
+        "bounded by configuration, never the data",
 }
 
 

@@ -566,10 +566,17 @@ def test_registry_count_is_planned():
     integer div); exact oracle composing _LR_ORACLE + the D89
     sigmoid; Python twin + calibrated/overconfident canonical cases
     in tests/test_calibration.py; r14 debut via NEXT_ROUND_BACKLOG)
-    makes 229.
+    makes 229. The r13-added D99 surface (text_classifier_pr_curve —
+    precision/recall/F1 threshold sweep over the D89 probabilities,
+    Davis & Goadrich 2006: nine deci-probability cutoffs, all-integer
+    counts + integer div, F1 in the 2tp/(pred+pos) algebraic form,
+    NULL on empty denominators; exact oracle composing _LR_ORACLE +
+    the D89 sigmoid; Python twin + monotonicity/edge contracts in
+    tests/test_pr_curve.py; r14 debut via NEXT_ROUND_BACKLOG)
+    makes 230.
     """
-    assert len(REGISTRY) == 229, (
-        f"registry count changed ({len(REGISTRY)} != 229); new queries "
+    assert len(REGISTRY) == 230, (
+        f"registry count changed ({len(REGISTRY)} != 230); new queries "
         "need a rotation plan before registration"
     )
 
