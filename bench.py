@@ -268,6 +268,10 @@ def main() -> None:
         "drift_wasserstein",
         "text_classifier_calibration",
         "text_classifier_pr_curve",
+        # min-of-2 times the PROBE: run 1 builds the model artifact
+        # on a fresh cache key (the at-write-time cost), run 2 serves
+        # from it (the ann_pq_persisted precedent).
+        "text_classifier_lr_persisted",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

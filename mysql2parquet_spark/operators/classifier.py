@@ -237,6 +237,32 @@ def lr_classifier_score(
     embedding this in a loop over many corpora should expect that
     transient executor-storage footprint per run.
     """
+    dc, model, bias = _lr_train(
+        docs,
+        target_pred,
+        id_col=id_col,
+        text_col=text_col,
+        hex_chars=hex_chars,
+        epochs=epochs,
+        lr=lr,
+    )
+    return _lr_serve(dc, model, bias, id_col)
+
+
+def _lr_train(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str,
+    text_col: str,
+    hex_chars: int,
+    epochs: int,
+    lr: float,
+):
+    """The D86 training loop, factored so both the inline face and the
+    D100 persisted-model build share it verbatim: returns the
+    ``(id, bucket, count)`` feature relation plus the trained
+    ``(b, wq)`` model and 1-row ``(bq)`` bias relations."""
     if hex_chars < 1 or hex_chars > 4:
         raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
     if epochs < 1:
@@ -335,6 +361,15 @@ def lr_classifier_score(
             )
             .localCheckpoint(eager=True)
         )
+    return dc, model, bias
+
+
+def _lr_serve(
+    dc: DataFrame, model: DataFrame, bias: DataFrame, id_col: str
+) -> DataFrame:
+    """Score a bucketized feature relation against a trained model:
+    broadcast the ≤16^hex_chars-row model + 1-row bias onto ONE
+    id-keyed sum — zero training jobs."""
     return (
         dc.join(F.broadcast(model), "b")
         .groupBy(id_col)
@@ -350,6 +385,83 @@ def lr_classifier_score(
             (F.col("_zl") + F.col("bq") > 0).alias("pred_target"),
         )
     )
+
+
+def lr_model_build(
+    docs: DataFrame,
+    target_pred: Column,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    epochs: int = 2,
+    lr: float = 0.5,
+) -> None:
+    """TRAIN-AT-WRITE-TIME for the D86 LR (D100 — the
+    ivf_build/pq_build amortization contract applied to the trained
+    filter): run the gradient loop ONCE and persist the trained
+    artifact — the ≤16^hex_chars-row ``model`` (b, wq), the 1-row
+    ``bias`` (bq), and a 1-row ``meta`` (hex_chars) sidecar — as
+    parquet under ``path``. Every downstream face (scoring, D95
+    agreement, D96 AUC, D98 calibration, D99 PR sweep) then serves
+    from the artifact with ZERO training jobs, instead of each paying
+    the full epochs-long training as the self-contained inline
+    queries do.
+
+    The artifact is bounded METADATA (≤16^hex_chars + 2 rows), so
+    the write is trivially cheap; the training cost is the same one
+    ``lr_classifier_score`` pays, spent once.
+    """
+    dc, model, bias = _lr_train(
+        docs,
+        target_pred,
+        id_col=id_col,
+        text_col=text_col,
+        hex_chars=hex_chars,
+        epochs=epochs,
+        lr=lr,
+    )
+    model.write.mode("overwrite").parquet(f"{path}/model")
+    bias.write.mode("overwrite").parquet(f"{path}/bias")
+    spark = docs.sparkSession
+    spark.range(1).select(
+        F.lit(int(hex_chars)).cast("int").alias("hex_chars")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lr_model_score(
+    spark,
+    path: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents from a PERSISTED D100 model — the serving half
+    of ``lr_model_build``: read the (b, wq)/(bq) artifact, bucketize
+    the documents (``hex_chars`` comes from the meta sidecar, so
+    serving cannot silently mismatch the trained feature space), and
+    run the one-exchange broadcast-score plan. ZERO training jobs, no
+    localCheckpoint, no touch of the training corpus — and because
+    the persisted weights are exactly the integers the training loop
+    produced, scores are bit-identical to ``lr_classifier_score`` on
+    the same corpus (round-trip parity pinned in
+    tests/test_lr_persisted.py), so even the persisted face keeps an
+    EXACT oracle.
+    """
+    # bounded-metadata: the 1-row meta sidecar (hex_chars config)
+    hex_chars = int(
+        spark.read.parquet(f"{path}/meta").first()["hex_chars"]
+    )
+    model = spark.read.parquet(f"{path}/model")
+    bias = spark.read.parquet(f"{path}/bias")
+    dc = (
+        _bucketed_tokens(docs, id_col, text_col, hex_chars)
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _lr_serve(dc, model, bias, id_col)
 
 
 def with_prob_micro(

@@ -5601,6 +5601,55 @@ def text_classifier_pr_curve(spark, sf_dir):
 
 
 @register(
+    "text_classifier_lr_persisted",
+    _LR_ORACLE,
+    "D100: the D86 LR served from a PERSISTED model artifact "
+    "(lr_model_build at write time: <=256-row weight relation + "
+    "1-row bias + meta sidecar -- the ivf/pq_build amortization "
+    "contract applied to the trained filter). Scoring reads the "
+    "artifact, broadcasts it onto ONE (id,bucket) exchange and one "
+    "id-keyed sum -- ZERO training jobs at query time, where the "
+    "inline D86 face pays the full 2-epoch gradient loop per call "
+    "(~2.3 s at sf0.1, amortized across the D95/D96/D98/D99 audit "
+    "faces in production). Because the persisted weights are exactly "
+    "the integers training produced, scores are bit-identical to the "
+    "inline face and even the PERSISTED face keeps the EXACT "
+    "epoch-unrolled oracle (round-trip parity + zero-training-job "
+    "pin in tests/test_lr_persisted.py).",
+)
+def text_classifier_lr_persisted(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from mysql2parquet_spark.operators.classifier import (
+        lr_model_build,
+        lr_model_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # Build-once-reuse keyed by source dir + file identity (mtime+size)
+    # — the ann_ivf_persisted contract: a path-only key would silently
+    # serve scores from a regenerated fixture's previous corpus.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    mdl = os.path.join(tempfile.gettempdir(), f"m2p_lrm_{key}")
+    if not (
+        os.path.exists(f"{mdl}/model/_SUCCESS")
+        and os.path.exists(f"{mdl}/bias/_SUCCESS")
+        and os.path.exists(f"{mdl}/meta/_SUCCESS")
+    ):
+        lr_model_build(
+            d, F.col("source").isin("src1", "src3"), mdl,
+            epochs=2, lr=0.5,
+        )
+    return lr_model_score(spark, mdl, d)
+
+
+@register(
     "text_mojibake",
     r"""
     WITH planted AS (

@@ -96,6 +96,11 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # 2006): all-integer operating-curve table at nine cutoffs;
     # twin in tests/test_pr_curve.py.
     "text_classifier_pr_curve",
+    # D100 persisted-model LR serving (the ivf/pq amortization
+    # contract on the trained filter): exact oracle (bit-identical to
+    # the inline face); round-trip + zero-training-job pins in
+    # tests/test_lr_persisted.py.
+    "text_classifier_lr_persisted",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

@@ -573,10 +573,19 @@ def test_registry_count_is_planned():
     NULL on empty denominators; exact oracle composing _LR_ORACLE +
     the D89 sigmoid; Python twin + monotonicity/edge contracts in
     tests/test_pr_curve.py; r14 debut via NEXT_ROUND_BACKLOG)
-    makes 230.
+    makes 230. The r13-added D100 surface
+    (text_classifier_lr_persisted — the D86 LR served from a
+    PERSISTED model artifact, the ivf/pq_build amortization contract
+    applied to the trained filter: lr_model_build writes the
+    ≤256-row weights + bias + meta sidecar once, serving broadcasts
+    them with ZERO training jobs; scores bit-identical to the inline
+    face, so even the persisted face keeps the EXACT epoch-unrolled
+    oracle; round-trip parity + zero-training-job + sidecar pins in
+    tests/test_lr_persisted.py; r14 debut via NEXT_ROUND_BACKLOG)
+    makes 231.
     """
-    assert len(REGISTRY) == 230, (
-        f"registry count changed ({len(REGISTRY)} != 230); new queries "
+    assert len(REGISTRY) == 231, (
+        f"registry count changed ({len(REGISTRY)} != 231); new queries "
         "need a rotation plan before registration"
     )
 
