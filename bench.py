@@ -272,6 +272,7 @@ def main() -> None:
         # on a fresh cache key (the at-write-time cost), run 2 serves
         # from it (the ann_pq_persisted precedent).
         "text_classifier_lr_persisted",
+        "pipeline_curate_lm",
     }
     staged_timings: dict[str, float] = {}
     for name in sorted(set(STAGED) | ride_along):

@@ -173,6 +173,7 @@ def lm3_score(
     text_col: str = "text",
     alpha: float = 0.4,
     ndigits: int = 4,
+    as_micro: bool = False,
 ) -> DataFrame:
     """Per-document TRIGRAM cross-entropy under STUPID BACKOFF (D76 —
     Brants et al. 2007, "Large Language Models in Machine Translation":
@@ -300,19 +301,29 @@ def lm3_score(
         )
     )
     lq = F.floor(F.log(s) * F.lit(float(_QUANT))).cast("long")
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum(lq).alias("_sumq"),
-        )
-        .select(
+    sums = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum(lq).alias("_sumq"),
+    )
+    if as_micro:
+        # D101 face: the per-doc AVERAGE cross-entropy kept on the
+        # integer micro-nat grid — ``(-Σlq) div n_trigrams`` (every lq
+        # is ≤ 0, so the negated sum is a non-negative int64) — for
+        # exact relative gates (score·N < Σscores) that a
+        # ROUND-4 double average cannot support order-independently.
+        return sums.select(
             id_col,
             "n_trigrams",
-            F.round(
-                -F.col("_sumq")
-                / (F.col("n_trigrams") * F.lit(float(_QUANT))),
-                ndigits,
-            ).alias("score"),
+            F.expr("(-_sumq) div n_trigrams")
+            .cast("long")
+            .alias("ce_micro"),
         )
+    return sums.select(
+        id_col,
+        "n_trigrams",
+        F.round(
+            -F.col("_sumq")
+            / (F.col("n_trigrams") * F.lit(float(_QUANT))),
+            ndigits,
+        ).alias("score"),
     )

@@ -162,6 +162,69 @@ def curate_corpus_langid(
     return out
 
 
+def curate_with_lm(
+    docs: DataFrame,
+    trusted_pred,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+    alpha: float = 0.4,
+) -> DataFrame:
+    """PERPLEXITY-gated curation (D101 — the literal CCNet selection,
+    Wenzek et al. 2020 §3.3: train a language model on a trusted
+    corpus, score raw text, keep the low-perplexity documents; the LM
+    sibling of D88's classifier gate, completing the second of the two
+    published trained-filter recipes). md5 fingerprint dedup (min-id
+    survivor, the D88 discipline) → D76 trigram stupid-backoff LM
+    trained on the DEDUPED trusted slice → keep documents whose
+    average cross-entropy is BELOW THE CORPUS MEAN.
+
+    The gate is relative for the same reason D88's is (absolute
+    perplexity levels are corpus- and tokenizer-dependent; CCNet
+    itself uses corpus-relative thirds) and EXACT: per-doc
+    cross-entropy stays on the integer micro-nat grid
+    (``ce_micro = (−Σlq) div n_trigrams``) and the mean compare is
+    ``ce·N < Σce`` — int64 throughout, one 1-row broadcast aggregate,
+    no order statistic. Returns
+    ``(id_col, *keep_cols, n_trigrams, ce_micro)`` — all integers, so
+    the whole dedup→train→score→keep pipeline hash-adjudicates.
+
+    Documents with fewer than 3 tokens carry no trigram and are
+    absent (from the output AND the mean — the D76 contract); an
+    EMPTY trusted slice yields NULL scores and an empty keep set
+    (stated — the try_divide contract).
+
+    Scale shape: one md5 dedup exchange; the D76 plan (four
+    vocabulary-bounded model aggregates, gram-keyed scoring joins,
+    one id-keyed reduce); the keep filter and metadata join-back ride
+    the id partitioning.
+    """
+    from mysql2parquet_spark.operators.lm import lm3_score
+
+    deduped = fingerprint_dedup(docs, text_col, id_col)
+    trusted = deduped.filter(trusted_pred).select(id_col, text_col)
+    scored = lm3_score(
+        deduped.select(id_col, text_col),
+        train=trusted,
+        id_col=id_col,
+        text_col=text_col,
+        alpha=alpha,
+        as_micro=True,
+    )
+    stats = scored.agg(
+        F.sum("ce_micro").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    kept = scored.crossJoin(F.broadcast(stats)).filter(
+        F.col("ce_micro") * F.col("_n") < F.col("_tot")
+    )
+    meta = deduped.select(id_col, *keep_cols)
+    return kept.join(meta, id_col).select(
+        id_col, *keep_cols, "n_trigrams", "ce_micro"
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

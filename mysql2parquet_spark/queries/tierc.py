@@ -5650,6 +5650,118 @@ def text_classifier_lr_persisted(spark, sf_dir):
 
 
 @register(
+    "pipeline_curate_lm",
+    r"""
+    WITH deduped AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    tr AS (
+      SELECT text FROM deduped WHERE source IN ('src1', 'src3')
+    ),
+    ttoks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM tr
+    ),
+    tg_train AS (
+      SELECT u.z[1] AS w1, u.z[2] AS w2, u.z[3] AS w3
+      FROM ttoks,
+           UNNEST(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]))
+             AS u(z)
+      WHERE len(t) >= 3
+        AND u.z[1] <> '' AND u.z[2] <> '' AND u.z[3] <> ''
+    ),
+    tri AS (
+      SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg_train GROUP BY 1, 2, 3
+    ),
+    bg_train AS (
+      SELECT u.z[1] AS w1, u.z[2] AS w2
+      FROM ttoks,
+           UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+      WHERE len(t) >= 2 AND u.z[1] <> '' AND u.z[2] <> ''
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg_train GROUP BY 1, 2),
+    uni AS (
+      SELECT w, COUNT(*) AS cu
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+        FROM tr
+      ) WHERE w <> '' GROUP BY w
+    ),
+    tot AS (
+      SELECT COALESCE(SUM(cu), 0) AS n_tok, COUNT(*) AS v FROM uni
+    ),
+    alltoks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM deduped
+    ),
+    tg AS (
+      SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2, u.z[3] AS w3
+      FROM alltoks,
+           UNNEST(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]))
+             AS u(z)
+      WHERE len(t) >= 3
+        AND u.z[1] <> '' AND u.z[2] <> '' AND u.z[3] <> ''
+    ),
+    q AS (
+      SELECT tg.doc_id,
+             CAST(FLOOR(LN(
+               CASE
+                 WHEN tri.c123 IS NOT NULL
+                   THEN CAST(tri.c123 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+                 WHEN b23.cb IS NOT NULL
+                   THEN 0.4 * CAST(b23.cb AS DOUBLE)
+                        / CAST(u2.cu AS DOUBLE)
+                 ELSE 0.4 * 0.4 *
+                      ((COALESCE(u3.cu, 0) + 1.0)
+                       / CAST(tot.n_tok + tot.v AS DOUBLE))
+               END) * 1000000) AS BIGINT) AS lq
+      FROM tg
+      LEFT JOIN tri USING (w1, w2, w3)
+      LEFT JOIN bi b12 ON tg.w1 = b12.w1 AND tg.w2 = b12.w2
+      LEFT JOIN bi b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+      LEFT JOIN uni u2 ON tg.w2 = u2.w
+      LEFT JOIN uni u3 ON tg.w3 = u3.w, tot
+    ),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST((-SUM(lq)) // COUNT(*) AS BIGINT) AS ce_micro
+      FROM q GROUP BY doc_id
+    ),
+    st AS (
+      SELECT SUM(ce_micro) AS tot_ce, COUNT(*) AS n FROM scored
+    )
+    SELECT s.doc_id, d.source, s.n_trigrams, s.ce_micro
+    FROM scored s JOIN deduped d USING (doc_id), st
+    WHERE s.ce_micro * st.n < st.tot_ce
+    """,
+    "D101: PERPLEXITY-gated curation -- the literal CCNet selection "
+    "(Wenzek et al. 2020: train an LM on trusted text, keep the "
+    "low-perplexity raw documents), the D76 LM sibling of D88's "
+    "classifier gate -- together the two published trained-filter "
+    "recipes are now both end-to-end registry surfaces. md5 dedup -> "
+    "trigram stupid-backoff LM trained on the DEDUPED trusted slice "
+    "-> keep docs whose average cross-entropy is BELOW THE CORPUS "
+    "MEAN (relative gate, the D88/CCNet rationale; exact integer "
+    "compare ce*N < sum on the micro-nat grid -- per-doc ce stays "
+    "integer via (-sum lq) div n). All-integer output, exact "
+    "composed oracle. One md5 exchange + the D76 plan "
+    "(vocabulary-bounded model aggregates, gram-keyed scoring "
+    "joins) + a 1-row broadcast mean gate.",
+)
+def pipeline_curate_lm(spark, sf_dir):
+    from mysql2parquet_spark.operators.pipeline import curate_with_lm
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return curate_with_lm(d, F.col("source").isin("src1", "src3"))
+
+
+@register(
     "text_mojibake",
     r"""
     WITH planted AS (

@@ -101,6 +101,11 @@ NEXT_ROUND_BACKLOG: tuple[str, ...] = (
     # the inline face); round-trip + zero-training-job pins in
     # tests/test_lr_persisted.py.
     "text_classifier_lr_persisted",
+    # D101 perplexity-gated curation — the CCNet selection (Wenzek et
+    # al. 2020): LM trained on the deduped trusted slice, keep
+    # below-mean cross-entropy (exact integer gate); fluent-vs-salad
+    # fixture in tests/test_curate_lm.py.
+    "pipeline_curate_lm",
 )
 
 # Emitted verbatim at the end of ROTATION.md.

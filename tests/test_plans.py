@@ -490,6 +490,9 @@ BROADCAST_ALLOWLIST = {
     ("operators/classifier.py", "pr_curve_report"):
         "|thresholds|-row cutoff grid + the 1-row positive total — "
         "bounded by configuration, never the data",
+    ("operators/pipeline.py", "curate_with_lm"):
+        "1-row cross-entropy-sum/doc-count relation (the relative-"
+        "threshold mean) — bounded by construction, never the data",
 }
 
 

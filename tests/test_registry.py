@@ -582,10 +582,18 @@ def test_registry_count_is_planned():
     face, so even the persisted face keeps the EXACT epoch-unrolled
     oracle; round-trip parity + zero-training-job + sidecar pins in
     tests/test_lr_persisted.py; r14 debut via NEXT_ROUND_BACKLOG)
-    makes 231.
+    makes 231. The r13-added D101 surface (pipeline_curate_lm — the
+    literal CCNet selection, Wenzek et al. 2020: md5 dedup → D76
+    trigram stupid-backoff LM trained on the deduped trusted slice →
+    keep documents below the corpus-mean cross-entropy (exact integer
+    relative gate on the micro-nat grid, the D88 rationale); with D88
+    both published trained-filter recipes are end-to-end registry
+    surfaces; exact composed oracle; planted fluent-vs-salad fixture
+    + degenerate contracts in tests/test_curate_lm.py; r14 debut via
+    NEXT_ROUND_BACKLOG) makes 232.
     """
-    assert len(REGISTRY) == 231, (
-        f"registry count changed ({len(REGISTRY)} != 231); new queries "
+    assert len(REGISTRY) == 232, (
+        f"registry count changed ({len(REGISTRY)} != 232); new queries "
         "need a rotation plan before registration"
     )
 
