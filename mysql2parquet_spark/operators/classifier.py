@@ -26,7 +26,9 @@ this is Tier C / LLM-pipeline north-star coverage like C4/D51.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,14 +135,64 @@ def nb_classifier_score(
     trusted source vs rest — then score everyone, including the
     labeled); pass a pre-filtered frame to train on a split.
 
-    Plan: the ≤ 16^hex_chars-row log-odds relation and the 1-row
-    prior broadcast onto ONE (id, bucket)-keyed exchange, one
-    id-keyed sum finishes — three data exchanges total regardless of
-    corpus size, identical to D51's shape.
+    Plan (r14 optimization — results bit-identical, pinned by the
+    twins in tests/test_classifier.py): ONE tokenize pass builds a
+    per-(doc, bucket) relation carrying the total count plus the
+    per-class conditional counts (partial sums of the same
+    ``_is_t``-cast expressions the two-pass form aggregated), so the
+    class bags are a ≤16^hex_chars-row re-aggregate of the combined
+    relation instead of a second full gram scan. The relation
+    checkpoints once and feeds both the bag aggregate and the per-doc
+    score aggregate; the log-odds relation and the 1-row prior
+    broadcast onto it. One data-scale (id, bucket) exchange + one
+    id-keyed exchange of combined rows + one tiny bucket exchange
+    regardless of corpus size.
     """
-    lam = nb_log_odds(
-        docs, target_pred, text_col=text_col, hex_chars=hex_chars, k=k
+    if hex_chars < 1 or hex_chars > 4:
+        raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    n_buckets = 16**hex_chars
+    tok = (
+        docs.select(
+            F.col(id_col),
+            target_pred.alias("_t"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            id_col, "_t", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+        )
     )
+    dcb = (
+        tok.groupBy(id_col, "b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("_t").cast("long")).alias("_ct"),
+            F.sum((~F.col("_t")).cast("long")).alias("_cn"),
+        )
+        .localCheckpoint(eager=True)  # tokenized once, read twice
+    )
+    bags = dcb.groupBy("b").agg(
+        F.sum("_ct").alias("ct"), F.sum("_cn").alias("cn")
+    )
+    totals = bags.agg(
+        F.sum("ct").alias("t1"), F.sum("cn").alias("t0")
+    )
+    joined = bags.crossJoin(F.broadcast(totals))
+    kb = float(k) * n_buckets
+    lam_col = F.floor(
+        (
+            F.log(F.col("ct").cast("double") + F.lit(float(k)))
+            - F.log(F.col("t1").cast("double") + F.lit(kb))
+            - F.log(F.col("cn").cast("double") + F.lit(float(k)))
+            + F.log(F.col("t0").cast("double") + F.lit(kb))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    lam = joined.select("b", lam_col.alias("lam_micro"))
     prior = docs.agg(
         F.floor(
             (
@@ -158,11 +210,7 @@ def nb_classifier_score(
         .cast("long")
         .alias("prior_micro")
     )
-    dc = (
-        _bucketed_tokens(docs, id_col, text_col, hex_chars)
-        .groupBy(id_col, "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    dc = dcb.select(id_col, "b", "c")
     return (
         dc.join(F.broadcast(lam), "b")  # ≤ 16^hex_chars-row relation
         .groupBy(id_col)
@@ -222,12 +270,19 @@ def lr_classifier_score(
     default; this is the calibrated-scores path when the bag prior
     mis-weights correlated features.
 
-    Scale shape: per epoch — ONE id-keyed logit aggregate (the
-    ≤ 16^h-row model broadcasts onto the (id, bucket) relation) and
-    ONE bucket-keyed gradient aggregate (map-side combined); the
-    model/bias relations localCheckpoint between epochs so lineage
-    stays constant in ``epochs``. Nothing data-scale ever reaches
-    the driver.
+    Scale shape: per epoch — ONE Spark job over the checkpointed
+    feature relation (per-doc logits are an id-keyed window; the
+    ≤ 16^h-entry model rides the plan as a LITERAL map lookup — no
+    join, no Python-RDD broadcast) reducing to a single
+    ≤ 16^h-row bucket-keyed aggregate (map-side combined) that
+    carries the weight gradient, the bias gradient and the doc count
+    together. The only state that reaches the driver is that
+    bounded-metadata gradient relation — the same ≤ 16^h + 1 rows the
+    previous localCheckpoint+broadcast loop moved through the driver
+    anyway — and the integer weight updates run on IEEE doubles with
+    the identical operation order, so training is bit-identical
+    (tests/test_classifier_lr.py twins). Nothing data-scale ever
+    reaches the driver.
 
     Checkpoint lifecycle: the feature relation localCheckpoints
     EAGERLY up front (it is re-read every epoch), so each training
@@ -237,7 +292,7 @@ def lr_classifier_score(
     embedding this in a loop over many corpora should expect that
     transient executor-storage footprint per run.
     """
-    dc, model, bias = _lr_train(
+    dc, weights, bias_q = _lr_train(
         docs,
         target_pred,
         id_col=id_col,
@@ -246,7 +301,43 @@ def lr_classifier_score(
         epochs=epochs,
         lr=lr,
     )
-    return _lr_serve(dc, model, bias, id_col)
+    # Inline serve with the literal-map model: every bucket of dc is a
+    # model key by construction, so the lookup never misses and the
+    # scores are bit-identical to the broadcast-join serve
+    # (tests/test_classifier_lr.py + the D100 parity pins).
+    wq = _wq_lookup(weights)
+    return (
+        dc.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * wq).alias("_zl"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_zl") + F.lit(bias_q).cast("long"))
+            .cast("long")
+            .alias("score_micro"),
+            (F.col("_zl") + F.lit(bias_q).cast("long") > 0).alias(
+                "pred_target"
+            ),
+        )
+    )
+
+
+def _wq_lookup(weights: dict[str, int]) -> Column:
+    """The trained model as a LITERAL map-lookup column over the bucket
+    key — ≤16^hex_chars entries of driver-held integers inlined into
+    the plan, so per-epoch logits and inline serving need neither a
+    join nor a Python-backed local relation (createDataFrame rows
+    evaluate through a Python RDD on every broadcast build)."""
+    if not weights:
+        return F.lit(None).cast("long")
+    entries: list[Column] = []
+    for b, w in sorted(weights.items()):
+        entries.append(F.lit(b))
+        entries.append(F.lit(w).cast("long"))
+    return F.element_at(F.create_map(*entries), F.col("b"))
 
 
 def _lr_train(
@@ -261,60 +352,80 @@ def _lr_train(
 ):
     """The D86 training loop, factored so both the inline face and the
     D100 persisted-model build share it verbatim: returns the
-    ``(id, bucket, count)`` feature relation plus the trained
-    ``(b, wq)`` model and 1-row ``(bq)`` bias relations."""
+    ``(id, bucket, count, label)`` feature relation plus the trained
+    model as DRIVER-SIDE state — the ``{bucket: micro-logit}`` dict
+    and the integer bias (both bounded metadata: ≤16^hex_chars + 1
+    values).
+
+    Plan (r14 optimization — results bit-identical, pinned by the
+    Python twins in tests/test_classifier_lr.py): the label rides the
+    feature relation (one tokenize pass, no second docs scan / distinct
+    / id join), ``dc`` checkpoints once, and each epoch is ONE Spark
+    job — per-doc logits via an id-keyed window with the model inlined
+    as a literal map lookup, reduced to a single ≤16^hex_chars-row
+    per-bucket aggregate carrying the weight gradient, the bias
+    gradient (counted once per doc via a rank-1 flag) and the doc
+    count. The epoch state that crosses the driver is the same bounded
+    metadata the old loop moved through localCheckpoint+broadcast
+    (≤16^hex_chars weights + 1 bias); the integer update arithmetic
+    runs on IEEE doubles in Python — the identical operation order the
+    old Catalyst expressions used — so weights are bit-identical.
+    Per epoch the old loop paid two id-keyed exchanges (logit groupBy,
+    resid join) + one bucket exchange + two checkpoints and ~6 jobs;
+    now: one id exchange, one tiny bucket exchange, one job.
+    """
     if hex_chars < 1 or hex_chars > 4:
         raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1: {epochs}")
     if not 0.0 < lr <= 10.0:
         raise ValueError(f"lr must be in (0, 10]: {lr}")
+    y01 = F.when(target_pred, F.lit(1.0)).otherwise(F.lit(0.0))
+    tok = (
+        docs.select(
+            F.col(id_col),
+            y01.alias("_y"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            id_col, "_y", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+        )
+    )
     dc = (
-        _bucketed_tokens(docs, id_col, text_col, hex_chars)
-        .groupBy(id_col, "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        tok.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("_y").alias("_y"))
         .localCheckpoint(eager=True)  # reused every epoch
     )
-    lab = (
-        dc.select(id_col)
-        .distinct()
-        .join(
-            docs.select(
-                F.col(id_col),
-                F.when(target_pred, F.lit(1.0))
-                .otherwise(F.lit(0.0))
-                .alias("y"),
-            ),
-            id_col,
-        )
-        .localCheckpoint(eager=True)
-    )
-    n_docs = lab.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    model = dc.select("b").distinct().withColumn(
-        "wq", F.lit(0).cast("long")
-    )
-    bias = dc.sparkSession.range(1).select(
-        F.lit(0).cast("long").alias("bq")
-    )
     lrf = float(lr)
-    for _ in range(epochs):
-        z = (
-            dc.join(F.broadcast(model), "b")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("c") * F.col("wq")).alias("_zl"))
-            .crossJoin(F.broadcast(bias))
-            .select(id_col, (F.col("_zl") + F.col("bq")).alias("_z"))
-        )
-        p = F.lit(1.0) / (
-            F.lit(1.0)
-            + F.exp(-(F.col("_z").cast("double") / F.lit(1_000_000.0)))
-        )
-        resid = (
-            z.join(lab, id_col)
-            .select(id_col, (p - F.col("y")).alias("_r"))
-        )
-        grad = (
-            dc.join(resid, id_col)
+    w_id = Window.partitionBy(id_col)
+    w_rn = Window.partitionBy(id_col).orderBy("b")
+    weights: dict[str, int] = {}
+    bias_q = 0
+    n_docs = 0
+    for epoch in range(epochs):
+        if epoch == 0:
+            # zero-initialized model: z = 0, p = 0.5 exactly (the
+            # oracle's unrolled epoch-1 simplification)
+            r = F.lit(0.5) - F.col("_y")
+        else:
+            z = F.sum(F.col("c") * _wq_lookup(weights)).over(
+                w_id
+            ) + F.lit(bias_q).cast("long")
+            p = F.lit(1.0) / (
+                F.lit(1.0)
+                + F.exp(-(z.cast("double") / F.lit(1_000_000.0)))
+            )
+            r = p - F.col("_y")
+        per_bucket = (
+            dc.select(
+                "b",
+                "c",
+                r.alias("_r"),
+                (F.row_number().over(w_rn) == 1).alias("_f"),
+            )
             .groupBy("b")
             .agg(
                 F.sum(
@@ -323,45 +434,32 @@ def _lr_train(
                         * F.col("c").cast("double")
                         * F.lit(1_000_000.0)
                     ).cast("long")
-                ).alias("_g")
+                ).alias("_g"),
+                F.sum(
+                    F.when(
+                        F.col("_f"),
+                        F.floor(
+                            F.col("_r") * F.lit(1_000_000.0)
+                        ).cast("long"),
+                    )
+                ).alias("_gb"),
+                F.sum(F.col("_f").cast("long")).alias("_nd"),
             )
+            .collect()  # bounded-metadata: ≤16^hex_chars gradient rows
         )
-        model = (
-            model.join(grad, "b", "left")
-            .crossJoin(F.broadcast(n_docs))
-            .select(
-                "b",
-                (
-                    F.col("wq")
-                    - F.floor(
-                        F.lit(lrf)
-                        * F.coalesce(F.col("_g"), F.lit(0)).cast("double")
-                        / F.col("n").cast("double")
-                    ).cast("long")
-                ).alias("wq"),
+        if epoch == 0:
+            n_docs = sum(row["_nd"] for row in per_bucket)
+        if n_docs == 0:
+            break  # empty feature relation: every serve face is empty
+        gb = 0
+        for row in per_bucket:
+            weights[row["b"]] = weights.get(row["b"], 0) - math.floor(
+                lrf * float(row["_g"]) / float(n_docs)
             )
-            .localCheckpoint(eager=True)
-        )
-        gb = resid.agg(
-            F.sum(F.floor(F.col("_r") * F.lit(1_000_000.0)).cast("long"))
-            .alias("_gb")
-        )
-        bias = (
-            bias.crossJoin(F.broadcast(gb))
-            .crossJoin(F.broadcast(n_docs))
-            .select(
-                (
-                    F.col("bq")
-                    - F.floor(
-                        F.lit(lrf)
-                        * F.col("_gb").cast("double")
-                        / F.col("n").cast("double")
-                    ).cast("long")
-                ).alias("bq")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return dc, model, bias
+            if row["_gb"] is not None:
+                gb += row["_gb"]
+        bias_q -= math.floor(lrf * float(gb) / float(n_docs))
+    return dc, weights, bias_q
 
 
 def _lr_serve(
@@ -413,7 +511,7 @@ def lr_model_build(
     the write is trivially cheap; the training cost is the same one
     ``lr_classifier_score`` pays, spent once.
     """
-    dc, model, bias = _lr_train(
+    dc, weights, bias_q = _lr_train(
         docs,
         target_pred,
         id_col=id_col,
@@ -422,9 +520,13 @@ def lr_model_build(
         epochs=epochs,
         lr=lr,
     )
+    spark = docs.sparkSession
+    model = spark.createDataFrame(
+        sorted(weights.items()), "b string, wq bigint"
+    )
+    bias = spark.createDataFrame([(bias_q,)], "bq bigint")
     model.write.mode("overwrite").parquet(f"{path}/model")
     bias.write.mode("overwrite").parquet(f"{path}/bias")
-    spark = docs.sparkSession
     spark.range(1).select(
         F.lit(int(hex_chars)).cast("int").alias("hex_chars")
     ).write.mode("overwrite").parquet(f"{path}/meta")

@@ -624,6 +624,13 @@ def exact_auc(
     ``auc_micro = floor(AUC·1e6)`` — NULL when either class is empty
     (AUC undefined, stated not silent).
 
+    Label contract: ``label_col`` is the positive-class indicator —
+    BOOLEAN, or any numeric 0/1 encoding (normalized once via a
+    boolean cast, matching the integer-label convention of the
+    sibling ``calibration_report``/``pr_curve_report`` faces; any
+    nonzero numeric counts as positive, the standard cast rule).
+    NULL labels are excluded, as are NULL scores.
+
     Exactness without a global sort: group by DISTINCT score
     (``(s, n_pos_s, n_neg_s)``), then
     ``AUC·2PN = Σ_s n_pos_s·(2·cneg_below(s) + n_neg_s)`` — ties
@@ -637,7 +644,11 @@ def exact_auc(
     micro units, so the measure hash-adjudicates.
     """
     base = df.select(
-        F.col(score_col).alias("_s"), F.col(label_col).alias("_y")
+        F.col(score_col).alias("_s"),
+        # normalize the label ONCE: boolean stays boolean (no-op cast),
+        # numeric 0/1 becomes false/true — so the same label column
+        # works across the D95-D99 evaluation suite (ADVICE r13)
+        F.col(label_col).cast("boolean").alias("_y"),
     ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
     g = base.groupBy("_s").agg(
         F.sum(F.col("_y").cast("long")).alias("_np"),

@@ -4988,9 +4988,20 @@ def text_classifier_lr(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY doc_id
                ORDER BY dist ASC, lang ASC) AS rn
       FROM d
+    ),
+    winner AS (
+      SELECT doc_id, lang AS lang_pred, CAST(dist AS BIGINT) AS dist
+      FROM w WHERE rn = 1
     )
-    SELECT doc_id, lang AS lang_pred, CAST(dist AS BIGINT) AS dist
-    FROM w WHERE rn = 1
+    -- zero-profile fallback mirror (ADVICE r13): with NO language
+    -- profiles the operator still emits every trigram-bearing doc as
+    -- lang_pred='und', dist NULL; with profiles the LEFT JOIN is a
+    -- no-op (every dp doc has a winner).
+    SELECT ids.doc_id,
+           COALESCE(winner.lang_pred, 'und') AS lang_pred,
+           winner.dist AS dist
+    FROM (SELECT DISTINCT doc_id FROM dp) ids
+    LEFT JOIN winner USING (doc_id)
     """,
     "D87: character-n-gram language ID (Cavnar & Trenkle 1994, "
     "'N-Gram-Based Text Categorization' -- the classic out-of-place "
@@ -5240,7 +5251,9 @@ def pipeline_curate_langid(spark, sf_dir):
     WITH per_doc AS (
       SELECT source,
              len(text) AS ch,
-             len(string_split(trim(text), ' ')) AS ws,
+             CASE WHEN len(trim(text)) > 0
+                  THEN len(regexp_split_to_array(trim(text), '\s+'))
+                  ELSE 0 END AS ws,
              len(regexp_extract_all(text,
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
       FROM documents WHERE source IS NOT NULL
@@ -5254,12 +5267,14 @@ def pipeline_curate_langid(spark, sf_dir):
       FROM per_doc GROUP BY source
     )
     SELECT source, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
-           CAST(FLOOR(CAST(n_bpe_tokens AS DOUBLE)
-                      / CAST(n_ws_tokens AS DOUBLE) * 1000000.0)
-                AS BIGINT) AS bpe_per_word_micro,
-           CAST(FLOOR(CAST(n_chars AS DOUBLE)
-                      / CAST(n_bpe_tokens AS DOUBLE) * 1000000.0)
-                AS BIGINT) AS chars_per_bpe_micro
+           CASE WHEN n_ws_tokens > 0 THEN
+             CAST(FLOOR(CAST(n_bpe_tokens AS DOUBLE)
+                        / CAST(n_ws_tokens AS DOUBLE) * 1000000.0)
+                  AS BIGINT) END AS bpe_per_word_micro,
+           CASE WHEN n_bpe_tokens > 0 THEN
+             CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                        / CAST(n_bpe_tokens AS DOUBLE) * 1000000.0)
+                  AS BIGINT) END AS chars_per_bpe_micro
     FROM agg
     """,
     "D93: per-source tokenizer-FERTILITY report (fertility = subword "

@@ -11,7 +11,9 @@ slipping through a ``str()`` round-trip. A planted agg_salted-shape
 fixture is self-checked at startup so a future canonicalizer
 regression makes the sim refuse to run rather than go blind.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [query_name ...]
+(naming queries restricts the sweep to that subset — the full run is
+the adjudication artifact; the subset form is the edit-loop tool)
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from mysql2parquet_spark.canon import (  # noqa: E402
 )
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 
 def _self_check_strictness():
@@ -76,6 +79,8 @@ def main():
     oracles = entrymod.oracle_sql()
     passed = failed = rows_only = 0
     for name in sorted(qs):
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF)

@@ -76,3 +76,26 @@ def test_partitioning_independent(spark):
     assert _run(spark, pairs) == ref
     assert _run(spark, pairs, num_partitions=3) == ref
     assert _run(spark, pairs, num_partitions=17) == ref
+
+
+def test_numeric_01_labels_match_boolean_path(spark):
+    """ADVICE r13: the standard integer 0/1 label encoding must be
+    accepted (normalized once via a boolean cast) and value-identical
+    to the boolean path — the same contract the sibling
+    calibration_report/pr_curve_report faces already honor."""
+    pairs = [(5, True), (3, False), (4, True), (1, False), (4, False)]
+    ref = _run(spark, pairs)
+    df = spark.createDataFrame(
+        [(int(s), 1 if y else 0) for s, y in pairs],
+        "score_micro bigint, y int",
+    )
+    r = exact_auc(df, "score_micro", "y").collect()[0]
+    got = (r["n_docs"], r["n_pos"], r["n_neg"], r["auc_micro"])
+    assert got == ref
+    # double-typed 0.0/1.0 labels too
+    dfd = spark.createDataFrame(
+        [(int(s), 1.0 if y else 0.0) for s, y in pairs],
+        "score_micro bigint, y double",
+    )
+    rd = exact_auc(dfd, "score_micro", "y").collect()[0]
+    assert (rd["n_docs"], rd["n_pos"], rd["n_neg"], rd["auc_micro"]) == ref

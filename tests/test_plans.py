@@ -449,10 +449,6 @@ BROADCAST_ALLOWLIST = {
     ("operators/classifier.py", "nb_classifier_score"):
         "≤16^hex_chars-row log-odds model + 1-row prior — bounded by "
         "the hashed feature space, never the data",
-    ("operators/classifier.py", "_lr_train"):
-        "≤16^hex_chars-row weight model, 1-row bias/gradient-total/"
-        "doc-count relations — all bounded by configuration; the "
-        "per-epoch model is the only state that moves",
     ("operators/classifier.py", "_lr_serve"):
         "≤16^hex_chars-row trained model + 1-row bias — bounded by "
         "the hashed feature space, never the data",
