@@ -330,14 +330,22 @@ def _wq_lookup(weights: dict[str, int]) -> Column:
     key — ≤16^hex_chars entries of driver-held integers inlined into
     the plan, so per-epoch logits and inline serving need neither a
     join nor a Python-backed local relation (createDataFrame rows
-    evaluate through a Python RDD on every broadcast build)."""
+    evaluate through a Python RDD on every broadcast build). Built
+    from TWO array literals (``map_from_arrays``), not a
+    ``create_map`` with 2·|model| child expressions: a hex_chars=4
+    model is 65,536 entries, and a 131k-node literal forest pays the
+    same janino-compilation blowup the D74b power chains did — an
+    array literal is ONE constant regardless of size."""
     if not weights:
         return F.lit(None).cast("long")
-    entries: list[Column] = []
-    for b, w in sorted(weights.items()):
-        entries.append(F.lit(b))
-        entries.append(F.lit(w).cast("long"))
-    return F.element_at(F.create_map(*entries), F.col("b"))
+    keys = sorted(weights)
+    vals = [weights[b] for b in keys]
+    return F.element_at(
+        F.map_from_arrays(
+            F.lit(keys), F.lit(vals).cast("array<bigint>")
+        ),
+        F.col("b"),
+    )
 
 
 def _lr_train(

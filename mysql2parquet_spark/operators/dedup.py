@@ -1886,10 +1886,21 @@ def lsh_parameter_plan(
     ]
 
     def chain_pow(col, n):
-        acc = col
-        for _ in range(n - 1):
-            acc = acc * col
-        return acc
+        """Left-associated power chain as a fold: ``aggregate`` over
+        ``array_repeat`` performs acc = acc * col, (n-1) times — the
+        IDENTICAL IEEE multiply sequence (same order, same rounding,
+        pinned by the Python twin) in a CONSTANT-SIZE expression tree.
+        The r13 form inlined up to 63 Multiply nodes per grid struct
+        (≈ 240 across the grid, each with the shared inner-power
+        subtree re-expanded), and janino compilation of that
+        expression forest dominated the query at ~4.5 s of fixed cost
+        per run (measured sf0.1: full plan 7.5 s vs 2.6 s for the
+        candidate pairs alone — guide §1.2 'per-task work')."""
+        if n <= 1:
+            return col
+        return F.aggregate(
+            F.array_repeat(col, n - 1), col, lambda acc, x: acc * x
+        )
 
     rows = []
     for b, r in grid:

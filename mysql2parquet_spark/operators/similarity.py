@@ -46,10 +46,23 @@ def score_against(
     q = query.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.crossJoin(F.broadcast(q))
     if metric == "cosine":
-        s = cosine_similarity(vec_col, "_qvec")
+        # Hoist both norms out of the pair expression (r14 — the
+        # cosine_pairs discipline applied here too): the old inline
+        # cosine_similarity re-folded the corpus norm once per QUERY
+        # and the query norm once per CORPUS row — 3 interpreted HOF
+        # folds per scored pair instead of 1. Same sqrt values feed
+        # the same nullif-guarded division, so scores are
+        # bit-identical (the similarity_pairs contract).
+        src = corpus.withColumn("_cn", l2_norm(vec_col))
+        scored = src.crossJoin(
+            F.broadcast(q.withColumn("_qn", l2_norm("_qvec")))
+        )
+        s = dot(vec_col, "_qvec") / F.nullif(
+            F.col("_cn") * F.col("_qn"), F.lit(0.0)
+        )
     elif metric == "dot":
+        scored = corpus.crossJoin(F.broadcast(q))
         s = dot(vec_col, "_qvec")
     else:
         raise ValueError(f"unknown metric: {metric}")
@@ -710,7 +723,15 @@ def semantic_dedup(
     pairs = a.join(
         b, ["_cid"], "inner"
     ).filter(F.col("_id_a") < F.col("_id_b"))
-    sim = dot("_va", "_vb") / F.nullif(
+    # dim is known from the collected codebook, so the per-pair dot
+    # unrolls into codegen'd primitive arithmetic (identical left-fold
+    # order → bit-identical cosines; ragged rows fall back to the HOF
+    # fold inside dot_unrolled) — the pair stage is the quadratic part
+    # of SemDeDup and the interpreted fold dominated it (guide §1.2).
+    from mysql2parquet_spark.functions.vector import dot_unrolled
+
+    dim = len(cents[0][1])
+    sim = dot_unrolled("_va", "_vb", dim) / F.nullif(
         F.col("_nrm_a") * F.col("_nrm_b"), F.lit(0.0)
     )
     losers = (
