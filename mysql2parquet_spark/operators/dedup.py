@@ -39,6 +39,9 @@ from mysql2parquet_spark.functions.hashing import (
 )
 
 
+from mysql2parquet_spark.operators.scale import pin_shared as _pin
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], tiebreak_col: str
 ) -> DataFrame:
@@ -153,9 +156,16 @@ def _minhash_collisions(
     threshold even when the deeper-ranked pair is above it). Default is
     None (exact); pass a cap for boilerplate-heavy corpora at scale.
     """
-    banded = _banded_signatures(
-        df, id_col, text_col,
-        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    # Pinned: the banded projection feeds BOTH self-join sides (and the
+    # cap window), and no ReusedExchange ever fires for it (see _pin) —
+    # unpinned, the whole shingle+minhash fold ran twice (r14 measured:
+    # one banded pass is ~0.6 s at sf0.1, and every minhash face paid
+    # it per join side).
+    banded = _pin(
+        _banded_signatures(
+            df, id_col, text_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        )
     )
     if max_band_width is not None:
         bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
@@ -673,10 +683,18 @@ def duplicated_window_counts(
             lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = toked.select(
-        F.col(id_col),
-        F.greatest(n_tok - k + 1, F.lit(0)).cast("long").alias("n_windows"),
-        wins.alias("_wins"),
+    # Pinned: base feeds the gram explode TWICE (dup-key mining and the
+    # per-doc count) plus the final n_windows join — unpinned, the
+    # md5 k-window fold and the tokenize each re-ran per consumer (no
+    # ReusedExchange for HOF subtrees; see _pin).
+    base = _pin(
+        toked.select(
+            F.col(id_col),
+            F.greatest(n_tok - k + 1, F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            wins.alias("_wins"),
+        )
     )
     grams = base.select(id_col, F.explode("_wins").alias("_g"))
     dup_keys = (
@@ -798,6 +816,13 @@ def gram_jaccard_pairs_indexed(
     Returns ``(id_a, id_b, jaccard)`` with jaccard >= threshold, the
     ratio exact-in-double (no rounding before the filter, so an oracle
     computing the same integer ratio agrees bit-for-bit).
+
+    The gram index is deliberately NOT ``_pin``-ned even when the
+    self-join consumes it twice: it is an AGGREGATE output, so at the
+    pin point AQE has coalesced it to very few partitions and the
+    checkpoint would freeze that, serializing the pair join downstream
+    (measured r14: dedup_jaccard_incremental 2.9 → 6.4 s REGRESSION
+    with a pinned index; lazy recompute re-parallelizes per consumer).
     """
     if threshold <= 0.0:
         raise ValueError(
@@ -1037,9 +1062,14 @@ def incremental_minhash_dedup(
     beyond the cap keeps its row — under-removal, never a false drop);
     default None (exact collision set).
     """
-    banded = _banded_signatures(
-        batch, id_col, text_col,
-        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    # Pinned: the batch's banded projection feeds the store probe AND
+    # both within-batch join sides — three recomputed signature folds
+    # without it (no ReusedExchange, see _pin).
+    banded = _pin(
+        _banded_signatures(
+            batch, id_col, text_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        )
     )
     s = store.select(
         F.col("band_idx").alias("s_idx"),
@@ -1415,6 +1445,12 @@ def duplicated_spans(
             lambda i: F.md5(F.array_join(F.slice("_t", i, k), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # NOT pinned: grams is the post-explosion relation (≈ n_windows
+    # rows per doc), so checkpointing it writes more bytes than the
+    # saved second md5 k-window fold costs (measured r14: pin 1.14 s
+    # vs lazy 0.99 s at sf0.1) — the double fold is the cheaper side
+    # here, unlike duplicated_window_counts where the pre-explosion
+    # array form is pinned.
     grams = toked.select(
         F.col(id_col), F.posexplode(wins).alias("_p0", "_g")
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_g")

@@ -520,6 +520,32 @@ def fan_out(df, key=None):
     return df.repartition(target)
 
 
+def pin_shared(df: DataFrame) -> DataFrame:
+    """Materialize a shared intermediate ONCE (eager localCheckpoint).
+
+    Catalyst never emits a ReusedExchange for this engine's shared
+    subtrees: the shingle/minhash/tokenize projections are higher-order
+    functions whose lambda-variable exprIds defeat plan
+    canonicalization equality (the r7 `_gram_index` finding, verified
+    again r14 — zero ReusedExchange nodes across every dedup/tfidf/mad
+    plan), so a relation consumed by k branches is recomputed k times,
+    including its per-token hash folds. Pinning trades one eager
+    materialization of a constant-width relation (ids +
+    hashes/positions/counts, never raw text) for k−1 recomputed
+    passes. Use ONLY where the plan shows ≥2 consumers of an expensive
+    build; single-consumer relations stay lazy.
+
+    ``persist()`` would be wrong here: cache lookup is by
+    analyzed-plan equality, so a later identical query in the same
+    session would silently reuse the first run's result — cross-run
+    result caching, which the bench contract forbids. localCheckpoint
+    does not register with the cache manager; every run recomputes.
+    (``materialize_column`` below is the SUB-plan sibling: it pins an
+    expression to one evaluation per row *within* one subtree; this
+    pins a whole relation *across* subtrees.)"""
+    return df.localCheckpoint(eager=True)
+
+
 def materialize_column(df, name, col):
     """Pin an expensive expression to ONE evaluation per row by routing
     it through a one-element explode (a Generate node).

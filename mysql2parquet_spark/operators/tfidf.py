@@ -69,6 +69,11 @@ def tfidf_signatures(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     ).filter(F.col("term") != "")
+    # NOT pinned despite three consumers (document-frequency aggregate,
+    # corpus-size count, weighted join): tf is an AGGREGATE output, so
+    # a checkpoint here freezes the AQE-coalesced partitioning and
+    # serializes every consumer (measured r14: similarity_tfidf
+    # 1.52 → 1.81 s with the pin; lazy recompute re-parallelizes).
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("_tf")
     )
@@ -140,6 +145,10 @@ def tfidf_topk_similar(
     (its idf is minimal). Default ``None`` = off, for small corpora or
     broadcast-pruned query sides.
     """
+    # NOT pinned despite feeding both pair-join sides: the signature
+    # relation ends in window/aggregate shapes, so a checkpoint
+    # freezes the AQE-coalesced partitioning (measured r14 REGRESSION,
+    # see tfidf_signatures) — recompute per side stays parallel.
     sig = tfidf_signatures(
         docs, id_col=id_col, text_col=text_col, top_terms=top_terms
     )
