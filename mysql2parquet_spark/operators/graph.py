@@ -76,12 +76,27 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    e = _pin(
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-    )
+    # Symmetrize via explode-over-both-orientations, NOT
+    # e.unionByName(e.reversed): a union's two branches each inline the
+    # FULL upstream edge build (no ReusedExchange ever fires for this
+    # engine's higher-order-function subtrees — the r14 pin_shared
+    # finding), so the expensive gram/band edge pipeline ran twice.
+    # One Generate emits both directions in a single pass (r14
+    # measured: dedup_cluster_cc edge build ~halved; edges themselves
+    # are tiny — 247 rows at sf0.1 — the build is the cost).
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("s"), F.col(dst).alias("d")
+                ),
+                F.struct(
+                    F.col(dst).alias("s"), F.col(src).alias("d")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.s", "_e.d")
+    e = _pin(e.filter(F.col("s") != F.col("d")).distinct())
     lab = _pin(
         e.select(F.col("s").alias("v"))
         .distinct()

@@ -519,13 +519,21 @@ def mad_outlier_report(
     non-median value, the estimator's documented degeneracy. NULLs
     are excluded from ranking and counted separately.
 
-    Scale shape: exact MAD needs two rank passes — two group-keyed
-    window exchanges + two bounded group aggregates (the per-group
-    medians relation, |groups| rows, broadcasts back). Like D70, the
-    window partitions by the group key: per-key cost at high
-    cardinality, a |groups|-task sort at low — for a low-cardinality
-    key over data that won't fit those tasks, pre-aggregate or use
-    the D39 approx profile instead (stated, the events_anomaly rule).
+    Scale shape: ONE group-keyed exchange carries the whole report —
+    both rank passes are window sorts over the SAME partitioning (the
+    second pass re-sorts in place, no new exchange), the per-group
+    median/MAD are full-partition window sums of ≤2 selected values
+    (decimal sums — order-free, so the window form is bit-identical
+    to a group aggregate), and the final per-group aggregate reuses
+    the partitioning exchange-free. No joins in the value path (the
+    r14 rewrite: the old med/mad groupBy+broadcast-join diamonds
+    recomputed the ranked subtree per consumer — no ReusedExchange
+    for window subtrees — at 4 window passes + 2 joins per report).
+    Like D70, the window partitions by the group key: per-key cost at
+    high cardinality, a |groups|-task sort at low — for a
+    low-cardinality key over data that won't fit those tasks,
+    pre-aggregate or use the D39 approx profile instead (stated, the
+    events_anomaly rule).
     """
     if z_milli <= 0:
         raise ValueError(f"z_milli must be > 0: {z_milli}")
@@ -544,20 +552,16 @@ def mad_outlier_report(
     lo = F.floor((F.col("_n") + 1).cast("double") / F.lit(2.0)).cast("long")
     hi = F.floor((F.col("_n") + 2).cast("double") / F.lit(2.0)).cast("long")
     sel = (F.col("_rn") == lo) | (F.col("_rn") == hi)
-    med = ranked.groupBy(*group_cols).agg(
-        F.max("_n").cast("long").alias("n_rows"),
-        F.when(
-            F.max("_n") % 2 == 1,
-            F.lit(2) * F.sum(F.when(sel, F.col("_v"))),
-        )
-        .otherwise(F.sum(F.when(sel, F.col("_v"))))
-        .alias("_med2"),
-    )
-    dev = ranked.join(F.broadcast(med), list(group_cols)).select(
+    med2_sum = F.sum(F.when(sel, F.col("_v"))).over(wn)
+    dev = ranked.select(
         *group_cols,
-        "n_rows",
-        "_med2",
-        F.abs(F.lit(2) * F.col("_v") - F.col("_med2")).alias("_dev2"),
+        "_v",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.when(F.col("_n") % 2 == 1, F.lit(2) * med2_sum)
+        .otherwise(med2_sum)
+        .alias("_med2"),
+    ).withColumn(
+        "_dev2", F.abs(F.lit(2) * F.col("_v") - F.col("_med2"))
     )
     w2 = Window.partitionBy(*group_cols).orderBy(F.col("_dev2").asc())
     dev_ranked = dev.withColumn("_rn2", F.row_number().over(w2))
@@ -568,23 +572,19 @@ def mad_outlier_report(
         (F.col("n_rows") + 2).cast("double") / F.lit(2.0)
     ).cast("long")
     sel2 = (F.col("_rn2") == lo2) | (F.col("_rn2") == hi2)
-    mad = dev_ranked.groupBy(*group_cols).agg(
-        F.when(
-            F.max("n_rows") % 2 == 1,
-            F.lit(2) * F.sum(F.when(sel2, F.col("_dev2"))),
-        )
-        .otherwise(F.sum(F.when(sel2, F.col("_dev2"))))
-        .alias("_mad4"),
-    )
-    flagged = dev.join(F.broadcast(mad), list(group_cols)).select(
+    mad4_sum = F.sum(F.when(sel2, F.col("_dev2"))).over(wn)
+    flagged = dev_ranked.select(
         *group_cols,
         "n_rows",
         "_med2",
-        "_mad4",
-        (
-            F.lit(1349) * F.col("_dev2")
-            > F.lit(int(z_milli)) * F.col("_mad4")
-        ).alias("_out"),
+        F.when(F.col("n_rows") % 2 == 1, F.lit(2) * mad4_sum)
+        .otherwise(mad4_sum)
+        .alias("_mad4"),
+        "_dev2",
+    ).withColumn(
+        "_out",
+        F.lit(1349) * F.col("_dev2")
+        > F.lit(int(z_milli)) * F.col("_mad4"),
     )
     nulls = (
         df.filter(F.col(value_col).isNull())

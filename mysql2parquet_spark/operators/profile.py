@@ -19,11 +19,16 @@ column names (names are data: space/quote/backtick/dot-bearing names
 profile fine — everything is renamed positionally first). Cardinality defaults to
 ``approx_count_distinct`` (HLL, one pass, mergeable — the only sane
 default at 100 TB); ``exact_distinct=True`` switches to exact
-``count_distinct``, which makes Catalyst plan an Expand (one replay of
-the stream per distinct aggregate) — affordable on column subsets,
-priced in the docstring so nobody turns it on for 200 columns by
-accident. The registered query uses the exact path on a 4-column
-subset so the DuckDB oracle can reproduce every value bit-for-bit.
+``count_distinct``, which Catalyst rewrites through an Expand (one
+replay of the stream per distinct aggregate) — affordable on column
+subsets, priced in the docstring so nobody turns it on for 200
+columns by accident. The exact path runs the distincts as a SECOND
+aggregate cross-joined back (1 row × 1 row): mixed
+distinct+plain aggregation forces every plain metric through the
+Expand's multi-key sort-agg rewrite too (r14 measured 2.09 s mixed vs
+0.96 s split at sf0.1). The registered query uses the exact path on a
+4-column subset so the DuckDB oracle can reproduce every value
+bit-for-bit.
 
 The reference infers a schema to export it (/root/reference/main.go
 type switch); profiling the DATA under that schema is the engine-side
@@ -91,17 +96,15 @@ def profile_table(
     pos = {c: df.columns.index(c) for c in columns}
     safe = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     src = {c: F.col(f"_c{pos[c]}") for c in columns}
-    distinct = (
-        (lambda c: F.count_distinct(src[c]))
-        if exact_distinct
-        else (lambda c: F.approx_count_distinct(src[c]))
-    )
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(columns):
         aggs.append(
             F.sum(src[c].isNull().cast("long")).alias(f"_nulls_{i}")
         )
-        aggs.append(distinct(c).alias(f"_dist_{i}"))
+        if not exact_distinct:
+            aggs.append(
+                F.approx_count_distinct(src[c]).alias(f"_dist_{i}")
+            )
         if isinstance(types[c], _NUMERIC):
             aggs.append(
                 F.round(F.min(src[c]).cast("double"), 4).alias(f"_min_{i}")
@@ -115,6 +118,25 @@ def profile_table(
             aggs.append(F.max(s).alias(f"_maxs_{i}"))
             aggs.append(F.round(F.avg(F.length(s)), 4).alias(f"_len_{i}"))
     wide = safe.agg(*aggs)
+    if exact_distinct:
+        # Exact distincts ride a SEPARATE aggregate cross-joined back
+        # (1 row × 1 row, broadcast). Mixing count_distinct with plain
+        # min/max/avg in ONE agg forces Catalyst to route EVERY metric
+        # through the Expand(n_cols+1 replicas) + multi-key sort-agg
+        # rewrite (string min/max buffers bar HashAggregate there) —
+        # measured r14 at sf0.1: mixed 2.09 s vs 0.24 s (plain pass) +
+        # 0.72 s (distinct-only Expand, pure HashAggregate). The approx
+        # path stays one-pass/one-FileScan (HLL is mergeable — no
+        # Expand, nothing to split; plan-pinned in
+        # tests/test_curation_profile_dp.py::test_profile_is_single_pass).
+        wide = wide.crossJoin(
+            safe.agg(
+                *[
+                    F.count_distinct(src[c]).alias(f"_dist_{i}")
+                    for i, c in enumerate(columns)
+                ]
+            )
+        )
 
     # unpivot the 1-row wide aggregate to long form: explode over an
     # array of per-column structs is a pure projection over one row —

@@ -2417,13 +2417,17 @@ def _profile_oracle() -> str:
 @register(
     "table_profile",
     _profile_oracle(),
-    "D39: one-pass column profiler over a 4-column orders subset — "
-    "null counts, exact cardinality, numeric ranges, string min/max "
-    "and average length, every metric for every column in ONE "
-    "aggregation pass (single FileScan, plan-pinned) unpivoted to long "
-    "form by an explode-over-structs projection. The registered query uses "
-    "exact_distinct=True so the oracle reproduces bit-for-bit; the "
-    "100 TB default is approx_count_distinct (HLL, no Expand replay).",
+    "D39: column profiler over a 4-column orders subset — null "
+    "counts, exact cardinality, numeric ranges, string min/max and "
+    "average length, unpivoted to long form by an "
+    "explode-over-structs projection. The exact-distinct face runs "
+    "TWO aggregates cross-joined 1-row x 1-row (plain metrics hash/"
+    "sort-agg once; count_distincts in their own Expand aggregate — "
+    "mixing them forced every metric through the Expand, r14 2.09 s "
+    "-> 0.96 s). The registered query uses exact_distinct=True so the "
+    "oracle reproduces bit-for-bit; the 100 TB default is "
+    "approx_count_distinct (HLL, ONE pass, single FileScan, "
+    "plan-pinned).",
 )
 def table_profile(spark, sf_dir):
     from mysql2parquet_spark.operators.profile import profile_table

@@ -468,9 +468,6 @@ BROADCAST_ALLOWLIST = {
     ("operators/pipeline.py", "curate_with_classifier"):
         "1-row score-sum/doc-count relation (the relative-threshold "
         "mean) — bounded by construction, never the data",
-    ("operators/numeric.py", "mad_outlier_report"):
-        "|groups|-row median and MAD relations joined back onto the "
-        "ranked rows — bounded by group cardinality, never the data",
     ("operators/sequences.py", "cusum_changepoint"):
         "|groups|-row total/count relation joined back onto the "
         "running-sum rows — bounded by group cardinality, never the "
