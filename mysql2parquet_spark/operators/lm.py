@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from mysql2parquet_spark.functions.hashing import tokens
 
+
 _QUANT = 1_000_000  # micro-nats: integer-exact shuffle sums
 
 
@@ -227,6 +228,17 @@ def lm3_score(
         F.count(F.lit(1)).alias("c123")
     )
     bg_train = doc_bigrams(tr, id_col=id_col, text_col=text_col)
+    # bi and uni are each JOINED TWICE below (the (w1,w2)/(w2,w3)
+    # backoff lookups; the w2/w3 unigram lookups), so each reference
+    # re-runs the train-side tokenize+gram pass — but they are
+    # deliberately NOT pin_shared-ed: the duplicate branches run as
+    # INDEPENDENT PARALLEL STAGES of the one final job, while eager
+    # checkpoints serialize them into extra driver-blocking jobs
+    # (measured r14: pinning bi+uni took text_lm3_score 1.31 → 2.82 s
+    # min-of-5 in back-to-back quiet windows). Redundant-but-parallel
+    # beats materialized-but-serial until cores saturate; at real
+    # cluster scale the model aggregates are vocabulary-bounded and
+    # cheap next to the corpus scan either way.
     bi = bg_train.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cb")
     )

@@ -204,6 +204,14 @@ def curate_with_lm(
 
     deduped = fingerprint_dedup(docs, text_col, id_col)
     trusted = deduped.filter(trusted_pred).select(id_col, text_col)
+    # scored feeds both the corpus-mean aggregate and the keep filter,
+    # and is deliberately NOT pin_shared-ed (nor are lm3_score's model
+    # relations): the duplicated branches run as independent PARALLEL
+    # stages of the one final job, while eager checkpoints serialize
+    # query construction into extra driver-blocking jobs — measured
+    # r14, pinning this family took text_lm3_score 1.31 → 2.82 s and
+    # pipeline_curate_lm 2.15 → 3.51 s (min-of-5, back-to-back quiet
+    # windows). Redundant-but-parallel wins until cores saturate.
     scored = lm3_score(
         deduped.select(id_col, text_col),
         train=trusted,

@@ -326,42 +326,50 @@ def kmeans_lite(
     init); this exists so IVF training composes from audited primitives.
     """
     seed_order = F.md5(F.col(id_col).cast("string"))
-    # top-k by hash: TakeOrderedAndProject, no global sort materialization
-    seeds = df.orderBy(seed_order).limit(k).select(id_col, vec_col)
-    seed_df = seeds.select(
-        (
-            F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string"))))
-            - 1
-        ).alias("centroid_id"),
-        F.col(vec_col).alias(vec_col),
-    )
+    # top-k by hash: TakeOrderedAndProject returns the k rows ALREADY
+    # in hash order, so seeding is ONE job with the (centroid_id =
+    # rank) map built driver-side — the old path derived a second
+    # row_number relation from the same subtree and collected THAT,
+    # re-running the corpus TOAP scan (no plan reuse across the two
+    # collects; the r14 finding).
+    seed_rows = (
+        df.orderBy(seed_order).limit(k).select(vec_col).collect()
+    )  # bounded-metadata: k seed vectors
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(seed_rows)
+    ]
     # Centroids are k×dim bounded metadata: materialize them to the driver
     # between iterations so every Lloyd's step starts from a FLAT plan —
     # one scan + one (label,pos) agg — instead of re-executing all prior
     # iterations (lineage depth constant in `iters`, asserted in
-    # tests/test_kmeans.py).
-    cents = collect_centroids(seed_df, vec_col=vec_col)
+    # tests/test_kmeans.py). The k·dim cell means cross in LONG form
+    # and re-assemble driver-side (the pq_train pattern): the old
+    # label-keyed collect_list re-aggregate existed only to build
+    # arrays the very next line collected — one exchange per iteration
+    # for nothing.
     for _ in range(iters):
         assigned = ivf_assign(df, cents, id_col=id_col, vec_col=vec_col)
-        new_cents_df = (
+        cells = (
             assigned.select(
                 F.col("centroid_id").alias("label"),
                 F.posexplode(vec_col).alias("pos", "val"),
             )
             .groupBy("label", "pos")
             .agg(F.avg(F.col("val").cast("double")).alias("centroid_val"))
-            .groupBy("label")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "centroid_val"))
-                ).alias("_pairs")
-            )
-            .select(
-                F.col("label").alias("centroid_id"),
-                F.transform("_pairs", lambda p: p.centroid_val).alias(vec_col),
-            )
+            .collect()  # bounded-metadata: k*dim cells
         )
-        cents = collect_centroids(new_cents_df, vec_col=vec_col)
+        by_label: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = (
+                float(r["centroid_val"])
+            )
+        # labels absent from `cells` (emptied clusters) DROP, exactly
+        # as the old collect_centroids-of-aggregate behaved
+        cents = [
+            (lab, [vals[p] for p in sorted(vals)])
+            for lab, vals in sorted(by_label.items())
+        ]
     spark = df.sparkSession
     return spark.createDataFrame(
         [(cid, vec) for cid, vec in cents],
