@@ -304,17 +304,21 @@ def cusum_changepoint(
     mirrored double division. NULL values are excluded from the
     series (stated, the D70 rule).
 
-    Scale shape: one group-keyed window exchange (running sum over
-    (ts, id) — ties broken by the unique id), a |groups|-row totals
-    relation broadcast back, one argmax rank over the same window
-    key. Like D70/D92, the window partitions by the group key: per-key
-    cost at high cardinality, a |groups|-task sort at low.
+    Scale shape: ONE group-keyed exchange carries the whole report —
+    the running sum and rank ride the (ts, id)-ordered window, the
+    group total and count are full-partition window sums over the
+    SAME partitioning (decimal/long — order-free, so the window form
+    is bit-identical to the group aggregate + broadcast join it
+    replaced, r14), and the argmax rank re-sorts in place. No join
+    anywhere. Like D70/D92, the window partitions by the group key:
+    per-key cost at high cardinality, a |groups|-task sort at low.
     """
     non_null = events.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
-    run = non_null.select(
+    wn = Window.partitionBy(*group_cols)
+    t = non_null.select(
         *group_cols,
         F.col(id_col),
         F.col(ts_col),
@@ -327,12 +331,9 @@ def cusum_changepoint(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("_p"),
         F.row_number().over(w).alias("_k"),
-    )
-    totals = non_null.groupBy(*group_cols).agg(
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_tot"),
-        F.count(F.lit(1)).cast("long").alias("_n"),
-    )
-    t = run.join(F.broadcast(totals), list(group_cols)).select(
+        F.sum("_v").over(wn).alias("_tot"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("_n"),
+    ).select(
         *group_cols,
         id_col,
         ts_col,

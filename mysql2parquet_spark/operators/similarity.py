@@ -333,8 +333,11 @@ def kmeans_lite(
     # re-running the corpus TOAP scan (no plan reuse across the two
     # collects; the r14 finding).
     seed_rows = (
-        df.orderBy(seed_order).limit(k).select(vec_col).collect()
-    )  # bounded-metadata: k seed vectors
+        df.orderBy(seed_order)
+        .limit(k)
+        .select(vec_col)
+        .collect()  # bounded-metadata: k seed vectors
+    )
     cents = [
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(seed_rows)

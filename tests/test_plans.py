@@ -468,10 +468,6 @@ BROADCAST_ALLOWLIST = {
     ("operators/pipeline.py", "curate_with_classifier"):
         "1-row score-sum/doc-count relation (the relative-threshold "
         "mean) — bounded by construction, never the data",
-    ("operators/sequences.py", "cusum_changepoint"):
-        "|groups|-row total/count relation joined back onto the "
-        "running-sum rows — bounded by group cardinality, never the "
-        "data",
     ("operators/numeric.py", "exact_auc"):
         "|partitions|-row negative-count offset relation (the "
         "D45/D61 distributed-ORDER-BY machinery) — bounded by the "
