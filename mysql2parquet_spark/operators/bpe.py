@@ -196,16 +196,17 @@ def bpe_train(
 
     wf = word_frequencies(docs, text_col)
     if driver_threshold > 0:
-        wf = wf.persist()  # counted once, then either collected or looped
-        if wf.count() <= driver_threshold:
-            try:
-                freqs = {  # bounded-metadata by the threshold check
-                    r["word"]: r["freq"] for r in wf.collect()  # bounded-metadata: <= driver_threshold rows
-                }
-            finally:
-                wf.unpersist()
+        # ONE capped collect decides the path AND fetches the relation
+        # (r14): CollectLimit(threshold+1) never moves more than
+        # threshold+1 rows to the driver — the same OOM guard the old
+        # persist+count+collect pair enforced, minus one full pass and
+        # the persist round-trip. A truncated result (threshold+1 rows)
+        # means the vocabulary is over budget; fall through to the
+        # distributed loop.
+        rows = wf.limit(driver_threshold + 1).collect()  # bounded-metadata: <= threshold+1 rows
+        if len(rows) <= driver_threshold:
+            freqs = {r["word"]: r["freq"] for r in rows}
             return _train_driver_side(freqs, num_merges)
-        wf.unpersist()
     if loop_partitions is not None:
         wf = wf.coalesce(loop_partitions)
 

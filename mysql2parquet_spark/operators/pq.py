@@ -129,21 +129,16 @@ def pq_train(
     cluster keeps that cell's previous centroid, so the returned
     codebooks are always dense m×k.
 
-    ``dim`` defaults to the first row's length; it must divide by m.
+    ``dim`` defaults to the seed rows' vector length (no separate
+    probe job); it must divide by m.
     At 100 TB pass ``train_fraction`` well under 1.0 (k-means needs
     thousands of points per centroid, not the corpus) and persist the
     result via ``pq_build`` — train once, amortize forever.
     """
     import numpy as np
 
-    if dim is None:
-        first = emb.select(vec_col).first()  # bounded-metadata: 1 vector
-        if first is None:
-            raise ValueError("pq_train: empty corpus")
-        dim = len(first[0])
-    if dim % m != 0:
+    if dim is not None and dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
     train = emb.select(id_col, vec_col)
     if train_fraction < 1.0:
         train = train.sample(fraction=train_fraction, seed=seed)
@@ -155,11 +150,21 @@ def pq_train(
             .select(vec_col)
             .collect()  # bounded-metadata: k seed vectors (TOAP heap)
         )
+        if not seed_rows and emb.select(vec_col).first() is None:
+            raise ValueError("pq_train: empty corpus")
         if len(seed_rows) < k:
             raise ValueError(
                 f"pq_train: need >= k={k} training vectors, got "
                 f"{len(seed_rows)} (raise train_fraction or lower k)"
             )
+        if dim is None:
+            # derived from the seed rows already on the driver (r14) —
+            # the old separate first() probe cost one more full-scan
+            # job before training could start
+            dim = len(seed_rows[0][0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        sub = dim // m
         seeds = np.asarray([list(r[0]) for r in seed_rows], dtype=np.float64)
         cb = np.stack(
             [seeds[:, s * sub : (s + 1) * sub] for s in range(m)]
