@@ -233,30 +233,32 @@ def tpch_q1(spark, sf_dir):
     LIMIT 100
     """,
     "TPC-H Q18 shape: large-volume customers — a grouped-HAVING "
-    "subquery feeding a semi-join, then a 3-way join and grouped top-k. "
-    "The big-order key set is tiny relative to lineitem, so Spark "
-    "broadcasts it into a BroadcastHashJoin(LeftSemi): lineitem is "
-    "scanned twice but never shuffled for the filter.",
+    "subquery feeding the join, then grouped top-k. The HAVING "
+    "aggregate ALREADY holds each big order's quantity sum, and the "
+    "outer group is one-row-per-order (o_orderkey is the orders PK), "
+    "so the sum rides the tiny big-order relation into a broadcast "
+    "join: lineitem is scanned ONCE and never re-aggregated (r14; "
+    "bit-identical — same decimal addends per order).",
 )
 def tpch_q18(spark, sf_dir):
     """Large-volume-customer shape (reference delegates to MySQL,
     main.go:106). The HAVING aggregate shuffles only (orderkey, qty)
-    pairs; the outer agg groups an already-filtered ~0.3% of orders."""
+    pairs; the outer per-order "aggregate" is that aggregate's own
+    output (one row per orderkey, sum already computed), so the old
+    second lineitem scan + semi-join + re-sum collapse into one inner
+    join against the ~0.3%-of-orders big relation (r14)."""
     li = T(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("_q"))
         .filter(F.col("_q") > 250)
-        .select("l_orderkey")
     )
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("o_custkey") == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .withColumn("sum_qty", F.col("_q").cast("double"))
         .select(
             "c_name",
             "c_custkey",

@@ -135,29 +135,25 @@ def test_single_shuffle_queries(spark, sf_dir, name):
     assert p.count("Exchange hashpartitioning") <= 1, p
 
 
-def test_tpch_q18_semi_join_broadcasts_big_orders(spark, sf_dir):
-    """Q18's HAVING key-set is ~0.3% of orders; materializing it through
-    a shuffled semi-join would re-exchange the orders table at 100 TB.
-    The plan must probe it as a broadcast LeftSemi instead.
-
-    Assert on the LINE containing LeftSemi, never a fixed character
-    window: the original `p[idx-60 : idx+20]` slice clipped
-    'BroadcastHashJoin' to 'oadcastHashJoin' once a long shared-session
-    suite run grew expression IDs to six digits (#100846L widens the
-    operator text) — the plan was correct, the window arithmetic was
-    not (full-suite-only failure, r8 flake hunt). The broadcast
-    threshold is also pinned to the session default so legitimate
-    try/finally toggles elsewhere in the suite can't change the
-    decision itself."""
+def test_tpch_q18_single_lineitem_scan_broadcasts_big_orders(spark, sf_dir):
+    """Q18's HAVING aggregate already holds each big order's quantity
+    sum, and the outer group is one-row-per-order — so the plan must
+    scan lineitem exactly ONCE (the r14 rewrite removed the second
+    scan, the LeftSemi and the outer re-aggregation; a second lineitem
+    reference here would re-scan the biggest table at 100 TB) and probe
+    the ~0.3%-of-orders big relation as a broadcast join, never a
+    shuffled one. The broadcast threshold is pinned to the session
+    default so legitimate try/finally toggles elsewhere in the suite
+    can't change the decision itself."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     try:
         p = plan(spark, sf_dir, "tpch_q18", mode="simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
-    semi_line = next(ln for ln in p.splitlines() if "LeftSemi" in ln)
-    assert "BroadcastHashJoin" in semi_line, p
+    assert "LeftSemi" not in p, p
+    assert p.count("lineitem") == 1, p
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_ivf_assignment_never_shuffles_corpus(spark, sf_dir):
