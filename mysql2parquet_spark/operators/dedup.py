@@ -1496,9 +1496,12 @@ def remove_duplicated_spans(
 
     Scale shape: the D21 gram pipeline, then the hit positions fan
     out k-fold (constant k) into covered token positions, one
-    (doc, pos)-keyed distinct, one (doc, pos)-keyed anti-join against
-    the posexploded tokens, and the D50 ordered-reassembly aggregate.
-    All keyed exchanges; no window at all on the data-scale path.
+    (doc, pos)-keyed distinct, one doc-keyed covered-POSITIONS-ONLY
+    aggregate joined back onto the pinned token arrays, and the kept
+    text falls out of a pure projection (``_trim_covered``, r14 —
+    replaces the old full-token posexplode anti-join + reassembly
+    aggregate). All keyed exchanges carry covered rows, never the
+    token stream; no window at all on the data-scale path.
     """
     from mysql2parquet_spark.operators.scale import (
         fan_out,
@@ -1540,36 +1543,42 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    alltok = base.select(
-        F.col(id_col), F.posexplode("_t").alias("_p0", "tok")
-    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "tok")
-    kept = alltok.join(covered, [id_col, "pos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    return _trim_covered(base, covered, id_col)
+
+
+def _trim_covered(base, covered, id_col: str) -> DataFrame:
+    """Reassemble each doc's kept text given its covered positions —
+    shared by ``remove_duplicated_spans`` and ``remove_matching_spans``.
+
+    The r14 shape: covered positions aggregate to ONE array per doc
+    (rows bounded by the covered fraction, never the corpus), join
+    back onto the pinned token arrays, and the kept text falls out of
+    a PURE PROJECTION — ``array_except(sequence(1, n), cov)`` keeps
+    the uncovered positions in order with hash-set semantics, and a
+    transform rebuilds the text. This replaces the old posexplode of
+    EVERY token through a (doc, pos)-keyed anti-join plus a
+    collect_list/array_sort reassembly aggregate — two data-scale
+    exchanges of the full token stream — with one covered-rows-only
+    aggregate. Outputs are identical, including the degenerate rows
+    (empty/NULL text, fully-covered docs)."""
+    cov_arr = covered.groupBy(id_col).agg(
+        F.collect_set("pos").alias("_cov")
     )
-    totals = base.select(
-        F.col(id_col), F.size("_t").cast("long").alias("_total")
+    kept_pos = F.array_except(
+        F.when(F.size("_t") > 0, F.sequence(F.lit(1), F.size("_t")))
+        .otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
     )
     return (
-        totals.join(reassembled, id_col, "left")
+        base.join(cov_arr, id_col, "left")
+        .withColumn("_kp", kept_pos)
         .select(
             id_col,
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.coalesce(F.col("n_kept"), F.lit(0))
-            .cast("long")
-            .alias("n_kept"),
-            (
-                F.col("_total")
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
-            .cast("long")
+            F.array_join(
+                F.transform("_kp", lambda p: F.element_at("_t", p)), " "
+            ).alias("text"),
+            F.size("_kp").cast("long").alias("n_kept"),
+            (F.size("_t").cast("long") - F.size("_kp").cast("long"))
             .alias("n_removed"),
         )
     )
@@ -1699,10 +1708,11 @@ def remove_matching_spans(
     broadcast (eval suites are bounded metadata next to a 100 TB
     corpus — the D16 contract), so the hit probe is map-side on the
     exploded training grams; hits expand k-fold (constant) into
-    covered positions, one (doc, pos) distinct, one (doc, pos)
-    anti-join against the posexploded tokens, the D50 ordered
-    reassembly. The only data-scale exchanges are keyed on the
-    document id.
+    covered positions, one (doc, pos) distinct, one doc-keyed
+    covered-positions aggregate joined back onto the pinned token
+    arrays, and the kept text is a pure projection (``_trim_covered``,
+    r14). The only data-scale exchanges are keyed on the document id
+    and carry covered rows, never the full token stream.
 
     ``needle_id_col`` names the needles frame's id column (fan-out
     spread key only — needle ids never reach the output). Default:
@@ -1757,39 +1767,7 @@ def remove_matching_spans(
         )
         .distinct()
     )
-    alltok = base.select(
-        F.col(id_col), F.posexplode("_t").alias("_p0", "tok")
-    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "tok")
-    kept = alltok.join(covered, [id_col, "pos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = base.select(
-        F.col(id_col), F.size("_t").cast("long").alias("_total")
-    )
-    return (
-        totals.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.coalesce(F.col("n_kept"), F.lit(0))
-            .cast("long")
-            .alias("n_kept"),
-            (
-                F.col("_total")
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+    return _trim_covered(base, covered, id_col)
 
 
 def soft_dedup_weights(
