@@ -1142,13 +1142,15 @@ def frequent_segment_removal(
     Plan shape (100 TB): posexplode is a zero-shuffle projection; the
     global segment count is ONE keyed partial-agg exchange (map-side
     combine collapses each partition to its distinct segments before
-    the wire); the ban is a left_anti equi-join on the segment key
-    (never O(n²) — segments meet only their own hash bucket); the
-    reassembly is one ``id_col``-keyed agg with ``array_sort`` on the
-    carried position (no window, no global sort). Counting keys on the
-    raw segment so the oracle mirrors trivially; at petabyte scale key
-    the count/ban on ``md5(seg)`` to shuffle 16-byte keys — same plan,
-    documented trade.
+    the wire); banned OCCURRENCES (the boilerplate fraction, never the
+    corpus) come back through a segment-keyed semi-join and aggregate
+    to one positions array per doc; the kept text is then a pure
+    projection over the per-doc segment array (``array_except`` on
+    positions + transform — the ``_trim_covered`` idiom, r14; replaces
+    the old anti-join + reassembly aggregate that shuffled every KEPT
+    segment). Counting keys on the raw segment so the oracle mirrors
+    trivially; at petabyte scale key the count/ban on ``md5(seg)`` to
+    shuffle 16-byte keys — same plan, documented trade.
 
     Returns ``(id_col, text, n_kept, n_dropped)`` — SURVIVORS ONLY: a
     document whose every segment is banned disappears (the C4
@@ -1167,11 +1169,12 @@ def frequent_segment_removal(
         )
     import re as _re
 
-    segs = df.select(
+    base = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.split(F.col(text_col), _re.escape(sep), -1)
-        ).alias("pos", "seg"),
+        F.split(F.col(text_col), _re.escape(sep), -1).alias("_segs"),
+    )
+    segs = base.select(
+        F.col(id_col), F.posexplode("_segs").alias("pos", "seg")
     )
     banned = (
         segs.groupBy("seg")
@@ -1179,28 +1182,32 @@ def frequent_segment_removal(
         .filter(F.col("_n") >= min_count)
         .select("seg")
     )
-    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
-    kept = segs.join(banned, "seg", "left_anti")
+    cov = (
+        segs.join(banned, "seg", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    kept_pos = F.array_except(
+        F.when(
+            F.size("_segs") > 0,
+            F.sequence(F.lit(0), F.size("_segs") - 1),
+        ).otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "seg"))
-                    ),
-                    lambda s: s["seg"],
-                ),
-                sep,
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-        .join(totals, id_col)
+        base.join(cov, id_col, "left")
+        .withColumn("_kp", kept_pos)
+        .filter(F.size("_kp") > 0)  # survivors only — the C4 contract
         .select(
             id_col,
-            "text",
-            "n_kept",
-            (F.col("_total") - F.col("n_kept")).alias("n_dropped"),
+            F.array_join(
+                F.transform("_kp", lambda p: F.element_at("_segs", p + 1)),
+                sep,
+            ).alias("text"),
+            F.size("_kp").cast("long").alias("n_kept"),
+            (F.size("_segs") - F.size("_kp"))
+            .cast("long")
+            .alias("n_dropped"),
         )
     )
 
@@ -1346,39 +1353,31 @@ def within_doc_segment_dedup(
     needs the cross-corpus count, and with C4's repetition SCORE,
     which only measures).
 
-    Plan shape: posexplode (zero shuffle) → ONE (id, seg)-keyed
-    ``min(pos)`` aggregate (the keeper set — no window, dedup by
-    group-min like ``exact_dedup``) → the D50 reassembly aggregate.
-    Two keyed exchanges total, both on the document id (+segment);
-    every document keeps ≥ 1 segment, so the output has exactly one
-    row per input document — ``n_dropped`` counts the removed repeats.
+    Plan shape: ZERO exchanges (r14) — "first occurrence of each
+    segment, in order" is exactly ``array_distinct`` (order of first
+    occurrence is its documented contract), so the whole operator is
+    one whole-stage-codegen projection over the split array; the old
+    form paid a (id, seg)-keyed min(pos) aggregate plus the D50
+    reassembly aggregate for the same rows. NULL-text documents are
+    absent from the output (the posexplode of the old form dropped
+    them; the filter states it); every other document keeps >= 1
+    segment, so the output has exactly one row per input document —
+    ``n_dropped`` counts the removed repeats.
     """
-    segs = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.col(text_col), __import__("re").escape(sep), -1)
-        ).alias("pos", "seg"),
+    segs = F.split(
+        F.col(text_col), __import__("re").escape(sep), -1
     )
-    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
-    kept = segs.groupBy(id_col, "seg").agg(F.min("pos").alias("pos"))
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                    lambda s: s["seg"],
-                ),
-                sep,
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-        .join(totals, id_col)
+        df.select(F.col(id_col), segs.alias("_segs"))
+        .filter(F.col("_segs").isNotNull())
+        .withColumn("_kept", F.array_distinct("_segs"))
         .select(
             id_col,
-            "text",
-            "n_kept",
-            (F.col("_total") - F.col("n_kept")).alias("n_dropped"),
+            F.array_join("_kept", sep).alias("text"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.size("_segs") - F.size("_kept"))
+            .cast("long")
+            .alias("n_dropped"),
         )
     )
 
