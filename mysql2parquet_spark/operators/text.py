@@ -986,8 +986,9 @@ def heaps_growth(
     term) rows only after the per-doc distinct), one doc-bucket token
     count, then ALL remaining math (cumulative window, β fit) runs on
     the ≤ ``n_buckets``-row relation — bounded by configuration (the
-    D59/D65 funnel discipline). The max-id relation is a reviewed
-    broadcast.
+    D59/D65 funnel discipline). The 2-value id range is collected once
+    as bounded metadata and enters the branches as literals (r14 — the
+    old broadcast form re-scanned min/max per branch).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
@@ -995,31 +996,50 @@ def heaps_growth(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("_term"),
     ).filter(F.col("_term") != "")
-    maxid = df.select(
+    # The id-range relation is COLLECTED once (1 row, two longs —
+    # bounded metadata, the kmeans-seed rule) and enters the three
+    # bucket branches as literals (r14): the old broadcast form
+    # re-evaluated the min/max scan of the documents table once per
+    # branch (3 redundant column scans at 100 TB) and carried three
+    # BroadcastNestedLoopJoin builds. Same doubles feed the same
+    # bucket arithmetic, so the report is bit-identical; an empty
+    # corpus short-circuits to the declared-empty frame the old form
+    # produced via empty aggregates.
+    rng = df.select(
         F.min(F.col(id_col)).cast("long").alias("_lo"),
         (F.max(F.col(id_col)) - F.min(F.col(id_col)) + 1)
         .cast("long")
         .alias("_m"),
-    )
+    ).collect()[0]  # bounded-metadata: the 2-value id range
+    lo, m = rng["_lo"], rng["_m"]
+    if lo is None:
+        # empty corpus: the old broadcast form produced zero curve
+        # rows (every branch aggregated nothing); mirror that.
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "bucket int, n_docs long, n_tokens long, "
+                "new_terms long, cum_tokens long, cum_vocab long, "
+                "heaps_beta double"
+            ),
+        )
     bucket_of = lambda c: F.least(  # noqa: E731
         F.lit(n_buckets - 1),
         F.floor(
-            (c.cast("double") - F.col("_lo").cast("double"))
+            (c.cast("double") - F.lit(float(lo)))
             * n_buckets
-            / F.col("_m").cast("double")
+            / F.lit(float(m))
         ).cast("int"),
     )
     # tokens per ingestion bucket
     tok_b = (
-        terms.crossJoin(F.broadcast(maxid))
-        .select(bucket_of(F.col("_id")).alias("bucket"))
+        terms.select(bucket_of(F.col("_id")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
     docs_b = (
-        df.select(F.col(id_col).alias("_id"))
-        .crossJoin(F.broadcast(maxid))
-        .select(bucket_of(F.col("_id")).alias("bucket"))
+        df.select(bucket_of(F.col(id_col)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -1031,8 +1051,7 @@ def heaps_growth(
         .agg(F.min("_id").alias("_fid"))
     )
     new_b = (
-        first.crossJoin(F.broadcast(maxid))
-        .select(bucket_of(F.col("_fid")).alias("bucket"))
+        first.select(bucket_of(F.col("_fid")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("new_terms"))
     )
