@@ -1682,7 +1682,14 @@ def ngram_langid(
         .select(F.col(lang_col).alias("_lang"), "g", "lr")
     )
     doc_prof = (
+        # ONE doc-keyed exchange carries both the (doc, gram) count
+        # and the rank window (r14): hash(id) satisfies the
+        # (id, g)-clustered aggregate (subset rule) AND the window's
+        # id partitioning, so the explicit repartition replaces the
+        # agg exchange + window re-exchange pair. AQE still coalesces
+        # it (RepartitionByExpression without a pinned count).
         grams(docs, F.col(id_col))
+        .repartition(F.col(id_col))
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("_c"))
         .withColumn(
