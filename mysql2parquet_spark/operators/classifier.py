@@ -52,6 +52,52 @@ def _bucketed_tokens(
     )
 
 
+def classifier_features(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+) -> DataFrame:
+    """ONE tokenize pass shared by the NB and LR faces (r14, guide
+    §2.1 "don't compute things twice"): the eager-checkpointed
+    ``(id, b, c, _ct, _cn)`` relation ``nb_classifier_score`` builds
+    internally, factored out so a query that trains BOTH classifiers
+    over the same corpus (the D95 agreement audit) tokenizes once
+    instead of twice. ``_ct``/``_cn`` are the per-(doc, bucket)
+    class-conditional token counts; the LR label is derivable from
+    them — ``_y = 1.0 iff _ct > 0`` reproduces the
+    ``when(pred, 1.0).otherwise(0.0)`` coercion bit-for-bit
+    (``_ct = c`` on a true-labeled doc, ``0`` on a false-labeled
+    one, NULL on a NULL-labeled one, and NULL > 0 is NULL → 0.0) —
+    so one relation carries both models' inputs."""
+    if hex_chars < 1 or hex_chars > 4:
+        raise ValueError(f"hex_chars must be in [1, 4]: {hex_chars}")
+    tok = (
+        docs.select(
+            F.col(id_col),
+            target_pred.alias("_t"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            id_col, "_t", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+        )
+    )
+    return (
+        tok.groupBy(id_col, "b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("_t").cast("long")).alias("_ct"),
+            F.sum((~F.col("_t")).cast("long")).alias("_cn"),
+        )
+        .localCheckpoint(eager=True)  # tokenized once, shared
+    )
+
+
 def nb_log_odds(
     docs: DataFrame,
     target_pred: Column,
@@ -118,6 +164,7 @@ def nb_classifier_score(
     text_col: str = "text",
     hex_chars: int = 2,
     k: float = 1.0,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with the trained NB quality classifier:
     ``(id_col, n_tokens, score_micro, pred_target)`` where
@@ -153,27 +200,20 @@ def nb_classifier_score(
     if k <= 0:
         raise ValueError(f"k must be > 0: {k}")
     n_buckets = 16**hex_chars
-    tok = (
-        docs.select(
-            F.col(id_col),
-            target_pred.alias("_t"),
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .select(
-            id_col, "_t", F.substring(F.md5("w"), 1, hex_chars).alias("b")
-        )
-    )
+    # ``features=`` lets a caller that trains more than one classifier
+    # over the same corpus (D95 agreement) pass the shared
+    # classifier_features() relation — same arithmetic, one tokenize
+    # pass instead of two (r14, guide §2.1).
     dcb = (
-        tok.groupBy(id_col, "b")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(F.col("_t").cast("long")).alias("_ct"),
-            F.sum((~F.col("_t")).cast("long")).alias("_cn"),
+        features
+        if features is not None
+        else classifier_features(
+            docs,
+            target_pred,
+            id_col=id_col,
+            text_col=text_col,
+            hex_chars=hex_chars,
         )
-        .localCheckpoint(eager=True)  # tokenized once, read twice
     )
     bags = dcb.groupBy("b").agg(
         F.sum("_ct").alias("ct"), F.sum("_cn").alias("cn")
@@ -241,6 +281,8 @@ def lr_classifier_score(
     hex_chars: int = 2,
     epochs: int = 2,
     lr: float = 0.5,
+    features: DataFrame | None = None,
+    label_out: str | None = None,
 ) -> DataFrame:
     """GRADIENT-TRAINED logistic-regression quality classifier (D86 —
     the literal fastText/GPT-3-filter form: Joulin et al. 2016 train
@@ -300,29 +342,39 @@ def lr_classifier_score(
         hex_chars=hex_chars,
         epochs=epochs,
         lr=lr,
+        features=features,
     )
     # Inline serve with the literal-map model: every bucket of dc is a
     # model key by construction, so the lookup never misses and the
     # scores are bit-identical to the broadcast-join serve
     # (tests/test_classifier_lr.py + the D100 parity pins).
     wq = _wq_lookup(weights)
-    return (
-        dc.groupBy(id_col)
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.col("c") * wq).alias("_zl"),
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("_zl") + F.lit(bias_q).cast("long"))
-            .cast("long")
-            .alias("score_micro"),
-            (F.col("_zl") + F.lit(bias_q).cast("long") > 0).alias(
-                "pred_target"
-            ),
-        )
-    )
+    # ``label_out=`` rides the 0/1 training label out of the SAME
+    # id-keyed aggregate (it is constant per doc in ``dc``), so the
+    # D96/D98/D99 evaluation faces need no second documents scan +
+    # id-keyed join to re-attach the label they trained on (r14,
+    # guide §2.4 "remove shuffles outright"). Values are identical to
+    # re-deriving the predicate: the training coercion maps a NULL
+    # label to 0.0, exactly the CASE semantics the SQL oracles use.
+    aggs = [
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * wq).alias("_zl"),
+    ]
+    if label_out is not None:
+        aggs.append((F.first("_y") == F.lit(1.0)).alias(label_out))
+    cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("_zl") + F.lit(bias_q).cast("long"))
+        .cast("long")
+        .alias("score_micro"),
+        (F.col("_zl") + F.lit(bias_q).cast("long") > 0).alias(
+            "pred_target"
+        ),
+    ]
+    if label_out is not None:
+        cols.append(F.col(label_out))
+    return dc.groupBy(id_col).agg(*aggs).select(*cols)
 
 
 def _wq_lookup(weights: dict[str, int]) -> Column:
@@ -357,6 +409,7 @@ def _lr_train(
     hex_chars: int,
     epochs: int,
     lr: float,
+    features: DataFrame | None = None,
 ):
     """The D86 training loop, factored so both the inline face and the
     D100 persisted-model build share it verbatim: returns the
@@ -388,25 +441,43 @@ def _lr_train(
         raise ValueError(f"epochs must be >= 1: {epochs}")
     if not 0.0 < lr <= 10.0:
         raise ValueError(f"lr must be in (0, 10]: {lr}")
-    y01 = F.when(target_pred, F.lit(1.0)).otherwise(F.lit(0.0))
-    tok = (
-        docs.select(
+    if features is not None:
+        # Shared classifier_features() relation (already checkpointed):
+        # derive the 0/1 label from the class-conditional count —
+        # ``_ct = c`` on a true-labeled doc (→ 1.0), ``0`` on a
+        # false-labeled one (→ 0.0), NULL on a NULL-labeled one
+        # (NULL > 0 is NULL → otherwise → 0.0) — bit-identical to the
+        # ``when(pred, 1.0).otherwise(0.0)`` coercion below.
+        dc = features.select(
             F.col(id_col),
-            y01.alias("_y"),
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("w"),
+            F.col("b"),
+            F.col("c"),
+            F.when(F.col("_ct") > 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("_y"),
         )
-        .filter(F.col("w") != "")
-        .select(
-            id_col, "_y", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+    else:
+        y01 = F.when(target_pred, F.lit(1.0)).otherwise(F.lit(0.0))
+        tok = (
+            docs.select(
+                F.col(id_col),
+                y01.alias("_y"),
+                F.explode(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                ).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .select(
+                id_col,
+                "_y",
+                F.substring(F.md5("w"), 1, hex_chars).alias("b"),
+            )
         )
-    )
-    dc = (
-        tok.groupBy(id_col, "b")
-        .agg(F.count(F.lit(1)).alias("c"), F.first("_y").alias("_y"))
-        .localCheckpoint(eager=True)  # reused every epoch
-    )
+        dc = (
+            tok.groupBy(id_col, "b")
+            .agg(F.count(F.lit(1)).alias("c"), F.first("_y").alias("_y"))
+            .localCheckpoint(eager=True)  # reused every epoch
+        )
     lrf = float(lr)
     w_id = Window.partitionBy(id_col)
     w_rn = Window.partitionBy(id_col).orderBy("b")

@@ -110,6 +110,37 @@ def _banded_signatures(
     )
 
 
+def minhash_doc_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Eager-pinned ``(doc, sig)`` MinHash signature relation — the
+    BAND-INDEPENDENT half of ``_banded_signatures`` (num_hashes =
+    bands × rows_per_band is fixed up front; only the band grouping
+    depends on the planner's pick), factored out so the D85
+    plan-driven face can materialize the expensive shingle+hash fold
+    ON A DRIVER THREAD while the D74b planner's bounded-metadata
+    collect runs on the main thread (guide §2.6 "overlap independent
+    jobs") and band it afterwards. Pinning (doc, sig) also writes
+    1 row/doc instead of the banded form's bands rows/doc."""
+    n_spread = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
+    ).repartition(n_spread, "doc")
+    return _pin(
+        src.select(
+            "doc",
+            minhash_signature(
+                shingles("_txt", shingle_n), num_hashes
+            ).alias("sig"),
+        ).repartition("doc")
+    )
+
+
 def _sig_agreement(a_sig, b_sig, num_hashes: int):
     """Estimated Jaccard: fraction of equal MinHash signature
     components, computed inside the join projection so downstream
@@ -130,6 +161,7 @@ def _minhash_collisions(
     num_hashes: int,
     bands: int,
     max_band_width: int | None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Raw banded collision rows ``(id_a, id_b, est_jaccard)`` — PRE-
     distinct, so a pair colliding in k bands appears k times. The
@@ -160,13 +192,25 @@ def _minhash_collisions(
     # cap window), and no ReusedExchange ever fires for it (see _pin) —
     # unpinned, the whole shingle+minhash fold ran twice (r14 measured:
     # one banded pass is ~0.6 s at sf0.1, and every minhash face paid
-    # it per join side).
-    banded = _pin(
-        _banded_signatures(
-            df, id_col, text_col,
-            shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    # it per join side). With ``signatures=`` (a pre-pinned
+    # ``minhash_doc_signatures`` relation, the D85 overlap path) the
+    # fold is already materialized and banding is a cheap posexplode
+    # projection each side recomputes from the checkpoint.
+    if signatures is not None:
+        banded = signatures.select(
+            "doc",
+            "sig",
+            F.posexplode(
+                band_hashes("sig", bands, num_hashes // bands)
+            ).alias("band_idx", "band_key"),
         )
-    )
+    else:
+        banded = _pin(
+            _banded_signatures(
+                df, id_col, text_col,
+                shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+            )
+        )
     if max_band_width is not None:
         bucket_w = Window.partitionBy("band_idx", "band_key").orderBy("doc")
         reps = (
@@ -223,6 +267,7 @@ def minhash_dedup(
     bands: int = 8,
     max_band_width: int | None = None,
     from_plan: tuple[int, int] | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup: drop every doc that has a candidate pair with
     estimated jaccard ≥ threshold and a smaller-id partner (min-id doc of
@@ -244,7 +289,7 @@ def minhash_dedup(
     cand = _minhash_collisions(
         df, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
-        max_band_width=max_band_width,
+        max_band_width=max_band_width, signatures=signatures,
     ).filter(F.col("est_jaccard") >= threshold)
     losers = cand.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")

@@ -1703,7 +1703,20 @@ def ngram_langid(
         .filter(F.col("dr") <= doc_profile_size)
         .select(id_col, "g", "dr")
     )
-    langs = lang_prof.select("_lang").distinct()
+    # The distinct language list equals the distinct non-NULL labels
+    # among training docs with >= 3 normalized chars (such a doc has
+    # >= 1 trigram, so its language owns >= 1 profile row, and a
+    # language with no such doc has none) — computed from a plain
+    # pushed-down scan + distinct instead of
+    # ``lang_prof.select("_lang").distinct()``, which re-inlined the
+    # ENTIRE profile pipeline (a second full gram explode + rank
+    # window of the training corpus; Catalyst never unifies the
+    # shared subtree — the standing no-ReusedExchange finding, r14).
+    langs = (
+        tr.filter(F.col(lang_col).isNotNull() & (norm_len >= 3))
+        .select(F.col(lang_col).alias("_lang"))
+        .distinct()
+    )
     expanded = doc_prof.crossJoin(F.broadcast(langs)).join(
         F.broadcast(lang_prof), ["_lang", "g"], "left"
     )

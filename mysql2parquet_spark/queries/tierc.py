@@ -4827,12 +4827,35 @@ def text_vocab_composition(spark, sf_dir):
 )
 def dedup_minhash_planned(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    b, r = dedup.choose_lsh_parameters(
-        d, threshold=0.5, target_prob=0.9, num_hashes=32
-    )
+    # Overlap (r14, guide §2.6): the 32-component signature relation is
+    # plan-INDEPENDENT (num_hashes = bands x rows_per_band is the fixed
+    # budget; only the band grouping uses the planner's pick), so its
+    # eager pin — the expensive shingle+hash fold — runs on a driver
+    # thread while the planner's bounded-metadata collect runs on the
+    # main thread. Values are bit-identical to the serial composition
+    # (same signatures, banded after; pinned in tests/test_soft_lsh_plan
+    # .py::test_signatures_path_matches_inline).
+    from pyspark import InheritableThread
+
+    sig_box: dict = {}
+
+    def _build_signatures():
+        sig_box["sig"] = dedup.minhash_doc_signatures(
+            d, "doc_id", "text", shingle_n=3, num_hashes=32
+        )
+
+    t = InheritableThread(target=_build_signatures)
+    t.start()
+    try:
+        b, r = dedup.choose_lsh_parameters(
+            d, threshold=0.5, target_prob=0.9, num_hashes=32
+        )
+    finally:
+        t.join()
     kept = dedup.minhash_dedup(
         d, "doc_id", "text", threshold=0.5,
         max_band_width=16, from_plan=(b, r),
+        signatures=sig_box["sig"],
     )
     return kept.select("doc_id", "lang", "source")
 
@@ -5364,14 +5387,19 @@ def text_fertility(spark, sf_dir):
 def text_classifier_agreement(spark, sf_dir):
     from mysql2parquet_spark.operators.classifier import (
         classifier_agreement,
+        classifier_features,
         lr_classifier_score,
         nb_classifier_score,
     )
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     is_t = F.col("source").isin("src1", "src3")
-    a = nb_classifier_score(d, is_t)
-    b = lr_classifier_score(d, is_t, epochs=2, lr=0.5)
+    # Both models train over the SAME corpus and feature space, so the
+    # tokenize pass + (id, bucket) aggregate is built once and shared
+    # (r14, guide §2.1) — arithmetic unchanged, one corpus scan fewer.
+    feats = classifier_features(d, is_t)
+    a = nb_classifier_score(d, is_t, features=feats)
+    b = lr_classifier_score(d, is_t, epochs=2, lr=0.5, features=feats)
     return classifier_agreement(a, b)
 
 
@@ -5434,8 +5462,13 @@ def text_classifier_auc(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     is_t = F.col("source").isin("src1", "src3")
-    scored = lr_classifier_score(d, is_t, epochs=2, lr=0.5).join(
-        d.select("doc_id", is_t.alias("y")), "doc_id"
+    # The 0/1 label already rides the LR feature relation; emitting it
+    # from the score aggregate (label_out) replaces the second
+    # documents scan + id-keyed join (r14, guide §2.4). Identical
+    # values: sources are non-NULL in the corpus contract, and a NULL
+    # source coerces to false — the oracle's CASE semantics.
+    scored = lr_classifier_score(
+        d, is_t, epochs=2, lr=0.5, label_out="y"
     )
     return exact_auc(scored, "score_micro", "y")
 
@@ -5547,9 +5580,12 @@ def text_classifier_calibration(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     is_t = F.col("source").isin("src1", "src3")
+    # label_out: the label rides the score aggregate instead of a
+    # second documents scan + id join (r14, guide §2.4 — see the
+    # text_classifier_auc note).
     scored = with_prob_micro(
-        lr_classifier_score(d, is_t, epochs=2, lr=0.5)
-    ).join(d.select("doc_id", is_t.alias("y")), "doc_id")
+        lr_classifier_score(d, is_t, epochs=2, lr=0.5, label_out="y")
+    )
     return calibration_report(scored, "y")
 
 
@@ -5613,9 +5649,12 @@ def text_classifier_pr_curve(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     is_t = F.col("source").isin("src1", "src3")
+    # label_out: the label rides the score aggregate instead of a
+    # second documents scan + id join (r14, guide §2.4 — see the
+    # text_classifier_auc note).
     scored = with_prob_micro(
-        lr_classifier_score(d, is_t, epochs=2, lr=0.5)
-    ).join(d.select("doc_id", is_t.alias("y")), "doc_id")
+        lr_classifier_score(d, is_t, epochs=2, lr=0.5, label_out="y")
+    )
     return pr_curve_report(scored, "y")
 
 

@@ -198,3 +198,36 @@ def test_choose_parameters_meets_recall_bar_cheaper(spark):
     n = kept.count()
     assert n < docs.count()  # planted dups actually removed
     assert n >= 60  # originals survive
+
+
+def test_signatures_path_matches_inline(spark):
+    """r14 overlap path: minhash_dedup fed a pre-pinned
+    minhash_doc_signatures relation keeps EXACTLY the docs the inline
+    composition keeps (same signatures, banded after — guide §2.6
+    overlap changes scheduling, never values)."""
+    from mysql2parquet_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_doc_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=("lorem ipsum dolor sit amet " * 6) + str(i % 7))
+            for i in range(80)
+        ]
+        + [Row(doc_id=1000 + i, text=f"unique document body {i} " * 4) for i in range(20)]
+    )
+    sigs = minhash_doc_signatures(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=32
+    )
+    via_sig = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5,
+        max_band_width=16, from_plan=(8, 4), signatures=sigs,
+    )
+    inline = minhash_dedup(
+        docs, "doc_id", "text", threshold=0.5,
+        max_band_width=16, from_plan=(8, 4),
+    )
+    assert sorted(r.doc_id for r in via_sig.collect()) == sorted(
+        r.doc_id for r in inline.collect()
+    )
