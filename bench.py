@@ -291,15 +291,24 @@ def main() -> None:
     )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
-    # Truncation armor (VERDICT r7 ask #5, fixing the half-delivered r6
-    # ask #8): the driver keeps only the LAST ~2000 chars of stdout, so
-    # the giant full dict goes out FIRST (a truncated artifact loses its
-    # head) and the compact headline line goes out LAST — small enough
-    # to always survive the tail capture whole AND to be the driver's
-    # parse target (so "parsed" is finally non-null). The compact line
-    # carries the total, the top-5 outliers, and the protocol keys;
-    # "queries_in_full_line_above" flags where the complete per-query
-    # dict lives.
+    # Truncation armor, r15 revision (VERDICT r14 ask #3 — the r14
+    # adjudicator got per_query: {} because the complete per-query dict
+    # lived only in a >2000-char first line whose HEAD the driver's
+    # 2000-char tail capture cut off, and the compact final line had no
+    # "queries" key at all). Line order, sized against the 2000-char
+    # window:
+    #   1. full-precision archive line (everything, 3-decimal) — FIRST,
+    #      truncated away in the artifact but kept whole in local logs
+    #      and plans/r15/bench_close_runs.jsonl;
+    #   2. {"staged2": {...}} — the staged per-query map rounded to
+    #      2 decimals; its TAIL (~800 chars, ~30 entries) survives the
+    #      capture for human reconstruction;
+    #   3. the contract line LAST (~1.2 KB < 2000, measured): metric /
+    #      value / unit / sf AND the full 49-entry headline "queries"
+    #      map rounded to 2 decimals — the driver's parse target now
+    #      carries per-query data. Methodology (same queries, same
+    #      min-of-2, same noop sink) unchanged; this is output format
+    #      only (OPTIMIZATION_r15.md item 3).
     print(
         json.dumps(
             {
@@ -318,8 +327,11 @@ def main() -> None:
             }
         )
     )
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    print(
+        json.dumps(
+            {"staged2": {k: round(v, 2) for k, v in staged_timings.items()}},
+            separators=(",", ":"),
+        )
     )
     print(
         json.dumps(
@@ -327,14 +339,14 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": float(sf),
                 "runs": 2,
                 "agg": "min",
-                "slowest": slowest,
                 "staged_total": staged_total,
                 "loadavg_start": loadavg_start,
-                "queries_in_full_line_above": True,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -84,7 +84,15 @@ def classifier_features(
         )
         .filter(F.col("w") != "")
         .select(
-            id_col, "_t", F.substring(F.md5("w"), 1, hex_chars).alias("b")
+            id_col,
+            "_t",
+            # hex_chars rides as column metadata so a consumer scoring
+            # with a DIFFERENT hex_chars fails loudly instead of
+            # silently mis-smoothing (ADVICE r14 — the kb constant is
+            # 16^hex_chars; metadata survives the groupBy key).
+            F.substring(F.md5("w"), 1, hex_chars).alias(
+                "b", metadata={"hex_chars": hex_chars}
+            ),
         )
     )
     return (
@@ -203,7 +211,20 @@ def nb_classifier_score(
     # ``features=`` lets a caller that trains more than one classifier
     # over the same corpus (D95 agreement) pass the shared
     # classifier_features() relation — same arithmetic, one tokenize
-    # pass instead of two (r14, guide §2.1).
+    # pass instead of two (r14, guide §2.1). The relation must have
+    # been built with the SAME hex_chars (the smoothing constant is
+    # 16^hex_chars) — enforced via the metadata classifier_features
+    # stamps on ``b`` (ADVICE r14); a hand-built relation without the
+    # stamp is the caller's documented responsibility.
+    if features is not None and "b" in features.columns:
+        meta = features.schema["b"].metadata or {}
+        if "hex_chars" in meta and meta["hex_chars"] != hex_chars:
+            raise ValueError(
+                f"features= was built with hex_chars={meta['hex_chars']}"
+                f" but nb_classifier_score got hex_chars={hex_chars} — "
+                "the add-k smoothing constant (16^hex_chars) would "
+                "silently mis-score; pass matching hex_chars"
+            )
     dcb = (
         features
         if features is not None
@@ -308,6 +329,11 @@ def lr_classifier_score(
     Returns ``(id_col, n_tokens, score_micro, pred_target)`` — the
     final-epoch logit in micro units and the decision ``> 0``.
     Documents with zero tokens are absent (the D48/D75 contract).
+    ``label_out=`` emits the TRAINING label (the 0/1 coercion of
+    ``target_pred``): a NULL predicate value trains as — and is
+    emitted as — ``false``, NOT NULL (ADVICE r14, stated contract;
+    the D96-D99 evaluation oracles apply the same CASE coercion, so
+    the faces agree even on NULL-labeled corpora).
     The NB face (``nb_classifier_score``) remains the closed-form
     default; this is the calibrated-scores path when the bag prior
     mis-weights correlated features.

@@ -197,6 +197,20 @@ def _minhash_collisions(
     # fold is already materialized and banding is a cheap posexplode
     # projection each side recomputes from the checkpoint.
     if signatures is not None:
+        # Budget-contract guard (ADVICE r14): the pre-built signature
+        # length must equal THIS call's num_hashes, or band_hashes
+        # indexes past the array (NULL keys / ANSI error) and
+        # _sig_agreement divides by the wrong count — silently skewed
+        # est_jaccard. One bounded probe row (the D85 caller passes an
+        # eagerly pinned relation, so this reads one checkpoint row).
+        probe = signatures.select(F.size("sig").alias("_n")).limit(1).collect()
+        if probe and probe[0]["_n"] != num_hashes:
+            raise ValueError(
+                f"signatures= carries {probe[0]['_n']}-hash signatures "
+                f"but num_hashes={num_hashes} — the pre-built relation "
+                "must be built with the same hash budget "
+                "(minhash_doc_signatures(num_hashes=...))"
+            )
         banded = signatures.select(
             "doc",
             "sig",

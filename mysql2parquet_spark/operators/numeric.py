@@ -654,6 +654,20 @@ def exact_auc(
         F.sum(F.col("_y").cast("long")).alias("_np"),
         F.sum((~F.col("_y")).cast("long")).alias("_nn"),
     )
+    # Pin the distinct-score relation (r15): unpinned, ``g`` is
+    # re-inlined THREE times downstream (the range partitioner's
+    # sampling pass + the offsets branch + the running-sum branch),
+    # re-running the ENTIRE upstream scorer each time — for the D96
+    # classifier face that is three evaluations of the feature/score
+    # aggregates. The r14 aggregate-output AQE-freeze concern does not
+    # apply: the only consumer is an explicit repartitionByRange, a
+    # full exchange regardless of the frozen layout. Interleaved A/B
+    # min-of-5 (plans/r15/curate_pin_probes.md): text_classifier_auc
+    # at 4×SF/8c (saturated) min 11.6→4.9 s, 5/5 paired reps; sf0.1/
+    # 32c medians 4.8→3.8 s over 10 paired reps.
+    from mysql2parquet_spark.operators.scale import pin_shared
+
+    g = pin_shared(g)
     parts = (
         g.repartitionByRange(num_partitions, F.col("_s"))
         if num_partitions is not None

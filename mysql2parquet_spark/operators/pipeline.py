@@ -84,14 +84,29 @@ def curate_with_classifier(
         nb_classifier_score,
     )
 
-    deduped = fingerprint_dedup(docs, text_col, id_col)
-    scored = nb_classifier_score(
-        deduped,
-        target_pred,
-        id_col=id_col,
-        text_col=text_col,
-        hex_chars=hex_chars,
-        k=k,
+    from mysql2parquet_spark.operators.scale import pin_shared
+
+    # Pin the two multiply-consumed relations (r15, guide §1.2 "don't
+    # compute twice"): ``deduped`` feeds the NB train/score passes AND
+    # the metadata join-back, ``scored`` feeds the mean-gate aggregate
+    # AND the keep filter — unpinned, Catalyst re-inlines the whole
+    # md5-dedup window + classifier per consumer (the standing
+    # no-ReusedExchange finding). Interleaved A/B min-of-5
+    # (plans/r15/curate_pin_probes.md): sf0.1/32c median 2.75→2.31 s,
+    # 4×SF/8c (saturated) min 2.35→2.19 s — the r14 "redundant-but-
+    # parallel wins" note applied to pinning the MODEL relations (many
+    # small serial checkpoints), not these two corpus-per-doc
+    # relations (one checkpoint each, constant-width rows).
+    deduped = pin_shared(fingerprint_dedup(docs, text_col, id_col))
+    scored = pin_shared(
+        nb_classifier_score(
+            deduped,
+            target_pred,
+            id_col=id_col,
+            text_col=text_col,
+            hex_chars=hex_chars,
+            k=k,
+        )
     )
     if min_score_micro is None:
         stats = scored.agg(
@@ -142,9 +157,16 @@ def curate_corpus_langid(
     per-doc rank window against broadcast charset³-bounded profiles
     (the D87 plan); the final filter+join rides the id partitioning.
     """
+    from mysql2parquet_spark.operators.scale import pin_shared
     from mysql2parquet_spark.operators.text import ngram_langid
 
-    deduped = fingerprint_dedup(docs, text_col, id_col)
+    # Pin the deduped corpus (r15): it feeds the quality gate, the
+    # langid train side (profile build) and the langid doc side — three
+    # full re-inlines of the md5-dedup window unpinned. Interleaved A/B
+    # min-of-5 (plans/r15/curate_pin_probes.md): dedup-pin won 4/5
+    # paired reps at sf0.1/32c (median 4.86→4.05 s) and 5/5 at 4×SF/8c
+    # (min 7.34→6.12 s).
+    deduped = pin_shared(fingerprint_dedup(docs, text_col, id_col))
     gated = with_quality_score(deduped, text_col).filter(
         F.col("quality") >= min_quality
     )
@@ -198,27 +220,36 @@ def curate_with_lm(
     Scale shape: one md5 dedup exchange; the D76 plan (four
     vocabulary-bounded model aggregates, gram-keyed scoring joins,
     one id-keyed reduce); the keep filter and metadata join-back ride
-    the id partitioning.
+    the id partitioning. The deduped corpus and the per-doc score
+    relation each materialize ONCE (localCheckpoint) because both
+    have multiple consumers — see the pin comments below.
     """
     from mysql2parquet_spark.operators.lm import lm3_score
+    from mysql2parquet_spark.operators.scale import pin_shared
 
-    deduped = fingerprint_dedup(docs, text_col, id_col)
+    # Pin the two multiply-consumed CORPUS relations (r15, VERDICT r14
+    # ask #1 — the saturated-core re-measure): unpinned, ``deduped``
+    # re-inlines ~15× (trusted side ×6 through lm3's model aggregates,
+    # doc side, metadata join-back — per ``scored`` consumer) and
+    # ``scored`` re-inlines twice (mean gate + keep filter), the
+    # 64-Exchange-ref plan. lm3_score's MODEL relations (bi/uni) stay
+    # unpinned — pinning those was the measured r14 regression (many
+    # small serial checkpoint jobs); these two are one checkpoint each
+    # over constant-width per-doc rows. Interleaved A/B min-of-5
+    # (plans/r15/curate_pin_probes.md): sf0.1/32c none→both median
+    # 2.97→2.30 s (win on every paired rep), 4×SF/8c (saturated)
+    # 4.68→3.92 s median.
+    deduped = pin_shared(fingerprint_dedup(docs, text_col, id_col))
     trusted = deduped.filter(trusted_pred).select(id_col, text_col)
-    # scored feeds both the corpus-mean aggregate and the keep filter,
-    # and is deliberately NOT pin_shared-ed (nor are lm3_score's model
-    # relations): the duplicated branches run as independent PARALLEL
-    # stages of the one final job, while eager checkpoints serialize
-    # query construction into extra driver-blocking jobs — measured
-    # r14, pinning this family took text_lm3_score 1.31 → 2.82 s and
-    # pipeline_curate_lm 2.15 → 3.51 s (min-of-5, back-to-back quiet
-    # windows). Redundant-but-parallel wins until cores saturate.
-    scored = lm3_score(
-        deduped.select(id_col, text_col),
-        train=trusted,
-        id_col=id_col,
-        text_col=text_col,
-        alpha=alpha,
-        as_micro=True,
+    scored = pin_shared(
+        lm3_score(
+            deduped.select(id_col, text_col),
+            train=trusted,
+            id_col=id_col,
+            text_col=text_col,
+            alpha=alpha,
+            as_micro=True,
+        )
     )
     stats = scored.agg(
         F.sum("ce_micro").alias("_tot"),

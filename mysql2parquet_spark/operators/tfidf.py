@@ -152,6 +152,13 @@ def tfidf_topk_similar(
     sig = tfidf_signatures(
         docs, id_col=id_col, text_col=text_col, top_terms=top_terms
     )
+    # r15 re-test of the r14 pin (VERDICT r14 ask #5): pinning AFTER an
+    # explicit term-keyed repartition (scale-correct frozen layout) was
+    # ALSO a measured regression — interleaved A/B min-of-5, 4×SF/8c
+    # saturated: off 3.25 s vs term-pin 4.52 s (4/5 paired reps worse);
+    # sf0.1/32c mixed (3.07 vs 3.49 min). The signature relation
+    # carries term strings, so the checkpoint write costs more than the
+    # duplicated recompute even with cores saturated. Recompute stays.
     if max_posting_docs is not None:
         if max_posting_docs < 1:
             raise ValueError(

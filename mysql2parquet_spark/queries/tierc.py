@@ -4840,9 +4840,15 @@ def dedup_minhash_planned(spark, sf_dir):
     sig_box: dict = {}
 
     def _build_signatures():
-        sig_box["sig"] = dedup.minhash_doc_signatures(
-            d, "doc_id", "text", shingle_n=3, num_hashes=32
-        )
+        # Capture, don't swallow (ADVICE r14): a Spark error during the
+        # eager pin must surface as ITSELF after join(), not as a bare
+        # KeyError on sig_box["sig"] masking the real cause.
+        try:
+            sig_box["sig"] = dedup.minhash_doc_signatures(
+                d, "doc_id", "text", shingle_n=3, num_hashes=32
+            )
+        except BaseException as e:  # re-raised on the main thread
+            sig_box["err"] = e
 
     t = InheritableThread(target=_build_signatures)
     t.start()
@@ -4852,6 +4858,8 @@ def dedup_minhash_planned(spark, sf_dir):
         )
     finally:
         t.join()
+    if "err" in sig_box:
+        raise sig_box["err"]
     kept = dedup.minhash_dedup(
         d, "doc_id", "text", threshold=0.5,
         max_band_width=16, from_plan=(b, r),
