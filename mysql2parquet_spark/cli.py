@@ -1176,6 +1176,18 @@ def main(argv: list[str] | None = None) -> int:
     from mysql2parquet_spark.io import read_jdbc, register_tables
     from mysql2parquet_spark.session import get_spark
 
+    # Session ownership: as a console process there is never an active
+    # session — main() creates one and stops it on exit, exactly as
+    # before. Embedded callers (a host application or the test suite
+    # driving main() in-process) may already hold a session; getOrCreate
+    # returns it, and stopping a session we did not create would kill
+    # the host's SparkContext out from under it (SparkContext is
+    # process-global). So: stop only what we started. This is also what
+    # makes the CLI contract tests runnable in-process instead of one
+    # ~12 s JVM boot per invocation (r15).
+    from pyspark.sql import SparkSession
+
+    _preexisting = SparkSession.getActiveSession()
     spark = get_spark("mysql2parquet-spark-cli", master=args.master)
     try:
         if args.stream_events:
@@ -1466,7 +1478,8 @@ def main(argv: list[str] | None = None) -> int:
                 return rc
         return 0
     finally:
-        spark.stop()
+        if _preexisting is None:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -203,7 +203,11 @@ def _minhash_collisions(
         # _sig_agreement divides by the wrong count — silently skewed
         # est_jaccard. One bounded probe row (the D85 caller passes an
         # eagerly pinned relation, so this reads one checkpoint row).
-        probe = signatures.select(F.size("sig").alias("_n")).limit(1).collect()
+        probe = (
+            signatures.select(F.size("sig").alias("_n"))
+            .limit(1)
+            .collect()  # bounded-metadata (<= 1 row, budget guard)
+        )
         if probe and probe[0]["_n"] != num_hashes:
             raise ValueError(
                 f"signatures= carries {probe[0]['_n']}-hash signatures "

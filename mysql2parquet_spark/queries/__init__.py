@@ -156,6 +156,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the 8 r12 staleness refreshes, each now at 4-6 rows) — all
 # component-guarded via the proven-component rule in
 # tests/test_registry.py.
+# ROTATION (r15, per ROTATION.md's deferred list + VERDICT r14 ask #4):
+# r14 was an optimization round and reused the r13 head verbatim, so
+# every r13-head member gained a row (r13 debuts now at 2 greens, the
+# D62-D74b cohort at 3, D45-D61 at 4). The r15 head: 14 debut slots for
+# the ENTIRE r13-registered backlog (D88-D101, never driver-checked —
+# this also externally adjudicates the r14/r15 optimization rewrites of
+# the auc/calibration/pr_curve/agreement, mad_outliers, changepoint and
+# curate faces, VERDICT r14 ask #4), 2 refresh slots for the other two
+# r14-rewritten self-certified queries (tpch_q18, table_profile),
+# third-green slots for the 13 r13 debuts, fourth-green retention for
+# the D62-D74b cohort and the rows-only re-adjudications
+# (dedup_minhash_planned, sample_kcenter, table_profile_approx —
+# heavily rewritten r14/r15, rows-only by nature). Displaced: 16
+# D45-D61 four-green graduates (score_calibrate_global, sample_quota,
+# multimodal_phash_dedup, text_lm_score, dedup_containment,
+# pipeline_dsir, text_gopher_rules, dedup_cdc_chunks,
+# pipeline_length_buckets, multimodal_audio_trim, events_bootstrap,
+# sample_weighted_k, dedup_cluster_density, search_rrf_fusion,
+# dedup_segments_within, agg_quantiles_global) — all component-guarded
+# via the proven-component rule (tests/test_registry.py; verified zero
+# uncovered components at rotation time).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- 13 r13 debuts (r12-built, never driver-checked; parity
     #     proven in the r12 judge sim — tests per surface:
@@ -194,31 +215,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_token_budget",  # D73 token-budget water-filling
     "dedup_soft_weights",   # D74 SoftDeDup reweighting
     "dedup_lsh_plan",       # D74b LSH banding parameter planner
-    # --- third green rows for the 18 r11 debuts (D45-D61) ---
-    "score_calibrate_global",   # D45 distributed exact percent_rank
+    # --- retained from the D39/D45-D61 block: the two rows-only
+    #     re-adjudications + the r14-rewritten segment face ---
     "table_profile_approx",     # D39 approx-HLL profile (rows-only)
-    "sample_quota",             # D46 exact-total quota sampling
-    "multimodal_phash_dedup",   # D47 DCT pHash image near-dup
-    "text_lm_score",            # D48 bigram-LM cross-entropy scoring
-    "dedup_containment",        # D49 exact n-gram containment pairs
     "dedup_segments",           # D50 C4 corpus-frequent line dedup
-    "pipeline_dsir",            # D51 DSIR importance selection
-    "text_gopher_rules",        # D52 Gopher quality-rule vector
-    "dedup_cdc_chunks",         # D53 content-defined chunk dup report
-    "pipeline_length_buckets",  # D54 length-bucketed batching
-    "multimodal_audio_trim",    # D55 audio silence trim / VAD
-    "events_bootstrap",         # D56 one-pass Poisson bootstrap CIs
-    "sample_weighted_k",        # D57 A-ES exact-k weighted sampling
-    "dedup_cluster_density",    # D58 triangle/density cluster report
-    "search_rrf_fusion",        # D59 reciprocal-rank fusion
-    "dedup_segments_within",    # D60 within-doc repeated-segment dedup
-    "agg_quantiles_global",     # D61 exact global quantiles
     # --- 4 staleness slots: newest driver row r5, 4 hash greens
     #     (standing rule: no query's newest row should age out) ---
     "agg_cube",             # B14 CUBE aggregation (newest r5)
     "set_ops",              # B21 set operations (newest r5)
     "sort_limit_offset",    # B19/B20 sort+limit+offset (newest r5)
     "window_analytic",      # B17 analytic window fns (newest r5)
+    # --- 14 r15 debuts (the full r13-registered D88-D101 backlog;
+    #     never driver-checked — also the external adjudication of the
+    #     r14/r15 optimization rewrites, VERDICT r14 ask #4) ---
+    "pipeline_curate_classifier",   # D88 trained-filter curation
+    "text_classifier_lr_prob",      # D89 calibrated-probability face
+    "pipeline_curate_langid",       # D90 trained language gate
+    "text_mojibake",                # D91 encoding-noise gate
+    "events_mad_outliers",          # D92 median/MAD outlier report
+    "text_fertility",               # D93 tokenizer-fertility report
+    "events_changepoint",           # D94 CUSUM mean-shift changepoint
+    "text_classifier_agreement",    # D95 Cohen's-kappa agreement
+    "text_classifier_auc",          # D96 exact Mann-Whitney AUC
+    "drift_wasserstein",            # D97 per-source Wasserstein-1 drift
+    "text_classifier_calibration",  # D98 reliability/calibration curve
+    "text_classifier_pr_curve",     # D99 precision/recall sweep
+    "text_classifier_lr_persisted",  # D100 persisted-model LR serving
+    "pipeline_curate_lm",           # D101 perplexity-gated curation
+    # --- 2 refresh slots for the other two r14-rewritten queries whose
+    #     bit-parity was self-certified (VERDICT r14 ask #4) ---
+    "tpch_q18",             # r14: outer sum served from HAVING agg
+    "table_profile",        # r14: split distinct/plain aggregates
 )
 
 

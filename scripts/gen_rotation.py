@@ -36,6 +36,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # oracles. The ledger test fails if a query is neither checked, in the
 # head, nor here.
 NEXT_ROUND_BACKLOG: tuple[str, ...] = (
+    # r15: EMPTY — the full D88-D101 cohort below moved into
+    # DRIVER_PRIORITY (r15 head debut slots; r14 was an optimization
+    # round that reused the r13 head verbatim, so the debut deferred
+    # one extra round). No new queries were registered in r14/r15
+    # (optimization rounds, no-new-features rule), so nothing remains
+    # unscheduled. The r13 entries are kept below, commented, for the
+    # audit trail.
+)
+
+_R13_BACKLOG_NOW_IN_HEAD: tuple[str, ...] = (
     # r13: the thirteen r12-added queries (D75-D87) all hold r13 head
     # slots (debut round — the backlog emptied into DRIVER_PRIORITY
     # per the r13 plan below); entries added here are r13-ADDED

@@ -11,7 +11,7 @@ SF_TEST_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 def spark():
     from mysql2parquet_spark.session import get_spark
 
-    s = get_spark("mysql2parquet_spark-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark("mysql2parquet_spark-tests", master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"), shuffle_partitions=8)
     yield s
     s.stop()
 

@@ -172,7 +172,11 @@ def test_parquet_stream_sink_roundtrip(spark, sf_dir, tmp_path):
         str(tmp_path / "out"),
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    # processAllAvailable blocks exactly until every available input
+    # file is processed; the old awaitTermination(120) burned the full
+    # 120 s because a file stream never self-terminates (r15 suite-wall
+    # fix — same assertion, same landed data).
+    q.processAllAvailable()
     q.stop()
     landed = spark.read.parquet(str(tmp_path / "out"))
     want = (
